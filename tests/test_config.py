@@ -1,0 +1,99 @@
+"""Config schema compatibility tests against the reference configs/server.json."""
+
+import json
+
+from zero_latency_yolo_tpu.config import (
+    CS16_CLASS_NAMES, GameConfig, ServerConfig,
+)
+
+REFERENCE_JSON = """
+{
+    "model_path": "models/yolo_nano_cs16.onnx",
+    "port": 7788,
+    "web_port": 3000,
+    "max_clients": 10,
+    "target_fps": 60,
+    "confidence_threshold": 0.5,
+    "nms_threshold": 0.45,
+    "max_queue_size": 8,
+    "use_cpu_affinity": true,
+    "cpu_core_id": 0,
+    "use_high_priority": true,
+    "logging": {"enable_logging": true, "log_level": "info",
+                "log_file": "logs/server.log", "max_log_size_mb": 10,
+                "max_log_files": 5},
+    "network": {"recv_buffer_size": 1048576, "send_buffer_size": 1048576,
+                "timeout_ms": 5000, "heartbeat_interval_ms": 1000},
+    "detection": {"model_width": 416, "model_height": 416,
+                  "enable_tracking": true, "max_tracking_age_ms": 500,
+                  "class_weights": {"player_t": 1.0, "player_ct": 1.0,
+                                    "head": 1.2, "weapon": 0.8}},
+    "game_adapters": {"cs16": {"enabled": true, "aim_target_offset_y": -0.15,
+                               "head_size_factor": 0.7,
+                               "weapons": {"ak47": {"recoil_factor": 2.5, "priority": 1.0},
+                                           "awp": {"recoil_factor": 0.0, "priority": 1.5}}}},
+    "analytics": {"enable_analytics": true, "stats_interval_sec": 60,
+                  "save_stats_to_file": true, "stats_file": "logs/stats.json"}
+}
+"""
+
+
+def test_reference_schema_loads():
+    cfg = ServerConfig.from_json(REFERENCE_JSON)
+    assert cfg.model_path == "models/yolo_nano_cs16.onnx"
+    assert cfg.network.port == 7788 and cfg.network.web_port == 3000
+    assert cfg.max_clients == 10 and cfg.target_fps == 60
+    assert cfg.confidence_threshold == 0.5 and cfg.nms_threshold == 0.45
+    assert cfg.detection.model_width == 416
+    assert cfg.detection.enable_tracking and cfg.detection.max_tracking_age_ms == 500
+    assert cfg.detection.class_weights["head"] == 1.2
+    cs16 = cfg.game_adapters["cs16"]
+    assert cs16.enabled and cs16.head_size_factor == 0.7
+    assert cs16.weapons["awp"].priority == 1.5
+    # Weapons present in defaults but not in file keep their defaults.
+    assert cs16.weapons["deagle"].recoil_factor == 3.0
+    assert cfg.analytics.stats_interval_sec == 60
+
+
+def test_all_fields_optional_with_defaults():
+    cfg = ServerConfig.from_json("{}")
+    assert cfg.network.port == 7788
+    assert cfg.detection.model_width == 416
+    assert cfg.confidence_threshold == 0.5
+    assert cfg.game_adapters["cs16"].enabled
+    assert cfg.tpu.batch_window_ms > 0
+
+
+def test_class_weight_vector_order_and_defaults():
+    cfg = ServerConfig.from_json(REFERENCE_JSON)
+    vec = cfg.detection.class_weight_vector(CS16_CLASS_NAMES)
+    assert vec == [1.0, 1.0, 1.2, 0.8]
+    cfg.detection.class_weights.pop("weapon")
+    assert cfg.detection.class_weight_vector(CS16_CLASS_NAMES)[3] == 1.0
+
+
+def test_save_load_roundtrip(tmp_path):
+    path = tmp_path / "server.json"
+    cfg = ServerConfig.from_json(REFERENCE_JSON)
+    cfg.tpu.quantize_int8 = True
+    cfg.save(str(path))
+    cfg2 = ServerConfig.load(str(path))
+    assert cfg2.to_dict() == cfg.to_dict()
+    # The saved file keeps top-level port aliases the reference expects.
+    saved = json.loads(path.read_text())
+    assert saved["port"] == 7788 and saved["web_port"] == 3000
+
+
+def test_autocreate_default_config(tmp_path):
+    path = tmp_path / "nested" / "server.json"
+    cfg = ServerConfig.load(str(path), create_if_missing=True)
+    assert path.exists()
+    assert cfg.network.port == 7788
+
+
+def test_unknown_game_adapter_accepted():
+    cfg = ServerConfig.from_dict(
+        {"game_adapters": {"csgo": {"enabled": True, "head_size_factor": 0.6}}})
+    assert isinstance(cfg.game_adapters["csgo"], GameConfig)
+    assert cfg.game_adapters["csgo"].head_size_factor == 0.6
+    assert cfg.game_adapters["cs16"].enabled  # default preserved

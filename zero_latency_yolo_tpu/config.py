@@ -1,0 +1,268 @@
+"""Typed server configuration — parses the reference `configs/server.json` schema.
+
+Schema compatibility is a hard requirement (reference src/server/config.h:305-630):
+every key is optional with the reference's defaults, unknown keys are ignored,
+and `save()` writes a file the reference's ConfigManager would load unchanged.
+TPU-specific knobs live in a new optional `tpu` sub-object so old configs stay
+valid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+# Defaults mirror reference src/common/constants.h:13-29 and src/server/config.h.
+DEFAULT_SERVER_PORT = 7788
+DEFAULT_WEB_PORT = 3000
+DEFAULT_MODEL_PATH = "models/yolo_nano_cs16.onnx"
+DEFAULT_MODEL_SIZE = 416
+DEFAULT_CONF_THRESHOLD = 0.5
+DEFAULT_NMS_THRESHOLD = 0.45
+MAX_DETECTION_COUNT = 32
+MAX_CLIENTS = 10
+TARGET_SERVER_FPS = 60
+INFERENCE_QUEUE_SIZE = 8
+
+# CS1.6 class ids (reference src/common/constants.h:37-40).
+CLASS_T = 0
+CLASS_CT = 1
+CLASS_HEAD = 2
+CLASS_WEAPON = 3
+CS16_CLASS_NAMES = ("player_t", "player_ct", "head", "weapon")
+
+
+@dataclass
+class NetworkConfig:
+    port: int = DEFAULT_SERVER_PORT
+    web_port: int = DEFAULT_WEB_PORT
+    recv_buffer_size: int = 1048576
+    send_buffer_size: int = 1048576
+    timeout_ms: int = 5000
+    heartbeat_interval_ms: int = 1000
+    max_retries: int = 3
+    use_reliable_udp: bool = True
+
+
+@dataclass
+class LoggingConfig:
+    enable_logging: bool = True
+    log_level: str = "info"
+    log_file: str = "logs/server.log"
+    max_log_size_mb: int = 10
+    max_log_files: int = 5
+
+
+@dataclass
+class DetectionConfig:
+    model_width: int = DEFAULT_MODEL_SIZE
+    model_height: int = DEFAULT_MODEL_SIZE
+    enable_tracking: bool = True
+    max_tracking_age_ms: int = 500
+    class_weights: Dict[str, float] = field(default_factory=lambda: {
+        "player_t": 1.0, "player_ct": 1.0, "head": 1.2, "weapon": 0.8,
+    })
+
+    def class_weight_vector(self, class_names=CS16_CLASS_NAMES):
+        """Class weights as an ordered list aligned with model class ids.
+
+        The reference parses class_weights but never applies them
+        (SURVEY §2.3); here they multiply scores before threshold/NMS.
+        Unknown class names default to 1.0.
+        """
+        return [float(self.class_weights.get(name, 1.0)) for name in class_names]
+
+
+@dataclass
+class WeaponConfig:
+    recoil_factor: float = 1.0
+    priority: float = 1.0
+
+
+@dataclass
+class GameConfig:
+    enabled: bool = False
+    aim_target_offset_y: float = -0.15
+    head_size_factor: float = 0.7
+    weapons: Dict[str, WeaponConfig] = field(default_factory=dict)
+
+
+def _default_games() -> Dict[str, GameConfig]:
+    # Reference default: cs16 enabled with the 4 stock weapons
+    # (src/server/config.h:221-248, constants.h:42-47).
+    return {
+        "cs16": GameConfig(enabled=True, weapons={
+            "ak47": WeaponConfig(2.5, 1.0),
+            "m4a1": WeaponConfig(2.0, 1.0),
+            "awp": WeaponConfig(0.0, 1.5),
+            "deagle": WeaponConfig(3.0, 1.2),
+        })
+    }
+
+
+@dataclass
+class AnalyticsConfig:
+    enable_analytics: bool = True
+    stats_interval_sec: int = 60
+    save_stats_to_file: bool = True
+    stats_file: str = "logs/stats.json"
+
+
+@dataclass
+class TpuConfig:
+    """TPU-native extras (new optional sub-object; absent in old configs)."""
+    # Batch-size buckets the engine pre-compiles; requests are padded up.
+    batch_buckets: tuple = (1, 2, 4, 8, 16, 32, 64)
+    # Micro-batch collection window (ms) for continuous batching.
+    batch_window_ms: float = 3.0
+    # Model compute dtype on device.
+    dtype: str = "bfloat16"
+    # int8 quantized backbone (BASELINE config 5).
+    quantize_int8: bool = False
+    # Candidate boxes kept before NMS (top-k across anchors).
+    pre_nms_topk: int = 256
+    # Device mesh axis sizes for multi-chip serving; (1, 1) = single chip.
+    mesh_data: int = 1
+    mesh_model: int = 1
+    # Host-side input frame buckets (h, w) frames are padded into.
+    frame_buckets: tuple = ((600, 800), (1080, 1920))
+    # Number of classes in the deployed model.
+    num_classes: int = 4
+    # Model variant: yolov8n / yolov8s / yolov8m / yolov8l / yolov8x.
+    variant: str = "yolov8n"
+
+
+@dataclass
+class ServerConfig:
+    model_path: str = DEFAULT_MODEL_PATH
+    inference_engine: str = "jax"
+    max_clients: int = MAX_CLIENTS
+    target_fps: int = TARGET_SERVER_FPS
+    confidence_threshold: float = DEFAULT_CONF_THRESHOLD
+    nms_threshold: float = DEFAULT_NMS_THRESHOLD
+    max_queue_size: int = INFERENCE_QUEUE_SIZE
+    use_cpu_affinity: bool = True
+    cpu_core_id: int = 0
+    use_high_priority: bool = True
+    worker_threads: int = 4
+    network: NetworkConfig = field(default_factory=NetworkConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+    detection: DetectionConfig = field(default_factory=DetectionConfig)
+    game_adapters: Dict[str, GameConfig] = field(default_factory=_default_games)
+    analytics: AnalyticsConfig = field(default_factory=AnalyticsConfig)
+    tpu: TpuConfig = field(default_factory=TpuConfig)
+
+    # ------------------------------------------------------------------ load
+    @classmethod
+    def from_dict(cls, j: Dict[str, Any]) -> "ServerConfig":
+        cfg = cls()
+        for key in ("model_path", "inference_engine", "max_clients", "target_fps",
+                    "confidence_threshold", "nms_threshold", "max_queue_size",
+                    "use_cpu_affinity", "cpu_core_id", "use_high_priority",
+                    "worker_threads"):
+            if key in j:
+                setattr(cfg, key, j[key])
+        # Top-level port/web_port alias into network (reference config.h:387-390).
+        if "port" in j:
+            cfg.network.port = int(j["port"])
+        if "web_port" in j:
+            cfg.network.web_port = int(j["web_port"])
+        _merge(cfg.network, j.get("network"))
+        _merge(cfg.logging, j.get("logging"))
+        _merge(cfg.detection, j.get("detection"))
+        _merge(cfg.analytics, j.get("analytics"))
+        if isinstance(j.get("game_adapters"), dict):
+            for name, game_j in j["game_adapters"].items():
+                game = cfg.game_adapters.get(name, GameConfig())
+                _merge(game, game_j, skip=("weapons",))
+                if isinstance(game_j.get("weapons"), dict):
+                    for wname, wj in game_j["weapons"].items():
+                        weapon = game.weapons.get(wname, WeaponConfig())
+                        _merge(weapon, wj)
+                        game.weapons[wname] = weapon
+                cfg.game_adapters[name] = game
+        if isinstance(j.get("tpu"), dict):
+            tj = dict(j["tpu"])
+            for tuple_key in ("batch_buckets", "frame_buckets"):
+                if tuple_key in tj:
+                    tj[tuple_key] = tuple(
+                        tuple(v) if isinstance(v, (list, tuple)) else v
+                        for v in tj[tuple_key])
+            _merge(cfg.tpu, tj)
+        return cfg
+
+    @classmethod
+    def load(cls, path: str = "configs/server.json",
+             create_if_missing: bool = True) -> "ServerConfig":
+        """Load config; auto-create the default file if missing
+        (reference src/server/config.h:541-581)."""
+        if not os.path.exists(path):
+            cfg = cls()
+            if create_if_missing:
+                cfg.save(path)
+            return cfg
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_dict(json.load(f))
+
+    # ------------------------------------------------------------------ save
+    def to_dict(self) -> Dict[str, Any]:
+        j: Dict[str, Any] = {
+            "model_path": self.model_path,
+            "inference_engine": self.inference_engine,
+            "port": self.network.port,
+            "web_port": self.network.web_port,
+            "max_clients": self.max_clients,
+            "target_fps": self.target_fps,
+            "confidence_threshold": self.confidence_threshold,
+            "nms_threshold": self.nms_threshold,
+            "max_queue_size": self.max_queue_size,
+            "use_cpu_affinity": self.use_cpu_affinity,
+            "cpu_core_id": self.cpu_core_id,
+            "use_high_priority": self.use_high_priority,
+            "worker_threads": self.worker_threads,
+            "network": dataclasses.asdict(self.network),
+            "logging": dataclasses.asdict(self.logging),
+            "detection": dataclasses.asdict(self.detection),
+            "game_adapters": {
+                name: {
+                    "enabled": g.enabled,
+                    "aim_target_offset_y": g.aim_target_offset_y,
+                    "head_size_factor": g.head_size_factor,
+                    "weapons": {w: dataclasses.asdict(wc) for w, wc in g.weapons.items()},
+                } for name, g in self.game_adapters.items()
+            },
+            "analytics": dataclasses.asdict(self.analytics),
+            "tpu": dataclasses.asdict(self.tpu),
+        }
+        return j
+
+    def save(self, path: str = "configs/server.json") -> None:
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(self.to_dict(), f, indent=4)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=4)
+
+    @classmethod
+    def from_json(cls, text: str) -> "ServerConfig":
+        return cls.from_dict(json.loads(text))
+
+
+def _merge(obj: Any, j: Optional[Dict[str, Any]], skip=()) -> None:
+    """Contains-check merge: only keys present in the JSON override defaults."""
+    if not isinstance(j, dict):
+        return
+    for f in dataclasses.fields(obj):
+        if f.name in skip or f.name not in j:
+            continue
+        val = j[f.name]
+        cur = getattr(obj, f.name)
+        if isinstance(cur, tuple) and isinstance(val, (list, tuple)):
+            val = tuple(val)
+        setattr(obj, f.name, val)

@@ -1,0 +1,85 @@
+"""Latency / throughput counters.
+
+The north-star metric is p99 server-side detect latency (BASELINE.json), so the
+rolling avg/p99 window of the reference engine
+(src/inference/onnx_engine.cpp:428-449) is kept as a first-class primitive.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from typing import Dict, Optional
+
+
+class RollingStats:
+    """Fixed-window latency stats (default 1000 samples) with avg/p50/p99."""
+
+    def __init__(self, window: int = 1000) -> None:
+        self._samples: deque = deque(maxlen=window)
+        self._lock = threading.Lock()
+        self._count = 0
+
+    def record(self, value_ms: float) -> None:
+        with self._lock:
+            self._samples.append(value_ms)
+            self._count += 1
+
+    def snapshot(self) -> Dict[str, float]:
+        with self._lock:
+            vals = sorted(self._samples)
+            n = self._count
+        if not vals:
+            return {"count": 0, "avg_ms": 0.0, "p50_ms": 0.0, "p99_ms": 0.0, "max_ms": 0.0}
+        def pct(p: float) -> float:
+            return vals[min(len(vals) - 1, int(p * len(vals)))]
+        return {
+            "count": n,
+            "avg_ms": sum(vals) / len(vals),
+            "p50_ms": pct(0.50),
+            "p99_ms": pct(0.99),
+            "max_ms": vals[-1],
+        }
+
+
+class Counter:
+    """Monotonic counter with a windowed rate."""
+
+    def __init__(self) -> None:
+        self._value = 0
+        self._lock = threading.Lock()
+        self._events: deque = deque(maxlen=4096)
+
+    def inc(self, n: int = 1) -> None:
+        now = time.monotonic()
+        with self._lock:
+            self._value += n
+            self._events.append((now, n))
+
+    @property
+    def value(self) -> int:
+        with self._lock:
+            return self._value
+
+    def rate(self, window_s: float = 1.0) -> float:
+        now = time.monotonic()
+        with self._lock:
+            return sum(n for t, n in self._events if now - t <= window_s) / window_s
+
+
+class Stopwatch:
+    """Context-manager timer recording into a RollingStats (milliseconds)."""
+
+    def __init__(self, stats: Optional[RollingStats] = None) -> None:
+        self.stats = stats
+        self.elapsed_ms = 0.0
+
+    def __enter__(self) -> "Stopwatch":
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.elapsed_ms = (time.perf_counter() - self._t0) * 1e3
+        if self.stats is not None:
+            self.stats.record(self.elapsed_ms)
