@@ -1,0 +1,292 @@
+"""Weight persistence and checkpoint conversion.
+
+Supports:
+- native .npz round-trip of the param pytree (flat "m0/cv1/w"-style keys);
+- ultralytics PyTorch state_dicts ("model.0.conv.weight", BN stats folded);
+- ONNX files exported by the reference's start.sh:113-149 (ultralytics fuses
+  Conv+BN before export, so initializers arrive pre-folded), read with a
+  minimal vendored protobuf walker — the image has no `onnx` package.
+
+If the configured model file is missing or unreadable the engine falls back to
+simulation mode (reference behavior: src/inference/onnx_engine.cpp:70-75).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import struct
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .yolov8 import ModelSpec, fold_batchnorm, get_spec, init_params
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Flat <-> nested pytree
+# ---------------------------------------------------------------------------
+
+def flatten(params: Params, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(params, dict):
+        for k, v in params.items():
+            out.update(flatten(v, f"{prefix}{k}/"))
+    elif isinstance(params, list):
+        for i, v in enumerate(params):
+            out.update(flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(params)
+    return out
+
+
+def unflatten(flat: Dict[str, np.ndarray]) -> Params:
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_params(params: Params, path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flatten(params))
+
+
+def load_params(path: str) -> Params:
+    with np.load(path) as z:
+        return unflatten({k: z[k] for k in z.files})
+
+
+def file_sha256(path: str) -> str:
+    """Model-file hash for the hot-reload watcher
+    (reference src/inference/onnx_engine.cpp:1087-1124)."""
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# ultralytics state_dict conversion
+# ---------------------------------------------------------------------------
+
+def _torch_to_hwio(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def from_ultralytics_state_dict(sd: Dict[str, np.ndarray]) -> Params:
+    """Convert an ultralytics DetectionModel state_dict (numpy values, keys like
+    'model.0.conv.weight' / 'model.22.cv2.0.1.bn.running_mean') into our pytree.
+    BN blocks are folded; the DFL conv (fixed arange weights) is dropped since
+    decode computes the expectation directly."""
+    flat: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        if not key.startswith("model."):
+            continue
+        parts = key.split(".")
+        idx = parts[1]
+        rest = parts[2:]
+        if rest[:1] == ["dfl"]:
+            continue
+        mapped = _map_ultra_path(rest)
+        if mapped is None:
+            continue
+        flat[f"m{idx}/" + "/".join(mapped)] = np.asarray(val)
+    params = unflatten(flat)
+    return fold_batchnorm(_bn_arrays_to_tree(params))
+
+
+def _map_ultra_path(rest: List[str]) -> Optional[List[str]]:
+    """ultralytics module path -> our tree path.
+
+    Conv block:      conv.weight -> w ; bn.{weight,bias,running_mean,running_var}
+    C2f:             cv1/cv2 conv blocks, m.<i>.cv1/cv2
+    Detect:          cv2.<lvl>.<j>.(conv|bn|weight|bias), j=2 is the bare Conv2d
+    """
+    bn_map = {"weight": "gamma", "bias": "beta",
+              "running_mean": "mean", "running_var": "var"}
+    out: List[str] = []
+    i = 0
+    while i < len(rest):
+        tok = rest[i]
+        if tok == "conv":
+            assert rest[i + 1] == "weight"
+            out.append("w")
+            return out
+        if tok == "bn":
+            stat = bn_map.get(rest[i + 1])
+            if stat is None:
+                return None  # num_batches_tracked
+            out.extend(["bn", stat])
+            return out
+        if tok == "weight":  # bare Conv2d at detect head tip
+            out.append("w")
+            return out
+        if tok == "bias":
+            out.append("b")
+            return out
+        out.append(tok)
+        i += 1
+    return None
+
+
+def _bn_arrays_to_tree(params: Params) -> Params:
+    return params  # bn subdicts already nested by unflatten
+
+
+def load_torch_checkpoint(path: str) -> Params:
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        sd = obj.state_dict()
+    elif isinstance(obj, dict) and "model" in obj and hasattr(obj["model"], "state_dict"):
+        sd = obj["model"].float().state_dict()
+    elif isinstance(obj, dict):
+        sd = obj
+    else:
+        raise ValueError(f"unsupported checkpoint object in {path}")
+    return from_ultralytics_state_dict(
+        {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+         for k, v in sd.items()})
+
+
+# ---------------------------------------------------------------------------
+# Minimal ONNX initializer reader (protobuf wire format, no deps)
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: memoryview, pos: int) -> Tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _walk_fields(buf: memoryview):
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+            yield field, wire, val
+        elif wire == 1:
+            yield field, wire, bytes(buf[pos:pos + 8]); pos += 8
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            yield field, wire, buf[pos:pos + ln]; pos += ln
+        elif wire == 5:
+            yield field, wire, bytes(buf[pos:pos + 4]); pos += 4
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wire}")
+
+
+_ONNX_DTYPES = {1: np.float32, 2: np.uint8, 3: np.int8, 6: np.int32,
+                7: np.int64, 10: np.float16, 11: np.float64}
+
+
+def _parse_tensor(buf: memoryview) -> Tuple[str, np.ndarray]:
+    dims: List[int] = []
+    dtype = np.float32
+    name = ""
+    raw = b""
+    floats: List[float] = []
+    for field, wire, val in _walk_fields(buf):
+        if field == 1 and wire == 0:
+            dims.append(val)
+        elif field == 2 and wire == 0:
+            dtype = _ONNX_DTYPES.get(val, np.float32)
+        elif field == 4:
+            if wire == 2:  # packed float_data
+                floats.extend(struct.unpack(f"<{len(val) // 4}f", bytes(val)))
+            elif wire == 5:
+                floats.append(struct.unpack("<f", val)[0])
+        elif field == 8 and wire == 2:
+            name = bytes(val).decode("utf-8")
+        elif field == 9 and wire == 2:
+            raw = bytes(val)
+    if raw:
+        arr = np.frombuffer(raw, dtype=dtype).reshape(dims)
+    elif floats:
+        arr = np.asarray(floats, dtype=np.float32).reshape(dims)
+    else:
+        arr = np.zeros(dims, dtype=dtype)
+    return name, arr
+
+
+def read_onnx_initializers(path: str) -> Dict[str, np.ndarray]:
+    with open(path, "rb") as f:
+        data = f.read()
+    tensors: Dict[str, np.ndarray] = {}
+    for field, wire, val in _walk_fields(memoryview(data)):
+        if field == 7 and wire == 2:  # ModelProto.graph
+            for gfield, gwire, gval in _walk_fields(val):
+                if gfield == 5 and gwire == 2:  # GraphProto.initializer
+                    name, arr = _parse_tensor(gval)
+                    tensors[name] = arr
+    return tensors
+
+
+def from_onnx(path: str) -> Params:
+    """Build params from an ultralytics-exported .onnx (Conv+BN pre-fused)."""
+    tensors = read_onnx_initializers(path)
+    flat: Dict[str, np.ndarray] = {}
+    for name, arr in tensors.items():
+        if not name.startswith("model.") or ".dfl." in name:
+            continue
+        parts = name.split(".")
+        mapped = _map_ultra_path(parts[2:])
+        if mapped is None:
+            continue
+        if mapped[-1] == "w" and arr.ndim == 4:
+            arr = _torch_to_hwio(arr)
+        flat[f"m{parts[1]}/" + "/".join(mapped)] = arr
+    if not flat:
+        raise ValueError(
+            f"{path}: no recognizable YOLOv8 initializers "
+            "(placeholder or graph-optimized export)")
+    return unflatten(flat)
+
+
+def load_model(path: str, variant: str = "yolov8n", num_classes: int = 4,
+               seed: int = 0) -> Tuple[Params, ModelSpec, bool]:
+    """Load weights from .npz/.pt/.onnx. Returns (params, spec, simulation).
+
+    On any failure returns random-init params with simulation=True, mirroring
+    the reference's graceful degradation to simulation mode.
+    """
+    import jax
+    spec = get_spec(variant, num_classes)
+    try:
+        if path.endswith(".npz"):
+            params = load_params(path)
+        elif path.endswith((".pt", ".pth")):
+            params = load_torch_checkpoint(path)
+        elif path.endswith(".onnx"):
+            params = from_onnx(path)
+        else:
+            raise ValueError(f"unknown weight format: {path}")
+        return params, spec, False
+    except Exception:  # noqa: BLE001 — any failure => simulation mode
+        params = init_params(jax.random.PRNGKey(seed), spec, folded=True)
+        return params, spec, True

@@ -1,0 +1,365 @@
+"""YOLOv8 detection family (n/s/m/l/x) as a functional JAX model, TPU-first.
+
+This replaces the reference's ONNX-Runtime session (reference:
+src/inference/onnx_engine.cpp:957-1062 loads an exported YOLOv8n .onnx) with a
+native JAX implementation:
+
+- NHWC activations / HWIO kernels (TPU-native convolution layout).
+- BatchNorm folded into conv weights at load time; inference applies
+  conv + bias + SiLU only, letting XLA fuse the elementwise tail into the
+  convolution.
+- Parameters are a plain nested-dict pytree keyed by the ultralytics layer
+  indices ("m0".."m22") so checkpoints convert mechanically.
+- `forward_raw` returns per-level (B, H, W, 4*reg_max + nc) maps; the
+  DFL decode + sigmoid live in ops/decode.py so they can fuse with NMS.
+- All shapes static; compute dtype selectable (bfloat16 on TPU, float32 for
+  parity tests) with float32 MXU accumulation.
+
+Architecture (ultralytics yolov8.yaml): stem + C2f stages + SPPF backbone,
+PAN-FPN neck, decoupled anchor-free detect head with DFL (reg_max=16),
+strides (8, 16, 32).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Params = Dict[str, Any]
+
+# variant -> (depth_multiple, width_multiple, max_channels)
+VARIANTS = {
+    "yolov8n": (0.33, 0.25, 1024),
+    "yolov8s": (0.33, 0.50, 1024),
+    "yolov8m": (0.67, 0.75, 768),
+    "yolov8l": (1.00, 1.00, 512),
+    "yolov8x": (1.00, 1.25, 512),
+}
+
+_BASE_CH = (64, 128, 256, 512, 1024)
+BN_EPS = 1e-3  # ultralytics BatchNorm2d eps
+
+
+def _make_divisible(x: float, divisor: int = 8) -> int:
+    return int(math.ceil(x / divisor) * divisor)
+
+
+def _depth(n: int, d: float) -> int:
+    return max(round(n * d), 1)
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    variant: str
+    num_classes: int
+    depth: float
+    width: float
+    max_channels: int
+    reg_max: int = 16
+    strides: Tuple[int, ...] = (8, 16, 32)
+
+    # Derived channel widths -------------------------------------------------
+    def ch(self, base: int) -> int:
+        return _make_divisible(min(base, self.max_channels) * self.width)
+
+    @property
+    def backbone_channels(self) -> Tuple[int, int, int]:
+        """(P3, P4, P5) channels feeding the detect head."""
+        return (self.ch(256), self.ch(512), self.ch(1024))
+
+    @property
+    def no(self) -> int:
+        """Per-anchor output width: 4*reg_max box bins + nc class logits."""
+        return 4 * self.reg_max + self.num_classes
+
+    def num_anchors(self, h: int, w: int) -> int:
+        return sum((h // s) * (w // s) for s in self.strides)
+
+
+def get_spec(variant: str = "yolov8n", num_classes: int = 4) -> ModelSpec:
+    if variant not in VARIANTS:
+        raise ValueError(f"unknown variant {variant!r}; choose from {sorted(VARIANTS)}")
+    d, w, mc = VARIANTS[variant]
+    return ModelSpec(variant=variant, num_classes=num_classes,
+                     depth=d, width=w, max_channels=mc)
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+def _init_conv(key, cin: int, cout: int, k: int, folded: bool, bias: bool = False) -> Params:
+    """He-normal conv init. folded=True emits inference form (w + b);
+    folded=False emits training form (w + bn stats)."""
+    wkey, bkey = jax.random.split(key)
+    std = math.sqrt(2.0 / (cin * k * k))
+    w = jax.random.normal(wkey, (k, k, cin, cout), jnp.float32) * std
+    p: Params = {"w": w}
+    if folded or bias:
+        p["b"] = jnp.zeros((cout,), jnp.float32)
+    if not folded and not bias:
+        p["bn"] = {
+            "gamma": jnp.ones((cout,), jnp.float32),
+            "beta": jnp.zeros((cout,), jnp.float32),
+            "mean": jnp.zeros((cout,), jnp.float32),
+            # Non-trivial running_var so BN folding is exercised by tests.
+            "var": jnp.abs(jax.random.normal(bkey, (cout,), jnp.float32)) * 0.5 + 0.5,
+        }
+    return p
+
+
+def _init_bottleneck(key, c: int, folded: bool) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {"cv1": _init_conv(k1, c, c, 3, folded),
+            "cv2": _init_conv(k2, c, c, 3, folded)}
+
+
+def _init_c2f(key, cin: int, cout: int, n: int, folded: bool) -> Params:
+    c = cout // 2
+    keys = jax.random.split(key, n + 2)
+    return {
+        "cv1": _init_conv(keys[0], cin, 2 * c, 1, folded),
+        "cv2": _init_conv(keys[1], (2 + n) * c, cout, 1, folded),
+        "m": [_init_bottleneck(keys[2 + i], c, folded) for i in range(n)],
+    }
+
+
+def _init_sppf(key, cin: int, cout: int, folded: bool) -> Params:
+    c = cin // 2
+    k1, k2 = jax.random.split(key)
+    return {"cv1": _init_conv(k1, cin, c, 1, folded),
+            "cv2": _init_conv(k2, 4 * c, cout, 1, folded)}
+
+
+def _init_detect(key, spec: ModelSpec, folded: bool) -> Params:
+    chs = spec.backbone_channels
+    c2 = max(16, chs[0] // 4, 4 * spec.reg_max)
+    c3 = max(chs[0], min(spec.num_classes, 100))
+    keys = jax.random.split(key, 6 * len(chs))
+    cv2, cv3 = [], []
+    for i, cin in enumerate(chs):
+        k = keys[6 * i:6 * (i + 1)]
+        cv2.append([
+            _init_conv(k[0], cin, c2, 3, folded),
+            _init_conv(k[1], c2, c2, 3, folded),
+            _init_conv(k[2], c2, 4 * spec.reg_max, 1, folded=True, bias=True),
+        ])
+        cv3.append([
+            _init_conv(k[3], cin, c3, 3, folded),
+            _init_conv(k[4], c3, c3, 3, folded),
+            _init_conv(k[5], c3, spec.num_classes, 1, folded=True, bias=True),
+        ])
+    return {"cv2": cv2, "cv3": cv3}
+
+
+def init_params(key, spec: ModelSpec, folded: bool = True) -> Params:
+    """Random-initialized parameter pytree (layer keys match ultralytics indices)."""
+    keys = jax.random.split(key, 23)
+    ch, d = spec.ch, spec.depth
+    p: Params = {}
+    p["m0"] = _init_conv(keys[0], 3, ch(64), 3, folded)
+    p["m1"] = _init_conv(keys[1], ch(64), ch(128), 3, folded)
+    p["m2"] = _init_c2f(keys[2], ch(128), ch(128), _depth(3, d), folded)
+    p["m3"] = _init_conv(keys[3], ch(128), ch(256), 3, folded)
+    p["m4"] = _init_c2f(keys[4], ch(256), ch(256), _depth(6, d), folded)
+    p["m5"] = _init_conv(keys[5], ch(256), ch(512), 3, folded)
+    p["m6"] = _init_c2f(keys[6], ch(512), ch(512), _depth(6, d), folded)
+    p["m7"] = _init_conv(keys[7], ch(512), ch(1024), 3, folded)
+    p["m8"] = _init_c2f(keys[8], ch(1024), ch(1024), _depth(3, d), folded)
+    p["m9"] = _init_sppf(keys[9], ch(1024), ch(1024), folded)
+    # PAN-FPN neck
+    p["m12"] = _init_c2f(keys[12], ch(1024) + ch(512), ch(512), _depth(3, d), folded)
+    p["m15"] = _init_c2f(keys[15], ch(512) + ch(256), ch(256), _depth(3, d), folded)
+    p["m16"] = _init_conv(keys[16], ch(256), ch(256), 3, folded)
+    p["m18"] = _init_c2f(keys[18], ch(256) + ch(512), ch(512), _depth(3, d), folded)
+    p["m19"] = _init_conv(keys[19], ch(512), ch(512), 3, folded)
+    p["m21"] = _init_c2f(keys[21], ch(512) + ch(1024), ch(1024), _depth(3, d), folded)
+    p["m22"] = _init_detect(keys[22], spec, folded)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm folding
+# ---------------------------------------------------------------------------
+
+def fold_batchnorm(params: Params, eps: float = BN_EPS) -> Params:
+    """Fold {w, bn} conv blocks into {w, b}: exact algebra, applied once at load.
+
+    W'[...o] = W[...o] * gamma[o] / sqrt(var[o]+eps)
+    b'[o]    = beta[o] - gamma[o] * mean[o] / sqrt(var[o]+eps)
+    """
+    def fold(node):
+        if isinstance(node, dict):
+            if "bn" in node and "w" in node:
+                bn = node["bn"]
+                scale = bn["gamma"] / jnp.sqrt(bn["var"] + eps)
+                return {"w": node["w"] * scale, "b": bn["beta"] - bn["mean"] * scale}
+            return {k: fold(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [fold(v) for v in node]
+        return node
+    return fold(params)
+
+
+# ---------------------------------------------------------------------------
+# Forward pass
+# ---------------------------------------------------------------------------
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(p: Params, x: jnp.ndarray, stride: int = 1, act: bool = True,
+          dtype=jnp.float32) -> jnp.ndarray:
+    """Conv + bias + SiLU. `SAME` padding for k1/k3 s1; YOLO k3 s2 uses p=1."""
+    w = p["w"].astype(dtype)
+    k = w.shape[0]
+    pad = (k - 1) // 2
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    if act:
+        y = jax.nn.silu(y)
+    return y.astype(dtype)
+
+
+def _bottleneck(p: Params, x: jnp.ndarray, shortcut: bool, dtype) -> jnp.ndarray:
+    y = _conv(p["cv2"], _conv(p["cv1"], x, dtype=dtype), dtype=dtype)
+    return x + y if shortcut else y
+
+
+def _c2f(p: Params, x: jnp.ndarray, shortcut: bool, dtype) -> jnp.ndarray:
+    y = _conv(p["cv1"], x, dtype=dtype)
+    c = y.shape[-1] // 2
+    ys = [y[..., :c], y[..., c:]]
+    for mp in p["m"]:
+        ys.append(_bottleneck(mp, ys[-1], shortcut, dtype))
+    return _conv(p["cv2"], jnp.concatenate(ys, axis=-1), dtype=dtype)
+
+
+def _sppf(p: Params, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    y = _conv(p["cv1"], x, dtype=dtype)
+    pools = [y]
+    for _ in range(3):
+        pools.append(lax.reduce_window(
+            pools[-1], -jnp.inf if pools[-1].dtype == jnp.float32 else jnp.finfo(pools[-1].dtype).min,
+            lax.max, (1, 5, 5, 1), (1, 1, 1, 1), "SAME"))
+    return _conv(p["cv2"], jnp.concatenate(pools, axis=-1), dtype=dtype)
+
+
+def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def apply_backbone(params: Params, x: jnp.ndarray, dtype=jnp.float32
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Backbone + neck. x: (B, H, W, 3) float in [0,1]. Returns (P3, P4, P5)."""
+    cv = partial(_conv, dtype=dtype)
+    x = x.astype(dtype)
+    x = cv(params["m0"], x, stride=2)
+    x = cv(params["m1"], x, stride=2)
+    x = _c2f(params["m2"], x, True, dtype)
+    x = cv(params["m3"], x, stride=2)
+    p3_in = _c2f(params["m4"], x, True, dtype)            # idx 4
+    x = cv(params["m5"], p3_in, stride=2)
+    p4_in = _c2f(params["m6"], x, True, dtype)            # idx 6
+    x = cv(params["m7"], p4_in, stride=2)
+    x = _c2f(params["m8"], x, True, dtype)
+    p5_in = _sppf(params["m9"], x, dtype)                 # idx 9
+
+    # Top-down
+    x = jnp.concatenate([_upsample2x(p5_in), p4_in], axis=-1)   # 10, 11
+    n12 = _c2f(params["m12"], x, False, dtype)
+    x = jnp.concatenate([_upsample2x(n12), p3_in], axis=-1)     # 13, 14
+    p3 = _c2f(params["m15"], x, False, dtype)
+    # Bottom-up
+    x = jnp.concatenate([cv(params["m16"], p3, stride=2), n12], axis=-1)  # 16, 17
+    p4 = _c2f(params["m18"], x, False, dtype)
+    x = jnp.concatenate([cv(params["m19"], p4, stride=2), p5_in], axis=-1)  # 19, 20
+    p5 = _c2f(params["m21"], x, False, dtype)
+    return p3, p4, p5
+
+
+def forward_raw(params: Params, spec: ModelSpec, x: jnp.ndarray,
+                dtype=jnp.float32) -> List[jnp.ndarray]:
+    """Full forward. Returns per-level (B, Hi, Wi, 4*reg_max + nc) maps in f32."""
+    feats = apply_backbone(params, x, dtype=dtype)
+    det = params["m22"]
+    outs = []
+    for level, f in enumerate(feats):
+        box = f
+        for i, bp in enumerate(det["cv2"][level]):
+            box = _conv(bp, box, act=(i < 2), dtype=dtype)
+        cls = f
+        for i, cp in enumerate(det["cv3"][level]):
+            cls = _conv(cp, cls, act=(i < 2), dtype=dtype)
+        outs.append(jnp.concatenate(
+            [box.astype(jnp.float32), cls.astype(jnp.float32)], axis=-1))
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# Decode (DFL + anchor-free box recovery) — kept here for parity tests;
+# the serving path uses the fused version in ops/decode.py.
+# ---------------------------------------------------------------------------
+
+def anchors_for(spec: ModelSpec, h: int, w: int, offset: float = 0.5
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Anchor centers (A, 2) in feature-grid units and per-anchor stride (A, 1)."""
+    pts, strides = [], []
+    for s in spec.strides:
+        gh, gw = h // s, w // s
+        xs = np.arange(gw, dtype=np.float32) + offset
+        ys = np.arange(gh, dtype=np.float32) + offset
+        gx, gy = np.meshgrid(xs, ys)
+        pts.append(np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
+        strides.append(np.full((gh * gw, 1), s, dtype=np.float32))
+    return np.concatenate(pts, 0), np.concatenate(strides, 0)
+
+
+def decode_outputs(spec: ModelSpec, outs: Sequence[jnp.ndarray],
+                   input_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Decode raw level maps to (B, A, 4 + nc): xywh in input pixels + class probs.
+
+    Matches the ONNX-exported YOLOv8 head: DFL softmax expectation over reg_max
+    bins -> ltrb distances, dist2bbox around anchor centers, × stride; class
+    scores are sigmoid probabilities.
+    """
+    reg_max, nc = spec.reg_max, spec.num_classes
+    b = outs[0].shape[0]
+    flat = jnp.concatenate(
+        [o.reshape(b, -1, 4 * reg_max + nc) for o in outs], axis=1)
+    box_bins = flat[..., :4 * reg_max].reshape(b, -1, 4, reg_max)
+    dist = jnp.sum(jax.nn.softmax(box_bins, axis=-1) *
+                   jnp.arange(reg_max, dtype=jnp.float32), axis=-1)  # (B, A, 4) ltrb
+    anchors, strides = anchors_for(spec, *input_hw)
+    anchors = jnp.asarray(anchors)[None]
+    strides = jnp.asarray(strides)[None]
+    lt, rb = dist[..., :2], dist[..., 2:]
+    x1y1 = anchors - lt
+    x2y2 = anchors + rb
+    cxy = (x1y1 + x2y2) / 2.0
+    wh = x2y2 - x1y1
+    boxes = jnp.concatenate([cxy, wh], axis=-1) * strides
+    probs = jax.nn.sigmoid(flat[..., 4 * reg_max:])
+    return jnp.concatenate([boxes, probs], axis=-1)
+
+
+def forward_decoded(params: Params, spec: ModelSpec, x: jnp.ndarray,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """(B, A, 4+nc) decoded output — the ONNX `output0` equivalent (transposed)."""
+    outs = forward_raw(params, spec, x, dtype=dtype)
+    return decode_outputs(spec, outs, (x.shape[1], x.shape[2]))

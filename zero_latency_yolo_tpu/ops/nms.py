@@ -1,0 +1,189 @@
+"""Fused detection postprocess: class weighting, threshold, greedy NMS, un-letterbox.
+
+TPU-native redesign of the reference postprocess + NMS
+(src/inference/onnx_engine.cpp:758-878): data-dependent loops become
+fixed-shape top-k + an iterative suppression scan, so the whole stage jits
+into the same XLA program as the backbone.
+
+Semantics matched to the reference:
+- per-anchor argmax class, threshold at conf (onnx_engine.cpp:787-799);
+- greedy same-class suppression at IoU > nms_threshold on center-format
+  boxes (:837-909), equivalent to per-class greedy NMS by confidence;
+- boxes emitted center-format, normalized to *source frame* dims (:802-805).
+
+Upgrades over the reference:
+- `class_weights` (config detection.class_weights) actually multiply scores
+  before threshold/NMS — the reference parsed but never applied them
+  (SURVEY §2.3);
+- un-letterboxing maps model-input boxes back through (scale, pad) to source
+  pixels before normalizing.
+
+Output is fixed-shape (MAX_DET, ...) per frame + a valid mask: ready for a
+single small D2H copy.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_DET = 32       # reference MAX_DETECTION_COUNT (src/common/constants.h:18)
+PRE_NMS_TOPK = 256
+
+
+def _iou_matrix_center(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU of (K, 4) center-format boxes."""
+    cx, cy, w, h = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    x1, y1 = cx - w / 2, cy - h / 2
+    x2, y2 = cx + w / 2, cy + h / 2
+    area = jnp.maximum(w, 0) * jnp.maximum(h, 0)
+    ix1 = jnp.maximum(x1[:, None], x1[None, :])
+    iy1 = jnp.maximum(y1[:, None], y1[None, :])
+    ix2 = jnp.minimum(x2[:, None], x2[None, :])
+    iy2 = jnp.minimum(y2[:, None], y2[None, :])
+    iw = jnp.maximum(ix2 - ix1, 0)
+    ih = jnp.maximum(iy2 - iy1, 0)
+    inter = iw * ih
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def _greedy_nms_mask(iou: jnp.ndarray, same_class: jnp.ndarray,
+                     valid: jnp.ndarray, iou_thresh: float) -> jnp.ndarray:
+    """Sequential greedy suppression over score-sorted slots.
+
+    keep[i] survives iff no higher-ranked kept box of the same class overlaps
+    it above the threshold — exact greedy NMS, expressed as a fori_loop of
+    vector ops (K steps of O(K) work; K = PRE_NMS_TOPK).
+    """
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+    suppress_pair = (iou > iou_thresh) & same_class & (idx[None, :] > idx[:, None])
+
+    def body(i, keep):
+        row = suppress_pair[i] & keep[i]
+        return keep & ~row
+
+    return jax.lax.fori_loop(0, k, body, valid)
+
+
+def _post_one(pred: jnp.ndarray, class_weights: jnp.ndarray,
+              conf_thresh, iou_thresh,
+              scale, pad_x, pad_y, src_w, src_h,
+              topk: int) -> Dict[str, jnp.ndarray]:
+    """pred: (A, 4+nc) decoded output for one frame (boxes in model-input px)."""
+    boxes = pred[:, :4]
+    probs = pred[:, 4:] * class_weights[None, :]
+    best_score = jnp.max(probs, axis=-1)
+    best_class = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    passed = best_score >= conf_thresh
+    ranked = jnp.where(passed, best_score, -1.0)
+
+    top_scores, top_idx = jax.lax.top_k(ranked, topk)
+    top_boxes = boxes[top_idx]
+    top_class = best_class[top_idx]
+    top_valid = top_scores > 0
+
+    iou = _iou_matrix_center(top_boxes)
+    same_class = top_class[:, None] == top_class[None, :]
+    keep = _greedy_nms_mask(iou, same_class, top_valid, iou_thresh)
+
+    # Compact kept boxes (already score-sorted) into the first MAX_DET slots.
+    # Non-kept / overflow entries get slot >= MAX_DET and are dropped by the
+    # scatter (mode="drop").
+    order = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    slot = jnp.where(keep, order, MAX_DET)
+    out_boxes = jnp.zeros((MAX_DET, 4), jnp.float32).at[slot].set(
+        top_boxes, mode="drop")
+    out_scores = jnp.zeros((MAX_DET,), jnp.float32).at[slot].set(
+        top_scores, mode="drop")
+    out_class = jnp.zeros((MAX_DET,), jnp.int32).at[slot].set(
+        top_class, mode="drop")
+    n_kept = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), MAX_DET)
+    det_valid = jnp.arange(MAX_DET) < n_kept
+
+    # Un-letterbox back to source pixels, normalize to [0,1] of source dims.
+    cx = (out_boxes[:, 0] - pad_x) / scale
+    cy = (out_boxes[:, 1] - pad_y) / scale
+    w = out_boxes[:, 2] / scale
+    h = out_boxes[:, 3] / scale
+    norm = jnp.stack([
+        jnp.clip(cx / src_w, 0.0, 1.0),
+        jnp.clip(cy / src_h, 0.0, 1.0),
+        jnp.clip(w / src_w, 0.0, 1.0),
+        jnp.clip(h / src_h, 0.0, 1.0),
+    ], axis=-1)
+    norm = jnp.where(det_valid[:, None], norm, 0.0)
+    return {
+        "boxes": norm,                                   # (MAX_DET, 4) cxcywh [0,1]
+        "scores": jnp.where(det_valid, out_scores, 0.0),  # (MAX_DET,)
+        "classes": jnp.where(det_valid, out_class, 0),    # (MAX_DET,) int32
+        "count": n_kept,                                  # scalar int32
+    }
+
+
+@partial(jax.jit, static_argnums=(7,))
+def postprocess_batch(pred: jnp.ndarray, class_weights: jnp.ndarray,
+                      conf_thresh: jnp.ndarray, iou_thresh: jnp.ndarray,
+                      scale: jnp.ndarray, pad: jnp.ndarray,
+                      src_wh: jnp.ndarray, topk: int = PRE_NMS_TOPK
+                      ) -> Dict[str, jnp.ndarray]:
+    """Batched postprocess.
+
+    pred:    (B, A, 4+nc) decoded model output (model-input pixel boxes)
+    class_weights: (nc,) score multipliers
+    conf_thresh / iou_thresh: scalars (runtime values — no recompiles on change)
+    scale:   (B,) letterbox scale; pad: (B, 2) = (pad_x, pad_y)
+    src_wh:  (B, 2) source frame (w, h) as float
+    """
+    return jax.vmap(
+        lambda p, s, pxy, wh: _post_one(
+            p, class_weights, conf_thresh, iou_thresh,
+            s, pxy[0], pxy[1], wh[0], wh[1], topk)
+    )(pred, scale, pad, src_wh)
+
+
+# ---------------------------------------------------------------------------
+# NumPy reference (test oracle)
+# ---------------------------------------------------------------------------
+
+def nms_reference(pred: np.ndarray, class_weights: np.ndarray,
+                  conf_thresh: float, iou_thresh: float) -> list:
+    """Straightforward per-class greedy NMS in NumPy, mirroring the reference
+    C++ (sort by confidence, same-class IoU suppression). Returns a list of
+    (box_cxcywh_model_px, score, class_id), score-descending."""
+    probs = pred[:, 4:] * class_weights[None, :]
+    best = probs.max(axis=1)
+    cls = probs.argmax(axis=1)
+    sel = best >= conf_thresh
+    boxes, scores, classes = pred[sel, :4], best[sel], cls[sel]
+    order = np.argsort(-scores, kind="stable")
+    boxes, scores, classes = boxes[order], scores[order], classes[order]
+    kept = []
+    suppressed = np.zeros(len(scores), dtype=bool)
+    for i in range(len(scores)):
+        if suppressed[i]:
+            continue
+        kept.append((boxes[i], float(scores[i]), int(classes[i])))
+        for j in range(i + 1, len(scores)):
+            if suppressed[j] or classes[j] != classes[i]:
+                continue
+            if _iou_center_np(boxes[i], boxes[j]) > iou_thresh:
+                suppressed[j] = True
+    return kept
+
+
+def _iou_center_np(a: np.ndarray, b: np.ndarray) -> float:
+    ax1, ay1 = a[0] - a[2] / 2, a[1] - a[3] / 2
+    ax2, ay2 = a[0] + a[2] / 2, a[1] + a[3] / 2
+    bx1, by1 = b[0] - b[2] / 2, b[1] - b[3] / 2
+    bx2, by2 = b[0] + b[2] / 2, b[1] + b[3] / 2
+    iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
+    ih = max(0.0, min(ay2, by2) - max(ay1, by1))
+    inter = iw * ih
+    union = a[2] * a[3] + b[2] * b[3] - inter
+    return inter / max(union, 1e-9)

@@ -1,0 +1,112 @@
+"""On-device frame preprocessing: letterbox resize + normalize.
+
+Replaces the reference's host-side per-pixel loop
+(src/inference/onnx_engine.cpp:649-700 — nearest-neighbor *stretch*, /255,
+NCHW) with a device-side batched resample producing NHWC float inputs.
+
+Design for XLA/TPU:
+- Static shapes: frames arrive padded into a fixed (Hbuf, Wbuf) host bucket;
+  the *actual* per-frame (h, w) are runtime scalars, so one compiled program
+  serves every client resolution within a bucket (no recompiles, the batching
+  scheduler keys programs by (batch, bucket)).
+- Letterbox (default, per BASELINE.json): aspect-preserving bilinear resize
+  onto a 114-gray canvas, the ultralytics convention. `stretch_batch` keeps
+  the reference's literal nearest-neighbor stretch semantics as an opt-in.
+- The gather-based resample lowers to vectorized XLA gathers that fuse with
+  the /255 normalize; everything stays on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+FILL = 114.0 / 255.0  # ultralytics letterbox gray
+
+
+def letterbox_params(h, w, size: int):
+    """Scale and pad offsets for letterboxing (h, w) into (size, size).
+
+    Returns (scale, pad_x, pad_y) as f32 scalars; works on traced values.
+    """
+    h = h.astype(jnp.float32) if hasattr(h, "astype") else jnp.float32(h)
+    w = w.astype(jnp.float32) if hasattr(w, "astype") else jnp.float32(w)
+    scale = jnp.minimum(size / h, size / w)
+    new_h = jnp.round(h * scale)
+    new_w = jnp.round(w * scale)
+    pad_y = (size - new_h) / 2.0
+    pad_x = (size - new_w) / 2.0
+    return scale, pad_x, pad_y
+
+
+def _bilinear_sample(frame: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray,
+                     h, w, fill: float) -> jnp.ndarray:
+    """Bilinear sample frame (Hbuf, Wbuf, 3) at float coords; out-of-range -> fill."""
+    hbuf, wbuf = frame.shape[0], frame.shape[1]
+    inside = (sy >= -0.5) & (sy <= h - 0.5) & (sx >= -0.5) & (sx <= w - 0.5)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy = (sy - y0)[..., None]
+    fx = (sx - x0)[..., None]
+
+    def clip_gather(yi, xi):
+        yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        flat = frame.reshape(hbuf * wbuf, 3)
+        return flat[yi * wbuf + xi].astype(jnp.float32)
+
+    v00 = clip_gather(y0, x0)
+    v01 = clip_gather(y0, x0 + 1)
+    v10 = clip_gather(y0 + 1, x0)
+    v11 = clip_gather(y0 + 1, x0 + 1)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    out = (top * (1 - fy) + bot * fy) / 255.0
+    return jnp.where(inside[..., None], out, fill)
+
+
+def _letterbox_one(frame: jnp.ndarray, h, w, size: int) -> jnp.ndarray:
+    scale, pad_x, pad_y = letterbox_params(h, w, size)
+    oy = jnp.arange(size, dtype=jnp.float32)
+    ox = jnp.arange(size, dtype=jnp.float32)
+    sy = (oy[:, None] - pad_y + 0.5) / scale - 0.5
+    sx = (ox[None, :] - pad_x + 0.5) / scale - 0.5
+    sy = jnp.broadcast_to(sy, (size, size))
+    sx = jnp.broadcast_to(sx, (size, size))
+    hf = h.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    return _bilinear_sample(frame, sy, sx, hf, wf, FILL)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def letterbox_batch(frames: jnp.ndarray, heights: jnp.ndarray,
+                    widths: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Letterbox a padded uint8 batch (B, Hbuf, Wbuf, 3) -> (B, size, size, 3) f32.
+
+    heights/widths: (B,) int32 actual frame dims within the padded buffer.
+    """
+    return jax.vmap(lambda f, h, w: _letterbox_one(f, h, w, size))(
+        frames, heights, widths)
+
+
+def _stretch_one(frame: jnp.ndarray, h, w, size: int) -> jnp.ndarray:
+    # Reference semantics (onnx_engine.cpp:677-697): nearest-neighbor stretch,
+    # src index = floor(dst * src/dst_size).
+    hbuf, wbuf = frame.shape[0], frame.shape[1]
+    o = jnp.arange(size, dtype=jnp.float32)
+    sy = jnp.clip((o * h.astype(jnp.float32) / size).astype(jnp.int32), 0, h - 1)
+    sx = jnp.clip((o * w.astype(jnp.float32) / size).astype(jnp.int32), 0, w - 1)
+    flat = frame.reshape(hbuf * wbuf, 3)
+    idx = sy[:, None] * wbuf + sx[None, :]
+    return flat[idx].astype(jnp.float32) / 255.0
+
+
+@partial(jax.jit, static_argnums=(3,))
+def stretch_batch(frames: jnp.ndarray, heights: jnp.ndarray,
+                  widths: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Reference-compatible nearest-neighbor stretch resize (no letterbox)."""
+    return jax.vmap(lambda f, h, w: _stretch_one(f, h, w, size))(
+        frames, heights, widths)
