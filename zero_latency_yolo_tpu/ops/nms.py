@@ -83,6 +83,7 @@ def _post_one(pred: jnp.ndarray, class_weights: jnp.ndarray,
     passed = best_score >= conf_thresh
     ranked = jnp.where(passed, best_score, -1.0)
 
+    topk = min(topk, pred.shape[0])
     top_scores, top_idx = jax.lax.top_k(ranked, topk)
     top_boxes = boxes[top_idx]
     top_class = best_class[top_idx]
