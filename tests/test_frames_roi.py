@@ -1,0 +1,92 @@
+"""Frame payload decoding + on-device frame cache tests."""
+
+import numpy as np
+import pytest
+
+from zero_latency_yolo_tpu.ops.roi import DeviceFrameCache
+from zero_latency_yolo_tpu.protocol import build_roi_header
+from zero_latency_yolo_tpu.runtime.frames import (
+    FrameDecodeError, decode_frame_payload, encode_jpeg,
+)
+from zero_latency_yolo_tpu.runtime.simulator import synthetic_frame
+
+
+def test_raw_rgb_payload():
+    frame = synthetic_frame(64, 48, seed=1)
+    out = decode_frame_payload(frame.tobytes(), 64, 48)
+    assert out.roi is None
+    np.testing.assert_array_equal(out.pixels, frame)
+
+
+def test_jpeg_keyframe_payload():
+    frame = synthetic_frame(64, 48, seed=2)
+    out = decode_frame_payload(encode_jpeg(frame, 95), 64, 48)
+    assert out.roi is None
+    assert out.pixels.shape == (48, 64, 3)
+    # Lossy but close.
+    assert np.abs(out.pixels.astype(int) - frame.astype(int)).mean() < 12
+
+
+def test_roi_payload():
+    region = synthetic_frame(32, 16, seed=3)
+    payload = build_roi_header(10, 20, 32, 16, 64) + encode_jpeg(region, 95)
+    out = decode_frame_payload(payload, 64, 48)
+    assert out.roi is not None
+    assert (out.roi.x, out.roi.y) == (10, 20)
+    assert out.pixels.shape == (16, 32, 3)
+
+
+def test_garbage_payload_rejected():
+    with pytest.raises(FrameDecodeError):
+        decode_frame_payload(b"\x00" * 100, 64, 48)
+
+
+def test_device_cache_keyframe_roundtrip():
+    cache = DeviceFrameCache(num_slots=2, height=64, width=64)
+    frame = synthetic_frame(48, 32, seed=4)  # (32h, 48w)
+    assert cache.write_keyframe(7, frame)
+    frames, hs, ws = cache.gather([7])
+    assert hs[0] == 32 and ws[0] == 48
+    np.testing.assert_array_equal(np.asarray(frames)[0, :32, :48], frame)
+
+
+def test_device_cache_roi_paste():
+    cache = DeviceFrameCache(num_slots=2, height=64, width=64)
+    base = np.zeros((64, 64, 3), np.uint8)
+    assert cache.write_keyframe(1, base)
+    region = np.full((16, 24, 3), 200, np.uint8)
+    assert cache.write_roi(1, region, x=8, y=40)
+    out = np.asarray(cache.gather([1])[0])[0]
+    np.testing.assert_array_equal(out[40:56, 8:32], region)
+    # Outside the region untouched.
+    assert out[39, 8:32].sum() == 0 and out[40:56, 7].sum() == 0
+    assert out[56:, :].sum() == 0
+
+
+def test_device_cache_roi_requires_keyframe():
+    cache = DeviceFrameCache(num_slots=1, height=64, width=64)
+    assert not cache.write_roi(5, np.zeros((8, 8, 3), np.uint8), 0, 0)
+
+
+def test_device_cache_roi_at_edges():
+    cache = DeviceFrameCache(num_slots=1, height=64, width=64)
+    cache.write_keyframe(1, np.zeros((64, 64, 3), np.uint8))
+    region = np.full((10, 10, 3), 99, np.uint8)
+    # Bottom-right corner: bucket block overhangs; masked paste must clip.
+    assert cache.write_roi(1, region, x=54, y=54)
+    out = np.asarray(cache.gather([1])[0])[0]
+    np.testing.assert_array_equal(out[54:64, 54:64], region)
+    assert out[:54, :].sum() == 0 and out[:, :54].sum() == 0
+
+
+def test_device_cache_slot_exhaustion_and_release():
+    cache = DeviceFrameCache(num_slots=1, height=16, width=16)
+    assert cache.write_keyframe(1, np.zeros((16, 16, 3), np.uint8))
+    assert not cache.write_keyframe(2, np.zeros((16, 16, 3), np.uint8))
+    cache.release(1)
+    assert cache.write_keyframe(2, np.zeros((16, 16, 3), np.uint8))
+
+
+def test_device_cache_oversized_rejected():
+    cache = DeviceFrameCache(num_slots=1, height=16, width=16)
+    assert not cache.write_keyframe(1, np.zeros((32, 32, 3), np.uint8))

@@ -1,0 +1,215 @@
+"""End-to-end loopback tests: SimClient <-UDP-> DetectionServer.
+
+Uses simulation mode (no model file), exactly like the reference's de-facto
+fake backend (onnx_engine.cpp:70-75): the full network/scheduler/adapter path
+runs without device compute, so these tests are fast. Real-compute e2e is
+covered by bench.py and test_engine.py.
+"""
+
+import asyncio
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from zero_latency_yolo_tpu.config import ServerConfig
+from zero_latency_yolo_tpu.runtime.server import DetectionServer
+from zero_latency_yolo_tpu.runtime.simulator import (
+    FaultInjector, SimClient, synthetic_frame,
+)
+
+PORT = 27188
+
+
+class ServerHarness:
+    def __init__(self, config: ServerConfig):
+        self.server = DetectionServer(config)
+        self.loop = asyncio.new_event_loop()
+        self.thread = threading.Thread(target=self.loop.run_forever, daemon=True)
+
+    def start(self):
+        self.thread.start()
+        asyncio.run_coroutine_threadsafe(self.server.start(), self.loop).result(10)
+        return self.server
+
+    def stop(self):
+        asyncio.run_coroutine_threadsafe(self.server.stop(), self.loop).result(10)
+        self.loop.call_soon_threadsafe(self.loop.stop)
+        self.thread.join(timeout=5)
+
+
+@pytest.fixture(scope="module")
+def harness():
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent/model.npz",  # => simulation mode
+        "port": PORT,
+        "web_port": 0,
+        "max_clients": 4,
+        "max_queue_size": 8,
+        "network": {"timeout_ms": 2000},
+        "detection": {"enable_tracking": True, "max_tracking_age_ms": 500},
+        "tpu": {"batch_window_ms": 1.0,
+                "frame_buckets": [[128, 128]],
+                "batch_buckets": [1, 2, 4]},
+    })
+    h = ServerHarness(cfg)
+    server = h.start()
+    assert server.engine.simulation
+    yield server
+    h.stop()
+
+
+def _client(port, **kw):
+    c = SimClient(("127.0.0.1", port), screen_width=96, screen_height=64, **kw)
+    return c
+
+
+def test_handshake(harness):
+    c = _client(harness.port)
+    try:
+        pkt = c.connect()
+        assert pkt.info.max_clients == 4
+        assert pkt.info.protocol_version == 1
+        assert harness.client_count() == 1
+    finally:
+        c.stop()
+
+
+def test_raw_frame_to_detection_result(harness):
+    c = _client(harness.port)
+    try:
+        c.connect()
+        c.start_receiver()
+        frame = synthetic_frame(96, 64, seed=1)
+        fid = c.send_raw_frame(frame)
+        results = c.wait_results(1, timeout=5.0)
+        assert results, "no detection result received"
+        assert results[0].frame_id == fid
+        assert len(results[0].detections) <= 32
+        # Tracking on: any detections carry non-zero track ids.
+        for d in results[0].detections:
+            assert d.track_id > 0
+    finally:
+        c.stop()
+
+
+def test_jpeg_and_roi_stream(harness):
+    c = _client(harness.port)
+    try:
+        c.connect()
+        c.start_receiver()
+        frame = synthetic_frame(96, 64, seed=2)
+        c.send_jpeg_keyframe(frame)
+        region = synthetic_frame(32, 16, seed=3)
+        c.send_roi_update(region, x=8, y=8)
+        results = c.wait_results(2, timeout=5.0)
+        assert len(results) >= 2
+        # The device cache now holds the pasted content.
+        cache = harness.device_cache
+        cid = max(harness._sessions.keys())
+        assert cache.has_frame(cid)
+    finally:
+        c.stop()
+
+
+def test_heartbeat_echo(harness):
+    c = _client(harness.port)
+    try:
+        c.connect()
+        c.heartbeat(ping=123)
+        deadline = time.monotonic() + 3.0
+        got = False
+        c.sock.settimeout(0.5)
+        while time.monotonic() < deadline and not got:
+            try:
+                data, _ = c.sock.recvfrom(65536)
+            except OSError:
+                continue
+            from zero_latency_yolo_tpu.protocol import HeartbeatPacket, parse_packet
+            try:
+                pkt = parse_packet(data)
+            except Exception:
+                continue
+            if isinstance(pkt, HeartbeatPacket):
+                assert pkt.ping == 123
+                got = True
+        assert got
+    finally:
+        c.stop()
+
+
+def test_server_full(harness):
+    clients = []
+    try:
+        while harness.client_count() < 4:
+            c = _client(harness.port)
+            c.connect()
+            clients.append(c)
+        extra = _client(harness.port)
+        clients.append(extra)
+        with pytest.raises((ConnectionRefusedError, TimeoutError)):
+            extra.connect()
+    finally:
+        for c in clients:
+            c.stop()
+
+
+def test_corrupt_packets_counted_not_fatal(harness):
+    before = harness.bad_packets.value
+    c = _client(harness.port, faults=FaultInjector(corrupt=1.0))
+    try:
+        c.sock.sendto(b"garbage-not-a-packet", ("127.0.0.1", harness.port))
+        c.heartbeat()  # corrupted by injector
+        time.sleep(0.3)
+        assert harness.bad_packets.value >= before + 1
+        # Server still serves a clean client.
+        c2 = _client(harness.port)
+        try:
+            c2.connect()
+        finally:
+            c2.stop()
+    finally:
+        c.stop()
+
+
+def test_frame_from_unknown_client_ignored(harness):
+    c = _client(harness.port)  # never connects
+    try:
+        before = harness.engine.inference_count.value
+        c.send_raw_frame(synthetic_frame(96, 64))
+        time.sleep(0.3)
+        # No session -> no inference submitted for this frame.
+        # (Other clients may be active; just assert no crash and bounded growth.)
+        assert harness.client_count() <= 4
+    finally:
+        c.stop()
+
+
+def test_multi_stream_batching(harness):
+    clients = []
+    try:
+        for _ in range(3 - min(2, harness.client_count())):
+            pass
+        for i in range(2):
+            c = _client(harness.port)
+            c.connect()
+            c.start_receiver()
+            clients.append(c)
+        for step in range(5):
+            for c in clients:
+                c.send_raw_frame(synthetic_frame(96, 64, seed=step))
+            time.sleep(0.01)
+        for c in clients:
+            res = c.wait_results(3, timeout=5.0)
+            assert len(res) >= 3
+    finally:
+        for c in clients:
+            c.stop()
+
+
+def test_status_snapshot(harness):
+    st = harness.status()
+    assert st["server"] == "zero_latency_yolo_tpu"
+    assert st["transport"]["packets_received"] > 0
+    assert "engine" in st and st["engine"]["simulation"] == "true"

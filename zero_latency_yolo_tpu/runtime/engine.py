@@ -1,0 +1,333 @@
+"""TPU inference engine: one jitted program per (batch, frame-bucket).
+
+Replaces the reference OnnxInferenceEngine (src/inference/onnx_engine.cpp) —
+its preprocess / session.Run / postprocess hot loops (:649-700, :574-586,
+:758-878) become a single XLA program:
+
+    uint8 frames --device--> letterbox -> YOLOv8 -> DFL decode -> weighted NMS
+
+so exactly one H2D copy (the padded frame batch) and one small D2H copy (the
+fixed-shape NMS outputs) happen per step, and XLA fuses the elementwise tails
+into the convs.
+
+Static-shape discipline: programs are keyed by (batch_bucket, frame_bucket);
+batches are padded up to the nearest bucket; per-frame true (h, w) are runtime
+scalars, so any client resolution within a bucket hits the same program.
+
+Kept reference semantics: simulation mode when weights are missing
+(onnx_engine.cpp:70-75, :1133-1177), SHA-256 hot-reload watcher
+(:473-515, :957-1062), rolling avg/p99 latency stats (:428-449),
+status() string map (:279-312).
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ServerConfig, CS16_CLASS_NAMES
+from ..models.yolov8 import ModelSpec, forward_decoded, get_spec
+from ..models.weights import file_sha256, load_model
+from ..ops.preprocess import letterbox_params
+from ..ops import preprocess as pre_ops
+from ..ops import nms as nms_ops
+from ..protocol import Detection
+from ..utils.logging import get_logger
+from ..utils.stats import Counter, RollingStats
+
+log = get_logger("engine")
+
+
+@dataclass
+class InferenceRequest:
+    client_id: int
+    frame_id: int
+    timestamp: int
+    width: int
+    height: int
+    data: np.ndarray  # (h, w, 3) uint8 RGB
+    keyframe: bool = False
+    enqueue_t: float = field(default_factory=time.perf_counter)
+
+
+@dataclass
+class EngineResult:
+    client_id: int
+    frame_id: int
+    timestamp: int
+    detections: List[Detection]
+    infer_ms: float = 0.0
+    queue_ms: float = 0.0
+
+
+def _pick_bucket(buckets: Sequence[Tuple[int, int]], h: int, w: int) -> Tuple[int, int]:
+    for bh, bw in sorted(buckets, key=lambda b: b[0] * b[1]):
+        if h <= bh and w <= bw:
+            return (bh, bw)
+    return (max(h, max(b[0] for b in buckets)), max(w, max(b[1] for b in buckets)))
+
+
+def _pick_batch(buckets: Sequence[int], n: int) -> int:
+    for b in sorted(buckets):
+        if n <= b:
+            return b
+    return max(buckets)
+
+
+class InferenceEngine:
+    """Synchronous batched compute wrapper; the scheduler owns queues/threads."""
+
+    def __init__(self, config: ServerConfig,
+                 params: Optional[Dict[str, Any]] = None,
+                 preprocess_mode: str = "letterbox") -> None:
+        self.config = config
+        tpu = config.tpu
+        self.spec: ModelSpec = get_spec(tpu.variant, tpu.num_classes)
+        self.model_size = int(config.detection.model_width)
+        if config.detection.model_width != config.detection.model_height:
+            raise ValueError("non-square model inputs not supported")
+        self.dtype = jnp.bfloat16 if tpu.dtype == "bfloat16" else jnp.float32
+        self.preprocess_mode = preprocess_mode
+        self.batch_buckets = tuple(tpu.batch_buckets)
+        self.frame_buckets = tuple(tuple(b) for b in tpu.frame_buckets)
+        self.pre_nms_topk = int(tpu.pre_nms_topk)
+
+        self.simulation = False
+        self._model_hash: Optional[str] = None
+        if params is None:
+            params, self.spec, self.simulation = load_model(
+                config.model_path, tpu.variant, tpu.num_classes)
+            if not self.simulation:
+                try:
+                    self._model_hash = file_sha256(config.model_path)
+                except OSError:
+                    pass
+            else:
+                log.warning("model %s not loadable — simulation mode active",
+                            config.model_path)
+        self._params = jax.device_put(jax.tree.map(jnp.asarray, params))
+        self._params_lock = threading.Lock()
+
+        nc = self.spec.num_classes
+        names = CS16_CLASS_NAMES if nc == len(CS16_CLASS_NAMES) else tuple(
+            f"class_{i}" for i in range(nc))
+        weights = config.detection.class_weight_vector(names)
+        self._class_weights = jnp.asarray(weights, jnp.float32)
+        self._conf = jnp.float32(config.confidence_threshold)
+        self._iou = jnp.float32(config.nms_threshold)
+
+        self._step_cache: Dict[Tuple[int, int, int], Any] = {}
+        self._staging: Dict[Tuple[int, int, int], np.ndarray] = {}
+
+        # Telemetry (reference stats fields, onnx_engine.h:261-273).
+        self.inference_count = Counter()
+        self.frames_dropped = Counter()
+        self.error_count = Counter()
+        self.latency = RollingStats()     # device step wall time
+        self.e2e_latency = RollingStats()  # submit -> result
+        self.batch_sizes = RollingStats()
+        self._rng = random.Random(1337)
+
+    # ------------------------------------------------------------- compile
+    def _build_step(self, batch: int, bucket: Tuple[int, int]):
+        size = self.model_size
+        spec = self.spec
+        dtype = self.dtype
+        topk = self.pre_nms_topk
+        mode = self.preprocess_mode
+        resize = pre_ops.letterbox_batch if mode == "letterbox" else pre_ops.stretch_batch
+
+        def step(params, frames, heights, widths, class_w, conf, iou):
+            x = resize(frames, heights, widths, size)
+            pred = forward_decoded(params, spec, x, dtype=dtype)
+            hf = heights.astype(jnp.float32)
+            wf = widths.astype(jnp.float32)
+            if mode == "letterbox":
+                scale, pad_x, pad_y = jax.vmap(
+                    lambda h, w: letterbox_params(h, w, size))(hf, wf)
+                pad = jnp.stack([pad_x, pad_y], axis=-1)
+            else:
+                # Stretch: independent x/y scales; fold into (scale, pad) form
+                # by giving postprocess x-scale and rescaling y coords.
+                scale = size / wf
+                pad = jnp.zeros((batch, 2), jnp.float32)
+                sy = (size / hf) / scale
+                pred = pred.at[..., 1].set(pred[..., 1] / sy[:, None])
+                pred = pred.at[..., 3].set(pred[..., 3] / sy[:, None])
+            src_wh = jnp.stack([wf, hf], axis=-1)
+            return nms_ops.postprocess_batch(
+                pred, class_w, conf, iou, scale, pad, src_wh, topk)
+
+        return jax.jit(step, donate_argnums=(1,))
+
+    def get_step(self, batch: int, bucket: Tuple[int, int]):
+        key = (batch, bucket[0], bucket[1])
+        fn = self._step_cache.get(key)
+        if fn is None:
+            fn = self._build_step(batch, bucket)
+            self._step_cache[key] = fn
+        return fn
+
+    def warmup(self, batches: Optional[Sequence[int]] = None,
+               buckets: Optional[Sequence[Tuple[int, int]]] = None) -> float:
+        """Pre-compile the hot (batch, bucket) grid; returns seconds spent."""
+        t0 = time.perf_counter()
+        for b in (batches or self.batch_buckets):
+            for bk in (buckets or self.frame_buckets):
+                frames = np.zeros((b, bk[0], bk[1], 3), np.uint8)
+                hw = np.full((b,), bk[0], np.int32), np.full((b,), bk[1], np.int32)
+                out = self.get_step(b, bk)(
+                    self._params, jnp.asarray(frames),
+                    jnp.asarray(hw[0]), jnp.asarray(hw[1]),
+                    self._class_weights, self._conf, self._iou)
+                jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        log.info("engine warmup done in %.1fs", dt)
+        return dt
+
+    # --------------------------------------------------------------- infer
+    def infer_batch(self, requests: List[InferenceRequest]) -> List[EngineResult]:
+        if not requests:
+            return []
+        if self.simulation:
+            return [self._simulate(r) for r in requests]
+        t0 = time.perf_counter()
+        n = len(requests)
+        batch = _pick_batch(self.batch_buckets, n)
+        bucket = _pick_bucket(
+            self.frame_buckets,
+            max(r.height for r in requests), max(r.width for r in requests))
+        key = (batch, bucket[0], bucket[1])
+
+        staging = self._staging.get(key)
+        if staging is None or staging.shape[0] != batch:
+            staging = np.zeros((batch, bucket[0], bucket[1], 3), np.uint8)
+            self._staging[key] = staging
+        heights = np.ones((batch,), np.int32)
+        widths = np.ones((batch,), np.int32)
+        for i, r in enumerate(requests):
+            staging[i, :r.height, :r.width] = r.data
+            heights[i] = r.height
+            widths[i] = r.width
+
+        return self._run_device(jnp.asarray(staging), jnp.asarray(heights),
+                                jnp.asarray(widths), requests, batch, bucket, t0)
+
+    def infer_batch_cached(self, requests: List[InferenceRequest],
+                           frames: jnp.ndarray, heights: np.ndarray,
+                           widths: np.ndarray) -> List[EngineResult]:
+        """Inference over frames already resident on device (DeviceFrameCache
+        gather) — no host staging, no H2D pixel copy."""
+        if self.simulation:
+            return [self._simulate(r) for r in requests]
+        t0 = time.perf_counter()
+        batch = frames.shape[0]
+        bucket = (frames.shape[1], frames.shape[2])
+        return self._run_device(frames, jnp.asarray(heights), jnp.asarray(widths),
+                                requests, batch, bucket, t0)
+
+    def _run_device(self, frames, heights, widths,
+                    requests: List[InferenceRequest], batch: int,
+                    bucket: Tuple[int, int], t0: float) -> List[EngineResult]:
+        n = len(requests)
+        with self._params_lock:
+            params = self._params
+        step = self.get_step(batch, bucket)
+        # donate_argnums invalidates the device copy, not the numpy staging.
+        out = step(params, frames, heights, widths,
+                   self._class_weights, self._conf, self._iou)
+        boxes = np.asarray(out["boxes"])
+        scores = np.asarray(out["scores"])
+        classes = np.asarray(out["classes"])
+        counts = np.asarray(out["count"])
+        infer_ms = (time.perf_counter() - t0) * 1e3
+        self.latency.record(infer_ms)
+        self.batch_sizes.record(n)
+        self.inference_count.inc(n)
+
+        results = []
+        now = time.perf_counter()
+        for i, r in enumerate(requests):
+            dets = [
+                Detection(
+                    x=float(boxes[i, j, 0]), y=float(boxes[i, j, 1]),
+                    width=float(boxes[i, j, 2]), height=float(boxes[i, j, 3]),
+                    confidence=float(scores[i, j]),
+                    class_id=int(classes[i, j]), track_id=0,
+                    timestamp=r.timestamp)
+                for j in range(int(counts[i]))
+            ]
+            e2e_ms = (now - r.enqueue_t) * 1e3
+            q_ms = max(e2e_ms - infer_ms, 0.0)
+            self.e2e_latency.record(e2e_ms)
+            results.append(EngineResult(
+                client_id=r.client_id, frame_id=r.frame_id,
+                timestamp=r.timestamp, detections=dets,
+                infer_ms=infer_ms, queue_ms=max(q_ms, 0.0)))
+        return results
+
+    def _simulate(self, r: InferenceRequest) -> EngineResult:
+        """Random plausible detections (reference onnx_engine.cpp:1133-1177)."""
+        rng = self._rng
+        dets = []
+        for _ in range(rng.randint(0, 3)):
+            w, h = rng.uniform(0.05, 0.2), rng.uniform(0.1, 0.3)
+            dets.append(Detection(
+                x=rng.uniform(0.2, 0.8), y=rng.uniform(0.2, 0.8),
+                width=w, height=h, confidence=rng.uniform(0.5, 0.95),
+                class_id=rng.randint(0, max(self.spec.num_classes - 1, 0)),
+                track_id=0, timestamp=r.timestamp))
+        self.inference_count.inc()
+        return EngineResult(client_id=r.client_id, frame_id=r.frame_id,
+                            timestamp=r.timestamp, detections=dets)
+
+    # ------------------------------------------------------------ hot swap
+    def maybe_reload(self) -> bool:
+        """Re-hash the model file; on change, swap params in place
+        (same shapes => no recompile). Reference onnx_engine.cpp:473-515."""
+        path = self.config.model_path
+        try:
+            new_hash = file_sha256(path)
+        except OSError:
+            return False
+        if new_hash == self._model_hash:
+            return False
+        params, spec, sim = load_model(path, self.config.tpu.variant,
+                                       self.config.tpu.num_classes)
+        if sim:
+            return False
+        with self._params_lock:
+            self._params = jax.device_put(jax.tree.map(jnp.asarray, params))
+            self._model_hash = new_hash
+            self.simulation = False
+        log.info("hot-reloaded model %s (sha256=%s)", path, new_hash[:12])
+        return True
+
+    # -------------------------------------------------------------- status
+    def status(self) -> Dict[str, str]:
+        lat = self.latency.snapshot()
+        e2e = self.e2e_latency.snapshot()
+        return {
+            "engine": "jax-tpu",
+            "model": self.config.tpu.variant,
+            "model_size": str(self.model_size),
+            "classes": str(self.spec.num_classes),
+            "simulation": str(self.simulation).lower(),
+            "inferences": str(self.inference_count.value),
+            "dropped": str(self.frames_dropped.value),
+            "errors": str(self.error_count.value),
+            "device_avg_ms": f"{lat['avg_ms']:.2f}",
+            "device_p99_ms": f"{lat['p99_ms']:.2f}",
+            "e2e_avg_ms": f"{e2e['avg_ms']:.2f}",
+            "e2e_p99_ms": f"{e2e['p99_ms']:.2f}",
+            "avg_batch": f"{self.batch_sizes.snapshot()['avg_ms']:.1f}",
+            "compiled_programs": str(len(self._step_cache)),
+        }

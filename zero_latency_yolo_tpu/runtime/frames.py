@@ -1,0 +1,85 @@
+"""FRAME_DATA payload decoding: raw RGB, JPEG keyframes, ROIIMG region updates.
+
+The reference server rejected everything but raw w*h*3
+(src/network/network_server.cpp:191-197) while its client sent JPEG/ROI
+(SURVEY §2.9 item 8); this module supplies the missing decompression path.
+JPEG entropy decode uses cv2 (libjpeg-turbo); decoded pixels flow into the
+on-device frame cache (ops/roi.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..protocol import ROI_HEADER_SIZE, RoiHeader, parse_roi_header
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+@dataclass
+class DecodedFrame:
+    """Either a full frame (roi is None) or a region update."""
+    pixels: np.ndarray            # (h, w, 3) uint8 RGB
+    roi: Optional[RoiHeader] = None
+
+
+class FrameDecodeError(ValueError):
+    pass
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    if not _HAS_CV2:
+        raise FrameDecodeError("JPEG payload but cv2 unavailable")
+    arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    if arr is None:
+        raise FrameDecodeError("JPEG decode failed")
+    return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+
+
+def decode_frame_payload(data: bytes, width: int, height: int) -> DecodedFrame:
+    """Classify and decode a FRAME_DATA payload.
+
+    - exactly width*height*3 bytes  -> raw RGB888 (reference-compatible path)
+    - 'ROIIMG' prefix               -> JPEG region update at (x, y)
+    - JPEG SOI (0xFFD8)             -> full-frame keyframe
+    """
+    expected_raw = width * height * 3
+    if len(data) == expected_raw:
+        return DecodedFrame(
+            pixels=np.frombuffer(data, np.uint8).reshape(height, width, 3))
+    roi = parse_roi_header(data)
+    if roi is not None:
+        region = _decode_jpeg(data[ROI_HEADER_SIZE:])
+        if region.shape[:2] != (roi.height, roi.width):
+            raise FrameDecodeError(
+                f"ROI header {roi.width}x{roi.height} != decoded "
+                f"{region.shape[1]}x{region.shape[0]}")
+        return DecodedFrame(pixels=region, roi=roi)
+    if len(data) >= 2 and data[0] == 0xFF and data[1] == 0xD8:
+        pixels = _decode_jpeg(data)
+        if pixels.shape[:2] != (height, width):
+            raise FrameDecodeError(
+                f"keyframe {pixels.shape[1]}x{pixels.shape[0]} != header "
+                f"{width}x{height}")
+        return DecodedFrame(pixels=pixels)
+    raise FrameDecodeError(
+        f"unrecognized frame payload: {len(data)} bytes for {width}x{height}")
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 85) -> bytes:
+    """Test/simulator helper: RGB -> JPEG bytes."""
+    if not _HAS_CV2:
+        raise FrameDecodeError("cv2 unavailable")
+    ok, buf = cv2.imencode(
+        ".jpg", cv2.cvtColor(pixels, cv2.COLOR_RGB2BGR),
+        [cv2.IMWRITE_JPEG_QUALITY, quality])
+    if not ok:
+        raise FrameDecodeError("JPEG encode failed")
+    return buf.tobytes()

@@ -1,0 +1,177 @@
+"""Continuous-batching scheduler: per-client queues -> micro-batched device steps.
+
+This replaces the reference's incoherent two-pool scheme (1 inference thread
+racing N worker threads on one queue, batching stubbed — SURVEY §2.3/§3.4)
+with a single coherent batcher:
+
+- per-client bounded queues with drop-oldest overflow, enforcing
+  `max_queue_size` for real (the reference parsed but never enforced it,
+  SURVEY §2.9 item 10; semantics from concurrent_queue.h push_force);
+- micro-batch collection: close a batch at `max_batch` frames or
+  `batch_window_ms`, whichever first — the intended behavior of the
+  reference's stub (onnx_engine.cpp:320-344: ≤4 frames / 5 ms);
+- round-robin draining across clients for fairness at 64 streams;
+- at most one frame per client per batch (a newer frame supersedes, matching
+  the drop-oldest stream semantics);
+- frames live in the on-device cache (ops/roi.py) when enabled: the batch is
+  assembled by a device gather, so closing a batch costs no pixel H2D.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import OrderedDict, deque
+from typing import Callable, Dict, List, Optional
+
+from ..utils.logging import get_logger
+from .engine import EngineResult, InferenceEngine, InferenceRequest
+
+log = get_logger("scheduler")
+
+
+class ContinuousBatcher:
+    def __init__(self, engine: InferenceEngine,
+                 on_result: Callable[[List[EngineResult]], None],
+                 max_batch: int = 64,
+                 batch_window_ms: float = 3.0,
+                 max_queue_per_client: int = 8,
+                 device_cache=None) -> None:
+        self.engine = engine
+        self.on_result = on_result
+        self.max_batch = max_batch
+        self.batch_window_ms = batch_window_ms
+        self.max_queue = max_queue_per_client
+        self.device_cache = device_cache
+        self._queues: "OrderedDict[int, deque]" = OrderedDict()
+        self._cv = threading.Condition()
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        self._pending = 0
+
+    # ---------------------------------------------------------------- submit
+    def submit(self, request: InferenceRequest) -> bool:
+        """Enqueue a frame; drop-oldest when the client's queue is full.
+        Returns False if a frame was dropped to make room."""
+        dropped = False
+        with self._cv:
+            q = self._queues.get(request.client_id)
+            if q is None:
+                q = deque()
+                self._queues[request.client_id] = q
+            while len(q) >= self.max_queue:
+                q.popleft()
+                self._pending -= 1
+                dropped = True
+            q.append(request)
+            self._pending += 1
+            self._cv.notify()
+        if dropped:
+            self.engine.frames_dropped.inc()
+        return not dropped
+
+    def remove_client(self, client_id: int) -> None:
+        with self._cv:
+            q = self._queues.pop(client_id, None)
+            if q:
+                self._pending -= len(q)
+
+    def queue_depth(self) -> int:
+        with self._cv:
+            return self._pending
+
+    # --------------------------------------------------------------- control
+    def start(self) -> None:
+        if self._running:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, name="zlt-batcher",
+                                        daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        with self._cv:
+            self._running = False
+            self._cv.notify_all()
+        if self._thread:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    # ------------------------------------------------------------------ loop
+    def _collect(self) -> List[InferenceRequest]:
+        """Round-robin drain: newest frame per client (older ones in the same
+        batch window are superseded and counted as drops)."""
+        batch: List[InferenceRequest] = []
+        with self._cv:
+            clients = list(self._queues.keys())
+            for cid in clients:
+                q = self._queues[cid]
+                if not q:
+                    continue
+                while len(q) > 1:  # supersede stale frames
+                    q.popleft()
+                    self._pending -= 1
+                    self.engine.frames_dropped.inc()
+                batch.append(q.popleft())
+                self._pending -= 1
+                # Rotate for fairness.
+                self._queues.move_to_end(cid)
+                if len(batch) >= self.max_batch:
+                    break
+        return batch
+
+    def _loop(self) -> None:
+        window_s = self.batch_window_ms / 1000.0
+        while True:
+            with self._cv:
+                while self._running and self._pending == 0:
+                    self._cv.wait(timeout=0.1)
+                if not self._running:
+                    return
+            # Batch-forming window: wait for more frames unless already full.
+            deadline = time.perf_counter() + window_s
+            while True:
+                with self._cv:
+                    ready = self._pending
+                if ready >= self.max_batch:
+                    break
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                time.sleep(min(remaining, 0.0005))
+            batch = self._collect()
+            if not batch:
+                continue
+            try:
+                results = self._infer(batch)
+            except Exception:  # noqa: BLE001
+                self.engine.error_count.inc()
+                log.exception("batch inference failed (batch=%d)", len(batch))
+                continue
+            try:
+                self.on_result(results)
+            except Exception:  # noqa: BLE001
+                log.exception("result callback failed")
+
+    def _infer(self, batch: List[InferenceRequest]) -> List[EngineResult]:
+        cache = self.device_cache
+        cached = [r for r in batch if r.data is None]
+        hosted = [r for r in batch if r.data is not None]
+        results: List[EngineResult] = []
+        if cached:
+            if cache is None:
+                raise RuntimeError("cached requests but no device cache configured")
+            # Device-resident path: frames were written to the cache at
+            # packet-decode time; pad the gather to the batch bucket so the
+            # compiled program is reused.
+            from .engine import _pick_batch
+            n = len(cached)
+            b = _pick_batch(self.engine.batch_buckets, n)
+            cids = [r.client_id for r in cached]
+            cids += [cids[0]] * (b - n)
+            frames, heights, widths = cache.gather(cids)
+            results.extend(self.engine.infer_batch_cached(
+                cached, frames, heights, widths))
+        if hosted:
+            results.extend(self.engine.infer_batch(hosted))
+        return results

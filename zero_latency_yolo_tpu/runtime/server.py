@@ -1,0 +1,538 @@
+"""Asyncio UDP detection server speaking the ZLTY wire protocol.
+
+Rebuilds the reference transport + session dispatch
+(src/network/reliable_udp.{h,cpp}, src/network/network_server.cpp) minus its
+bugs (SURVEY §2.9: phantom aggregation, mismatched reliable sequence numbers),
+on a single asyncio loop instead of recv/management threads:
+
+- CLIENT_INFO handshake: cap check, addr dedupe, id assignment, SERVER_INFO
+  reply (reliable) — reference reliable_udp.cpp:376-425, network_server.cpp:152-182
+- HEARTBEAT echo with client liveness (network_server.cpp:129-150)
+- ACK every valid non-ACK packet from a known peer (reliable_udp.cpp:602-605)
+- reliable sends: per-client pending map, RFC6298 RTT/RTO, bounded retries
+  then drop (reliable_udp.cpp:627-658, :718-777)
+- client timeout eviction (reliable_udp.cpp:690-715)
+- port auto-increment once if busy (reliable_udp.cpp:98-129)
+- socket-level fatal errors re-create the endpoint in place (:492-509)
+
+FRAME_DATA payloads (raw RGB / JPEG keyframe / ROIIMG region) are decoded and
+written to the on-device frame cache; the continuous batcher closes device
+micro-batches; DETECTION_RESULT goes back unreliable (a fresh result always
+supersedes a stale one — matching the reference's default-unreliable send,
+network_server.cpp:227-243).
+
+A minimal /statusz HTTP endpoint on web_port replaces the reference
+dashboard's log-file scraping (web/server.js:198-248).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from ..config import ServerConfig
+from ..protocol import (
+    AckPacket, ClientInfoPacket, Detection, DetectionResultPacket, ErrorCode,
+    ErrorPacket, FrameDataPacket, HeartbeatPacket, PacketType, ProtocolError,
+    ServerInfo, ServerInfoPacket, parse_header, parse_packet,
+)
+from ..utils.events import (
+    CLIENT_CONNECTED, CLIENT_DISCONNECTED, CLIENT_TIMEOUT, EVENT_BUS,
+    MODEL_UPDATED, SERVER_STARTED, SERVER_STOPPING,
+)
+from ..utils.logging import get_logger
+from ..utils.stats import Counter, RollingStats
+from ..ops.roi import DeviceFrameCache
+from .adapters import GameAdapter, get_adapter
+from .engine import EngineResult, InferenceEngine, InferenceRequest
+from .frames import DecodedFrame, FrameDecodeError, decode_frame_payload
+from .scheduler import ContinuousBatcher
+
+log = get_logger("server")
+
+Addr = Tuple[str, int]
+
+
+@dataclass
+class PendingPacket:
+    data: bytes
+    addr: Addr
+    sent_at: float
+    retries: int = 0
+
+
+@dataclass
+class ClientSession:
+    client_id: int
+    addr: Addr
+    screen_width: int = 800
+    screen_height: int = 600
+    game_id: int = 1
+    last_active: float = field(default_factory=time.monotonic)
+    # RFC6298 state (reference reliable_udp.h:105-127).
+    srtt: Optional[float] = None
+    rttvar: float = 0.0
+    rto: float = 0.2
+    pending: Dict[int, PendingPacket] = field(default_factory=dict)
+    frames_received: int = 0
+    results_sent: int = 0
+
+    def observe_rtt(self, rtt: float) -> None:
+        if self.srtt is None:
+            self.srtt = rtt
+            self.rttvar = rtt / 2
+        else:
+            self.rttvar = 0.75 * self.rttvar + 0.25 * abs(self.srtt - rtt)
+            self.srtt = 0.875 * self.srtt + 0.125 * rtt
+        self.rto = min(max(self.srtt + 4 * self.rttvar, 0.05), 2.0)
+
+
+class _Protocol(asyncio.DatagramProtocol):
+    def __init__(self, server: "DetectionServer") -> None:
+        self.server = server
+
+    def connection_made(self, transport) -> None:
+        self.server._transport = transport
+
+    def datagram_received(self, data: bytes, addr: Addr) -> None:
+        self.server._on_datagram(data, addr)
+
+    def error_received(self, exc) -> None:
+        log.warning("socket error: %s", exc)
+        self.server._schedule_socket_recovery()
+
+
+class DetectionServer:
+    """The full server: transport + sessions + batcher + engine + adapter."""
+
+    def __init__(self, config: ServerConfig,
+                 engine: Optional[InferenceEngine] = None,
+                 use_device_cache: bool = True) -> None:
+        self.config = config
+        self.engine = engine or InferenceEngine(config)
+        game_name = next(
+            (name for name, g in config.game_adapters.items() if g.enabled),
+            "cs16")
+        self.adapter: GameAdapter = get_adapter(
+            game_name, config.game_adapters.get(game_name) or
+            next(iter(config.game_adapters.values())),
+            enable_tracking=config.detection.enable_tracking,
+            max_tracking_age_ms=config.detection.max_tracking_age_ms)
+
+        max_h = max(b[0] for b in config.tpu.frame_buckets)
+        max_w = max(b[1] for b in config.tpu.frame_buckets)
+        self.device_cache = (DeviceFrameCache(config.max_clients, max_h, max_w)
+                             if use_device_cache else None)
+        self.batcher = ContinuousBatcher(
+            self.engine, self._on_results_threadsafe,
+            max_batch=max(config.tpu.batch_buckets),
+            batch_window_ms=config.tpu.batch_window_ms,
+            max_queue_per_client=config.max_queue_size,
+            device_cache=self.device_cache)
+
+        self._sessions: Dict[int, ClientSession] = {}
+        self._by_addr: Dict[Addr, int] = {}
+        self._next_client_id = 1
+        self._transport = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._mgmt_task: Optional[asyncio.Task] = None
+        self._watch_task: Optional[asyncio.Task] = None
+        self._http_server = None
+        self._running = False
+        self.port: Optional[int] = None
+
+        # Transport counters (reference reliable_udp.h:269-275).
+        self.packets_received = Counter()
+        self.packets_sent = Counter()
+        self.bytes_received = Counter()
+        self.bytes_sent = Counter()
+        self.retransmits = Counter()
+        self.send_drops = Counter()
+        self.bad_packets = Counter()
+        self.detect_latency = RollingStats()  # frame recv -> result sent
+
+    # ================================================================ lifecycle
+    async def start(self) -> None:
+        self._loop = asyncio.get_running_loop()
+        port = self.config.network.port
+        for attempt, p in enumerate((port, port + 1)):
+            try:
+                await self._loop.create_datagram_endpoint(
+                    lambda: _Protocol(self), local_addr=("0.0.0.0", p))
+                self.port = p
+                break
+            except OSError:
+                if attempt == 1:
+                    raise
+                log.warning("port %d busy, trying %d", p, p + 1)
+        self.batcher.start()
+        self._mgmt_task = asyncio.create_task(self._management_loop())
+        self._watch_task = asyncio.create_task(self._model_watch_loop())
+        if self.config.network.web_port:
+            try:
+                self._http_server = await asyncio.start_server(
+                    self._handle_http, "0.0.0.0", self.config.network.web_port)
+            except OSError:
+                log.warning("statusz port %d busy; endpoint disabled",
+                            self.config.network.web_port)
+        self._running = True
+        EVENT_BUS.publish(SERVER_STARTED, {"port": self.port})
+        log.info("detection server listening on udp/%d (statusz on %s)",
+                 self.port, self.config.network.web_port)
+
+    async def stop(self) -> None:
+        self._running = False
+        EVENT_BUS.publish(SERVER_STOPPING, None)
+        for task in (self._mgmt_task, self._watch_task):
+            if task:
+                task.cancel()
+                try:
+                    await task
+                except (asyncio.CancelledError, Exception):  # noqa: BLE001
+                    pass
+        self.batcher.stop()
+        if self._http_server:
+            self._http_server.close()
+            await self._http_server.wait_closed()
+        if self._transport:
+            self._transport.close()
+            self._transport = None
+
+    # ============================================================== rx path
+    def _on_datagram(self, data: bytes, addr: Addr) -> None:
+        self.packets_received.inc()
+        self.bytes_received.inc(len(data))
+        try:
+            pkt = parse_packet(data)
+        except ProtocolError as e:
+            self.bad_packets.inc()
+            log.debug("bad packet from %s: %s", addr, e)
+            return
+
+        session = self._session_by_addr(addr)
+        if session is not None:
+            session.last_active = time.monotonic()
+
+        ptype = pkt.TYPE
+        if ptype == PacketType.ACK:
+            self._handle_ack(pkt, session)
+            return
+        # ACK every valid non-ACK packet from a known peer.
+        if session is not None:
+            self._send_raw(AckPacket(acked_sequence=pkt.sequence).serialize(), addr)
+
+        if ptype == PacketType.CLIENT_INFO:
+            self._handle_client_info(pkt, addr)
+        elif ptype == PacketType.HEARTBEAT:
+            if session is not None:
+                reply = HeartbeatPacket(ping=pkt.ping)
+                self._send_raw(reply.serialize(), addr)
+        elif ptype == PacketType.FRAME_DATA:
+            if session is None:
+                log.debug("frame data from unknown client %s", addr)
+                return
+            self._handle_frame(pkt, session)
+        elif ptype == PacketType.COMMAND:
+            self._handle_command(pkt, session)
+        elif ptype == PacketType.ERROR:
+            log.debug("received error packet")
+        else:
+            log.debug("unhandled packet type %d", ptype)
+
+    def _handle_ack(self, pkt: AckPacket, session: Optional[ClientSession]) -> None:
+        if session is None:
+            return
+        pending = session.pending.pop(pkt.acked_sequence, None)
+        if pending is not None:
+            session.observe_rtt(time.monotonic() - pending.sent_at)
+
+    def _handle_client_info(self, pkt: ClientInfoPacket, addr: Addr) -> None:
+        info = pkt.info
+        existing = self._by_addr.get(addr)
+        if existing is not None:
+            session = self._sessions[existing]
+            session.screen_width = info.screen_width or session.screen_width
+            session.screen_height = info.screen_height or session.screen_height
+            session.game_id = info.game_id
+            client_id = existing
+        elif len(self._sessions) >= self.config.max_clients:
+            self._send_raw(ErrorPacket(
+                error_code=ErrorCode.SERVER_FULL,
+                message="server full").serialize(), addr)
+            return
+        else:
+            client_id = self._next_client_id
+            self._next_client_id += 1
+            session = ClientSession(
+                client_id=client_id, addr=addr,
+                screen_width=info.screen_width or 800,
+                screen_height=info.screen_height or 600,
+                game_id=info.game_id)
+            self._sessions[client_id] = session
+            self._by_addr[addr] = client_id
+            self.adapter.register_client(client_id, session.screen_width,
+                                         session.screen_height, info.game_id)
+            EVENT_BUS.publish(CLIENT_CONNECTED, client_id)
+            log.info("client #%d connected from %s (game %d)", client_id, addr,
+                     info.game_id)
+        reply = ServerInfoPacket(info=ServerInfo(
+            server_id=1, model_version=1.0,
+            max_clients=self.config.max_clients,
+            max_fps=self.config.target_fps, status=0))
+        self._send_reliable(reply.serialize(), session)
+
+    def _handle_command(self, pkt, session: Optional[ClientSession]) -> None:
+        """COMMAND handling. The reference declared CommandType but ignored all
+        commands (network_server.cpp:102-105); DISCONNECT and PING are useful
+        and implemented here."""
+        from ..protocol import CommandType
+        if session is None:
+            return
+        if pkt.command_type == CommandType.DISCONNECT:
+            self._evict(session.client_id, "disconnect")
+        elif pkt.command_type == CommandType.PING:
+            self._send_raw(HeartbeatPacket(ping=0).serialize(), session.addr)
+
+    def _handle_frame(self, pkt: FrameDataPacket, session: ClientSession) -> None:
+        try:
+            decoded = decode_frame_payload(pkt.data, pkt.width, pkt.height)
+        except FrameDecodeError as e:
+            self.bad_packets.inc()
+            log.debug("frame decode failed (client %d): %s", session.client_id, e)
+            return
+        session.frames_received += 1
+        request = InferenceRequest(
+            client_id=session.client_id, frame_id=pkt.frame_id,
+            timestamp=pkt.frame_timestamp, width=pkt.width, height=pkt.height,
+            data=None, keyframe=pkt.keyframe)
+        cache = self.device_cache
+        if cache is not None:
+            if decoded.roi is not None:
+                if not cache.write_roi(session.client_id, decoded.pixels,
+                                       decoded.roi.x, decoded.roi.y):
+                    log.debug("ROI before keyframe (client %d); dropped",
+                              session.client_id)
+                    return
+            else:
+                if not cache.write_keyframe(session.client_id, decoded.pixels):
+                    log.warning("frame cache full/oversized (client %d)",
+                                session.client_id)
+                    return
+        else:
+            if decoded.roi is not None:
+                log.debug("ROI update without device cache; dropped")
+                return
+            request.data = decoded.pixels
+        request.enqueue_t = time.perf_counter()
+        self.batcher.submit(request)
+
+    # ============================================================== tx path
+    def _send_raw(self, data: bytes, addr: Addr) -> None:
+        if self._transport is None:
+            return
+        self._transport.sendto(data, addr)
+        self.packets_sent.inc()
+        self.bytes_sent.inc(len(data))
+
+    def _send_reliable(self, data: bytes, session: ClientSession) -> None:
+        hdr = parse_header(data)
+        session.pending[hdr.sequence] = PendingPacket(
+            data=data, addr=session.addr, sent_at=time.monotonic())
+        self._send_raw(data, session.addr)
+
+    def _on_results_threadsafe(self, results: List[EngineResult]) -> None:
+        """Called from the batcher thread; hop onto the loop for sending."""
+        if self._loop is None:
+            return
+        self._loop.call_soon_threadsafe(self._send_results, results)
+
+    def _send_results(self, results: List[EngineResult]) -> None:
+        now = time.perf_counter()
+        for res in results:
+            session = self._sessions.get(res.client_id)
+            if session is None:
+                continue
+            dets = self.adapter.process_detections(res.client_id, res.detections)
+            pkt = DetectionResultPacket(
+                frame_id=res.frame_id, frame_timestamp=res.timestamp,
+                detections=dets[:32])
+            self._send_raw(pkt.serialize(), session.addr)
+            session.results_sent += 1
+            self.detect_latency.record(res.infer_ms + res.queue_ms)
+            EVENT_BUS.publish("inference_completed", res.client_id)
+
+    # ========================================================== maintenance
+    async def _management_loop(self) -> None:
+        timeout_s = self.config.network.timeout_ms / 1000.0
+        max_retries = self.config.network.max_retries
+        while True:
+            await asyncio.sleep(0.1)
+            now = time.monotonic()
+            for client_id in list(self._sessions.keys()):
+                session = self._sessions[client_id]
+                if now - session.last_active > timeout_s:
+                    self._evict(client_id, "timeout")
+                    continue
+                for seq in list(session.pending.keys()):
+                    p = session.pending.get(seq)
+                    if p is None or now - p.sent_at < session.rto:
+                        continue
+                    if p.retries >= max_retries:
+                        del session.pending[seq]
+                        self.send_drops.inc()
+                        continue
+                    p.retries += 1
+                    p.sent_at = now
+                    self._send_raw(p.data, p.addr)
+                    self.retransmits.inc()
+
+    def _evict(self, client_id: int, reason: str) -> None:
+        session = self._sessions.pop(client_id, None)
+        if session is None:
+            return
+        self._by_addr.pop(session.addr, None)
+        self.adapter.unregister_client(client_id)
+        self.batcher.remove_client(client_id)
+        if self.device_cache is not None:
+            self.device_cache.release(client_id)
+        EVENT_BUS.publish(
+            CLIENT_TIMEOUT if reason == "timeout" else CLIENT_DISCONNECTED,
+            client_id)
+        log.info("client #%d evicted (%s)", client_id, reason)
+
+    async def _model_watch_loop(self) -> None:
+        """SHA-256 model watcher: hot-swap on change (reference
+        onnx_engine.cpp:473-515), every 10s."""
+        while True:
+            await asyncio.sleep(10.0)
+            try:
+                if await asyncio.to_thread(self.engine.maybe_reload):
+                    EVENT_BUS.publish(MODEL_UPDATED, self.config.model_path)
+            except Exception:  # noqa: BLE001
+                log.exception("model watcher failed")
+
+    def _schedule_socket_recovery(self) -> None:
+        if self._loop and self._running:
+            self._loop.create_task(self._recover_socket())
+
+    async def _recover_socket(self) -> None:
+        """Close and re-create the datagram endpoint in place
+        (reference reliable_udp.cpp:492-509)."""
+        if self._transport:
+            self._transport.close()
+            self._transport = None
+        await asyncio.sleep(0.05)
+        try:
+            await self._loop.create_datagram_endpoint(
+                lambda: _Protocol(self), local_addr=("0.0.0.0", self.port))
+            log.warning("socket recovered on udp/%d", self.port)
+        except OSError:
+            log.exception("socket recovery failed")
+
+    # =============================================================== status
+    def status(self) -> Dict[str, object]:
+        lat = self.detect_latency.snapshot()
+        return {
+            "server": "zero_latency_yolo_tpu",
+            "port": self.port,
+            "clients": len(self._sessions),
+            "max_clients": self.config.max_clients,
+            "queue_depth": self.batcher.queue_depth(),
+            "transport": {
+                "packets_received": self.packets_received.value,
+                "packets_sent": self.packets_sent.value,
+                "bytes_received": self.bytes_received.value,
+                "bytes_sent": self.bytes_sent.value,
+                "retransmits": self.retransmits.value,
+                "send_drops": self.send_drops.value,
+                "bad_packets": self.bad_packets.value,
+                "rx_pps": round(self.packets_received.rate(), 1),
+            },
+            "detect_latency": lat,
+            "engine": self.engine.status(),
+            "adapter": self.adapter.status(),
+            "sessions": {
+                str(cid): {
+                    "addr": f"{s.addr[0]}:{s.addr[1]}",
+                    "frames": s.frames_received,
+                    "results": s.results_sent,
+                    "srtt_ms": round((s.srtt or 0) * 1e3, 2),
+                } for cid, s in self._sessions.items()
+            },
+        }
+
+    async def _handle_http(self, reader: asyncio.StreamReader,
+                           writer: asyncio.StreamWriter) -> None:
+        try:
+            request_line = await asyncio.wait_for(reader.readline(), timeout=5.0)
+            while True:
+                line = await asyncio.wait_for(reader.readline(), timeout=5.0)
+                if line in (b"\r\n", b"\n", b""):
+                    break
+            path = request_line.split(b" ")[1].decode() if b" " in request_line else "/"
+            if path.startswith(("/statusz", "/api/server/status", "/")):
+                body = json.dumps(self.status(), indent=1).encode()
+                writer.write(b"HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n"
+                             b"Content-Length: " + str(len(body)).encode() +
+                             b"\r\n\r\n" + body)
+            await writer.drain()
+        except Exception:  # noqa: BLE001
+            pass
+        finally:
+            writer.close()
+
+    # ============================================================== helpers
+    def _session_by_addr(self, addr: Addr) -> Optional[ClientSession]:
+        cid = self._by_addr.get(addr)
+        return self._sessions.get(cid) if cid is not None else None
+
+    def client_count(self) -> int:
+        return len(self._sessions)
+
+
+async def serve(config: Optional[ServerConfig] = None) -> DetectionServer:
+    """Convenience entry: build, warm up, start."""
+    config = config or ServerConfig.load()
+    server = DetectionServer(config)
+    await server.start()
+    return server
+
+
+def main() -> None:  # pragma: no cover
+    """Process entry point (reference src/server/main.cpp lifecycle)."""
+    import argparse
+    import os
+    import signal
+
+    ap = argparse.ArgumentParser(description="zero-latency-yolo TPU server")
+    ap.add_argument("--config", default="configs/server.json")
+    args = ap.parse_args()
+
+    cfg = ServerConfig.load(args.config)
+    from ..utils.logging import init_logging
+    init_logging(cfg.logging.log_level,
+                 cfg.logging.log_file if cfg.logging.enable_logging else None,
+                 cfg.logging.max_log_size_mb, cfg.logging.max_log_files)
+    for d in ("logs", "models", "configs"):
+        os.makedirs(d, exist_ok=True)
+
+    async def run():
+        server = DetectionServer(cfg)
+        loop = asyncio.get_running_loop()
+        stop = asyncio.Event()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            loop.add_signal_handler(sig, stop.set)
+        await server.start()
+        if not server.engine.simulation:
+            await asyncio.to_thread(server.engine.warmup)
+        await stop.wait()
+        await server.stop()
+
+    asyncio.run(run())
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

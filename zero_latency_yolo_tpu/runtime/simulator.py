@@ -1,0 +1,214 @@
+"""Loopback UDP client simulator — replaces the reference's Windows client for
+tests and benchmarks (SURVEY §4 implication b).
+
+Speaks the exact ZLTY protocol: CLIENT_INFO handshake (client/network.cpp:58-131),
+FRAME_DATA uploads (raw RGB / JPEG keyframes / ROIIMG region updates, matching
+src/client/screen_capture.cpp encodings), heartbeats, ACKs, and
+DETECTION_RESULT reception. Includes a fault injector (packet loss / duplication /
+corruption) for reliability tests.
+"""
+
+from __future__ import annotations
+
+import random
+import socket
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..protocol import (
+    AckPacket, ClientInfo, ClientInfoPacket, DetectionResultPacket,
+    FrameDataPacket, HeartbeatPacket, PacketType, ProtocolError,
+    ServerInfoPacket, build_roi_header, parse_header, parse_packet,
+)
+from .frames import encode_jpeg
+
+
+@dataclass
+class FaultInjector:
+    """Probabilistic packet mangling for transport tests."""
+    drop: float = 0.0
+    duplicate: float = 0.0
+    corrupt: float = 0.0
+    rng: random.Random = field(default_factory=lambda: random.Random(42))
+
+    def apply(self, data: bytes) -> List[bytes]:
+        r = self.rng.random()
+        if r < self.drop:
+            return []
+        out = [data]
+        if self.rng.random() < self.duplicate:
+            out.append(data)
+        if self.rng.random() < self.corrupt:
+            b = bytearray(data)
+            b[self.rng.randrange(len(b))] ^= 0xFF
+            out[0] = bytes(b)
+        return out
+
+
+class SimClient:
+    """Synchronous loopback client; run one per simulated stream."""
+
+    def __init__(self, server_addr: Tuple[str, int],
+                 screen_width: int = 800, screen_height: int = 600,
+                 game_id: int = 1, faults: Optional[FaultInjector] = None,
+                 timeout: float = 5.0) -> None:
+        self.server_addr = server_addr
+        self.screen_width = screen_width
+        self.screen_height = screen_height
+        self.game_id = game_id
+        self.faults = faults
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.settimeout(timeout)
+        self.server_info = None
+        self.results: List[DetectionResultPacket] = []
+        self.result_latencies_ms: List[float] = []
+        self._sent_at: Dict[int, float] = {}
+        self._frame_id = 0
+        self._rx_thread: Optional[threading.Thread] = None
+        self._running = False
+        self._lock = threading.Lock()
+        self._result_event = threading.Event()
+
+    # ------------------------------------------------------------------ io
+    def _send(self, data: bytes) -> None:
+        datas = self.faults.apply(data) if self.faults else [data]
+        for d in datas:
+            self.sock.sendto(d, self.server_addr)
+
+    def connect(self) -> ServerInfoPacket:
+        """CLIENT_INFO -> wait for SERVER_INFO (reference blocks 3s)."""
+        info = ClientInfo(client_id=0, screen_width=self.screen_width,
+                          screen_height=self.screen_height, game_id=self.game_id)
+        self._send(ClientInfoPacket(info=info).serialize())
+        deadline = time.monotonic() + 3.0
+        while time.monotonic() < deadline:
+            try:
+                data, _ = self.sock.recvfrom(65536)
+            except socket.timeout:
+                break
+            try:
+                pkt = parse_packet(data)
+            except ProtocolError:
+                continue
+            if isinstance(pkt, ServerInfoPacket):
+                self.server_info = pkt.info
+                self._send(AckPacket(acked_sequence=pkt.sequence).serialize())
+                return pkt
+            if pkt.TYPE == PacketType.ERROR:
+                raise ConnectionRefusedError(
+                    f"server error {pkt.error_code}: {pkt.message}")
+        raise TimeoutError("no SERVER_INFO from server")
+
+    def start_receiver(self) -> None:
+        self._running = True
+        self._rx_thread = threading.Thread(target=self._rx_loop, daemon=True)
+        self._rx_thread.start()
+
+    def _rx_loop(self) -> None:
+        self.sock.settimeout(0.2)
+        while self._running:
+            try:
+                data, _ = self.sock.recvfrom(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            try:
+                pkt = parse_packet(data)
+            except ProtocolError:
+                continue
+            if isinstance(pkt, DetectionResultPacket):
+                now = time.perf_counter()
+                with self._lock:
+                    self.results.append(pkt)
+                    t0 = self._sent_at.pop(pkt.frame_id, None)
+                    if t0 is not None:
+                        self.result_latencies_ms.append((now - t0) * 1e3)
+                self._result_event.set()
+
+    def disconnect(self) -> None:
+        """Send a DISCONNECT command so the server frees the session."""
+        from ..protocol import CommandPacket, CommandType
+        try:
+            self._send(CommandPacket(
+                command_type=CommandType.DISCONNECT).serialize())
+        except OSError:
+            pass
+
+    def stop(self) -> None:
+        if self.server_info is not None:
+            self.disconnect()
+        self._running = False
+        if self._rx_thread:
+            self._rx_thread.join(timeout=1.0)
+        self.sock.close()
+
+    # -------------------------------------------------------------- frames
+    def send_raw_frame(self, pixels: np.ndarray, timestamp: Optional[int] = None) -> int:
+        h, w = pixels.shape[:2]
+        return self._send_frame(pixels.tobytes(), w, h, keyframe=True,
+                                timestamp=timestamp)
+
+    def send_jpeg_keyframe(self, pixels: np.ndarray, quality: int = 85) -> int:
+        h, w = pixels.shape[:2]
+        return self._send_frame(encode_jpeg(pixels, quality), w, h, keyframe=True)
+
+    def send_roi_update(self, region: np.ndarray, x: int, y: int,
+                        full_width: Optional[int] = None, quality: int = 85) -> int:
+        rh, rw = region.shape[:2]
+        payload = build_roi_header(x, y, rw, rh,
+                                   full_width or self.screen_width)
+        payload += encode_jpeg(region, quality)
+        return self._send_frame(payload, self.screen_width, self.screen_height,
+                                keyframe=False)
+
+    def _send_frame(self, payload: bytes, w: int, h: int, keyframe: bool,
+                    timestamp: Optional[int] = None) -> int:
+        self._frame_id += 1
+        fid = self._frame_id
+        pkt = FrameDataPacket(
+            frame_id=fid, frame_timestamp=timestamp or int(time.time() * 1000),
+            width=w, height=h, keyframe=keyframe, data=payload)
+        with self._lock:
+            self._sent_at[fid] = time.perf_counter()
+        self._send(pkt.serialize())
+        return fid
+
+    def heartbeat(self, ping: int = 0) -> None:
+        self._send(HeartbeatPacket(ping=ping).serialize())
+
+    # -------------------------------------------------------------- results
+    def wait_results(self, n: int, timeout: float = 10.0) -> List[DetectionResultPacket]:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            with self._lock:
+                if len(self.results) >= n:
+                    return list(self.results)
+            self._result_event.wait(timeout=0.05)
+            self._result_event.clear()
+        with self._lock:
+            return list(self.results)
+
+
+def synthetic_frame(width: int, height: int, seed: int = 0,
+                    t: float = 0.0) -> np.ndarray:
+    """Deterministic synthetic game frame: gradient background + moving blobs."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:height, 0:width]
+    frame = np.stack([
+        (xx * 255 // max(width - 1, 1)).astype(np.uint8),
+        (yy * 255 // max(height - 1, 1)).astype(np.uint8),
+        np.full((height, width), 64, np.uint8)], axis=-1)
+    for i in range(3):
+        cx = int((0.2 + 0.2 * i + 0.1 * np.sin(t + i)) * width) % width
+        cy = int((0.3 + 0.15 * i + 0.1 * np.cos(t + i)) * height) % height
+        hw, hh = width // 20, height // 8
+        x0, x1 = max(cx - hw, 0), min(cx + hw, width)
+        y0, y1 = max(cy - hh, 0), min(cy + hh, height)
+        frame[y0:y1, x0:x1] = rng.integers(0, 255, 3, dtype=np.uint8)
+    return frame

