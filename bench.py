@@ -1,0 +1,101 @@
+"""Headline benchmark: YOLOv8n@416 serving throughput + p99 detect latency.
+
+Measures the full fused device serving step (uint8 frame batch H2D ->
+letterbox -> YOLOv8n bf16 -> DFL decode -> class-weighted NMS -> small D2H),
+i.e. the per-frame work of the 64-stream serving configuration, in
+steady state with two batches in flight (H2D/compute overlap, as the
+continuous batcher runs it).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "frames/sec/chip", "vs_baseline": r}
+
+vs_baseline is measured fps / 3840 (the BASELINE.json north star:
+64 streams x 60 FPS on one chip). The reference system's own ceiling was
+60 FPS total on CPU (README claim; SURVEY §6) — parity with that is 0.016.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from zero_latency_yolo_tpu.config import ServerConfig
+    from zero_latency_yolo_tpu.models.yolov8 import get_spec, init_params
+    from zero_latency_yolo_tpu.runtime.engine import InferenceEngine
+
+    cfg = ServerConfig.from_dict({
+        "confidence_threshold": 0.5,
+        "nms_threshold": 0.45,
+        "detection": {"model_width": 416, "model_height": 416},
+        "tpu": {"variant": "yolov8n", "num_classes": 4, "dtype": "bfloat16",
+                "batch_buckets": [32, 64],
+                "frame_buckets": [[608, 800]]},
+    })
+    spec = get_spec("yolov8n", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    engine = InferenceEngine(cfg, params=params)
+
+    rng = np.random.default_rng(0)
+    h, w = 600, 800
+    results = {}
+    for batch in (32, 64):
+        frames = rng.integers(0, 256, (batch, 608, 800, 3), dtype=np.uint8)
+        heights = jnp.full((batch,), h, jnp.int32)
+        widths = jnp.full((batch,), w, jnp.int32)
+        step = engine.get_step(batch, (608, 800))
+        cw, conf, iou = engine._class_weights, engine._conf, engine._iou
+        p = engine._params
+
+        def run_once():
+            return step(p, jnp.asarray(frames), heights, widths, cw, conf, iou)
+
+        # Warmup / compile.
+        out = run_once()
+        jax.block_until_ready(out)
+
+        # Steady state: keep 2 steps in flight.
+        iters = 30
+        lat = []
+        pending = run_once()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            t1 = time.perf_counter()
+            nxt = run_once()
+            jax.block_until_ready(pending)
+            lat.append((time.perf_counter() - t1) * 1e3)
+            pending = nxt
+        jax.block_until_ready(pending)
+        total = time.perf_counter() - t0
+        fps = batch * iters / total
+        lat.sort()
+        results[batch] = {
+            "fps": fps,
+            "step_ms": total / iters * 1e3,
+            "p99_step_ms": lat[min(len(lat) - 1, int(0.99 * len(lat)))],
+        }
+        print(f"# batch={batch}: {fps:.0f} fps, step={total/iters*1e3:.2f} ms, "
+              f"p99={results[batch]['p99_step_ms']:.2f} ms", file=sys.stderr)
+
+    best_batch = max(results, key=lambda b: results[b]["fps"])
+    best = results[best_batch]
+    target_fps = 64 * 60.0
+    print(json.dumps({
+        "metric": "yolov8n_416_serve_throughput",
+        "value": round(best["fps"], 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(best["fps"] / target_fps, 3),
+        "batch": best_batch,
+        "step_p99_ms": round(best["p99_step_ms"], 2),
+        "detect_p99_ms_at_60fps_per_stream": round(
+            best["p99_step_ms"] + 3.0, 2),  # + batch window
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,7 +1,10 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh.
 
 Real TPU hardware is single-chip in CI; multi-chip sharding is validated on
-host-platform virtual devices (must be set before jax is imported anywhere).
+host-platform virtual devices. XLA_FLAGS must be set before the backend
+initializes; jax.config.update('jax_platforms') is needed as well because a
+sitecustomize may pre-register an accelerator platform that outranks the
+JAX_PLATFORMS env var.
 """
 
 import os
@@ -12,5 +15,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -95,13 +95,13 @@ def get_spec(variant: str = "yolov8n", num_classes: int = 4) -> ModelSpec:
 # Parameter initialization
 # ---------------------------------------------------------------------------
 
-def _init_conv(key, cin: int, cout: int, k: int, folded: bool, bias: bool = False) -> Params:
-    """He-normal conv init. folded=True emits inference form (w + b);
-    folded=False emits training form (w + bn stats)."""
-    wkey, bkey = jax.random.split(key)
+def _init_conv(rng, cin: int, cout: int, k: int, folded: bool, bias: bool = False) -> Params:
+    """He-normal conv init (NumPy host RNG: ~100 layer inits would otherwise
+    trigger ~100 per-shape XLA compiles). folded=True emits inference form
+    (w + b); folded=False emits training form (w + bn stats)."""
     std = math.sqrt(2.0 / (cin * k * k))
-    w = jax.random.normal(wkey, (k, k, cin, cout), jnp.float32) * std
-    p: Params = {"w": w}
+    w = (rng.standard_normal((k, k, cin, cout)) * std).astype(np.float32)
+    p: Params = {"w": jnp.asarray(w)}
     if folded or bias:
         p["b"] = jnp.zeros((cout,), jnp.float32)
     if not folded and not bias:
@@ -110,78 +110,80 @@ def _init_conv(key, cin: int, cout: int, k: int, folded: bool, bias: bool = Fals
             "beta": jnp.zeros((cout,), jnp.float32),
             "mean": jnp.zeros((cout,), jnp.float32),
             # Non-trivial running_var so BN folding is exercised by tests.
-            "var": jnp.abs(jax.random.normal(bkey, (cout,), jnp.float32)) * 0.5 + 0.5,
+            "var": jnp.asarray(
+                np.abs(rng.standard_normal(cout)).astype(np.float32) * 0.5 + 0.5),
         }
     return p
 
 
-def _init_bottleneck(key, c: int, folded: bool) -> Params:
-    k1, k2 = jax.random.split(key)
-    return {"cv1": _init_conv(k1, c, c, 3, folded),
-            "cv2": _init_conv(k2, c, c, 3, folded)}
+def _init_bottleneck(rng, c: int, folded: bool) -> Params:
+    return {"cv1": _init_conv(rng, c, c, 3, folded),
+            "cv2": _init_conv(rng, c, c, 3, folded)}
 
 
-def _init_c2f(key, cin: int, cout: int, n: int, folded: bool) -> Params:
+def _init_c2f(rng, cin: int, cout: int, n: int, folded: bool) -> Params:
     c = cout // 2
-    keys = jax.random.split(key, n + 2)
     return {
-        "cv1": _init_conv(keys[0], cin, 2 * c, 1, folded),
-        "cv2": _init_conv(keys[1], (2 + n) * c, cout, 1, folded),
-        "m": [_init_bottleneck(keys[2 + i], c, folded) for i in range(n)],
+        "cv1": _init_conv(rng, cin, 2 * c, 1, folded),
+        "cv2": _init_conv(rng, (2 + n) * c, cout, 1, folded),
+        "m": [_init_bottleneck(rng, c, folded) for _ in range(n)],
     }
 
 
-def _init_sppf(key, cin: int, cout: int, folded: bool) -> Params:
+def _init_sppf(rng, cin: int, cout: int, folded: bool) -> Params:
     c = cin // 2
-    k1, k2 = jax.random.split(key)
-    return {"cv1": _init_conv(k1, cin, c, 1, folded),
-            "cv2": _init_conv(k2, 4 * c, cout, 1, folded)}
+    return {"cv1": _init_conv(rng, cin, c, 1, folded),
+            "cv2": _init_conv(rng, 4 * c, cout, 1, folded)}
 
 
-def _init_detect(key, spec: ModelSpec, folded: bool) -> Params:
+def _init_detect(rng, spec: ModelSpec, folded: bool) -> Params:
     chs = spec.backbone_channels
     c2 = max(16, chs[0] // 4, 4 * spec.reg_max)
     c3 = max(chs[0], min(spec.num_classes, 100))
-    keys = jax.random.split(key, 6 * len(chs))
     cv2, cv3 = [], []
-    for i, cin in enumerate(chs):
-        k = keys[6 * i:6 * (i + 1)]
+    for cin in chs:
         cv2.append([
-            _init_conv(k[0], cin, c2, 3, folded),
-            _init_conv(k[1], c2, c2, 3, folded),
-            _init_conv(k[2], c2, 4 * spec.reg_max, 1, folded=True, bias=True),
+            _init_conv(rng, cin, c2, 3, folded),
+            _init_conv(rng, c2, c2, 3, folded),
+            _init_conv(rng, c2, 4 * spec.reg_max, 1, folded=True, bias=True),
         ])
         cv3.append([
-            _init_conv(k[3], cin, c3, 3, folded),
-            _init_conv(k[4], c3, c3, 3, folded),
-            _init_conv(k[5], c3, spec.num_classes, 1, folded=True, bias=True),
+            _init_conv(rng, cin, c3, 3, folded),
+            _init_conv(rng, c3, c3, 3, folded),
+            _init_conv(rng, c3, spec.num_classes, 1, folded=True, bias=True),
         ])
     return {"cv2": cv2, "cv3": cv3}
 
 
 def init_params(key, spec: ModelSpec, folded: bool = True) -> Params:
-    """Random-initialized parameter pytree (layer keys match ultralytics indices)."""
-    keys = jax.random.split(key, 23)
+    """Random-initialized parameter pytree (layer keys match ultralytics
+    indices). `key` may be a jax PRNG key or an int seed; initialization runs
+    on host NumPy (deterministic, no per-shape XLA compiles)."""
+    if isinstance(key, int):
+        seed = key
+    else:
+        seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+    rng = np.random.default_rng(seed)
     ch, d = spec.ch, spec.depth
     p: Params = {}
-    p["m0"] = _init_conv(keys[0], 3, ch(64), 3, folded)
-    p["m1"] = _init_conv(keys[1], ch(64), ch(128), 3, folded)
-    p["m2"] = _init_c2f(keys[2], ch(128), ch(128), _depth(3, d), folded)
-    p["m3"] = _init_conv(keys[3], ch(128), ch(256), 3, folded)
-    p["m4"] = _init_c2f(keys[4], ch(256), ch(256), _depth(6, d), folded)
-    p["m5"] = _init_conv(keys[5], ch(256), ch(512), 3, folded)
-    p["m6"] = _init_c2f(keys[6], ch(512), ch(512), _depth(6, d), folded)
-    p["m7"] = _init_conv(keys[7], ch(512), ch(1024), 3, folded)
-    p["m8"] = _init_c2f(keys[8], ch(1024), ch(1024), _depth(3, d), folded)
-    p["m9"] = _init_sppf(keys[9], ch(1024), ch(1024), folded)
+    p["m0"] = _init_conv(rng, 3, ch(64), 3, folded)
+    p["m1"] = _init_conv(rng, ch(64), ch(128), 3, folded)
+    p["m2"] = _init_c2f(rng, ch(128), ch(128), _depth(3, d), folded)
+    p["m3"] = _init_conv(rng, ch(128), ch(256), 3, folded)
+    p["m4"] = _init_c2f(rng, ch(256), ch(256), _depth(6, d), folded)
+    p["m5"] = _init_conv(rng, ch(256), ch(512), 3, folded)
+    p["m6"] = _init_c2f(rng, ch(512), ch(512), _depth(6, d), folded)
+    p["m7"] = _init_conv(rng, ch(512), ch(1024), 3, folded)
+    p["m8"] = _init_c2f(rng, ch(1024), ch(1024), _depth(3, d), folded)
+    p["m9"] = _init_sppf(rng, ch(1024), ch(1024), folded)
     # PAN-FPN neck
-    p["m12"] = _init_c2f(keys[12], ch(1024) + ch(512), ch(512), _depth(3, d), folded)
-    p["m15"] = _init_c2f(keys[15], ch(512) + ch(256), ch(256), _depth(3, d), folded)
-    p["m16"] = _init_conv(keys[16], ch(256), ch(256), 3, folded)
-    p["m18"] = _init_c2f(keys[18], ch(256) + ch(512), ch(512), _depth(3, d), folded)
-    p["m19"] = _init_conv(keys[19], ch(512), ch(512), 3, folded)
-    p["m21"] = _init_c2f(keys[21], ch(512) + ch(1024), ch(1024), _depth(3, d), folded)
-    p["m22"] = _init_detect(keys[22], spec, folded)
+    p["m12"] = _init_c2f(rng, ch(1024) + ch(512), ch(512), _depth(3, d), folded)
+    p["m15"] = _init_c2f(rng, ch(512) + ch(256), ch(256), _depth(3, d), folded)
+    p["m16"] = _init_conv(rng, ch(256), ch(256), 3, folded)
+    p["m18"] = _init_c2f(rng, ch(256) + ch(512), ch(512), _depth(3, d), folded)
+    p["m19"] = _init_conv(rng, ch(512), ch(512), 3, folded)
+    p["m21"] = _init_c2f(rng, ch(512) + ch(1024), ch(1024), _depth(3, d), folded)
+    p["m22"] = _init_detect(rng, spec, folded)
     return p
 
 
@@ -217,18 +219,51 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 def _conv(p: Params, x: jnp.ndarray, stride: int = 1, act: bool = True,
           dtype=jnp.float32) -> jnp.ndarray:
-    """Conv + bias + SiLU. `SAME` padding for k1/k3 s1; YOLO k3 s2 uses p=1."""
+    """Conv + bias + SiLU. `SAME` padding for k1/k3 s1; YOLO k3 s2 uses p=1.
+
+    Dispatches to the int8 path when the block carries quantized weights
+    (ops/quant.py): dynamic per-tensor activation quant, int8 MXU conv with
+    int32 accumulation, dequant into the f32 tail.
+    """
+    if "w_q" in p:
+        w_q = p["w_q"]
+        k = w_q.shape[0]
+        pad = (k - 1) // 2
+        x32 = x.astype(jnp.float32)
+        x_amax = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-8)
+        x_scale = x_amax / 127.0
+        x_q = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
+        y = lax.conv_general_dilated(
+            x_q, w_q, window_strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)), dimension_numbers=_DN,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (x_scale * p["w_scale"].astype(jnp.float32))
+        if "b" in p:
+            y = y + p["b"].astype(jnp.float32)
+        if act:
+            y = jax.nn.silu(y)
+        return y.astype(dtype)
     w = p["w"].astype(dtype)
     k = w.shape[0]
     pad = (k - 1) // 2
+    # Output stays in the compute dtype (MXU still accumulates f32
+    # internally for bf16); requesting a wider preferred_element_type here
+    # would break the conv transpose rule under autodiff (f32 cotangent vs
+    # bf16 operand). The bias/activation tail runs in f32 with explicit
+    # converts, which XLA fuses into the convolution.
     y = lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
+    if "bn" in p:
+        # Unfolded checkpoints: BN with running stats (eval-mode / frozen-BN
+        # fine-tuning). Serving always runs on folded params.
+        bn = p["bn"]
+        scale = bn["gamma"] * lax.rsqrt(bn["var"] + BN_EPS)
+        y = (y - bn["mean"]) * scale + bn["beta"]
     if act:
         y = jax.nn.silu(y)
     return y.astype(dtype)
@@ -248,13 +283,32 @@ def _c2f(p: Params, x: jnp.ndarray, shortcut: bool, dtype) -> jnp.ndarray:
     return _conv(p["cv2"], jnp.concatenate(ys, axis=-1), dtype=dtype)
 
 
+def _maxpool5(x: jnp.ndarray) -> jnp.ndarray:
+    """5x5 stride-1 SAME max pool as an elementwise max of shifted views.
+
+    Equivalent to lax.reduce_window(..., lax.max, (1,5,5,1)); written this way
+    because reduce_window fails to linearize under jit(grad(...)) in current
+    JAX, and SPPF maps are small enough that the fused maximum chain is cheap.
+    Separable: 5x1 then 1x5 (8 maximums instead of 24).
+    """
+    neg = jnp.array(-jnp.inf, x.dtype)
+    h, w = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (2, 2), (0, 0), (0, 0)), constant_values=neg)
+    y = xp[:, 0:h]
+    for i in range(1, 5):
+        y = jnp.maximum(y, xp[:, i:i + h])
+    yp = jnp.pad(y, ((0, 0), (0, 0), (2, 2), (0, 0)), constant_values=neg)
+    out = yp[:, :, 0:w]
+    for j in range(1, 5):
+        out = jnp.maximum(out, yp[:, :, j:j + w])
+    return out
+
+
 def _sppf(p: Params, x: jnp.ndarray, dtype) -> jnp.ndarray:
     y = _conv(p["cv1"], x, dtype=dtype)
     pools = [y]
     for _ in range(3):
-        pools.append(lax.reduce_window(
-            pools[-1], -jnp.inf if pools[-1].dtype == jnp.float32 else jnp.finfo(pools[-1].dtype).min,
-            lax.max, (1, 5, 5, 1), (1, 1, 1, 1), "SAME"))
+        pools.append(_maxpool5(pools[-1]))
     return _conv(p["cv2"], jnp.concatenate(pools, axis=-1), dtype=dtype)
 
 

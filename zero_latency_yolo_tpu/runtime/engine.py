@@ -113,7 +113,15 @@ class InferenceEngine:
             else:
                 log.warning("model %s not loadable — simulation mode active",
                             config.model_path)
-        self._params = jax.device_put(jax.tree.map(jnp.asarray, params))
+        if self.simulation:
+            # Simulation never touches the device; keep params host-side so
+            # the server runs even with no accelerator available.
+            self._params = params
+        else:
+            if tpu.quantize_int8:
+                from ..ops.quant import quantize_params
+                params = quantize_params(jax.tree.map(jnp.asarray, params))
+            self._params = jax.device_put(jax.tree.map(jnp.asarray, params))
         self._params_lock = threading.Lock()
 
         nc = self.spec.num_classes
@@ -304,6 +312,9 @@ class InferenceEngine:
                                        self.config.tpu.num_classes)
         if sim:
             return False
+        if self.config.tpu.quantize_int8:
+            from ..ops.quant import quantize_params
+            params = quantize_params(jax.tree.map(jnp.asarray, params))
         with self._params_lock:
             self._params = jax.device_put(jax.tree.map(jnp.asarray, params))
             self._model_hash = new_hash

@@ -43,6 +43,7 @@ from ..utils.events import (
     CLIENT_CONNECTED, CLIENT_DISCONNECTED, CLIENT_TIMEOUT, EVENT_BUS,
     MODEL_UPDATED, SERVER_STARTED, SERVER_STOPPING,
 )
+from ..protocol import native
 from ..utils.logging import get_logger
 from ..utils.stats import Counter, RollingStats
 from ..ops.roi import DeviceFrameCache
@@ -205,6 +206,12 @@ class DetectionServer:
     def _on_datagram(self, data: bytes, addr: Addr) -> None:
         self.packets_received.inc()
         self.bytes_received.inc(len(data))
+        # Fast path: single native C call validates magic/version/length/CRC
+        # before any Python-level parsing (native/codec.cpp).
+        if native.HAVE_NATIVE and native.validate_packet(data) is None:
+            self.bad_packets.inc()
+            log.debug("bad packet from %s (native reject)", addr)
+            return
         try:
             pkt = parse_packet(data)
         except ProtocolError as e:
@@ -222,7 +229,12 @@ class DetectionServer:
             return
         # ACK every valid non-ACK packet from a known peer.
         if session is not None:
-            self._send_raw(AckPacket(acked_sequence=pkt.sequence).serialize(), addr)
+            if native.HAVE_NATIVE:
+                from ..protocol.packets import next_sequence, now_ms
+                ack = native.build_ack(pkt.sequence, next_sequence(), now_ms())
+            else:
+                ack = AckPacket(acked_sequence=pkt.sequence).serialize()
+            self._send_raw(ack, addr)
 
         if ptype == PacketType.CLIENT_INFO:
             self._handle_client_info(pkt, addr)
@@ -509,7 +521,13 @@ def main() -> None:  # pragma: no cover
 
     ap = argparse.ArgumentParser(description="zero-latency-yolo TPU server")
     ap.add_argument("--config", default="configs/server.json")
+    ap.add_argument("--platform", default=os.environ.get("ZLT_PLATFORM", ""),
+                    help="force a JAX platform (e.g. cpu); overrides "
+                         "sitecustomize-registered accelerators")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     cfg = ServerConfig.load(args.config)
     from ..utils.logging import init_logging

@@ -1,0 +1,87 @@
+"""pjit training step: data-parallel batch + tensor-parallel conv channels.
+
+The train step is one XLA program over the (data, model) mesh
+(parallel/mesh.py): activations shard their batch dim over 'data', conv
+kernels shard output channels over 'model'; gradients reduce over 'data' via
+the psum XLA inserts from the sharding constraints. bf16 compute with f32
+master weights/optimizer state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.yolov8 import ModelSpec, forward_raw
+from ..parallel.mesh import DATA_AXIS, param_shardings, make_mesh
+from .loss import detection_loss
+
+Params = Dict[str, Any]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_train_state(params: Params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
+                    input_hw: Tuple[int, int],
+                    mesh: Optional[Mesh] = None,
+                    dtype=jnp.bfloat16) -> Callable:
+    """Build the jitted train step.
+
+    step(state, images (B,H,W,3) f32, targets (B,M,5)) -> (state, metrics)
+
+    With a mesh, in/out shardings are annotated so the program runs SPMD:
+    images/targets over 'data', params/opt state tensor-parallel over 'model'.
+    """
+
+    def loss_fn(params, images, targets):
+        outs = forward_raw(params, spec, images, dtype=dtype)
+        return detection_loss(spec, outs, targets, input_hw)
+
+    def train_step(state: TrainState, images, targets):
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, images, targets)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        metrics = dict(metrics, loss=loss)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def shard_state(state: TrainState) -> TrainState:
+        ps = param_shardings(state.params, mesh)
+        params = jax.tree.map(jax.device_put, state.params, ps)
+        # Optimizer state mirrors param pytree structure per-leaf where
+        # shapes match; scalars replicate.
+        def opt_shard(leaf):
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+        opt_state = jax.tree.map(opt_shard, state.opt_state)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=jax.device_put(state.step, NamedSharding(mesh, P())))
+
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(None,  # state keeps its committed shardings
+                      NamedSharding(mesh, P(DATA_AXIS, None, None, None)),
+                      NamedSharding(mesh, P(DATA_AXIS, None, None))),
+        donate_argnums=(0,))
+    jitted.shard_state = shard_state  # convenience for callers
+    return jitted
