@@ -54,11 +54,13 @@ def main() -> None:
         def run_once():
             return step(p, jnp.asarray(frames), heights, widths, cw, conf, iou)
 
-        # Warmup / compile.
-        out = run_once()
-        jax.block_until_ready(out)
+        # Warmup / compile. NOTE: block_until_ready does not synchronize
+        # through the axon TPU relay — every timing point below forces a
+        # host readback of a real output instead.
+        np.asarray(run_once()["count"])
 
-        # Steady state: keep 2 steps in flight.
+        # Steady state: keep 2 steps in flight; sync via readback of the
+        # older one (exactly how the serving scheduler consumes results).
         iters = 30
         lat = []
         pending = run_once()
@@ -66,10 +68,10 @@ def main() -> None:
         for _ in range(iters):
             t1 = time.perf_counter()
             nxt = run_once()
-            jax.block_until_ready(pending)
+            np.asarray(pending["count"])
             lat.append((time.perf_counter() - t1) * 1e3)
             pending = nxt
-        jax.block_until_ready(pending)
+        np.asarray(pending["count"])
         total = time.perf_counter() - t0
         fps = batch * iters / total
         lat.sort()

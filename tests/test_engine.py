@@ -1,0 +1,119 @@
+"""InferenceEngine real-compute tests (pico variant for fast CPU compiles)."""
+
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from zero_latency_yolo_tpu.config import ServerConfig
+from zero_latency_yolo_tpu.models import get_spec, init_params, save_params
+from zero_latency_yolo_tpu.ops.roi import DeviceFrameCache
+from zero_latency_yolo_tpu.runtime.engine import (
+    InferenceEngine, InferenceRequest, _pick_batch, _pick_bucket,
+)
+
+
+def _cfg(**over):
+    base = {
+        "model_path": "/nonexistent.npz",
+        "confidence_threshold": 0.25,
+        "detection": {"model_width": 64, "model_height": 64},
+        "tpu": {"variant": "yolov8p", "num_classes": 4, "dtype": "float32",
+                "batch_buckets": [1, 2, 4], "frame_buckets": [[96, 96]],
+                "pre_nms_topk": 64},
+    }
+    base.update(over)
+    return ServerConfig.from_dict(base)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = _cfg()
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    return InferenceEngine(cfg, params=params)
+
+
+def _req(cid, fid, h=72, w=96, seed=0):
+    rng = np.random.default_rng(seed)
+    return InferenceRequest(
+        client_id=cid, frame_id=fid, timestamp=1000 + fid, width=w, height=h,
+        data=rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+
+
+def test_bucket_selection():
+    assert _pick_batch([1, 2, 4], 3) == 4
+    assert _pick_batch([1, 2, 4], 5) == 4  # clamp to max
+    assert _pick_bucket([(96, 96), (128, 256)], 100, 200) == (128, 256)
+    assert _pick_bucket([(96, 96), (128, 256)], 50, 50) == (96, 96)
+
+
+def test_infer_batch_shapes_and_padding(engine):
+    results = engine.infer_batch([_req(1, 1), _req(2, 2), _req(3, 3)])
+    assert len(results) == 3
+    for i, r in enumerate(results):
+        assert r.client_id == i + 1 and r.frame_id == i + 1
+        assert len(r.detections) <= 32
+        for d in r.detections:
+            assert 0 <= d.x <= 1 and 0 <= d.y <= 1
+            assert 0 <= d.confidence
+            assert d.timestamp == r.timestamp
+    # One compiled program for the padded (4, 96, 96) bucket.
+    assert len(engine._step_cache) == 1
+    # Re-running the same sizes hits the cache.
+    engine.infer_batch([_req(4, 4)])
+    assert len(engine._step_cache) == 2  # batch bucket 1 compiles separately
+
+
+def test_infer_deterministic(engine):
+    r1 = engine.infer_batch([_req(1, 1, seed=7)])[0]
+    r2 = engine.infer_batch([_req(1, 1, seed=7)])[0]
+    assert len(r1.detections) == len(r2.detections)
+    for a, b in zip(r1.detections, r2.detections):
+        assert a.x == b.x and a.confidence == b.confidence
+
+
+def test_device_cache_path_matches_host_path(engine):
+    cache = DeviceFrameCache(num_slots=2, height=96, width=96)
+    req = _req(5, 9, seed=3)
+    assert cache.write_keyframe(5, req.data)
+    frames, hs, ws = cache.gather([5])
+    cached = engine.infer_batch_cached([req], frames, hs, ws)[0]
+    hosted = engine.infer_batch([_req(5, 9, seed=3)])[0]
+    assert len(cached.detections) == len(hosted.detections)
+    for a, b in zip(cached.detections, hosted.detections):
+        assert a.x == pytest.approx(b.x, abs=1e-6)
+        assert a.class_id == b.class_id
+
+
+def test_hot_reload(tmp_path):
+    spec = get_spec("yolov8p", 4)
+    p1 = init_params(jax.random.PRNGKey(1), spec, folded=True)
+    p2 = init_params(jax.random.PRNGKey(2), spec, folded=True)
+    path = tmp_path / "model.npz"
+    save_params(p1, str(path))
+    cfg = _cfg(model_path=str(path))
+    eng = InferenceEngine(cfg)
+    assert not eng.simulation
+    h1 = eng._model_hash
+    assert not eng.maybe_reload()  # unchanged
+    save_params(p2, str(path))
+    assert eng.maybe_reload()
+    assert eng._model_hash != h1
+
+
+def test_simulation_mode_fallback():
+    eng = InferenceEngine(_cfg(model_path="/no/such/file.onnx"), params=None)
+    assert eng.simulation
+    out = eng.infer_batch([_req(1, 1)])
+    assert len(out) == 1
+    assert all(0 <= d.x <= 1 for d in out[0].detections)
+
+
+def test_status_map(engine):
+    st = engine.status()
+    assert st["engine"] == "jax-tpu"
+    assert st["simulation"] == "false"
+    assert int(st["inferences"]) > 0
+    assert float(st["device_avg_ms"]) > 0

@@ -36,6 +36,9 @@ Params = Dict[str, Any]
 
 # variant -> (depth_multiple, width_multiple, max_channels)
 VARIANTS = {
+    # pico: a reduced test/edge variant of this framework (not an
+    # ultralytics size) — fast CPU compiles for CI and tiny deployments.
+    "yolov8p": (0.33, 0.125, 256),
     "yolov8n": (0.33, 0.25, 1024),
     "yolov8s": (0.33, 0.50, 1024),
     "yolov8m": (0.67, 0.75, 768),
