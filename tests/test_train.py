@@ -1,0 +1,97 @@
+"""Detection-loss and checkpoint/resume tests (single device, pico variant)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from zero_latency_yolo_tpu.models import forward_raw, get_spec, init_params
+from zero_latency_yolo_tpu.train import (
+    TrainState, detection_loss, init_train_state, make_train_step,
+)
+from zero_latency_yolo_tpu.train.checkpoint import CheckpointManager
+
+SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def setup():
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=False)
+    images = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (2, SIZE, SIZE, 3)), jnp.float32)
+    targets = np.full((2, 4, 5), -1, np.float32)
+    targets[:, 0] = [0, 0.5, 0.5, 0.25, 0.4]
+    targets[0, 1] = [2, 0.2, 0.3, 0.1, 0.15]
+    return spec, params, images, jnp.asarray(targets)
+
+
+def test_loss_components_finite_and_positive(setup):
+    spec, params, images, targets = setup
+    outs = forward_raw(params, spec, images)
+    loss, metrics = detection_loss(spec, outs, targets, (SIZE, SIZE))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert float(metrics["num_pos"]) > 0
+    for k in ("box", "cls", "dfl"):
+        assert np.isfinite(float(metrics[k]))
+
+
+def test_no_targets_means_no_positives(setup):
+    spec, params, images, _ = setup
+    outs = forward_raw(params, spec, images)
+    empty = jnp.full((2, 4, 5), -1.0, jnp.float32)
+    loss, metrics = detection_loss(spec, outs, empty, (SIZE, SIZE))
+    assert float(metrics["num_pos"]) == 0 or float(metrics["num_pos"]) == 1.0
+    assert np.isfinite(float(loss))
+
+
+def _copy(params):
+    # The train step donates its input state; give each test fresh buffers.
+    return jax.tree.map(jnp.array, params)
+
+
+def test_train_overfits_single_batch(setup):
+    spec, params, images, targets = setup
+    tx = optax.adam(1e-3)
+    state = init_train_state(_copy(params), tx)
+    step = make_train_step(spec, tx, (SIZE, SIZE), mesh=None)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, images, targets)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    spec, params, images, targets = setup
+    tx = optax.adam(1e-3)
+    state = init_train_state(_copy(params), tx)
+    step = make_train_step(spec, tx, (SIZE, SIZE), mesh=None)
+    state, _ = step(state, images, targets)
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+    saved_step = mgr.save(state)
+    assert saved_step == 1
+    template = init_train_state(params, tx)
+    restored = mgr.restore(template)
+    assert restored is not None
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Training continues from the restored state identically.
+    s1, m1 = step(state, images, targets)
+    s2, m2 = step(restored, images, targets)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+
+
+def test_checkpoint_retention(tmp_path, setup):
+    spec, params, *_ = setup
+    tx = optax.sgd(1e-3)
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+    state = init_train_state(params, tx)
+    for step_num in (1, 2, 3):
+        state = TrainState(params=state.params, opt_state=state.opt_state,
+                           step=jnp.asarray(step_num, jnp.int32))
+        mgr.save(state)
+    assert mgr.latest_step() == 3

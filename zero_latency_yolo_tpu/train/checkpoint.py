@@ -1,0 +1,125 @@
+"""Training checkpoint / resume (orbax-backed, npz fallback).
+
+The reference has no training and therefore no checkpointing; its closest
+mechanism is the model hot-swap watcher (SURVEY §5.4). This module gives the
+training side real checkpoint/resume: params + optimizer state + step are
+saved atomically, with retention, and restore reproduces the exact TrainState.
+
+Orbax is used when available (async-friendly, atomic renames); otherwise a
+plain npz fallback keeps the feature alive in minimal images.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from ..models.weights import flatten, unflatten
+from ..utils.logging import get_logger
+from .step import TrainState
+
+log = get_logger("checkpoint")
+
+try:
+    import orbax.checkpoint as ocp
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3) -> None:
+        self.directory = os.path.abspath(directory)
+        self.max_to_keep = max_to_keep
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = None
+        if _HAVE_ORBAX:
+            try:
+                self._mgr = ocp.CheckpointManager(
+                    self.directory,
+                    options=ocp.CheckpointManagerOptions(
+                        max_to_keep=max_to_keep, create=True))
+            except Exception:  # noqa: BLE001
+                log.exception("orbax init failed; using npz fallback")
+                self._mgr = None
+
+    # ------------------------------------------------------------------ save
+    def save(self, state: TrainState) -> int:
+        step = int(state.step)
+        if self._mgr is not None:
+            self._mgr.save(step, args=ocp.args.StandardSave({
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "step": state.step,
+            }))
+            self._mgr.wait_until_finished()
+            return step
+        return self._save_npz(state, step)
+
+    def _save_npz(self, state: TrainState, step: int) -> int:
+        path = os.path.join(self.directory, f"ckpt_{step:08d}")
+        tmp = path + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        np.savez(os.path.join(tmp, "params.npz"),
+                 **flatten(jax.tree.map(np.asarray, state.params)))
+        opt_leaves, opt_tree = jax.tree.flatten(state.opt_state)
+        np.savez(os.path.join(tmp, "opt.npz"),
+                 **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(opt_leaves)})
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump({"step": step}, f)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        self._gc_npz()
+        return step
+
+    def _gc_npz(self) -> None:
+        ckpts = sorted(d for d in os.listdir(self.directory)
+                       if d.startswith("ckpt_") and not d.endswith(".tmp"))
+        for d in ckpts[:-self.max_to_keep]:
+            shutil.rmtree(os.path.join(self.directory, d))
+
+    # --------------------------------------------------------------- restore
+    def latest_step(self) -> Optional[int]:
+        if self._mgr is not None:
+            return self._mgr.latest_step()
+        ckpts = sorted(d for d in os.listdir(self.directory)
+                       if d.startswith("ckpt_") and not d.endswith(".tmp"))
+        return int(ckpts[-1].split("_")[1]) if ckpts else None
+
+    def restore(self, template: TrainState,
+                step: Optional[int] = None) -> Optional[TrainState]:
+        """Restore into the structure of `template` (needed to rebuild the
+        optimizer pytree). Returns None when no checkpoint exists."""
+        target = step if step is not None else self.latest_step()
+        if target is None:
+            return None
+        if self._mgr is not None:
+            restored = self._mgr.restore(
+                target, args=ocp.args.StandardRestore({
+                    "params": template.params,
+                    "opt_state": template.opt_state,
+                    "step": template.step,
+                }))
+            return TrainState(params=restored["params"],
+                              opt_state=restored["opt_state"],
+                              step=restored["step"])
+        return self._restore_npz(template, target)
+
+    def _restore_npz(self, template: TrainState, step: int) -> TrainState:
+        path = os.path.join(self.directory, f"ckpt_{step:08d}")
+        with np.load(os.path.join(path, "params.npz")) as z:
+            params = unflatten({k: z[k] for k in z.files})
+        _, opt_tree = jax.tree.flatten(template.opt_state)
+        with np.load(os.path.join(path, "opt.npz")) as z:
+            leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
+        opt_state = jax.tree.unflatten(opt_tree, leaves)
+        import jax.numpy as jnp
+        return TrainState(params=jax.tree.map(jnp.asarray, params),
+                          opt_state=opt_state,
+                          step=jnp.asarray(step, jnp.int32))
