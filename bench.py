@@ -15,39 +15,51 @@ vs_baseline is measured fps / 3840 (the BASELINE.json north star:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+# ZLT_BENCH_SMOKE=1: tiny shapes on CPU to validate bench mechanics in CI.
+SMOKE = os.environ.get("ZLT_BENCH_SMOKE") == "1"
+
 
 def main() -> None:
     import jax
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from zero_latency_yolo_tpu.config import ServerConfig
     from zero_latency_yolo_tpu.models.yolov8 import get_spec, init_params
     from zero_latency_yolo_tpu.runtime.engine import InferenceEngine
 
+    variant = "yolov8p" if SMOKE else "yolov8n"
+    size = 64 if SMOKE else 416
+    bh, bw = (96, 96) if SMOKE else (608, 800)
+    h, w = (64, 96) if SMOKE else (600, 800)
+    combos = (((2, "letterbox"), (2, "letterbox_mxu")) if SMOKE else
+              ((32, "letterbox"), (64, "letterbox"), (64, "letterbox_mxu")))
+
     cfg = ServerConfig.from_dict({
         "confidence_threshold": 0.5,
         "nms_threshold": 0.45,
-        "detection": {"model_width": 416, "model_height": 416},
-        "tpu": {"variant": "yolov8n", "num_classes": 4, "dtype": "bfloat16",
-                "batch_buckets": [32, 64],
-                "frame_buckets": [[608, 800]]},
+        "detection": {"model_width": size, "model_height": size},
+        "tpu": {"variant": variant, "num_classes": 4, "dtype": "bfloat16",
+                "batch_buckets": [b for b, _ in combos],
+                "frame_buckets": [[bh, bw]]},
     })
-    spec = get_spec("yolov8n", 4)
+    spec = get_spec(variant, 4)
     params = init_params(jax.random.PRNGKey(0), spec, folded=True)
-    engine = InferenceEngine(cfg, params=params)
 
     rng = np.random.default_rng(0)
-    h, w = 600, 800
     results = {}
-    for batch in (32, 64):
-        frames = rng.integers(0, 256, (batch, 608, 800, 3), dtype=np.uint8)
+    for batch, mode in combos:
+        engine = InferenceEngine(cfg, params=params, preprocess_mode=mode)
+        frames = rng.integers(0, 256, (batch, bh, bw, 3), dtype=np.uint8)
         heights = jnp.full((batch,), h, jnp.int32)
         widths = jnp.full((batch,), w, jnp.int32)
-        step = engine.get_step(batch, (608, 800))
+        step = engine.get_step(batch, (bh, bw))
         cw, conf, iou = engine._class_weights, engine._conf, engine._iou
         p = engine._params
 
@@ -75,23 +87,27 @@ def main() -> None:
         total = time.perf_counter() - t0
         fps = batch * iters / total
         lat.sort()
-        results[batch] = {
+        results[(batch, mode)] = {
             "fps": fps,
             "step_ms": total / iters * 1e3,
             "p99_step_ms": lat[min(len(lat) - 1, int(0.99 * len(lat)))],
         }
-        print(f"# batch={batch}: {fps:.0f} fps, step={total/iters*1e3:.2f} ms, "
-              f"p99={results[batch]['p99_step_ms']:.2f} ms", file=sys.stderr)
+        print(f"# batch={batch} mode={mode}: {fps:.0f} fps, "
+              f"step={total/iters*1e3:.2f} ms, "
+              f"p99={results[(batch, mode)]['p99_step_ms']:.2f} ms",
+              file=sys.stderr)
 
-    best_batch = max(results, key=lambda b: results[b]["fps"])
-    best = results[best_batch]
+    best_key = max(results, key=lambda k: results[k]["fps"])
+    best_batch, best_mode = best_key
+    best = results[best_key]
     target_fps = 64 * 60.0
     print(json.dumps({
-        "metric": "yolov8n_416_serve_throughput",
+        "metric": f"{variant}_{size}_serve_throughput",
         "value": round(best["fps"], 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(best["fps"] / target_fps, 3),
         "batch": best_batch,
+        "preprocess": best_mode,
         "step_p99_ms": round(best["p99_step_ms"], 2),
         "detect_p99_ms_at_60fps_per_stream": round(
             best["p99_step_ms"] + 3.0, 2),  # + batch window

@@ -131,8 +131,12 @@ class TpuConfig:
     frame_buckets: tuple = ((600, 800), (1080, 1920))
     # Number of classes in the deployed model.
     num_classes: int = 4
-    # Model variant: yolov8n / yolov8s / yolov8m / yolov8l / yolov8x.
+    # Model variant: yolov8p / n / s / m / l / x.
     variant: str = "yolov8n"
+    # Preprocess implementation: "letterbox" (vector gathers),
+    # "letterbox_mxu" (interp-matrix matmuls on the MXU), or "stretch"
+    # (reference-compatible nearest-neighbor stretch).
+    preprocess: str = "letterbox"
 
 
 @dataclass

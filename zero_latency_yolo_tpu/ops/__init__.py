@@ -1,2 +1,4 @@
-from .preprocess import letterbox_batch, letterbox_params, stretch_batch  # noqa: F401
+from .preprocess import (  # noqa: F401
+    letterbox_batch, letterbox_batch_mxu, letterbox_params, stretch_batch,
+)
 from .nms import postprocess_batch, nms_reference  # noqa: F401

@@ -92,6 +92,60 @@ def letterbox_batch(frames: jnp.ndarray, heights: jnp.ndarray,
         frames, heights, widths)
 
 
+def _interp_matrix(src_coords: jnp.ndarray, src_size: int, valid_len) -> jnp.ndarray:
+    """(out, src_size) bilinear interpolation matrix for runtime coords.
+
+    Row o has weight (1-f) at clip(floor(c),0,valid-1) and f at
+    clip(floor(c)+1,0,valid-1); when both clip to the same index the weights
+    sum to 1 (edge replication). Rows whose source coordinate falls outside
+    [-0.5, valid-0.5] are zeroed (letterbox padding, filled afterwards).
+    """
+    c0 = jnp.floor(src_coords)
+    f = (src_coords - c0)[:, None]
+    valid_f = valid_len.astype(jnp.float32)
+    i0 = jnp.clip(c0, 0, valid_f - 1)[:, None]
+    i1 = jnp.clip(c0 + 1, 0, valid_f - 1)[:, None]
+    idx = jax.lax.broadcasted_iota(jnp.float32, (src_coords.shape[0], src_size), 1)
+    mat = (idx == i0) * (1.0 - f) + (idx == i1) * f
+    inside = ((src_coords >= -0.5) & (src_coords <= valid_f - 0.5))[:, None]
+    return jnp.where(inside, mat, 0.0)
+
+
+def _letterbox_one_mxu(frame: jnp.ndarray, h, w, size: int,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """Letterbox via two interpolation matmuls — resize runs on the MXU.
+
+    out[o, p, c] = sum_{i, j} Ry[o, i] * frame[i, j, c] * Rx[p, j]
+    Ry/Rx are built from the runtime (h, w) scalars, so one compiled program
+    still serves every resolution in the bucket; the systolic array does the
+    resampling instead of vector-lane gathers.
+    """
+    hbuf, wbuf = frame.shape[0], frame.shape[1]
+    scale, pad_x, pad_y = letterbox_params(h, w, size)
+    o = jnp.arange(size, dtype=jnp.float32)
+    src_y = (o - pad_y + 0.5) / scale - 0.5
+    src_x = (o - pad_x + 0.5) / scale - 0.5
+    ry = _interp_matrix(src_y, hbuf, h).astype(dtype)        # (S, Hbuf)
+    rx = _interp_matrix(src_x, wbuf, w).astype(dtype)        # (S, Wbuf)
+    f = frame.astype(dtype)
+    tmp = jnp.einsum("oi,ijc->ojc", ry, f,
+                     preferred_element_type=jnp.float32)      # (S, Wbuf, 3)
+    out = jnp.einsum("pj,ojc->opc", rx, tmp.astype(dtype),
+                     preferred_element_type=jnp.float32)      # (S, S, 3)
+    out = out / 255.0
+    inside = ((src_y >= -0.5) & (src_y <= h.astype(jnp.float32) - 0.5))[:, None] & \
+             ((src_x >= -0.5) & (src_x <= w.astype(jnp.float32) - 0.5))[None, :]
+    return jnp.where(inside[..., None], out, FILL).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def letterbox_batch_mxu(frames: jnp.ndarray, heights: jnp.ndarray,
+                        widths: jnp.ndarray, size: int) -> jnp.ndarray:
+    """MXU-matmul letterbox (numerically identical to letterbox_batch)."""
+    return jax.vmap(lambda f, h, w: _letterbox_one_mxu(f, h, w, size))(
+        frames, heights, widths)
+
+
 def _stretch_one(frame: jnp.ndarray, h, w, size: int) -> jnp.ndarray:
     # Reference semantics (onnx_engine.cpp:677-697): nearest-neighbor stretch,
     # src index = floor(dst * src/dst_size).

@@ -87,7 +87,7 @@ class InferenceEngine:
 
     def __init__(self, config: ServerConfig,
                  params: Optional[Dict[str, Any]] = None,
-                 preprocess_mode: str = "letterbox") -> None:
+                 preprocess_mode: Optional[str] = None) -> None:
         self.config = config
         tpu = config.tpu
         self.spec: ModelSpec = get_spec(tpu.variant, tpu.num_classes)
@@ -95,7 +95,8 @@ class InferenceEngine:
         if config.detection.model_width != config.detection.model_height:
             raise ValueError("non-square model inputs not supported")
         self.dtype = jnp.bfloat16 if tpu.dtype == "bfloat16" else jnp.float32
-        self.preprocess_mode = preprocess_mode
+        self.preprocess_mode = preprocess_mode or getattr(tpu, "preprocess",
+                                                          "letterbox")
         self.batch_buckets = tuple(tpu.batch_buckets)
         self.frame_buckets = tuple(tuple(b) for b in tpu.frame_buckets)
         self.pre_nms_topk = int(tpu.pre_nms_topk)
@@ -151,14 +152,18 @@ class InferenceEngine:
         dtype = self.dtype
         topk = self.pre_nms_topk
         mode = self.preprocess_mode
-        resize = pre_ops.letterbox_batch if mode == "letterbox" else pre_ops.stretch_batch
+        resize = {
+            "letterbox": pre_ops.letterbox_batch,
+            "letterbox_mxu": pre_ops.letterbox_batch_mxu,
+            "stretch": pre_ops.stretch_batch,
+        }[mode]
 
         def step(params, frames, heights, widths, class_w, conf, iou):
             x = resize(frames, heights, widths, size)
             pred = forward_decoded(params, spec, x, dtype=dtype)
             hf = heights.astype(jnp.float32)
             wf = widths.astype(jnp.float32)
-            if mode == "letterbox":
+            if mode.startswith("letterbox"):
                 scale, pad_x, pad_y = jax.vmap(
                     lambda h, w: letterbox_params(h, w, size))(hf, wf)
                 pad = jnp.stack([pad_x, pad_y], axis=-1)
