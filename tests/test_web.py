@@ -1,0 +1,96 @@
+"""Management-plane HTTP API tests (reference web dashboard parity)."""
+
+import asyncio
+import json
+import urllib.request
+
+import pytest
+
+from zero_latency_yolo_tpu.runtime.web import ManagementApi
+
+
+@pytest.fixture()
+def api(tmp_path):
+    models = tmp_path / "models"
+    logs = tmp_path / "logs"
+    models.mkdir()
+    logs.mkdir()
+    (models / "yolo_nano_cs16.onnx").write_bytes(b"onnx-bytes")
+    (logs / "server.log").write_text("line1\nline2\n")
+    return ManagementApi(status_fn=lambda: {"clients": 2},
+                         models_dir=str(models), logs_dir=str(logs))
+
+
+def _call(api, method, path, body=b""):
+    return asyncio.run(api.handle(method, path, body))
+
+
+def test_status_routes(api):
+    for route in ("/", "/statusz", "/api/server/status"):
+        code, payload = _call(api, "GET", route)
+        assert code == 200 and payload == {"clients": 2}
+
+
+def test_model_list_and_upload(api):
+    code, payload = _call(api, "GET", "/api/models")
+    assert code == 200
+    assert payload["models"][0]["name"] == "yolo_nano_cs16.onnx"
+    code, payload = _call(api, "POST", "/api/models/upload?name=new.npz",
+                          b"\x00" * 64)
+    assert code == 200 and payload["ok"]
+    code, payload = _call(api, "GET", "/api/models")
+    assert {m["name"] for m in payload["models"]} == {
+        "yolo_nano_cs16.onnx", "new.npz"}
+
+
+def test_model_upload_rejects_bad_names(api):
+    assert _call(api, "POST", "/api/models/upload?name=../evil.onnx", b"x")[0] == 400
+    assert _call(api, "POST", "/api/models/upload?name=ok.txt", b"x")[0] == 400
+    assert _call(api, "POST", "/api/models/upload?name=ok.onnx", b"")[0] == 400
+
+
+def test_log_list_view_and_traversal_guard(api):
+    code, payload = _call(api, "GET", "/api/logs")
+    assert code == 200 and payload["logs"][0]["name"] == "server.log"
+    code, payload = _call(api, "GET", "/api/logs/server.log")
+    assert code == 200 and "line1" in payload["content"]
+    assert _call(api, "GET", "/api/logs/../../etc/passwd")[0] == 400
+    assert _call(api, "GET", "/api/logs/%2e%2e%2fetc")[0] in (400, 404)
+    assert _call(api, "GET", "/api/logs/missing.log")[0] == 404
+
+
+def test_client_version_and_404(api):
+    code, payload = _call(api, "GET", "/api/client/version")
+    assert code == 200 and "version" in payload
+    assert _call(api, "GET", "/api/nope")[0] == 404
+
+
+def test_http_end_to_end(tmp_path):
+    """Full HTTP round-trip against a live server's statusz port."""
+    import threading
+    from zero_latency_yolo_tpu.config import ServerConfig
+    from zero_latency_yolo_tpu.runtime.server import DetectionServer
+
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent.npz",
+        "port": 27391, "web_port": 27392, "max_clients": 2,
+        "tpu": {"frame_buckets": [[64, 64]], "batch_buckets": [1]},
+    })
+    server = DetectionServer(cfg)
+    loop = asyncio.new_event_loop()
+    t = threading.Thread(target=loop.run_forever, daemon=True)
+    t.start()
+    asyncio.run_coroutine_threadsafe(server.start(), loop).result(10)
+    try:
+        with urllib.request.urlopen(
+                "http://127.0.0.1:27392/api/server/status", timeout=5) as r:
+            payload = json.loads(r.read())
+        assert payload["server"] == "zero_latency_yolo_tpu"
+        assert payload["engine"]["simulation"] == "true"
+        with urllib.request.urlopen(
+                "http://127.0.0.1:27392/api/models", timeout=5) as r:
+            assert r.status == 200
+    finally:
+        asyncio.run_coroutine_threadsafe(server.stop(), loop).result(10)
+        loop.call_soon_threadsafe(loop.stop)
+        t.join(timeout=5)

@@ -134,6 +134,12 @@ class DetectionServer:
             max_queue_per_client=config.max_queue_size,
             device_cache=self.device_cache)
 
+        import os as _os
+        from .web import ManagementApi
+        self.management = ManagementApi(
+            status_fn=self.status,
+            models_dir=_os.path.dirname(config.model_path) or "models",
+            logs_dir=_os.path.dirname(config.logging.log_file) or "logs")
         self._sessions: Dict[int, ClientSession] = {}
         self._by_addr: Dict[Addr, int] = {}
         self._next_client_id = 1
@@ -172,6 +178,7 @@ class DetectionServer:
         self.batcher.start()
         self._mgmt_task = asyncio.create_task(self._management_loop())
         self._watch_task = asyncio.create_task(self._model_watch_loop())
+        self._monitor_task = asyncio.create_task(self._monitor_loop())
         if self.config.network.web_port:
             try:
                 self._http_server = await asyncio.start_server(
@@ -187,7 +194,8 @@ class DetectionServer:
     async def stop(self) -> None:
         self._running = False
         EVENT_BUS.publish(SERVER_STOPPING, None)
-        for task in (self._mgmt_task, self._watch_task):
+        for task in (self._mgmt_task, self._watch_task,
+                     getattr(self, "_monitor_task", None)):
             if task:
                 task.cancel()
                 try:
@@ -415,6 +423,36 @@ class DetectionServer:
             client_id)
         log.info("client #%d evicted (%s)", client_id, reason)
 
+    async def _monitor_loop(self) -> None:
+        """Periodic status block (reference server/main.cpp:84-136, every 5s)
+        + analytics stats-to-file (config.analytics — parsed but never used
+        by the reference, SURVEY §5.5)."""
+        analytics = self.config.analytics
+        last_stats = 0.0
+        while True:
+            await asyncio.sleep(5.0)
+            st = self.status()
+            log.info("status: clients=%s queue=%s rx_pps=%s detect_p99=%.2fms "
+                     "engine_p99=%sms drops=%s",
+                     st["clients"], st["queue_depth"],
+                     st["transport"]["rx_pps"],
+                     st["detect_latency"]["p99_ms"],
+                     st["engine"].get("device_p99_ms"),
+                     st["engine"].get("dropped"))
+            now = time.monotonic()
+            if (analytics.enable_analytics and analytics.save_stats_to_file
+                    and now - last_stats >= analytics.stats_interval_sec):
+                last_stats = now
+                try:
+                    import os as _os
+                    d = _os.path.dirname(analytics.stats_file)
+                    if d:
+                        _os.makedirs(d, exist_ok=True)
+                    with open(analytics.stats_file, "w") as f:
+                        json.dump(st, f, indent=1)
+                except OSError:
+                    log.exception("failed writing analytics stats")
+
     async def _model_watch_loop(self) -> None:
         """SHA-256 model watcher: hot-swap on change (reference
         onnx_engine.cpp:473-515), every 10s."""
@@ -480,16 +518,30 @@ class DetectionServer:
                            writer: asyncio.StreamWriter) -> None:
         try:
             request_line = await asyncio.wait_for(reader.readline(), timeout=5.0)
+            parts = request_line.split(b" ")
+            if len(parts) < 2:
+                return
+            method = parts[0].decode("ascii", "replace").upper()
+            path = parts[1].decode("utf-8", "replace")
+            content_length = 0
             while True:
                 line = await asyncio.wait_for(reader.readline(), timeout=5.0)
                 if line in (b"\r\n", b"\n", b""):
                     break
-            path = request_line.split(b" ")[1].decode() if b" " in request_line else "/"
-            if path.startswith(("/statusz", "/api/server/status", "/")):
-                body = json.dumps(self.status(), indent=1).encode()
-                writer.write(b"HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n"
-                             b"Content-Length: " + str(len(body)).encode() +
-                             b"\r\n\r\n" + body)
+                if line.lower().startswith(b"content-length:"):
+                    content_length = int(line.split(b":", 1)[1].strip() or 0)
+            body = b""
+            if method == "POST" and 0 < content_length <= 256 * 1024 * 1024:
+                body = await asyncio.wait_for(
+                    reader.readexactly(content_length), timeout=60.0)
+            code, payload = await self.management.handle(method, path, body)
+            data = json.dumps(payload, indent=1).encode()
+            reason = {200: "OK", 400: "Bad Request", 404: "Not Found",
+                      500: "Internal Server Error"}.get(code, "OK")
+            writer.write(f"HTTP/1.1 {code} {reason}\r\n"
+                         f"Content-Type: application/json\r\n"
+                         f"Content-Length: {len(data)}\r\n"
+                         f"Connection: close\r\n\r\n".encode() + data)
             await writer.drain()
         except Exception:  # noqa: BLE001
             pass
@@ -536,6 +588,19 @@ def main() -> None:  # pragma: no cover
                  cfg.logging.max_log_size_mb, cfg.logging.max_log_files)
     for d in ("logs", "models", "configs"):
         os.makedirs(d, exist_ok=True)
+
+    # CPU affinity / priority (reference server/main.cpp:35-60, :208-220).
+    # On a TPU host these pin the *host* loop; device work is unaffected.
+    if cfg.use_cpu_affinity and hasattr(os, "sched_setaffinity"):
+        try:
+            os.sched_setaffinity(0, {cfg.cpu_core_id})
+        except OSError:
+            pass
+    if cfg.use_high_priority:
+        try:
+            os.nice(-10)
+        except OSError:
+            pass
 
     async def run():
         server = DetectionServer(cfg)
