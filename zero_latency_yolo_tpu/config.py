@@ -137,6 +137,9 @@ class TpuConfig:
     # "letterbox_mxu" (interp-matrix matmuls on the MXU), or "stretch"
     # (reference-compatible nearest-neighbor stretch).
     preprocess: str = "letterbox"
+    # NMS suppression scan: "auto" (pallas on TPU, xla elsewhere),
+    # "xla", "pallas".
+    nms: str = "auto"
 
 
 @dataclass

@@ -71,29 +71,22 @@ def _greedy_nms_mask(iou: jnp.ndarray, same_class: jnp.ndarray,
     return jax.lax.fori_loop(0, k, body, valid)
 
 
-def _post_one(pred: jnp.ndarray, class_weights: jnp.ndarray,
-              conf_thresh, iou_thresh,
-              scale, pad_x, pad_y, src_w, src_h,
-              topk: int) -> Dict[str, jnp.ndarray]:
-    """pred: (A, 4+nc) decoded output for one frame (boxes in model-input px)."""
+def _select_one(pred: jnp.ndarray, class_weights: jnp.ndarray,
+                conf_thresh, topk: int):
+    """Stage 1 (per frame): weight, threshold, top-k candidate selection."""
     boxes = pred[:, :4]
     probs = pred[:, 4:] * class_weights[None, :]
     best_score = jnp.max(probs, axis=-1)
     best_class = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     passed = best_score >= conf_thresh
     ranked = jnp.where(passed, best_score, -1.0)
-
-    topk = min(topk, pred.shape[0])
     top_scores, top_idx = jax.lax.top_k(ranked, topk)
-    top_boxes = boxes[top_idx]
-    top_class = best_class[top_idx]
-    top_valid = top_scores > 0
+    return boxes[top_idx], top_scores, best_class[top_idx], top_scores > 0
 
-    iou = _iou_matrix_center(top_boxes)
-    same_class = top_class[:, None] == top_class[None, :]
-    keep = _greedy_nms_mask(iou, same_class, top_valid, iou_thresh)
 
-    # Compact kept boxes (already score-sorted) into the first MAX_DET slots.
+def _compact_one(top_boxes, top_scores, top_class, keep,
+                 scale, pad_x, pad_y, src_w, src_h) -> Dict[str, jnp.ndarray]:
+    """Stage 3 (per frame): compact survivors + un-letterbox + normalize."""
     # Non-kept / overflow entries get slot >= MAX_DET and are dropped by the
     # scatter (mode="drop").
     order = jnp.cumsum(keep.astype(jnp.int32)) - 1
@@ -127,12 +120,12 @@ def _post_one(pred: jnp.ndarray, class_weights: jnp.ndarray,
     }
 
 
-@partial(jax.jit, static_argnums=(7,))
+@partial(jax.jit, static_argnums=(7, 8))
 def postprocess_batch(pred: jnp.ndarray, class_weights: jnp.ndarray,
                       conf_thresh: jnp.ndarray, iou_thresh: jnp.ndarray,
                       scale: jnp.ndarray, pad: jnp.ndarray,
-                      src_wh: jnp.ndarray, topk: int = PRE_NMS_TOPK
-                      ) -> Dict[str, jnp.ndarray]:
+                      src_wh: jnp.ndarray, topk: int = PRE_NMS_TOPK,
+                      nms_impl: str = "xla") -> Dict[str, jnp.ndarray]:
     """Batched postprocess.
 
     pred:    (B, A, 4+nc) decoded model output (model-input pixel boxes)
@@ -140,12 +133,29 @@ def postprocess_batch(pred: jnp.ndarray, class_weights: jnp.ndarray,
     conf_thresh / iou_thresh: scalars (runtime values — no recompiles on change)
     scale:   (B,) letterbox scale; pad: (B, 2) = (pad_x, pad_y)
     src_wh:  (B, 2) source frame (w, h) as float
+    nms_impl: "xla" (fori_loop scan), "pallas" (VMEM-resident kernel),
+              "pallas_interpret" (kernel in interpreter mode, CPU CI)
     """
+    topk = min(topk, pred.shape[1])
+    top_boxes, top_scores, top_class, top_valid = jax.vmap(
+        lambda p: _select_one(p, class_weights, conf_thresh, topk))(pred)
+
+    iou = jax.vmap(_iou_matrix_center)(top_boxes)
+    same_class = top_class[:, :, None] == top_class[:, None, :]
+    if nms_impl.startswith("pallas"):
+        from .nms_pallas import greedy_nms_mask_pallas
+        keep = greedy_nms_mask_pallas(
+            iou, same_class, top_valid, iou_thresh,
+            interpret=(nms_impl == "pallas_interpret"))
+    else:
+        keep = jax.vmap(
+            lambda i, s, v: _greedy_nms_mask(i, s, v, iou_thresh)
+        )(iou, same_class, top_valid)
+
     return jax.vmap(
-        lambda p, s, pxy, wh: _post_one(
-            p, class_weights, conf_thresh, iou_thresh,
-            s, pxy[0], pxy[1], wh[0], wh[1], topk)
-    )(pred, scale, pad, src_wh)
+        lambda b, sc, c, k, s, pxy, wh: _compact_one(
+            b, sc, c, k, s, pxy[0], pxy[1], wh[0], wh[1])
+    )(top_boxes, top_scores, top_class, keep, scale, pad, src_wh)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,79 @@
+"""Pallas TPU kernel for the greedy-NMS suppression scan.
+
+The suppression scan is inherently sequential (each kept box suppresses
+lower-ranked same-class overlaps), so as plain XLA it becomes a K-step
+fori_loop of tiny vector ops — K kernel dispatches worth of loop overhead.
+Here the whole scan runs inside one Pallas kernel with the IoU matrix
+resident in VMEM:
+
+    inputs:  iou (K, K) f32, same-class (K, K) int8, valid (1, K) int8,
+             threshold (1, 1) f32 in SMEM
+    output:  keep (1, K) int8
+
+K = PRE_NMS_TOPK = 256 -> the IoU tile is 256x256 f32 = 256 KB, well inside
+the ~16 MB/core VMEM budget; the fori_loop runs on-core with no dispatch
+overhead. Batched via grid=(B,).
+
+Falls back to interpreter mode off-TPU so the same code path is exercised in
+CPU CI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _suppress_kernel(thresh_ref, iou_ref, same_ref, valid_ref, keep_ref):
+    k = iou_ref.shape[-1]
+    thresh = thresh_ref[0, 0]
+    sup = (iou_ref[0] > thresh) & (same_ref[0] != 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    sup = sup & (col > row)  # only lower-ranked boxes get suppressed
+
+    def body(i, keep):
+        # keep: (1, k) int8. Box i suppresses its row iff still kept.
+        alive = jax.lax.dynamic_slice(keep, (0, i), (1, 1))[0, 0] != 0
+        row_i = jax.lax.dynamic_slice(sup, (i, 0), (1, k))  # (1, k) bool
+        kill = row_i & alive
+        return keep & jnp.where(kill, 0, 1).astype(jnp.int8)
+
+    keep = jax.lax.fori_loop(0, k, body, valid_ref[:, :])
+    keep_ref[:, :] = keep
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def greedy_nms_mask_pallas(iou: jnp.ndarray, same_class: jnp.ndarray,
+                           valid: jnp.ndarray, iou_thresh: jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Batched suppression scan.
+
+    iou:        (B, K, K) f32 pairwise IoU, rows score-sorted descending
+    same_class: (B, K, K) bool
+    valid:      (B, K) bool (score above confidence threshold)
+    returns     (B, K) bool keep mask (exact greedy NMS semantics)
+    """
+    b, k, _ = iou.shape
+    thresh = jnp.broadcast_to(jnp.asarray(iou_thresh, jnp.float32), (1, 1))
+    keep = pl.pallas_call(
+        _suppress_kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, k), jnp.int8),
+        interpret=interpret,
+    )(thresh, iou, same_class.astype(jnp.int8), valid.astype(jnp.int8))
+    return keep != 0

@@ -100,6 +100,11 @@ class InferenceEngine:
         self.batch_buckets = tuple(tpu.batch_buckets)
         self.frame_buckets = tuple(tuple(b) for b in tpu.frame_buckets)
         self.pre_nms_topk = int(tpu.pre_nms_topk)
+        nms_cfg = getattr(tpu, "nms", "auto")
+        if nms_cfg == "auto":
+            on_tpu = jax.default_backend() not in ("cpu", "gpu")
+            nms_cfg = "pallas" if on_tpu else "xla"
+        self.nms_impl = nms_cfg
 
         self.simulation = False
         self._model_hash: Optional[str] = None
@@ -177,7 +182,8 @@ class InferenceEngine:
                 pred = pred.at[..., 3].set(pred[..., 3] / sy[:, None])
             src_wh = jnp.stack([wf, hf], axis=-1)
             return nms_ops.postprocess_batch(
-                pred, class_w, conf, iou, scale, pad, src_wh, topk)
+                pred, class_w, conf, iou, scale, pad, src_wh, topk,
+                self.nms_impl)
 
         return jax.jit(step, donate_argnums=(1,))
 
