@@ -40,17 +40,27 @@ def init_train_state(params: Params, tx: optax.GradientTransformation) -> TrainS
 def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
                     input_hw: Tuple[int, int],
                     mesh: Optional[Mesh] = None,
-                    dtype=jnp.bfloat16) -> Callable:
+                    dtype=jnp.bfloat16,
+                    remat: bool = False) -> Callable:
     """Build the jitted train step.
 
     step(state, images (B,H,W,3) f32, targets (B,M,5)) -> (state, metrics)
 
     With a mesh, in/out shardings are annotated so the program runs SPMD:
     images/targets over 'data', params/opt state tensor-parallel over 'model'.
+    remat=True rematerializes the backbone in the backward pass
+    (jax.checkpoint) — trades FLOPs for activation memory so large batches /
+    the bigger family members fit HBM.
     """
 
+    fwd = forward_raw
+    if remat:
+        fwd = jax.checkpoint(
+            forward_raw, static_argnums=(1,),
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
     def loss_fn(params, images, targets):
-        outs = forward_raw(params, spec, images, dtype=dtype)
+        outs = fwd(params, spec, images, dtype=dtype)
         return detection_loss(spec, outs, targets, input_hw)
 
     def train_step(state: TrainState, images, targets):
