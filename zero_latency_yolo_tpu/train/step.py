@@ -53,14 +53,15 @@ def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
     the bigger family members fit HBM.
     """
 
-    fwd = forward_raw
+    def fwd(params, images):
+        return forward_raw(params, spec, images, dtype=dtype)
+
     if remat:
         fwd = jax.checkpoint(
-            forward_raw, static_argnums=(1,),
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+            fwd, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
     def loss_fn(params, images, targets):
-        outs = fwd(params, spec, images, dtype=dtype)
+        outs = fwd(params, images)
         return detection_loss(spec, outs, targets, input_hw)
 
     def train_step(state: TrainState, images, targets):
