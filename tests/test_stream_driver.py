@@ -1,0 +1,79 @@
+"""StreamDriver (reference-client capture loop semantics) tests."""
+
+import numpy as np
+
+from zero_latency_yolo_tpu.config import ClientConfig
+from zero_latency_yolo_tpu.runtime.simulator import (
+    StreamDriver, compute_diff_region, synthetic_frame,
+)
+
+
+class _FakeClient:
+    def __init__(self):
+        self.sent = []
+        self._fid = 0
+
+    def send_jpeg_keyframe(self, frame, quality=85):
+        self._fid += 1
+        self.sent.append(("key", frame.shape))
+        return self._fid
+
+    def send_roi_update(self, region, x, y, quality=85):
+        self._fid += 1
+        self.sent.append(("roi", region.shape, x, y))
+        return self._fid
+
+
+def test_keyframe_cadence_and_roi_between():
+    c = _FakeClient()
+    d = StreamDriver(c, keyframe_interval=5)
+    frames = [synthetic_frame(160, 120, seed=0, t=i * 0.5) for i in range(11)]
+    for f in frames:
+        d.push(f)
+    kinds = [s[0] for s in c.sent]
+    assert kinds[0] == "key"
+    assert kinds.count("key") == d.keyframes_sent
+    assert d.keyframes_sent == 3  # frames 0, 5, 10
+    assert d.roi_sent + d.skipped == 8
+
+
+def test_static_scene_skips_frames():
+    c = _FakeClient()
+    d = StreamDriver(c, keyframe_interval=100)
+    f = synthetic_frame(160, 120, seed=1)
+    d.push(f)
+    for _ in range(5):
+        assert d.push(f.copy()) is None  # unchanged -> skipped
+    assert d.skipped == 5 and d.roi_sent == 0
+
+
+def test_roi_covers_change():
+    c = _FakeClient()
+    d = StreamDriver(c, keyframe_interval=100, roi_padding=8)
+    f1 = synthetic_frame(160, 120, seed=2)
+    d.push(f1)
+    f2 = f1.copy()
+    f2[40:60, 80:110] = 0
+    d.push(f2)
+    kind, shape, x, y = c.sent[-1]
+    assert kind == "roi"
+    assert x <= 80 and y <= 40
+    assert x + shape[1] >= 110 and y + shape[0] >= 60
+
+
+def test_diff_region_none_when_identical():
+    f = synthetic_frame(64, 64, seed=3)
+    assert compute_diff_region(f, f.copy()) is None
+
+
+def test_client_config_defaults_and_parse():
+    cfg = ClientConfig.from_dict({
+        "server_port": 7788, "screen_width": 1024,
+        "compression": {"quality": 60, "keyframe_interval": 10},
+        "network_settings": {"timeout_ms": 2500},
+    })
+    assert cfg.screen_width == 1024
+    assert cfg.compression.quality == 60
+    assert cfg.compression.use_roi_encoding
+    assert cfg.network_settings.timeout_ms == 2500
+    assert cfg.network_settings.reconnect_attempts == 3

@@ -261,6 +261,57 @@ class ServerConfig:
         return cls.from_dict(json.loads(text))
 
 
+@dataclass
+class CompressionSettings:
+    """Client compression knobs (reference configs/client.json `compression`,
+    src/common/types.h:58-63). Used by the loopback simulator."""
+    quality: int = 75
+    keyframe_interval: int = 30
+    use_difference_encoding: bool = True
+    use_roi_encoding: bool = True
+    roi_padding: int = 20
+
+
+@dataclass
+class ClientNetworkSettings:
+    timeout_ms: int = 5000
+    heartbeat_interval_ms: int = 1000
+    reconnect_attempts: int = 3
+    reconnect_delay_ms: int = 2000
+
+
+@dataclass
+class ClientConfig:
+    """Subset of the reference client config consumed by the loopback
+    simulator (configs/client.json; the aim/esp/recoil sections are cheat
+    functionality and are intentionally not modeled)."""
+    server_ip: str = "127.0.0.1"
+    server_port: int = DEFAULT_SERVER_PORT
+    game_id: int = 1
+    target_fps: int = 60
+    screen_width: int = 800
+    screen_height: int = 600
+    auto_connect: bool = True
+    compression: CompressionSettings = field(default_factory=CompressionSettings)
+    network_settings: ClientNetworkSettings = field(
+        default_factory=ClientNetworkSettings)
+
+    @classmethod
+    def from_dict(cls, j: Dict[str, Any]) -> "ClientConfig":
+        cfg = cls()
+        _merge(cfg, j, skip=("compression", "network_settings"))
+        _merge(cfg.compression, j.get("compression"))
+        _merge(cfg.network_settings, j.get("network_settings"))
+        return cfg
+
+    @classmethod
+    def load(cls, path: str = "configs/client.json") -> "ClientConfig":
+        if not os.path.exists(path):
+            return cls()
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_dict(json.load(f))
+
+
 def _merge(obj: Any, j: Optional[Dict[str, Any]], skip=()) -> None:
     """Contains-check merge: only keys present in the JSON override defaults."""
     if not isinstance(j, dict):

@@ -43,8 +43,8 @@ def _suppress_kernel(thresh_ref, iou_ref, same_ref, valid_ref, keep_ref):
         kill = row_i & alive
         return keep & jnp.where(kill, 0, 1).astype(jnp.int8)
 
-    keep = jax.lax.fori_loop(0, k, body, valid_ref[:, :])
-    keep_ref[:, :] = keep
+    keep = jax.lax.fori_loop(0, k, body, valid_ref[0])
+    keep_ref[0] = keep
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -60,6 +60,10 @@ def greedy_nms_mask_pallas(iou: jnp.ndarray, same_class: jnp.ndarray,
     """
     b, k, _ = iou.shape
     thresh = jnp.broadcast_to(jnp.asarray(iou_thresh, jnp.float32), (1, 1))
+    # Mask vectors carry an extra unit dim: TPU block shapes must have their
+    # last two dims tile-aligned or equal to the array dims; (1, 1, k) blocks
+    # of a (b, 1, k) array satisfy that for any k.
+    valid3 = valid.astype(jnp.int8)[:, None, :]
     keep = pl.pallas_call(
         _suppress_kernel,
         grid=(b,),
@@ -69,11 +73,12 @@ def greedy_nms_mask_pallas(iou: jnp.ndarray, same_class: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, k), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, k), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.int8),
         interpret=interpret,
-    )(thresh, iou, same_class.astype(jnp.int8), valid.astype(jnp.int8))
-    return keep != 0
+    )(thresh, iou, same_class.astype(jnp.int8), valid3)
+    return keep[:, 0, :] != 0

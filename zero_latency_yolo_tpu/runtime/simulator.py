@@ -195,6 +195,76 @@ class SimClient:
             return list(self.results)
 
 
+def compute_diff_region(current: np.ndarray, previous: np.ndarray,
+                        threshold: int = 10, sample_step: int = 4,
+                        padding: int = 20, align: int = 8):
+    """Changed-region bounding box between two RGB frames.
+
+    Mirrors the reference client's grid-sampled diff detection
+    (src/client/screen_capture.cpp:391-468): sample every `sample_step`
+    pixels, any channel delta > threshold marks change; pad and align the
+    box. Returns (x, y, w, h) or None when nothing changed.
+    """
+    h, w = current.shape[:2]
+    cur = current[::sample_step, ::sample_step].astype(np.int16)
+    prev = previous[::sample_step, ::sample_step].astype(np.int16)
+    changed = (np.abs(cur - prev) > threshold).any(axis=-1)
+    ys, xs = np.nonzero(changed)
+    if len(ys) == 0:
+        return None
+    x0 = max(0, int(xs.min()) * sample_step - padding)
+    y0 = max(0, int(ys.min()) * sample_step - padding)
+    x1 = min(w - 1, int(xs.max()) * sample_step + padding)
+    y1 = min(h - 1, int(ys.max()) * sample_step + padding)
+    x0 = (x0 // align) * align
+    y0 = (y0 // align) * align
+    rw = min(w - x0, ((x1 - x0 + 1 + align - 1) // align) * align)
+    rh = min(h - y0, ((y1 - y0 + 1 + align - 1) // align) * align)
+    return (x0, y0, rw, rh)
+
+
+class StreamDriver:
+    """Reference-client-style capture loop: keyframe every
+    `keyframe_interval` frames, diff-detected ROI updates in between
+    (the capture/encode pipeline of src/client/main.cpp:211-241 +
+    screen_capture.cpp, minus the Windows capture source)."""
+
+    def __init__(self, client: SimClient, quality: int = 75,
+                 keyframe_interval: int = 30, roi_padding: int = 20) -> None:
+        self.client = client
+        self.quality = quality
+        self.keyframe_interval = keyframe_interval
+        self.roi_padding = roi_padding
+        self._prev: Optional[np.ndarray] = None
+        self._count = 0
+        self.keyframes_sent = 0
+        self.roi_sent = 0
+        self.skipped = 0
+
+    def push(self, frame: np.ndarray) -> Optional[int]:
+        """Encode + send one captured frame; returns the frame id or None
+        when the frame was skipped (no change)."""
+        is_key = (self._count % self.keyframe_interval == 0) or self._prev is None
+        self._count += 1
+        fid: Optional[int]
+        if is_key:
+            fid = self.client.send_jpeg_keyframe(frame, self.quality)
+            self.keyframes_sent += 1
+        else:
+            region = compute_diff_region(frame, self._prev,
+                                         padding=self.roi_padding)
+            if region is None:
+                self.skipped += 1
+                self._prev = frame
+                return None
+            x, y, rw, rh = region
+            fid = self.client.send_roi_update(
+                frame[y:y + rh, x:x + rw], x, y, quality=self.quality)
+            self.roi_sent += 1
+        self._prev = frame
+        return fid
+
+
 def synthetic_frame(width: int, height: int, seed: int = 0,
                     t: float = 0.0) -> np.ndarray:
     """Deterministic synthetic game frame: gradient background + moving blobs."""
