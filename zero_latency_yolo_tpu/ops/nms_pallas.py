@@ -28,23 +28,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _suppress_kernel(thresh_ref, iou_ref, same_ref, valid_ref, keep_ref):
+def _suppress_kernel(thresh_ref, iou_ref, same_ref, valid_ref, keep_ref,
+                     sup_ref):
     k = iou_ref.shape[-1]
     thresh = thresh_ref[0, 0]
     sup = (iou_ref[0] > thresh) & (same_ref[0] != 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    sup = sup & (col > row)  # only lower-ranked boxes get suppressed
+    # Stage into VMEM scratch: the scan below indexes a *ref* dynamically
+    # (supported) — dynamic_slice on computed values is not lowerable on TPU.
+    sup_ref[:, :] = (sup & (col > row)).astype(jnp.int8)
+    keep_ref[0] = valid_ref[0]
 
-    def body(i, keep):
-        # keep: (1, k) int8. Box i suppresses its row iff still kept.
-        alive = jax.lax.dynamic_slice(keep, (0, i), (1, 1))[0, 0] != 0
-        row_i = jax.lax.dynamic_slice(sup, (i, 0), (1, k))  # (1, k) bool
-        kill = row_i & alive
-        return keep & jnp.where(kill, 0, 1).astype(jnp.int8)
+    def body(i, _):
+        alive = keep_ref[0, 0, i] != 0  # dynamic scalar read from the ref
+        row_i = sup_ref[pl.ds(i, 1), :]  # (1, k) dynamic ref slice
+        kill = (row_i != 0) & alive
+        keep_ref[0] = keep_ref[0] & jnp.where(kill, 0, 1).astype(jnp.int8)
+        return 0
 
-    keep = jax.lax.fori_loop(0, k, body, valid_ref[0])
-    keep_ref[0] = keep
+    jax.lax.fori_loop(0, k, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -79,6 +82,7 @@ def greedy_nms_mask_pallas(iou: jnp.ndarray, same_class: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 1, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1, k), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((k, k), jnp.int8)],
         interpret=interpret,
     )(thresh, iou, same_class.astype(jnp.int8), valid3)
     return keep[:, 0, :] != 0

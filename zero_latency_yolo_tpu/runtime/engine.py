@@ -59,6 +59,16 @@ class InferenceRequest:
 
 
 @dataclass
+class PendingBatch:
+    """A dispatched-but-unread device step (see InferenceEngine.dispatch)."""
+    requests: List["InferenceRequest"]
+    out: Optional[Dict[str, Any]]
+    t0: float
+    n: int
+    simulated: Optional[List["EngineResult"]] = None
+
+
+@dataclass
 class EngineResult:
     client_id: int
     frame_id: int
@@ -214,10 +224,24 @@ class InferenceEngine:
 
     # --------------------------------------------------------------- infer
     def infer_batch(self, requests: List[InferenceRequest]) -> List[EngineResult]:
+        return self.complete(self.dispatch(requests))
+
+    def infer_batch_cached(self, requests: List[InferenceRequest],
+                           frames: jnp.ndarray, heights: np.ndarray,
+                           widths: np.ndarray) -> List[EngineResult]:
+        return self.complete(
+            self.dispatch_cached(requests, frames, heights, widths))
+
+    def dispatch(self, requests: List[InferenceRequest]) -> "PendingBatch":
+        """Stage + launch one device step; returns immediately with device
+        handles. Pair with complete() — the split lets the scheduler keep the
+        next batch's H2D/compute in flight while this one's results convert."""
         if not requests:
-            return []
+            return PendingBatch(requests=[], out=None, t0=0.0, n=0)
         if self.simulation:
-            return [self._simulate(r) for r in requests]
+            return PendingBatch(requests=requests, out=None,
+                                t0=time.perf_counter(), n=len(requests),
+                                simulated=[self._simulate(r) for r in requests])
         t0 = time.perf_counter()
         n = len(requests)
         batch = _pick_batch(self.batch_buckets, n)
@@ -236,45 +260,56 @@ class InferenceEngine:
             staging[i, :r.height, :r.width] = r.data
             heights[i] = r.height
             widths[i] = r.width
+        return self._dispatch_device(
+            jnp.asarray(staging), jnp.asarray(heights), jnp.asarray(widths),
+            requests, batch, bucket, t0)
 
-        return self._run_device(jnp.asarray(staging), jnp.asarray(heights),
-                                jnp.asarray(widths), requests, batch, bucket, t0)
-
-    def infer_batch_cached(self, requests: List[InferenceRequest],
-                           frames: jnp.ndarray, heights: np.ndarray,
-                           widths: np.ndarray) -> List[EngineResult]:
-        """Inference over frames already resident on device (DeviceFrameCache
-        gather) — no host staging, no H2D pixel copy."""
+    def dispatch_cached(self, requests: List[InferenceRequest],
+                        frames: jnp.ndarray, heights: np.ndarray,
+                        widths: np.ndarray) -> "PendingBatch":
+        """Launch over device-resident frames (DeviceFrameCache gather) —
+        no host staging, no H2D pixel copy."""
         if self.simulation:
-            return [self._simulate(r) for r in requests]
+            return PendingBatch(requests=requests, out=None,
+                                t0=time.perf_counter(), n=len(requests),
+                                simulated=[self._simulate(r) for r in requests])
         t0 = time.perf_counter()
         batch = frames.shape[0]
         bucket = (frames.shape[1], frames.shape[2])
-        return self._run_device(frames, jnp.asarray(heights), jnp.asarray(widths),
-                                requests, batch, bucket, t0)
+        return self._dispatch_device(frames, jnp.asarray(heights),
+                                     jnp.asarray(widths), requests, batch,
+                                     bucket, t0)
 
-    def _run_device(self, frames, heights, widths,
-                    requests: List[InferenceRequest], batch: int,
-                    bucket: Tuple[int, int], t0: float) -> List[EngineResult]:
-        n = len(requests)
+    def _dispatch_device(self, frames, heights, widths,
+                         requests: List[InferenceRequest], batch: int,
+                         bucket: Tuple[int, int], t0: float) -> "PendingBatch":
         with self._params_lock:
             params = self._params
         step = self.get_step(batch, bucket)
         # donate_argnums invalidates the device copy, not the numpy staging.
         out = step(params, frames, heights, widths,
                    self._class_weights, self._conf, self._iou)
+        return PendingBatch(requests=requests, out=out, t0=t0, n=len(requests))
+
+    def complete(self, pending: "PendingBatch") -> List[EngineResult]:
+        """Block on the device step, convert fixed-shape outputs to results."""
+        if not pending.requests:
+            return []
+        if pending.simulated is not None:
+            return pending.simulated
+        out = pending.out
         boxes = np.asarray(out["boxes"])
         scores = np.asarray(out["scores"])
         classes = np.asarray(out["classes"])
         counts = np.asarray(out["count"])
-        infer_ms = (time.perf_counter() - t0) * 1e3
+        infer_ms = (time.perf_counter() - pending.t0) * 1e3
         self.latency.record(infer_ms)
-        self.batch_sizes.record(n)
-        self.inference_count.inc(n)
+        self.batch_sizes.record(pending.n)
+        self.inference_count.inc(pending.n)
 
         results = []
         now = time.perf_counter()
-        for i, r in enumerate(requests):
+        for i, r in enumerate(pending.requests):
             dets = [
                 Detection(
                     x=float(boxes[i, j, 0]), y=float(boxes[i, j, 1]),
@@ -307,6 +342,18 @@ class InferenceEngine:
         self.inference_count.inc()
         return EngineResult(client_id=r.client_id, frame_id=r.frame_id,
                             timestamp=r.timestamp, detections=dets)
+
+    # -------------------------------------------------------- live config
+    def update_thresholds(self, confidence: Optional[float] = None,
+                          nms: Optional[float] = None) -> None:
+        """Runtime threshold update — thresholds are traced scalars, so this
+        changes behavior on the next batch with zero recompiles."""
+        if confidence is not None:
+            self.config.confidence_threshold = float(confidence)
+            self._conf = jnp.float32(confidence)
+        if nms is not None:
+            self.config.nms_threshold = float(nms)
+            self._iou = jnp.float32(nms)
 
     # ------------------------------------------------------------ hot swap
     def maybe_reload(self) -> bool:

@@ -47,7 +47,12 @@ class ContinuousBatcher:
         self._cv = threading.Condition()
         self._running = False
         self._thread: Optional[threading.Thread] = None
+        self._completion_thread: Optional[threading.Thread] = None
         self._pending = 0
+        # Dispatch -> completion handoff (depth 2: one batch computing on
+        # device while the previous one's results convert on host).
+        import queue as _queue
+        self._inflight: "_queue.Queue" = _queue.Queue(maxsize=2)
 
     # ---------------------------------------------------------------- submit
     def submit(self, request: InferenceRequest) -> bool:
@@ -87,7 +92,10 @@ class ContinuousBatcher:
         self._running = True
         self._thread = threading.Thread(target=self._loop, name="zlt-batcher",
                                         daemon=True)
+        self._completion_thread = threading.Thread(
+            target=self._completion_loop, name="zlt-completion", daemon=True)
         self._thread.start()
+        self._completion_thread.start()
 
     def stop(self) -> None:
         with self._cv:
@@ -96,6 +104,10 @@ class ContinuousBatcher:
         if self._thread:
             self._thread.join(timeout=5.0)
             self._thread = None
+        self._inflight.put(None)  # wake the completion thread
+        if self._completion_thread:
+            self._completion_thread.join(timeout=5.0)
+            self._completion_thread = None
 
     # ------------------------------------------------------------------ loop
     def _collect(self) -> List[InferenceRequest]:
@@ -143,21 +155,38 @@ class ContinuousBatcher:
             if not batch:
                 continue
             try:
-                results = self._infer(batch)
+                for pending in self._dispatch(batch):
+                    self._inflight.put(pending)  # blocks at depth 2
             except Exception:  # noqa: BLE001
                 self.engine.error_count.inc()
-                log.exception("batch inference failed (batch=%d)", len(batch))
+                log.exception("batch dispatch failed (batch=%d)", len(batch))
+                continue
+
+    def _completion_loop(self) -> None:
+        """Second pipeline stage: read device results, run the callback —
+        overlaps with the dispatch thread staging the next batch."""
+        while True:
+            pending = self._inflight.get()
+            if pending is None:
+                if not self._running:
+                    return
+                continue
+            try:
+                results = self.engine.complete(pending)
+            except Exception:  # noqa: BLE001
+                self.engine.error_count.inc()
+                log.exception("batch completion failed")
                 continue
             try:
                 self.on_result(results)
             except Exception:  # noqa: BLE001
                 log.exception("result callback failed")
 
-    def _infer(self, batch: List[InferenceRequest]) -> List[EngineResult]:
+    def _dispatch(self, batch: List[InferenceRequest]):
         cache = self.device_cache
         cached = [r for r in batch if r.data is None]
         hosted = [r for r in batch if r.data is not None]
-        results: List[EngineResult] = []
+        out = []
         if cached:
             if cache is None:
                 raise RuntimeError("cached requests but no device cache configured")
@@ -170,8 +199,7 @@ class ContinuousBatcher:
             cids = [r.client_id for r in cached]
             cids += [cids[0]] * (b - n)
             frames, heights, widths = cache.gather(cids)
-            results.extend(self.engine.infer_batch_cached(
-                cached, frames, heights, widths))
+            out.append(self.engine.dispatch_cached(cached, frames, heights, widths))
         if hosted:
-            results.extend(self.engine.infer_batch(hosted))
-        return results
+            out.append(self.engine.dispatch(hosted))
+        return out

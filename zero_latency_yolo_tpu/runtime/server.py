@@ -315,6 +315,31 @@ class DetectionServer:
             self._evict(session.client_id, "disconnect")
         elif pkt.command_type == CommandType.PING:
             self._send_raw(HeartbeatPacket(ping=0).serialize(), session.addr)
+        elif pkt.command_type == CommandType.SET_CONFIG:
+            # Runtime-tunable subset; thresholds are traced scalars so the
+            # update costs no recompiles.
+            try:
+                payload = json.loads(pkt.command_data.decode("utf-8"))
+            except (ValueError, UnicodeDecodeError):
+                self._send_raw(ErrorPacket(
+                    error_code=ErrorCode.INVALID_REQUEST,
+                    message="SET_CONFIG expects JSON").serialize(), session.addr)
+                return
+            self.engine.update_thresholds(
+                confidence=payload.get("confidence_threshold"),
+                nms=payload.get("nms_threshold"))
+            log.info("client #%d updated thresholds: %s",
+                     session.client_id, payload)
+        elif pkt.command_type == CommandType.GET_CONFIG:
+            from ..protocol import CommandPacket
+            body = json.dumps({
+                "confidence_threshold": self.config.confidence_threshold,
+                "nms_threshold": self.config.nms_threshold,
+                "target_fps": self.config.target_fps,
+            }).encode()
+            self._send_raw(CommandPacket(
+                command_type=CommandType.GET_CONFIG,
+                command_data=body).serialize(), session.addr)
 
     def _handle_frame(self, pkt: FrameDataPacket, session: ClientSession) -> None:
         try:
