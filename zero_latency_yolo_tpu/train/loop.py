@@ -1,0 +1,156 @@
+"""Fine-tuning driver: data pipeline + SPMD train loop + checkpoint/resume.
+
+The reference is inference-only (weights come from ultralytics' exporter);
+this gives the framework a native way to adapt the deployed 4-class model.
+Usage:
+
+    python -m zero_latency_yolo_tpu.train.loop --steps 200 --variant yolov8p \
+        --size 64 --batch 8 --ckpt-dir checkpoints/
+
+Data: either .npz shards (`images` (N,H,W,3) uint8, `targets` (N,M,5)
+[class,cx,cy,w,h] normalized, class=-1 padding) passed via --data, or the
+built-in synthetic moving-blob generator (smoke-training / CI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import time
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+def synthetic_batches(batch: int, size: int, max_boxes: int = 4,
+                      seed: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Endless synthetic detection data: gray background, colored rectangles
+    whose class is determined by aspect/brightness — learnable signal."""
+    rng = np.random.default_rng(seed)
+    while True:
+        images = np.full((batch, size, size, 3), 0.35, np.float32)
+        targets = np.full((batch, max_boxes, 5), -1.0, np.float32)
+        for b in range(batch):
+            for m in range(rng.integers(1, max_boxes + 1)):
+                w = rng.uniform(0.15, 0.5)
+                h = rng.uniform(0.15, 0.5)
+                cx = rng.uniform(w / 2, 1 - w / 2)
+                cy = rng.uniform(h / 2, 1 - h / 2)
+                cls = rng.integers(0, 4)
+                color = np.zeros(3, np.float32)
+                color[cls % 3] = 0.9 if cls < 3 else 0.6
+                x0 = int((cx - w / 2) * size)
+                x1 = int((cx + w / 2) * size)
+                y0 = int((cy - h / 2) * size)
+                y1 = int((cy + h / 2) * size)
+                images[b, y0:y1, x0:x1] = color
+                targets[b, m] = (cls, cx, cy, w, h)
+        yield images, targets
+
+
+def npz_batches(pattern: str, batch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    files = sorted(glob.glob(pattern))
+    if not files:
+        raise FileNotFoundError(f"no data shards match {pattern}")
+    while True:
+        for path in files:
+            with np.load(path) as z:
+                images = z["images"].astype(np.float32)
+                if images.max() > 1.5:
+                    images = images / 255.0
+                targets = z["targets"].astype(np.float32)
+            for i in range(0, len(images) - batch + 1, batch):
+                yield images[i:i + batch], targets[i:i + batch]
+
+
+def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
+          batch: int = 8, steps: int = 100, lr: float = 1e-3,
+          data: Optional[str] = None, ckpt_dir: Optional[str] = None,
+          ckpt_every: int = 100, mesh_data: int = 1, mesh_model: int = 1,
+          remat: bool = False, init_from: Optional[str] = None,
+          log_every: int = 10):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from ..models import get_spec, init_params, save_params
+    from ..models.weights import load_params
+    from ..models.yolov8 import fold_batchnorm
+    from ..parallel.mesh import DATA_AXIS, make_mesh
+    from .checkpoint import CheckpointManager
+    from .step import init_train_state, make_train_step
+
+    spec = get_spec(variant, num_classes)
+    if init_from:
+        params = load_params(init_from)
+    else:
+        params = init_params(jax.random.PRNGKey(0), spec, folded=False)
+    tx = optax.adamw(lr, weight_decay=1e-4)
+    state = init_train_state(params, tx)
+
+    mesh = None
+    if mesh_data * mesh_model > 1:
+        mesh = make_mesh(data=mesh_data, model=mesh_model)
+    step_fn = make_train_step(spec, tx, (size, size), mesh=mesh, remat=remat)
+    if mesh is not None:
+        state = step_fn.shard_state(state)
+
+    mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
+    if mgr is not None:
+        restored = mgr.restore(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from step {int(state.step)}")
+
+    batches = (npz_batches(data, batch) if data
+               else synthetic_batches(batch, size))
+    t0 = time.perf_counter()
+    start = int(state.step)
+    for i, (images, targets) in enumerate(batches):
+        if start + i >= steps:
+            break
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            images = jax.device_put(
+                images, NamedSharding(mesh, P(DATA_AXIS, None, None, None)))
+            targets = jax.device_put(
+                targets, NamedSharding(mesh, P(DATA_AXIS, None, None)))
+        state, metrics = step_fn(state, jnp.asarray(images), jnp.asarray(targets))
+        step_num = int(state.step)
+        if step_num % log_every == 0 or step_num == steps:
+            loss = float(metrics["loss"])
+            rate = step_num - start and (step_num - start) / (time.perf_counter() - t0)
+            print(f"step {step_num:6d}  loss {loss:8.4f}  "
+                  f"box {float(metrics['box']):.3f} cls {float(metrics['cls']):.3f} "
+                  f"dfl {float(metrics['dfl']):.3f}  {rate:.2f} it/s", flush=True)
+        if mgr is not None and step_num % ckpt_every == 0:
+            mgr.save(state)
+    if mgr is not None:
+        mgr.save(state)
+    return state
+
+
+def main() -> None:  # pragma: no cover
+    ap = argparse.ArgumentParser(description="zero-latency-yolo TPU fine-tuning")
+    ap.add_argument("--variant", default="yolov8p")
+    ap.add_argument("--classes", type=int, default=4)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--data", default=None, help=".npz shard glob")
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--ckpt-every", type=int, default=100)
+    ap.add_argument("--mesh-data", type=int, default=1)
+    ap.add_argument("--mesh-model", type=int, default=1)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--init-from", default=None, help="warm-start .npz")
+    args = ap.parse_args()
+    train(variant=args.variant, num_classes=args.classes, size=args.size,
+          batch=args.batch, steps=args.steps, lr=args.lr, data=args.data,
+          ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,
+          mesh_data=args.mesh_data, mesh_model=args.mesh_model,
+          remat=args.remat, init_from=args.init_from)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
