@@ -1,0 +1,84 @@
+"""Utility-layer tests: stats, events, profiling, logging."""
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+
+from zero_latency_yolo_tpu.utils import Counter, EventBus, RollingStats
+from zero_latency_yolo_tpu.utils.logging import get_logger, init_logging
+from zero_latency_yolo_tpu.utils.profiling import annotate, device_host_split
+from zero_latency_yolo_tpu.utils.stats import Stopwatch
+
+
+def test_rolling_stats_percentiles():
+    s = RollingStats(window=100)
+    for i in range(1, 101):
+        s.record(float(i))
+    snap = s.snapshot()
+    assert snap["count"] == 100
+    assert snap["avg_ms"] == 50.5
+    assert snap["p50_ms"] in (50.0, 51.0)
+    assert snap["p99_ms"] in (99.0, 100.0)
+    assert snap["max_ms"] == 100.0
+
+
+def test_rolling_stats_window_evicts():
+    s = RollingStats(window=10)
+    for i in range(100):
+        s.record(float(i))
+    snap = s.snapshot()
+    assert snap["count"] == 100          # lifetime count
+    assert snap["avg_ms"] >= 90.0        # only last 10 in window
+
+
+def test_counter_rate():
+    c = Counter()
+    for _ in range(5):
+        c.inc()
+    assert c.value == 5
+    assert c.rate(window_s=10.0) > 0
+
+
+def test_stopwatch_records():
+    s = RollingStats()
+    with Stopwatch(s):
+        time.sleep(0.01)
+    assert s.snapshot()["avg_ms"] >= 5.0
+
+
+def test_event_bus_isolation():
+    bus = EventBus()
+    seen = []
+    def ok_handler(evt, payload):
+        seen.append(payload)
+    def bad_handler(evt, payload):
+        raise RuntimeError("boom")
+    bus.subscribe("x", bad_handler)
+    bus.subscribe("x", ok_handler)
+    bus.publish("x", 42)  # bad handler must not break the good one
+    assert seen == [42]
+    bus.unsubscribe("x", ok_handler)
+    bus.publish("x", 43)
+    assert seen == [42]
+
+
+def test_logging_rotation_setup(tmp_path):
+    log_file = tmp_path / "srv.log"
+    logger = init_logging("debug", str(log_file), max_log_size_mb=1,
+                          max_log_files=2, console=False)
+    get_logger("test").debug("hello rotation")
+    logging.shutdown()
+    assert log_file.exists()
+    assert "hello rotation" in log_file.read_text()
+
+
+def test_device_host_split_runs():
+    x = jnp.ones((64, 64))
+    f = jax.jit(lambda: (x @ x).sum())
+    out = device_host_split(f, iters=3)
+    assert out["total_ms"] > 0
+    assert out["total_ms"] >= out["host_dispatch_ms"] - 1e-6
+    with annotate("unit-test"):
+        pass
