@@ -112,8 +112,11 @@ class InferenceEngine:
         self.pre_nms_topk = int(tpu.pre_nms_topk)
         nms_cfg = getattr(tpu, "nms", "auto")
         if nms_cfg == "auto":
-            on_tpu = jax.default_backend() not in ("cpu", "gpu")
-            nms_cfg = "pallas" if on_tpu else "xla"
+            # The XLA scan is the default: it compiles everywhere, including
+            # TPU relays whose remote-compile service lacks Pallas support
+            # (observed: tpu_compile_helper 500s on pallas programs). The
+            # Pallas kernel stays opt-in via tpu.nms="pallas".
+            nms_cfg = "xla"
         self.nms_impl = nms_cfg
 
         self.simulation = False
