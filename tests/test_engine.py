@@ -111,6 +111,20 @@ def test_simulation_mode_fallback():
     assert all(0 <= d.x <= 1 for d in out[0].detections)
 
 
+def test_int8_engine_path():
+    cfg = _cfg()
+    cfg.tpu.quantize_int8 = True
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    eng = InferenceEngine(cfg, params=params)
+    out = eng.infer_batch([_req(1, 1, seed=11)])
+    assert len(out) == 1
+    for d in out[0].detections:
+        assert 0 <= d.x <= 1 and d.confidence > 0
+    # Backbone weights on device are int8.
+    assert eng._params["m1"]["w_q"].dtype.name == "int8"
+
+
 def test_status_map(engine):
     st = engine.status()
     assert st["engine"] == "jax-tpu"

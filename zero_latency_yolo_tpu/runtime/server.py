@@ -395,16 +395,28 @@ class DetectionServer:
         self._loop.call_soon_threadsafe(self._send_results, results)
 
     def _send_results(self, results: List[EngineResult]) -> None:
-        now = time.perf_counter()
+        import numpy as np
+        from ..protocol.packets import next_sequence, now_ms
         for res in results:
             session = self._sessions.get(res.client_id)
             if session is None:
                 continue
             dets = self.adapter.process_detections(res.client_id, res.detections)
-            pkt = DetectionResultPacket(
-                frame_id=res.frame_id, frame_timestamp=res.timestamp,
-                detections=dets[:32])
-            self._send_raw(pkt.serialize(), session.addr)
+            dets = dets[:32]
+            if native.HAVE_NATIVE:
+                arr = np.array(
+                    [[d.x, d.y, d.width, d.height, d.confidence, d.class_id]
+                     for d in dets], np.float32).reshape(len(dets), 6)
+                tids = np.array([d.track_id for d in dets], np.uint32)
+                det_ts = dets[0].timestamp if dets else res.timestamp
+                raw = native.build_detection_result(
+                    res.frame_id, res.timestamp, arr, tids, det_ts,
+                    next_sequence(), now_ms())
+            else:
+                raw = DetectionResultPacket(
+                    frame_id=res.frame_id, frame_timestamp=res.timestamp,
+                    detections=dets).serialize()
+            self._send_raw(raw, session.addr)
             session.results_sent += 1
             self.detect_latency.record(res.infer_ms + res.queue_ms)
             EVENT_BUS.publish("inference_completed", res.client_id)
