@@ -1,0 +1,50 @@
+"""Model-family spec/shape checks (init only — forwards are covered by the
+pico/nano tests; large variants compile too slowly for single-core CI)."""
+
+import jax
+import numpy as np
+import pytest
+
+from zero_latency_yolo_tpu.models import VARIANTS, get_spec, init_params
+from zero_latency_yolo_tpu.models.weights import flatten
+
+
+@pytest.mark.parametrize("variant,p3", [
+    ("yolov8p", 32), ("yolov8n", 64), ("yolov8s", 128),
+    ("yolov8m", 192), ("yolov8l", 256), ("yolov8x", 320),
+])
+def test_backbone_widths(variant, p3):
+    spec = get_spec(variant, 80)
+    assert spec.backbone_channels[0] == p3
+
+
+@pytest.mark.parametrize("variant", ["yolov8p", "yolov8s"])
+def test_param_shapes_consistent(variant):
+    spec = get_spec(variant, num_classes=7)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    flat = flatten(jax.tree.map(np.asarray, params))
+    # Stem takes RGB.
+    assert flat["m0/w"].shape[:3] == (3, 3, 3)
+    # Detect head tips: 4*reg_max box bins and nc class logits per level.
+    for lvl in range(3):
+        assert flat[f"m22/cv2/{lvl}/2/w"].shape[-1] == 64
+        assert flat[f"m22/cv3/{lvl}/2/w"].shape[-1] == 7
+    # Head inputs match backbone channels.
+    chs = spec.backbone_channels
+    for lvl, c in enumerate(chs):
+        assert flat[f"m22/cv2/{lvl}/0/w"].shape[2] == c
+
+
+def test_depth_scaling():
+    # n-scale: C2f repeats 1/2/2/1; l-scale: 3/6/6/3.
+    n = init_params(jax.random.PRNGKey(0), get_spec("yolov8n", 4), folded=True)
+    assert len(n["m2"]["m"]) == 1 and len(n["m4"]["m"]) == 2
+    spec_l = get_spec("yolov8l", 4)
+    assert round(3 * spec_l.depth) == 3 and round(6 * spec_l.depth) == 6
+
+
+def test_anchor_counts_by_size():
+    spec = get_spec("yolov8n", 4)
+    assert spec.num_anchors(416, 416) == 3549
+    assert spec.num_anchors(640, 640) == 8400
+    assert spec.num_anchors(64, 64) == 84
