@@ -36,6 +36,7 @@ PacketType::ACK is used by the reference transport but missing from its enum
 from __future__ import annotations
 
 import binascii
+import itertools
 import struct
 import time
 from dataclasses import dataclass, field
@@ -110,14 +111,14 @@ def now_ms() -> int:
     return int(time.time() * 1000)
 
 
-_seq_counter = 0
+_seq_iter = itertools.count(1)
 
 
 def next_sequence() -> int:
-    """Monotonic sequence numbers starting at 1 (reference protocol.h:28-34)."""
-    global _seq_counter
-    _seq_counter = (_seq_counter % 0xFFFFFFFF) + 1
-    return _seq_counter
+    """Monotonic sequence numbers starting at 1 (reference protocol.h:28-34).
+    itertools.count.__next__ is atomic under the GIL, so concurrent senders
+    (event loop + completion thread) never mint duplicates."""
+    return (next(_seq_iter) - 1) % 0xFFFFFFFF + 1
 
 
 @dataclass

@@ -140,8 +140,12 @@ class ContinuousBatcher:
                     self._cv.wait(timeout=0.1)
                 if not self._running:
                     return
-            # Batch-forming window: wait for more frames unless already full.
-            deadline = time.perf_counter() + window_s
+                # Anchor the batch window at the oldest queued frame so a
+                # frame that waited while the previous batch ran is not
+                # charged a second full window.
+                oldest = min((q[0].enqueue_t for q in self._queues.values() if q),
+                             default=time.perf_counter())
+            deadline = oldest + window_s
             while True:
                 with self._cv:
                     ready = self._pending
