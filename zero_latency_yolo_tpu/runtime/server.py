@@ -572,11 +572,16 @@ class DetectionServer:
                 body = await asyncio.wait_for(
                     reader.readexactly(content_length), timeout=60.0)
             code, payload = await self.management.handle(method, path, body)
-            data = json.dumps(payload, indent=1).encode()
+            if isinstance(payload, dict) and "__html__" in payload:
+                data = payload["__html__"].encode()
+                ctype = "text/html; charset=utf-8"
+            else:
+                data = json.dumps(payload, indent=1).encode()
+                ctype = "application/json"
             reason = {200: "OK", 400: "Bad Request", 404: "Not Found",
                       500: "Internal Server Error"}.get(code, "OK")
             writer.write(f"HTTP/1.1 {code} {reason}\r\n"
-                         f"Content-Type: application/json\r\n"
+                         f"Content-Type: {ctype}\r\n"
                          f"Content-Length: {len(data)}\r\n"
                          f"Connection: close\r\n\r\n".encode() + data)
             await writer.drain()

@@ -182,6 +182,20 @@ class SimClient:
     def heartbeat(self, ping: int = 0) -> None:
         self._send(HeartbeatPacket(ping=ping).serialize())
 
+    def start_heartbeat(self, interval_s: float = 1.0) -> None:
+        """Periodic heartbeat thread (reference client sends every 1s,
+        client/network.cpp:252-266)."""
+        def loop():
+            while self._running:
+                try:
+                    self.heartbeat()
+                except OSError:
+                    return
+                time.sleep(interval_s)
+        self._hb_thread = threading.Thread(target=loop, daemon=True)
+        self._running = True
+        self._hb_thread.start()
+
     # -------------------------------------------------------------- results
     def wait_results(self, n: int, timeout: float = 10.0) -> List[DetectionResultPacket]:
         deadline = time.monotonic() + timeout

@@ -38,6 +38,49 @@ ALLOWED_MODEL_EXT = (".onnx", ".npz", ".pt", ".pth")
 
 CLIENT_VERSION = {"version": "1.0.0", "min_supported": "1.0.0"}
 
+# Self-contained live dashboard (replaces the reference's Express-served
+# public/index.html + script.js polling loop, web/server.js).
+DASHBOARD_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>zero-latency-yolo TPU</title>
+<style>
+body{font-family:system-ui,sans-serif;background:#111;color:#ddd;margin:2rem}
+h1{font-size:1.2rem} .grid{display:grid;grid-template-columns:repeat(auto-fill,minmax(220px,1fr));gap:12px}
+.card{background:#1c1c1c;border:1px solid #333;border-radius:8px;padding:12px}
+.k{color:#888;font-size:.75rem;text-transform:uppercase}.v{font-size:1.4rem;margin-top:4px}
+table{width:100%;border-collapse:collapse;margin-top:1rem;font-size:.85rem}
+td,th{border-bottom:1px solid #2a2a2a;padding:4px 8px;text-align:left}
+</style></head><body>
+<h1>zero-latency-yolo TPU &mdash; live status</h1>
+<div class="grid" id="cards"></div>
+<table id="sessions"><thead><tr><th>client</th><th>addr</th><th>frames</th>
+<th>results</th><th>srtt ms</th></tr></thead><tbody></tbody></table>
+<script>
+async function tick(){
+  try{
+    const s = await (await fetch('/statusz')).json();
+    const cards = [
+      ['clients', s.clients + ' / ' + s.max_clients],
+      ['queue depth', s.queue_depth],
+      ['rx pps', s.transport.rx_pps],
+      ['detect p99 ms', s.detect_latency.p99_ms.toFixed ? s.detect_latency.p99_ms.toFixed(2) : s.detect_latency.p99_ms],
+      ['device p99 ms', s.engine.device_p99_ms],
+      ['inferences', s.engine.inferences],
+      ['dropped', s.engine.dropped],
+      ['bad packets', s.transport.bad_packets],
+      ['retransmits', s.transport.retransmits],
+      ['model', s.engine.model + '@' + s.engine.model_size +
+        (s.engine.simulation === 'true' ? ' (SIM)' : '')],
+    ];
+    document.getElementById('cards').innerHTML = cards.map(
+      c => `<div class="card"><div class="k">${c[0]}</div><div class="v">${c[1]}</div></div>`).join('');
+    const rows = Object.entries(s.sessions || {}).map(([id, x]) =>
+      `<tr><td>#${id}</td><td>${x.addr}</td><td>${x.frames}</td><td>${x.results}</td><td>${x.srtt_ms}</td></tr>`);
+    document.querySelector('#sessions tbody').innerHTML = rows.join('');
+  }catch(e){}
+}
+tick(); setInterval(tick, 2000);
+</script></body></html>"""
+
 
 class ManagementApi:
     def __init__(self, status_fn: Callable[[], Dict],
@@ -53,6 +96,8 @@ class ManagementApi:
         query = dict(urllib.parse.parse_qsl(url.query))
         try:
             if method == "GET":
+                if route == "/dashboard":
+                    return 200, {"__html__": DASHBOARD_HTML}
                 if route in ("/", "/statusz", "/api/server/status"):
                     return 200, self.status_fn()
                 if route == "/api/models":
