@@ -29,6 +29,14 @@ def main() -> None:
     import jax
     if SMOKE:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache: rebench/restart skips the (slow, relayed)
+    # XLA compiles entirely.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — older jax without these flags
+        pass
     import jax.numpy as jnp
     from zero_latency_yolo_tpu.config import ServerConfig
     from zero_latency_yolo_tpu.models.yolov8 import get_spec, init_params

@@ -619,9 +619,15 @@ def main() -> None:  # pragma: no cover
                     help="force a JAX platform (e.g. cpu); overrides "
                          "sitecustomize-registered accelerators")
     args = ap.parse_args()
+    import jax
     if args.platform:
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath(".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
 
     cfg = ServerConfig.load(args.config)
     from ..utils.logging import init_logging
