@@ -1,0 +1,165 @@
+"""Weight persistence + checkpoint conversion tests."""
+
+import struct
+
+import jax
+import numpy as np
+import pytest
+
+from zero_latency_yolo_tpu.models import fold_batchnorm, get_spec, init_params
+from zero_latency_yolo_tpu.models.weights import (
+    file_sha256, flatten, from_onnx, from_ultralytics_state_dict, load_model,
+    load_params, read_onnx_initializers, save_params, unflatten,
+)
+
+
+def test_npz_roundtrip(tmp_path):
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    path = str(tmp_path / "m.npz")
+    save_params(params, path)
+    back = load_params(path)
+    a = flatten(jax.tree.map(np.asarray, params))
+    b = flatten(back)
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_flatten_unflatten_lists():
+    tree = {"a": [{"w": np.ones(2)}, {"w": np.zeros(3)}], "b": {"c": np.arange(4)}}
+    flat = flatten(tree)
+    assert set(flat) == {"a/0/w", "a/1/w", "b/c"}
+    back = unflatten(flat)
+    assert isinstance(back["a"], list) and len(back["a"]) == 2
+    np.testing.assert_array_equal(back["b"]["c"], np.arange(4))
+
+
+def _to_ultra_state_dict(params):
+    """Inverse mapping: our pytree -> ultralytics-style state_dict keys.
+
+    Conv blocks (w + bn) become `...conv.weight` + `...bn.{stats}`;
+    bias-carrying leaves (the detect-head tip Conv2d) become bare
+    `...weight` / `...bias`, matching ultralytics module naming.
+    """
+    sd = {}
+    bn_inv = {"gamma": "weight", "beta": "bias", "mean": "running_mean",
+              "var": "running_var"}
+    flat = flatten(jax.tree.map(np.asarray, params))
+    for key, val in flat.items():
+        parts = key.split("/")
+        idx = parts[0][1:]  # strip leading 'm'
+        rest = parts[1:]
+        prefix = parts[:-1]
+        has_bias_sibling = "/".join(prefix + ["b"]) in flat
+        out = []
+        for i, tok in enumerate(rest):
+            if tok == "w":
+                if val.ndim == 4:
+                    val = np.transpose(val, (3, 2, 0, 1))  # HWIO -> OIHW
+                out.append("weight" if has_bias_sibling else "conv.weight")
+                break
+            if tok == "b":
+                out.append("bias" if has_bias_sibling else "conv.bias")
+                break
+            if tok == "bn":
+                out.append(f"bn.{bn_inv[rest[i + 1]]}")
+                break
+            out.append(tok)
+        sd[f"model.{idx}." + ".".join(out)] = val
+    return sd
+
+
+def test_ultralytics_state_dict_conversion():
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(1), spec, folded=False)
+    sd = _to_ultra_state_dict(params)
+    assert any(k.endswith("bn.running_mean") for k in sd)
+    converted = from_ultralytics_state_dict(sd)
+    expect = fold_batchnorm(params)
+    got = flatten(jax.tree.map(np.asarray, converted))
+    want = flatten(jax.tree.map(np.asarray, expect))
+    assert got.keys() == want.keys()
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6, atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# Minimal ONNX writer (protobuf wire format) for parser tests.
+# --------------------------------------------------------------------------
+
+def _varint(n):
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        out += bytes([b7 | (0x80 if n else 0)])
+        if not n:
+            return out
+
+
+def _field(num, wire, payload):
+    tag = _varint((num << 3) | wire)
+    if wire == 2:
+        return tag + _varint(len(payload)) + payload
+    return tag + payload
+
+
+def _tensor_proto(name, arr):
+    msg = b""
+    for d in arr.shape:
+        msg += _field(1, 0, _varint(d))
+    msg += _field(2, 0, _varint(1))  # FLOAT
+    msg += _field(8, 2, name.encode())
+    msg += _field(9, 2, arr.astype("<f4").tobytes())
+    return msg
+
+
+def _onnx_bytes(tensors):
+    graph = b""
+    for name, arr in tensors.items():
+        graph += _field(5, 2, _tensor_proto(name, arr))
+    return _field(7, 2, graph)  # ModelProto.graph
+
+
+def test_onnx_initializer_parser(tmp_path):
+    w = np.random.default_rng(0).normal(size=(8, 3, 3, 3)).astype(np.float32)
+    b = np.zeros(8, np.float32)
+    path = tmp_path / "tiny.onnx"
+    path.write_bytes(_onnx_bytes({
+        "model.0.conv.weight": w, "model.0.conv.bias": b}))
+    tensors = read_onnx_initializers(str(path))
+    np.testing.assert_array_equal(tensors["model.0.conv.weight"], w)
+    params = from_onnx(str(path))
+    # OIHW -> HWIO on load.
+    assert params["m0"]["w"].shape == (3, 3, 3, 8)
+    np.testing.assert_array_equal(
+        np.transpose(params["m0"]["w"], (3, 2, 0, 1)), w)
+    np.testing.assert_array_equal(params["m0"]["b"], b)
+
+
+def test_onnx_placeholder_rejected(tmp_path):
+    path = tmp_path / "fake.onnx"
+    path.write_bytes(b"ONNX MODEL PLACEHOLDER")  # start.sh:135-144 behavior
+    with pytest.raises(ValueError):
+        from_onnx(str(path))
+
+
+def test_load_model_fallbacks(tmp_path):
+    # Placeholder .onnx => simulation mode (reference onnx_engine.cpp:70-75).
+    path = tmp_path / "yolo_nano_cs16.onnx"
+    path.write_bytes(b"ONNX MODEL PLACEHOLDER")
+    params, spec, sim = load_model(str(path), "yolov8p", 4)
+    assert sim and params
+    # Valid npz => real weights.
+    good = tmp_path / "good.npz"
+    save_params(init_params(jax.random.PRNGKey(0), spec, folded=True), str(good))
+    _, _, sim2 = load_model(str(good), "yolov8p", 4)
+    assert not sim2
+
+
+def test_file_sha256(tmp_path):
+    p = tmp_path / "f.bin"
+    p.write_bytes(b"abc")
+    assert file_sha256(str(p)) == (
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")

@@ -108,7 +108,10 @@ def from_ultralytics_state_dict(sd: Dict[str, np.ndarray]) -> Params:
         mapped = _map_ultra_path(rest)
         if mapped is None:
             continue
-        flat[f"m{idx}/" + "/".join(mapped)] = np.asarray(val)
+        arr = np.asarray(val)
+        if mapped[-1] == "w" and arr.ndim == 4:
+            arr = _torch_to_hwio(arr)
+        flat[f"m{idx}/" + "/".join(mapped)] = arr
     params = unflatten(flat)
     return fold_batchnorm(_bn_arrays_to_tree(params))
 
@@ -127,8 +130,7 @@ def _map_ultra_path(rest: List[str]) -> Optional[List[str]]:
     while i < len(rest):
         tok = rest[i]
         if tok == "conv":
-            assert rest[i + 1] == "weight"
-            out.append("w")
+            out.append("w" if rest[i + 1] == "weight" else "b")
             return out
         if tok == "bn":
             stat = bn_map.get(rest[i + 1])
