@@ -39,6 +39,8 @@ def harness(tmp_path_factory):
     })
     server = DetectionServer(cfg)
     assert not server.engine.simulation
+    # Compile ahead of time so result waits don't race XLA on a loaded core.
+    server.engine.warmup()
     loop = asyncio.new_event_loop()
     t = threading.Thread(target=loop.run_forever, daemon=True)
     t.start()

@@ -214,12 +214,52 @@ class DetectionServer:
     def _on_datagram(self, data: bytes, addr: Addr) -> None:
         self.packets_received.inc()
         self.bytes_received.inc(len(data))
-        # Fast path: single native C call validates magic/version/length/CRC
-        # before any Python-level parsing (native/codec.cpp).
-        if native.HAVE_NATIVE and native.validate_packet(data) is None:
-            self.bad_packets.inc()
-            log.debug("bad packet from %s (native reject)", addr)
-            return
+        session = self._session_by_addr(addr)
+
+        # Fast path (native codec): one C call validates
+        # magic/version/length/CRC and yields the header; the dominant
+        # packet types (FRAME_DATA, ACK, HEARTBEAT) are then handled without
+        # constructing Python packet objects at all.
+        if native.HAVE_NATIVE:
+            hdr = native.validate_packet(data)
+            if hdr is None:
+                self.bad_packets.inc()
+                log.debug("bad packet from %s (native reject)", addr)
+                return
+            ntype, _length, sequence, _ts = hdr
+            if session is not None:
+                session.last_active = time.monotonic()
+            if ntype == PacketType.ACK:
+                if session is not None and len(data) >= 26:
+                    acked = int.from_bytes(data[22:26], "little")
+                    pending = session.pending.pop(acked, None)
+                    if pending is not None:
+                        session.observe_rtt(time.monotonic() - pending.sent_at)
+                return
+            from ..protocol.packets import next_sequence, now_ms
+            if session is not None:
+                self._send_raw(
+                    native.build_ack(sequence, next_sequence(), now_ms()), addr)
+            if ntype == PacketType.FRAME_DATA:
+                if session is None:
+                    log.debug("frame data from unknown client %s", addr)
+                    return
+                parsed = native.parse_frame_header(data)
+                if parsed is None:
+                    self.bad_packets.inc()
+                    return
+                fid, fts, w, h, keyframe, off = parsed
+                self._handle_frame_fast(session, fid, fts, w, h, keyframe,
+                                        data[off:])
+                return
+            if ntype == PacketType.HEARTBEAT:
+                if session is not None and len(data) >= 26:
+                    ping = int.from_bytes(data[22:26], "little")
+                    self._send_raw(native.build_heartbeat(
+                        ping, next_sequence(), now_ms()), addr)
+                return
+            # Rare control packets fall through to the object codec.
+
         try:
             pkt = parse_packet(data)
         except ProtocolError as e:
@@ -227,7 +267,6 @@ class DetectionServer:
             log.debug("bad packet from %s: %s", addr, e)
             return
 
-        session = self._session_by_addr(addr)
         if session is not None:
             session.last_active = time.monotonic()
 
@@ -235,14 +274,11 @@ class DetectionServer:
         if ptype == PacketType.ACK:
             self._handle_ack(pkt, session)
             return
-        # ACK every valid non-ACK packet from a known peer.
-        if session is not None:
-            if native.HAVE_NATIVE:
-                from ..protocol.packets import next_sequence, now_ms
-                ack = native.build_ack(pkt.sequence, next_sequence(), now_ms())
-            else:
-                ack = AckPacket(acked_sequence=pkt.sequence).serialize()
-            self._send_raw(ack, addr)
+        # ACK every valid non-ACK packet from a known peer (already ACKed
+        # above when the native codec handled it).
+        if session is not None and not native.HAVE_NATIVE:
+            self._send_raw(AckPacket(acked_sequence=pkt.sequence).serialize(),
+                           addr)
 
         if ptype == PacketType.CLIENT_INFO:
             self._handle_client_info(pkt, addr)
@@ -342,17 +378,23 @@ class DetectionServer:
                 command_data=body).serialize(), session.addr)
 
     def _handle_frame(self, pkt: FrameDataPacket, session: ClientSession) -> None:
+        self._handle_frame_fast(session, pkt.frame_id, pkt.frame_timestamp,
+                                pkt.width, pkt.height, pkt.keyframe, pkt.data)
+
+    def _handle_frame_fast(self, session: ClientSession, frame_id: int,
+                           frame_ts: int, width: int, height: int,
+                           keyframe: bool, payload: bytes) -> None:
         try:
-            decoded = decode_frame_payload(pkt.data, pkt.width, pkt.height)
+            decoded = decode_frame_payload(payload, width, height)
         except FrameDecodeError as e:
             self.bad_packets.inc()
             log.debug("frame decode failed (client %d): %s", session.client_id, e)
             return
         session.frames_received += 1
         request = InferenceRequest(
-            client_id=session.client_id, frame_id=pkt.frame_id,
-            timestamp=pkt.frame_timestamp, width=pkt.width, height=pkt.height,
-            data=None, keyframe=pkt.keyframe)
+            client_id=session.client_id, frame_id=frame_id,
+            timestamp=frame_ts, width=width, height=height,
+            data=None, keyframe=keyframe)
         cache = self.device_cache
         if cache is not None:
             if decoded.roi is not None:
