@@ -52,12 +52,16 @@ def main() -> None:
     # "hosted" re-uploads the full frame batch per step; through the axon
     # relay that path measures tunnel bandwidth, not the chip, so cached is
     # the headline.
+    # Measured on v5e: the gather-form letterbox is pathological on TPU
+    # (~160 ms/step at batch 32) and the hosted-upload path is bound by the
+    # axon relay (~20 MB/s), so the sweep covers the MXU letterbox over the
+    # device cache at the fps-optimal (64) and p99-optimal (32) batch sizes,
+    # plus the int8 backbone.
     combos = (((2, "letterbox", "cached"), (2, "letterbox_mxu", "cached"),
                (2, "letterbox", "hosted")) if SMOKE else
-              ((32, "letterbox", "cached"),
-               (64, "letterbox", "cached"),
+              ((32, "letterbox_mxu", "cached"),
                (64, "letterbox_mxu", "cached"),
-               (64, "letterbox", "hosted")))
+               (64, "letterbox_mxu", "cached_int8")))
 
     cfg = ServerConfig.from_dict({
         "confidence_threshold": 0.5,
@@ -93,6 +97,10 @@ def _run_combo(cfg, params, batch, mode, source, bh, bw, h, w, rng, results):
     import jax.numpy as jnp
     from zero_latency_yolo_tpu.runtime.engine import InferenceEngine
     if True:  # keep original indentation of the measurement block
+        if source.endswith("_int8"):
+            import dataclasses
+            cfg = dataclasses.replace(cfg)  # shallow copy is fine: tpu replaced below
+            cfg.tpu = dataclasses.replace(cfg.tpu, quantize_int8=True)
         engine = InferenceEngine(cfg, params=params, preprocess_mode=mode)
         frames = rng.integers(0, 256, (batch, bh, bw, 3), dtype=np.uint8)
         heights = jnp.full((batch,), h, jnp.int32)
@@ -101,7 +109,7 @@ def _run_combo(cfg, params, batch, mode, source, bh, bw, h, w, rng, results):
         cw, conf, iou = engine._class_weights, engine._conf, engine._iou
         p = engine._params
 
-        if source == "cached":
+        if source.startswith("cached"):
             # Steady-state serving: frames live in the HBM frame cache, the
             # step gathers slots on device (no per-step pixel H2D).
             cache = jnp.asarray(frames)  # one upload, acts as the slot cache

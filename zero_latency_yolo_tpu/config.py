@@ -133,12 +133,13 @@ class TpuConfig:
     num_classes: int = 4
     # Model variant: yolov8p / n / s / m / l / x.
     variant: str = "yolov8n"
-    # Preprocess implementation: "letterbox" (vector gathers),
-    # "letterbox_mxu" (interp-matrix matmuls on the MXU), or "stretch"
-    # (reference-compatible nearest-neighbor stretch).
-    preprocess: str = "letterbox"
-    # NMS suppression scan: "auto" (pallas on TPU, xla elsewhere),
-    # "xla", "pallas".
+    # Preprocess implementation: "letterbox_mxu" (interp-matrix matmuls on
+    # the MXU — measured ~78x faster than the gather form on v5e),
+    # "letterbox" (vector gathers), or "stretch" (reference-compatible
+    # nearest-neighbor stretch).
+    preprocess: str = "letterbox_mxu"
+    # NMS suppression scan: "auto" (currently the XLA scan — the axon
+    # remote-compile relay cannot build Pallas programs), "xla", "pallas".
     nms: str = "auto"
 
 
