@@ -172,7 +172,8 @@ class InferenceEngine:
         mode = self.preprocess_mode
         resize = {
             "letterbox": pre_ops.letterbox_batch,
-            "letterbox_mxu": pre_ops.letterbox_batch_mxu,
+            "letterbox_mxu": (lambda f, hh, ww, s:
+                              pre_ops.letterbox_batch_mxu(f, hh, ww, s, dtype)),
             "stretch": pre_ops.stretch_batch,
         }[mode]
 
