@@ -68,7 +68,9 @@ def _greedy_nms_mask(iou: jnp.ndarray, same_class: jnp.ndarray,
         row = suppress_pair[i] & keep[i]
         return keep & ~row
 
-    return jax.lax.fori_loop(0, k, body, valid)
+    # unroll: the loop body is tiny, so per-iteration while-loop overhead
+    # dominates the scan on TPU; unrolling amortizes it 8x.
+    return jax.lax.fori_loop(0, k, body, valid, unroll=8)
 
 
 def _select_one(pred: jnp.ndarray, class_weights: jnp.ndarray,
