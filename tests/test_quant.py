@@ -37,6 +37,25 @@ def test_head_and_stem_not_quantized():
     assert flat["m1/w_q"].dtype == np.int8
 
 
+def test_static_calibration_matches_dynamic():
+    from zero_latency_yolo_tpu.ops.quant import calibrate_activations
+    spec = get_spec("yolov8p", 4)
+    params = fold_batchnorm(init_params(jax.random.PRNGKey(0), spec, folded=False))
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, SIZE, SIZE, 3))
+    q_dyn = quantize_params(params)
+    dyn = np.asarray(forward_decoded(q_dyn, spec, x))
+    q_static = quantize_params(params)
+    n = calibrate_activations(q_static, spec, np.asarray(x))
+    assert n > 10  # all backbone convs calibrated
+    flat = flatten(jax.tree.map(np.asarray, q_static))
+    assert any(k.endswith("x_scale") for k in flat)
+    static = np.asarray(forward_decoded(q_static, spec, x))
+    # Static scales calibrated on the same distribution stay close to the
+    # dynamic-quant outputs.
+    assert np.abs(dyn[..., 4:] - static[..., 4:]).mean() < 0.03
+    assert np.isfinite(static).all()
+
+
 def test_int8_forward_close_to_f32():
     spec = get_spec("yolov8n", 4)
     params = fold_batchnorm(init_params(jax.random.PRNGKey(0), spec, folded=False))

@@ -233,8 +233,13 @@ def _conv(p: Params, x: jnp.ndarray, stride: int = 1, act: bool = True,
         k = w_q.shape[0]
         pad = (k - 1) // 2
         x32 = x.astype(jnp.float32)
-        x_amax = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-8)
-        x_scale = x_amax / 127.0
+        if "x_scale" in p:
+            # Static calibrated activation scale (ops/quant.py) — no
+            # per-batch reduction on the hot path.
+            x_scale = p["x_scale"].astype(jnp.float32)
+        else:
+            x_amax = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-8)
+            x_scale = x_amax / 127.0
         x_q = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
         y = lax.conv_general_dilated(
             x_q, w_q, window_strides=(stride, stride),
