@@ -55,7 +55,6 @@ class Track:
     class_id: int
     confidence: float
     hits: int = 1
-    misses: int = 0
     created_ms: float = 0.0
     last_update_ms: float = 0.0
 
@@ -195,7 +194,6 @@ class MultiObjectTracker:
                 upd_z.append(boxes[c_i])
                 t = self.meta[r_i]
                 t.hits += 1
-                t.misses = 0
                 t.last_update_ms = now_ms
                 t.confidence = 0.7 * t.confidence + 0.3 * float(confidences[c_i])
             if upd_rows:
@@ -207,12 +205,11 @@ class MultiObjectTracker:
                 self._add(boxes[c_i], int(classes[c_i]), float(confidences[c_i]), now_ms)
                 matched_det[c_i] = len(self.meta) - 1
 
-        # Age out: silent > max_age/2 (reference expiry rule).
+        # Age out: silent > max_age/2 (reference expiry rule,
+        # kalman_tracker.cpp:167-171).
         keep = np.ones(len(self.meta), bool)
         for i, t in enumerate(self.meta):
-            t.misses = 0 if t.last_update_ms >= now_ms else t.misses
-            silent_ms = now_ms - t.last_update_ms
-            if silent_ms > self.max_age_ms / 2 or (now_ms - t.created_ms) > self.max_age_ms * 100:
+            if now_ms - t.last_update_ms > self.max_age_ms / 2:
                 keep[i] = False
 
         out: List[Tuple[np.ndarray, float, int, int]] = []
