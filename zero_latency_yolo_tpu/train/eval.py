@@ -1,0 +1,143 @@
+"""Detection evaluation: AP@IoU for fine-tuned checkpoints.
+
+The reference has no evaluation tooling at all (models arrive pre-trained);
+this closes the train->eval->deploy loop: run the deployed inference path
+(forward + decode + class-weighted NMS) over an eval set and score AP per
+class with greedy IoU matching (VOC-style, all-point interpolation).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.yolov8 import ModelSpec, forward_decoded
+from ..ops import nms as nms_ops
+
+
+def _iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    iw = np.maximum(0, np.minimum(a[:, None, 2], b[None, :, 2]) -
+                    np.maximum(a[:, None, 0], b[None, :, 0]))
+    ih = np.maximum(0, np.minimum(a[:, None, 3], b[None, :, 3]) -
+                    np.maximum(a[:, None, 1], b[None, :, 1]))
+    inter = iw * ih
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(area_a[:, None] + area_b[None] - inter, 1e-9)
+
+
+def _xywh_to_xyxy(x: np.ndarray) -> np.ndarray:
+    out = x.copy()
+    out[:, 0] = x[:, 0] - x[:, 2] / 2
+    out[:, 1] = x[:, 1] - x[:, 3] / 2
+    out[:, 2] = x[:, 0] + x[:, 2] / 2
+    out[:, 3] = x[:, 1] + x[:, 3] / 2
+    return out
+
+
+def average_precision(scored: List[Tuple[float, bool]], n_gt: int) -> float:
+    """All-point-interpolated AP from (score, is_true_positive) pairs."""
+    if n_gt == 0:
+        return 0.0
+    scored = sorted(scored, key=lambda s: -s[0])
+    tp = np.cumsum([1.0 if hit else 0.0 for _, hit in scored])
+    fp = np.cumsum([0.0 if hit else 1.0 for _, hit in scored])
+    recall = tp / n_gt
+    precision = tp / np.maximum(tp + fp, 1e-9)
+    # precision envelope
+    for i in range(len(precision) - 2, -1, -1):
+        precision[i] = max(precision[i], precision[i + 1])
+    ap = 0.0
+    prev_r = 0.0
+    for r, p in zip(recall, precision):
+        ap += (r - prev_r) * p
+        prev_r = r
+    return float(ap)
+
+
+def match_detections(pred_boxes: np.ndarray, pred_scores: np.ndarray,
+                     gt_boxes: np.ndarray, iou_thresh: float = 0.5
+                     ) -> List[Tuple[float, bool]]:
+    """Greedy score-ordered matching of one image's single-class detections."""
+    order = np.argsort(-pred_scores)
+    taken = np.zeros(len(gt_boxes), bool)
+    out: List[Tuple[float, bool]] = []
+    if len(gt_boxes):
+        iou = _iou_xyxy(_xywh_to_xyxy(pred_boxes), _xywh_to_xyxy(gt_boxes))
+    for i in order:
+        hit = False
+        if len(gt_boxes):
+            j = int(np.argmax(np.where(taken, -1.0, iou[i])))
+            if not taken[j] and iou[i, j] >= iou_thresh:
+                taken[j] = True
+                hit = True
+        out.append((float(pred_scores[i]), hit))
+    return out
+
+
+def evaluate(params, spec: ModelSpec, images: np.ndarray, targets: np.ndarray,
+             conf_thresh: float = 0.25, nms_thresh: float = 0.45,
+             iou_thresh: float = 0.5, batch: int = 8,
+             class_weights: Optional[np.ndarray] = None,
+             dtype=jnp.float32) -> Dict[str, float]:
+    """AP@iou_thresh over an eval set.
+
+    images:  (N, S, S, 3) float in [0,1] (already letterboxed/square)
+    targets: (N, M, 5) [class, cx, cy, w, h] normalized, class=-1 padding
+    Returns {"mAP": ..., "AP/<cls>": ..., "recall": ...}.
+    """
+    n, s = images.shape[0], images.shape[1]
+    nc = spec.num_classes
+    cw = jnp.asarray(class_weights if class_weights is not None
+                     else np.ones(nc), jnp.float32)
+
+    @jax.jit
+    def run(x):
+        pred = forward_decoded(params, spec, x, dtype=dtype)
+        b = x.shape[0]
+        scale = jnp.ones((b,), jnp.float32)
+        pad = jnp.zeros((b, 2), jnp.float32)
+        wh = jnp.full((b, 2), float(s), jnp.float32)
+        return nms_ops.postprocess_batch(
+            pred, cw, jnp.float32(conf_thresh), jnp.float32(nms_thresh),
+            scale, pad, wh)
+
+    per_class: Dict[int, List[Tuple[float, bool]]] = {c: [] for c in range(nc)}
+    gt_count = {c: 0 for c in range(nc)}
+    matched_total = 0
+    for i0 in range(0, n, batch):
+        chunk = images[i0:i0 + batch]
+        pad_n = batch - len(chunk)
+        if pad_n:
+            chunk = np.concatenate([chunk, np.zeros((pad_n,) + chunk.shape[1:],
+                                                    chunk.dtype)])
+        out = run(jnp.asarray(chunk))
+        boxes = np.asarray(out["boxes"])
+        scores = np.asarray(out["scores"])
+        classes = np.asarray(out["classes"])
+        counts = np.asarray(out["count"])
+        for bi in range(len(images[i0:i0 + batch])):
+            t = targets[i0 + bi]
+            valid = t[:, 0] >= 0
+            for c in range(nc):
+                gt_c = t[valid & (t[:, 0] == c)][:, 1:]
+                gt_count[c] += len(gt_c)
+                k = int(counts[bi])
+                sel = classes[bi, :k] == c
+                res = match_detections(boxes[bi, :k][sel], scores[bi, :k][sel],
+                                       gt_c, iou_thresh)
+                matched_total += sum(1 for _, hit in res if hit)
+                per_class[c].extend(res)
+
+    aps = {c: average_precision(per_class[c], gt_count[c])
+           for c in range(nc) if gt_count[c] > 0}
+    total_gt = sum(gt_count.values())
+    return {
+        "mAP": float(np.mean(list(aps.values()))) if aps else 0.0,
+        **{f"AP/{c}": ap for c, ap in aps.items()},
+        "recall": matched_total / total_gt if total_gt else 0.0,
+        "num_gt": total_gt,
+    }
