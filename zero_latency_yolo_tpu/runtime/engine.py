@@ -151,7 +151,8 @@ class InferenceEngine:
         self._iou = jnp.float32(config.nms_threshold)
 
         self._step_cache: Dict[Tuple[int, int, int], Any] = {}
-        self._staging: Dict[Tuple[int, int, int], np.ndarray] = {}
+        self._staging: Dict[Tuple[int, int, int], Any] = {}
+        self._staging_flip: Dict[Tuple[int, int, int], int] = {}
 
         # Telemetry (reference stats fields, onnx_engine.h:261-273).
         self.inference_count = Counter()
@@ -271,10 +272,16 @@ class InferenceEngine:
             max(r.height for r in requests), max(r.width for r in requests))
         key = (batch, bucket[0], bucket[1])
 
-        staging = self._staging.get(key)
-        if staging is None or staging.shape[0] != batch:
-            staging = np.zeros((batch, bucket[0], bucket[1], 3), np.uint8)
-            self._staging[key] = staging
+        # Double-buffered staging: jnp.asarray may alias host memory on some
+        # backends, and with the two-stage pipeline the previous batch can
+        # still be in flight while we fill the next one.
+        bufs = self._staging.get(key)
+        if bufs is None:
+            bufs = [np.zeros((batch, bucket[0], bucket[1], 3), np.uint8)
+                    for _ in range(2)]
+            self._staging[key] = bufs
+        self._staging_flip[key] = self._staging_flip.get(key, 0) ^ 1
+        staging = bufs[self._staging_flip[key]]
         heights = np.ones((batch,), np.int32)
         widths = np.ones((batch,), np.int32)
         for i, r in enumerate(requests):
