@@ -54,7 +54,9 @@ def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
     """
 
     def fwd(params, images):
-        return forward_raw(params, spec, images, dtype=dtype)
+        # accum_f32=False: the serving fast path's widened conv output dtype
+        # has no transpose rule; training uses the autodiff-safe form.
+        return forward_raw(params, spec, images, dtype=dtype, accum_f32=False)
 
     if remat:
         fwd = jax.checkpoint(
