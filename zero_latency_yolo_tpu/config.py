@@ -45,6 +45,9 @@ class NetworkConfig:
     heartbeat_interval_ms: int = 1000
     max_retries: int = 3
     use_reliable_udp: bool = True
+    # New optional knob: C++ recvmmsg transport (native/udp.cpp) instead of
+    # the asyncio datagram endpoint. Old configs simply omit it.
+    use_native_transport: bool = False
 
 
 @dataclass

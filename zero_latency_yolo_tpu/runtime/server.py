@@ -165,16 +165,31 @@ class DetectionServer:
     async def start(self) -> None:
         self._loop = asyncio.get_running_loop()
         port = self.config.network.port
+        use_native = self.config.network.use_native_transport
+        if use_native:
+            from .transport import HAVE_NATIVE_UDP, NativeUdpTransport
+            if not HAVE_NATIVE_UDP:
+                log.warning("native transport requested but unavailable; "
+                            "falling back to asyncio")
+                use_native = False
         for attempt, p in enumerate((port, port + 1)):
             try:
-                await self._loop.create_datagram_endpoint(
-                    lambda: _Protocol(self), local_addr=("0.0.0.0", p))
+                if use_native:
+                    self._transport = NativeUdpTransport(
+                        p, self.config.network.recv_buffer_size,
+                        self.config.network.send_buffer_size,
+                        self._on_native_batch)
+                else:
+                    await self._loop.create_datagram_endpoint(
+                        lambda: _Protocol(self), local_addr=("0.0.0.0", p))
                 self.port = p
                 break
             except OSError:
                 if attempt == 1:
                     raise
                 log.warning("port %d busy, trying %d", p, p + 1)
+        if use_native:
+            log.info("native recvmmsg transport active on udp/%d", self.port)
         self.batcher.start()
         self._mgmt_task = asyncio.create_task(self._management_loop())
         self._watch_task = asyncio.create_task(self._model_watch_loop())
@@ -211,6 +226,15 @@ class DetectionServer:
             self._transport = None
 
     # ============================================================== rx path
+    def _on_native_batch(self, batch) -> None:
+        """Called on the native drain thread: hop to the loop once per batch."""
+        if self._loop is None:
+            return
+        def deliver():
+            for data, addr in batch:
+                self._on_datagram(data, addr)
+        self._loop.call_soon_threadsafe(deliver)
+
     def _on_datagram(self, data: bytes, addr: Addr) -> None:
         self.packets_received.inc()
         self.bytes_received.inc(len(data))
