@@ -146,15 +146,14 @@ class ContinuousBatcher:
                 oldest = min((q[0].enqueue_t for q in self._queues.values() if q),
                              default=time.perf_counter())
             deadline = oldest + window_s
+            # Batch-forming window: wait on the condition variable (woken by
+            # submits) until the batch fills or the deadline passes.
             while True:
-                with self._cv:
-                    ready = self._pending
-                if ready >= self.max_batch:
-                    break
                 remaining = deadline - time.perf_counter()
-                if remaining <= 0:
-                    break
-                time.sleep(min(remaining, 0.0005))
+                with self._cv:
+                    if self._pending >= self.max_batch or remaining <= 0:
+                        break
+                    self._cv.wait(timeout=remaining)
             batch = self._collect()
             if not batch:
                 continue

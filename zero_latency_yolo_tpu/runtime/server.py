@@ -140,6 +140,14 @@ class DetectionServer:
             status_fn=self.status,
             models_dir=_os.path.dirname(config.model_path) or "models",
             logs_dir=_os.path.dirname(config.logging.log_file) or "logs")
+        # Frame decode offload (config worker_threads, reference
+        # server/config.h:316): JPEG/ROI decode runs off the packet thread;
+        # one worker preserves per-client ordering.
+        import queue as _queue
+        self._decode_queue = (_queue.Queue(maxsize=256)
+                              if config.worker_threads > 0 else None)
+        self._decode_thread = None
+
         self._sessions: Dict[int, ClientSession] = {}
         self._by_addr: Dict[Addr, int] = {}
         self._next_client_id = 1
@@ -190,6 +198,11 @@ class DetectionServer:
                 log.warning("port %d busy, trying %d", p, p + 1)
         if use_native:
             log.info("native recvmmsg transport active on udp/%d", self.port)
+        if self._decode_queue is not None:
+            import threading as _threading
+            self._decode_thread = _threading.Thread(
+                target=self._decode_loop, name="zlt-decode", daemon=True)
+            self._decode_thread.start()
         self.batcher.start()
         self._mgmt_task = asyncio.create_task(self._management_loop())
         self._watch_task = asyncio.create_task(self._model_watch_loop())
@@ -218,6 +231,10 @@ class DetectionServer:
                 except (asyncio.CancelledError, Exception):  # noqa: BLE001
                     pass
         self.batcher.stop()
+        if self._decode_queue is not None and self._decode_thread is not None:
+            self._decode_queue.put(None)
+            self._decode_thread.join(timeout=2.0)
+            self._decode_thread = None
         if self._http_server:
             self._http_server.close()
             await self._http_server.wait_closed()
@@ -408,6 +425,32 @@ class DetectionServer:
     def _handle_frame_fast(self, session: ClientSession, frame_id: int,
                            frame_ts: int, width: int, height: int,
                            keyframe: bool, payload: bytes) -> None:
+        if self._decode_queue is not None:
+            # Offload JPEG/ROI decode + cache writes off the packet thread
+            # (single worker preserves per-client keyframe->ROI ordering).
+            try:
+                self._decode_queue.put_nowait(
+                    (session, frame_id, frame_ts, width, height, keyframe,
+                     payload))
+            except Exception:  # noqa: BLE001 — queue full: shed the frame
+                self.engine.frames_dropped.inc()
+            return
+        self._decode_frame(session, frame_id, frame_ts, width, height,
+                           keyframe, payload)
+
+    def _decode_loop(self) -> None:
+        while True:
+            item = self._decode_queue.get()
+            if item is None:
+                return
+            try:
+                self._decode_frame(*item)
+            except Exception:  # noqa: BLE001
+                log.exception("frame decode worker failed")
+
+    def _decode_frame(self, session: ClientSession, frame_id: int,
+                      frame_ts: int, width: int, height: int,
+                      keyframe: bool, payload: bytes) -> None:
         try:
             decoded = decode_frame_payload(payload, width, height)
         except FrameDecodeError as e:
