@@ -51,6 +51,46 @@ def harness(tmp_path_factory):
     t.join(timeout=5)
 
 
+def test_set_config_changes_live_thresholds(harness):
+    """SET_CONFIG over the wire changes conf threshold with no recompile."""
+    import json as _json
+    from zero_latency_yolo_tpu.protocol import CommandPacket, CommandType
+
+    c = SimClient(("127.0.0.1", PORT), screen_width=96, screen_height=64)
+    try:
+        c.connect()
+        c.start_receiver()
+        frame = synthetic_frame(96, 64, seed=5)
+        programs_before = len(harness.engine._step_cache)
+
+        c._send(CommandPacket(
+            command_type=CommandType.SET_CONFIG,
+            command_data=_json.dumps(
+                {"confidence_threshold": 0.999}).encode()).serialize())
+        deadline = time.monotonic() + 5
+        while (time.monotonic() < deadline and
+               harness.engine.config.confidence_threshold != 0.999):
+            time.sleep(0.05)
+        assert harness.engine.config.confidence_threshold == 0.999
+
+        fid = c.send_raw_frame(frame)
+        res = [r for r in c.wait_results(1, timeout=30.0) if r.frame_id == fid]
+        assert res and len(res[0].detections) == 0  # nothing passes 0.999
+
+        c._send(CommandPacket(
+            command_type=CommandType.SET_CONFIG,
+            command_data=_json.dumps(
+                {"confidence_threshold": 0.25}).encode()).serialize())
+        deadline = time.monotonic() + 5
+        while (time.monotonic() < deadline and
+               harness.engine.config.confidence_threshold != 0.25):
+            time.sleep(0.05)
+        # Runtime scalars: no new programs were compiled for the change.
+        assert len(harness.engine._step_cache) == programs_before
+    finally:
+        c.stop()
+
+
 def test_full_stack_detection_deterministic(harness):
     c = SimClient(("127.0.0.1", PORT), screen_width=96, screen_height=64)
     c2 = SimClient(("127.0.0.1", PORT), screen_width=96, screen_height=64)
