@@ -85,6 +85,29 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
 
 
+def test_ema_tracks_params_and_checkpoints(tmp_path, setup):
+    spec, params, images, targets = setup
+    tx = optax.adam(1e-3)
+    state = init_train_state(_copy(params), tx, ema=True)
+    assert state.ema_params is not None
+    step = make_train_step(spec, tx, (SIZE, SIZE), mesh=None, ema_decay=0.5)
+    p0 = np.asarray(jax.tree.leaves(state.ema_params)[0]).copy()
+    for _ in range(3):
+        state, _ = step(state, images, targets)
+    e = np.asarray(jax.tree.leaves(state.ema_params)[0])
+    p = np.asarray(jax.tree.leaves(state.params)[0])
+    # EMA moved from init toward live params, but is not equal to either.
+    assert not np.allclose(e, p0)
+    assert not np.allclose(e, p)
+    # Round-trips through the checkpoint.
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+    mgr.save(state)
+    template = init_train_state(_copy(params), tx, ema=True)
+    restored = mgr.restore(template)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.ema_params)[0]), e)
+
+
 def test_checkpoint_retention(tmp_path, setup):
     spec, params, *_ = setup
     tx = optax.sgd(1e-3)

@@ -52,11 +52,12 @@ class CheckpointManager:
     def save(self, state: TrainState) -> int:
         step = int(state.step)
         if self._mgr is not None:
-            self._mgr.save(step, args=ocp.args.StandardSave({
-                "params": state.params,
-                "opt_state": state.opt_state,
-                "step": state.step,
-            }))
+            payload = {"params": state.params,
+                       "opt_state": state.opt_state,
+                       "step": state.step}
+            if state.ema_params is not None:
+                payload["ema_params"] = state.ema_params
+            self._mgr.save(step, args=ocp.args.StandardSave(payload))
             self._mgr.wait_until_finished()
             return step
         return self._save_npz(state, step)
@@ -67,6 +68,9 @@ class CheckpointManager:
         os.makedirs(tmp, exist_ok=True)
         np.savez(os.path.join(tmp, "params.npz"),
                  **flatten(jax.tree.map(np.asarray, state.params)))
+        if state.ema_params is not None:
+            np.savez(os.path.join(tmp, "ema.npz"),
+                     **flatten(jax.tree.map(np.asarray, state.ema_params)))
         opt_leaves, opt_tree = jax.tree.flatten(state.opt_state)
         np.savez(os.path.join(tmp, "opt.npz"),
                  **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(opt_leaves)})
@@ -100,15 +104,17 @@ class CheckpointManager:
         if target is None:
             return None
         if self._mgr is not None:
+            tpl = {"params": template.params,
+                   "opt_state": template.opt_state,
+                   "step": template.step}
+            if template.ema_params is not None:
+                tpl["ema_params"] = template.ema_params
             restored = self._mgr.restore(
-                target, args=ocp.args.StandardRestore({
-                    "params": template.params,
-                    "opt_state": template.opt_state,
-                    "step": template.step,
-                }))
+                target, args=ocp.args.StandardRestore(tpl))
             return TrainState(params=restored["params"],
                               opt_state=restored["opt_state"],
-                              step=restored["step"])
+                              step=restored["step"],
+                              ema_params=restored.get("ema_params"))
         return self._restore_npz(template, target)
 
     def _restore_npz(self, template: TrainState, step: int) -> TrainState:
@@ -119,7 +125,14 @@ class CheckpointManager:
         with np.load(os.path.join(path, "opt.npz")) as z:
             leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
         opt_state = jax.tree.unflatten(opt_tree, leaves)
+        ema = None
+        ema_path = os.path.join(path, "ema.npz")
+        if os.path.exists(ema_path):
+            with np.load(ema_path) as z:
+                ema = unflatten({k: z[k] for k in z.files})
         import jax.numpy as jnp
         return TrainState(params=jax.tree.map(jnp.asarray, params),
                           opt_state=opt_state,
-                          step=jnp.asarray(step, jnp.int32))
+                          step=jnp.asarray(step, jnp.int32),
+                          ema_params=(jax.tree.map(jnp.asarray, ema)
+                                      if ema is not None else None))

@@ -68,6 +68,7 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
           data: Optional[str] = None, ckpt_dir: Optional[str] = None,
           ckpt_every: int = 100, mesh_data: int = 1, mesh_model: int = 1,
           remat: bool = False, init_from: Optional[str] = None,
+          ema: bool = False, ema_decay: float = 0.9998,
           log_every: int = 10):
     import jax
     import jax.numpy as jnp
@@ -85,12 +86,13 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
     else:
         params = init_params(jax.random.PRNGKey(0), spec, folded=False)
     tx = optax.adamw(lr, weight_decay=1e-4)
-    state = init_train_state(params, tx)
+    state = init_train_state(params, tx, ema=ema)
 
     mesh = None
     if mesh_data * mesh_model > 1:
         mesh = make_mesh(data=mesh_data, model=mesh_model)
-    step_fn = make_train_step(spec, tx, (size, size), mesh=mesh, remat=remat)
+    step_fn = make_train_step(spec, tx, (size, size), mesh=mesh, remat=remat,
+                              ema_decay=ema_decay)
     if mesh is not None:
         state = step_fn.shard_state(state)
 
@@ -143,13 +145,15 @@ def main() -> None:  # pragma: no cover
     ap.add_argument("--mesh-data", type=int, default=1)
     ap.add_argument("--mesh-model", type=int, default=1)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--ema", action="store_true",
+                    help="track an EMA of the weights (serve the EMA)")
     ap.add_argument("--init-from", default=None, help="warm-start .npz")
     args = ap.parse_args()
     train(variant=args.variant, num_classes=args.classes, size=args.size,
           batch=args.batch, steps=args.steps, lr=args.lr, data=args.data,
           ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,
           mesh_data=args.mesh_data, mesh_model=args.mesh_model,
-          remat=args.remat, init_from=args.init_from)
+          remat=args.remat, init_from=args.init_from, ema=args.ema)
 
 
 if __name__ == "__main__":  # pragma: no cover

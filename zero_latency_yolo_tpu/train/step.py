@@ -30,18 +30,24 @@ class TrainState:
     params: Params
     opt_state: Any
     step: jnp.ndarray
+    # Exponential moving average of params (None when EMA is off). Deployed
+    # checkpoints should serve the EMA weights.
+    ema_params: Any = None
 
 
-def init_train_state(params: Params, tx: optax.GradientTransformation) -> TrainState:
+def init_train_state(params: Params, tx: optax.GradientTransformation,
+                     ema: bool = False) -> TrainState:
     return TrainState(params=params, opt_state=tx.init(params),
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32),
+                      ema_params=jax.tree.map(jnp.array, params) if ema else None)
 
 
 def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
                     input_hw: Tuple[int, int],
                     mesh: Optional[Mesh] = None,
                     dtype=jnp.bfloat16,
-                    remat: bool = False) -> Callable:
+                    remat: bool = False,
+                    ema_decay: float = 0.9998) -> Callable:
     """Build the jitted train step.
 
     step(state, images (B,H,W,3) f32, targets (B,M,5)) -> (state, metrics)
@@ -71,8 +77,13 @@ def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
             loss_fn, has_aux=True)(state.params, images, targets)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            d = jnp.asarray(ema_decay, jnp.float32)
+            ema = jax.tree.map(lambda e, p: e * d + p.astype(e.dtype) * (1 - d),
+                               ema, params)
         new_state = TrainState(params=params, opt_state=opt_state,
-                               step=state.step + 1)
+                               step=state.step + 1, ema_params=ema)
         metrics = dict(metrics, loss=loss)
         return new_state, metrics
 
@@ -87,8 +98,12 @@ def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
         def opt_shard(leaf):
             return jax.device_put(leaf, NamedSharding(mesh, P()))
         opt_state = jax.tree.map(opt_shard, state.opt_state)
+        ema = state.ema_params
+        if ema is not None:
+            ema = jax.tree.map(jax.device_put, ema, ps)
         return TrainState(params=params, opt_state=opt_state,
-                          step=jax.device_put(state.step, NamedSharding(mesh, P())))
+                          step=jax.device_put(state.step, NamedSharding(mesh, P())),
+                          ema_params=ema)
 
     jitted = jax.jit(
         train_step,
