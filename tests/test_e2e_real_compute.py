@@ -61,6 +61,10 @@ def test_set_config_changes_live_thresholds(harness):
         c.connect()
         c.start_receiver()
         frame = synthetic_frame(96, 64, seed=5)
+        # Compile the serving program once, then snapshot the program count:
+        # threshold changes must not add to it.
+        c.send_raw_frame(frame)
+        assert c.wait_results(1, timeout=60.0)
         programs_before = len(harness.engine._step_cache)
 
         c._send(CommandPacket(

@@ -184,6 +184,26 @@ class DeviceFrameCache:
             frames = _gather(self._cache, jnp.asarray(slots, jnp.int32))
         return frames, np.asarray(hs, np.int32), np.asarray(ws, np.int32)
 
+    def dispatch_with(self, fn, client_ids):
+        """Run fn(cache, slots, heights, widths) under the cache lock.
+
+        Writes donate the previous cache buffer, so any dispatch that closes
+        over the buffer must be serialized against them; fn should only
+        *launch* device work (fast), not block on results.
+        """
+        slots, hs, ws = [], [], []
+        for cid in client_ids:
+            slot = self.slot(cid)
+            if slot is None:
+                raise KeyError(f"client {cid} has no cache slot")
+            h, w = self.dims(cid)
+            slots.append(slot)
+            hs.append(h)
+            ws.append(w)
+        with self._lock:
+            return fn(self._cache, np.asarray(slots, np.int32),
+                      np.asarray(hs, np.int32), np.asarray(ws, np.int32))
+
     def device_cache(self) -> jnp.ndarray:
         with self._lock:
             return self._cache

@@ -227,6 +227,24 @@ class InferenceEngine:
             self._step_cache[key] = fn
         return fn
 
+    def get_step_cached(self, batch: int, bucket: Tuple[int, int]):
+        """Fused variant: slot gather from the device frame cache + the full
+        serve step in ONE program (one dispatch per batch; the cache is not
+        donated). Signature: (params, cache, slots, heights, widths, cw,
+        conf, iou)."""
+        key = ("cached", batch, bucket[0], bucket[1])
+        fn = self._step_cache.get(key)
+        if fn is None:
+            inner = self._build_step(batch, bucket)
+
+            def step(params, cache, slots, heights, widths, cw, conf, iou):
+                return inner(params, cache[slots], heights, widths,
+                             cw, conf, iou)
+
+            fn = jax.jit(step)
+            self._step_cache[key] = fn
+        return fn
+
     def warmup(self, batches: Optional[Sequence[int]] = None,
                buckets: Optional[Sequence[Tuple[int, int]]] = None) -> float:
         """Pre-compile the hot (batch, bucket) grid; returns seconds spent."""
@@ -307,6 +325,26 @@ class InferenceEngine:
         return self._dispatch_device(frames, jnp.asarray(heights),
                                      jnp.asarray(widths), requests, batch,
                                      bucket, t0)
+
+    def dispatch_from_cache(self, requests: List[InferenceRequest],
+                            cache: jnp.ndarray, slots: np.ndarray,
+                            heights: np.ndarray, widths: np.ndarray
+                            ) -> "PendingBatch":
+        """Single-dispatch path: gather + serve fused into one program."""
+        if self.simulation:
+            return PendingBatch(requests=requests, out=None,
+                                t0=time.perf_counter(), n=len(requests),
+                                simulated=[self._simulate(r) for r in requests])
+        t0 = time.perf_counter()
+        batch = len(slots)
+        bucket = (cache.shape[1], cache.shape[2])
+        with self._params_lock:
+            params = self._params
+        step = self.get_step_cached(batch, bucket)
+        out = step(params, cache, jnp.asarray(slots, jnp.int32),
+                   jnp.asarray(heights), jnp.asarray(widths),
+                   self._class_weights, self._conf, self._iou)
+        return PendingBatch(requests=requests, out=out, t0=t0, n=len(requests))
 
     def _dispatch_device(self, frames, heights, widths,
                          requests: List[InferenceRequest], batch: int,

@@ -194,15 +194,18 @@ class ContinuousBatcher:
             if cache is None:
                 raise RuntimeError("cached requests but no device cache configured")
             # Device-resident path: frames were written to the cache at
-            # packet-decode time; pad the gather to the batch bucket so the
-            # compiled program is reused.
+            # packet-decode time; pad the slot list to the batch bucket so
+            # the compiled program is reused. Gather + serve run as ONE
+            # fused program, launched under the cache lock (writes donate
+            # the cache buffer).
             from .engine import _pick_batch
             n = len(cached)
             b = _pick_batch(self.engine.batch_buckets, n)
             cids = [r.client_id for r in cached]
             cids += [cids[0]] * (b - n)
-            frames, heights, widths = cache.gather(cids)
-            out.append(self.engine.dispatch_cached(cached, frames, heights, widths))
+            out.append(cache.dispatch_with(
+                lambda c, s, hs, ws: self.engine.dispatch_from_cache(
+                    cached, c, s, hs, ws), cids))
         if hosted:
             out.append(self.engine.dispatch(hosted))
         return out
