@@ -78,7 +78,7 @@ def test_set_config_changes_live_thresholds(harness):
         assert harness.engine.config.confidence_threshold == 0.999
 
         fid = c.send_raw_frame(frame)
-        res = [r for r in c.wait_results(1, timeout=30.0) if r.frame_id == fid]
+        res = [r for r in c.wait_results(2, timeout=30.0) if r.frame_id == fid]
         assert res and len(res[0].detections) == 0  # nothing passes 0.999
 
         c._send(CommandPacket(
