@@ -90,3 +90,47 @@ def test_device_cache_slot_exhaustion_and_release():
 def test_device_cache_oversized_rejected():
     cache = DeviceFrameCache(num_slots=1, height=16, width=16)
     assert not cache.write_keyframe(1, np.zeros((32, 32, 3), np.uint8))
+
+
+def test_concurrent_writes_and_fused_dispatch():
+    """Cache writes donate the device buffer; dispatches that close over it
+    must serialize via the cache lock (a race here raises a
+    buffer-donated/deleted error)."""
+    import threading
+    import jax.numpy as jnp
+
+    cache = DeviceFrameCache(num_slots=4, height=64, width=64)
+    for cid in range(4):
+        assert cache.write_keyframe(cid, np.zeros((64, 64, 3), np.uint8))
+
+    errors = []
+    stop = threading.Event()
+
+    def writer():
+        region = np.full((16, 16, 3), 7, np.uint8)
+        i = 0
+        while not stop.is_set():
+            try:
+                cache.write_roi(i % 4, region, x=(i * 8) % 48, y=(i * 8) % 48)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+            i += 1
+
+    def reader():
+        for i in range(200):
+            try:
+                out = cache.dispatch_with(
+                    lambda c, s, hs, ws: jnp.sum(c[s].astype(jnp.int32)),
+                    [i % 4, (i + 1) % 4])
+                float(out)  # force
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=writer)
+    t.start()
+    reader()
+    stop.set()
+    t.join(timeout=5)
+    assert not errors, errors[:1]
