@@ -149,6 +149,52 @@ def letterbox_batch_mxu(frames: jnp.ndarray, heights: jnp.ndarray,
         frames, heights, widths)
 
 
+def _letterbox_one_rowcol(frame: jnp.ndarray, h, w, size: int,
+                          dtype=jnp.float32) -> jnp.ndarray:
+    """Letterbox via separable row/column gathers + lerp.
+
+    Bilinear taps exactly two source rows per output row, so the resample is
+    S row-gathers and S column-gathers (contiguous slices — TPU-friendly)
+    instead of S^2 point gathers or a dense interp matmul. Works with
+    runtime (h, w) like the other forms.
+    """
+    scale, pad_x, pad_y = letterbox_params(h, w, size)
+    hf = h.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    o = jnp.arange(size, dtype=jnp.float32)
+    sy = (o - pad_y + 0.5) / scale - 0.5
+    sx = (o - pad_x + 0.5) / scale - 0.5
+
+    y0f = jnp.floor(sy)
+    fy = (sy - y0f).astype(dtype)
+    y0 = jnp.clip(y0f, 0, hf - 1).astype(jnp.int32)
+    y1 = jnp.clip(y0f + 1, 0, hf - 1).astype(jnp.int32)
+    rows = (frame[y0].astype(dtype) * (1 - fy)[:, None, None] +
+            frame[y1].astype(dtype) * fy[:, None, None])   # (S, Wbuf, 3)
+
+    x0f = jnp.floor(sx)
+    fx = (sx - x0f).astype(dtype)
+    x0 = jnp.clip(x0f, 0, wf - 1).astype(jnp.int32)
+    x1 = jnp.clip(x0f + 1, 0, wf - 1).astype(jnp.int32)
+    out = (rows[:, x0] * (1 - fx)[None, :, None] +
+           rows[:, x1] * fx[None, :, None])                # (S, S, 3)
+    out = out.astype(jnp.float32) / 255.0
+
+    inside = ((sy >= -0.5) & (sy <= hf - 0.5))[:, None] & \
+             ((sx >= -0.5) & (sx <= wf - 0.5))[None, :]
+    return jnp.where(inside[..., None], out, FILL)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def letterbox_batch_rowcol(frames: jnp.ndarray, heights: jnp.ndarray,
+                           widths: jnp.ndarray, size: int,
+                           dtype=jnp.float32) -> jnp.ndarray:
+    """Separable row/column-gather letterbox (numerically identical to
+    letterbox_batch at f32)."""
+    return jax.vmap(lambda f, h, w: _letterbox_one_rowcol(f, h, w, size, dtype))(
+        frames, heights, widths)
+
+
 def _stretch_one(frame: jnp.ndarray, h, w, size: int) -> jnp.ndarray:
     # Reference semantics (onnx_engine.cpp:677-697): nearest-neighbor stretch,
     # src index = floor(dst * src/dst_size).
