@@ -93,11 +93,23 @@ def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
     def shard_state(state: TrainState) -> TrainState:
         ps = param_shardings(state.params, mesh)
         params = jax.tree.map(jax.device_put, state.params, ps)
-        # Optimizer state mirrors param pytree structure per-leaf where
-        # shapes match; scalars replicate.
-        def opt_shard(leaf):
-            return jax.device_put(leaf, NamedSharding(mesh, P()))
-        opt_state = jax.tree.map(opt_shard, state.opt_state)
+        # Optimizer-state sub-trees that mirror the param pytree (momentum /
+        # mu / nu) inherit the param shardings leaf-for-leaf — a replicated
+        # momentum against 'model'-sharded params would pay a gather/reshard
+        # on every step. Everything else (counts, scalars) replicates.
+        pstruct = jax.tree.structure(state.params)
+        repl = NamedSharding(mesh, P())
+
+        def is_param_like(node) -> bool:
+            return jax.tree.structure(node) == pstruct
+
+        def opt_shard(node):
+            if is_param_like(node):
+                return jax.tree.map(jax.device_put, node, ps)
+            return jax.device_put(node, repl)
+
+        opt_state = jax.tree.map(opt_shard, state.opt_state,
+                                 is_leaf=is_param_like)
         ema = state.ema_params
         if ema is not None:
             ema = jax.tree.map(jax.device_put, ema, ps)
