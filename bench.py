@@ -131,14 +131,14 @@ def _run_combo(cfg, params, batch, mode, source, bh, bw, h, w, rng, results):
         # back-to-back (device executes in stream order), read back only the
         # LAST output, and difference two pipeline lengths so the constant
         # relay RTT cancels:  step_ms = (T(N2) - T(N1)) / (N2 - N1).
-        np.asarray(run_once()["count"])
+        np.asarray(run_once())  # engine steps return ONE packed output array
 
         def pipeline(n):
             t0 = time.perf_counter()
             out = None
             for _ in range(n):
                 out = run_once()
-            np.asarray(out["count"])
+            np.asarray(out)
             return time.perf_counter() - t0
 
         pipeline(3)  # settle

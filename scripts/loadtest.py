@@ -1,0 +1,269 @@
+#!/usr/bin/env python
+"""Live-load p99 measurement: N SimClient streams at a paced FPS against a
+real server process, reporting the server's OWN latency counters (the
+reference instrumented a rolling p99 on the live path,
+src/inference/onnx_engine.cpp:428-449 — this measures the rebuild's
+equivalent under offered load instead of estimating step_ms + window).
+
+Outputs ONE JSON line:
+  {"streams": N, "offered_fps": ..., "served_fps": ...,
+   "server_detect_p99_ms": ..., "client_e2e_p99_ms": ..., ...}
+
+Usage:
+  python scripts/loadtest.py --streams 64 --fps 60 --duration 15 \
+      --platform cpu --variant yolov8p --size 64          # CI smoke
+  python scripts/loadtest.py --streams 64 --fps 60 --duration 30 \
+      --variant yolov8n --size 416                        # TPU headline
+
+The client process is deliberately lean: ROI payload bytes are encoded once
+and resent (packet headers rebuilt per send so frame ids/CRC stay valid);
+JPEG encode never runs on the paced path.
+"""
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_config(args, model_path: str) -> dict:
+    return {
+        "model_path": model_path,
+        "port": args.port,
+        "web_port": args.web_port,
+        "max_clients": args.streams,
+        "target_fps": args.fps,
+        "max_queue_size": 8,
+        "worker_threads": 1,
+        "confidence_threshold": 0.5,
+        "nms_threshold": 0.45,
+        "network": {"timeout_ms": 30000},
+        "detection": {"model_width": args.size, "model_height": args.size},
+        "tpu": {
+            "variant": args.variant,
+            "num_classes": 4,
+            "dtype": args.dtype,
+            "batch_buckets": sorted({max(1, args.streams // 2), args.streams}),
+            "frame_buckets": [[args.bucket_h, args.bucket_w]],
+            "batch_window_ms": args.window_ms,
+            "preprocess": "letterbox_mxu",
+        },
+    }
+
+
+def make_model(args, path: str) -> None:
+    # Import here (subprocess-spawned servers must not inherit a backend).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from zero_latency_yolo_tpu.models import get_spec, init_params, save_params
+    spec = get_spec(args.variant, 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    save_params(params, path)
+
+
+def wait_statusz(url: str, timeout: float) -> dict:
+    deadline = time.monotonic() + timeout
+    last = None
+    while time.monotonic() < deadline:
+        try:
+            with urllib.request.urlopen(url, timeout=5) as r:
+                return json.loads(r.read())
+        except Exception as e:  # noqa: BLE001
+            last = e
+            time.sleep(1.0)
+    raise TimeoutError(f"statusz not up: {last}")
+
+
+def wait_warm(url: str, want_programs: int, timeout: float) -> None:
+    """Block until the engine compiled its (batch, bucket) grid (slow through
+    a relayed TPU on first run; cached afterwards)."""
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        st = wait_statusz(url, 30)
+        if int(st["engine"].get("compiled_programs", 0)) >= want_programs:
+            return
+        time.sleep(2.0)
+    raise TimeoutError("engine warmup did not finish")
+
+
+class Stream:
+    """One paced client stream resending a pre-encoded ROI payload."""
+
+    def __init__(self, idx, args, payload, keyframe_px):
+        from zero_latency_yolo_tpu.runtime.simulator import SimClient
+        self.idx = idx
+        self.args = args
+        self.payload = payload
+        self.keyframe_px = keyframe_px
+        self.client = SimClient(("127.0.0.1", args.port),
+                                screen_width=args.width,
+                                screen_height=args.height)
+        self.sent = 0
+        self.errors = 0
+
+    def connect_and_prime(self):
+        self.client.connect()
+        self.client.start_receiver()
+        self.client.send_jpeg_keyframe(self.keyframe_px, quality=80)
+
+    def run(self, start_t, end_t):
+        c = self.client
+        period = 1.0 / self.args.fps
+        # Desynchronize stream phases so sends spread across the window.
+        next_t = start_t + (self.idx % 16) * (period / 16.0)
+        while True:
+            now = time.perf_counter()
+            if now >= end_t:
+                return
+            if next_t > now:
+                time.sleep(next_t - now)
+            try:
+                c._send_frame(self.payload, self.args.width, self.args.height,
+                              keyframe=False)
+                self.sent += 1
+            except OSError:
+                self.errors += 1
+            next_t += period
+            if next_t < time.perf_counter() - 0.5:
+                next_t = time.perf_counter()  # don't spiral after a stall
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=64)
+    ap.add_argument("--fps", type=float, default=60.0)
+    ap.add_argument("--duration", type=float, default=15.0)
+    ap.add_argument("--variant", default="yolov8n")
+    ap.add_argument("--size", type=int, default=416)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--bucket-h", type=int, default=608)
+    ap.add_argument("--bucket-w", type=int, default=800)
+    ap.add_argument("--roi", type=int, default=16,
+                    help="square ROI update edge (px)")
+    ap.add_argument("--window-ms", type=float, default=1.0)
+    ap.add_argument("--port", type=int, default=47788)
+    ap.add_argument("--web-port", type=int, default=43000)
+    ap.add_argument("--platform", default="",
+                    help="force server JAX platform (cpu for CI)")
+    ap.add_argument("--external", default="",
+                    help="host:port of an already-running server (skip spawn)")
+    ap.add_argument("--warmup-timeout", type=float, default=900.0)
+    args = ap.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="zlt-loadtest-")
+    proc = None
+    if not args.external:
+        model_path = os.path.join(tmp, "model.npz")
+        make_model(args, model_path)
+        cfg_path = os.path.join(tmp, "server.json")
+        with open(cfg_path, "w") as f:
+            json.dump(build_config(args, model_path), f)
+        env = dict(os.environ)
+        cmd = [sys.executable, "-u", "-m",
+               "zero_latency_yolo_tpu.runtime.server", "--config", cfg_path]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        proc = subprocess.Popen(
+            cmd, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            stdout=open(os.path.join(tmp, "server.log"), "w"),
+            stderr=subprocess.STDOUT, env=env)
+        print(f"# server pid={proc.pid} log={tmp}/server.log", file=sys.stderr)
+    else:
+        host, port = args.external.rsplit(":", 1)
+        args.port = int(port)
+
+    statusz = f"http://127.0.0.1:{args.web_port}/statusz"
+    try:
+        wait_statusz(statusz, 120)
+        n_programs = len({max(1, args.streams // 2), args.streams})
+        wait_warm(statusz, n_programs, args.warmup_timeout)
+        print("# engine warm", file=sys.stderr)
+
+        from zero_latency_yolo_tpu.protocol import build_roi_header
+        from zero_latency_yolo_tpu.runtime.frames import encode_jpeg
+        from zero_latency_yolo_tpu.runtime.simulator import synthetic_frame
+
+        frame_px = synthetic_frame(args.width, args.height)
+        region = frame_px[:args.roi, :args.roi]
+        payload = (build_roi_header(8, 8, args.roi, args.roi, args.width)
+                   + encode_jpeg(region, 80))
+
+        streams = [Stream(i, args, payload, frame_px)
+                   for i in range(args.streams)]
+        for s in streams:
+            s.connect_and_prime()
+        time.sleep(1.0)  # let keyframes land + caches settle
+        base = wait_statusz(statusz, 30)
+        base_results = sum(int(v["results"])
+                           for v in base["sessions"].values())
+
+        start_t = time.perf_counter() + 0.5
+        end_t = start_t + args.duration
+        threads = [threading.Thread(target=s.run, args=(start_t, end_t),
+                                    daemon=True) for s in streams]
+        t_wall0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        time.sleep(1.0)  # drain tail results
+        wall = time.perf_counter() - t_wall0 - 0.5 - 1.0
+
+        st = wait_statusz(statusz, 30)
+        total_sent = sum(s.sent for s in streams)
+        total_results = sum(int(v["results"])
+                            for v in st["sessions"].values()) - base_results
+        lat = np.concatenate([
+            np.asarray(s.client.result_latencies_ms, np.float64)
+            for s in streams if s.client.result_latencies_ms
+        ]) if any(s.client.result_latencies_ms for s in streams) else np.array([])
+        for s in streams:
+            s.client.stop()
+
+        report = {
+            "metric": "live_load_p99",
+            "streams": args.streams,
+            "fps_per_stream": args.fps,
+            "duration_s": round(wall, 2),
+            "variant": args.variant,
+            "model_size": args.size,
+            "frames_sent": total_sent,
+            "offered_fps": round(total_sent / wall, 1),
+            "results_received": int(total_results),
+            "served_fps": round(total_results / wall, 1),
+            "server_detect_avg_ms": st["detect_latency"].get("avg_ms"),
+            "server_detect_p99_ms": st["detect_latency"].get("p99_ms"),
+            "engine_device_p99_ms": float(st["engine"]["device_p99_ms"]),
+            "engine_e2e_p99_ms": float(st["engine"]["e2e_p99_ms"]),
+            "engine_avg_batch": float(st["engine"]["avg_batch"]),
+            "frames_dropped": int(st["engine"]["dropped"]),
+            "client_e2e_p50_ms": round(float(np.percentile(lat, 50)), 2)
+            if lat.size else None,
+            "client_e2e_p99_ms": round(float(np.percentile(lat, 99)), 2)
+            if lat.size else None,
+            "client_samples": int(lat.size),
+        }
+        print(json.dumps(report))
+    finally:
+        if proc is not None:
+            proc.terminate()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,10 @@ def test_bucket_selection():
     assert _pick_batch([1, 2, 4], 5) == 4  # clamp to max
     assert _pick_bucket([(96, 96), (128, 256)], 100, 200) == (128, 256)
     assert _pick_bucket([(96, 96), (128, 256)], 50, 50) == (96, 96)
+    # Oversized frames are rejected, never compiled (no per-shape program
+    # mint on request-controlled dimensions).
+    assert _pick_bucket([(96, 96), (128, 256)], 129, 50) is None
+    assert _pick_bucket([(96, 96)], 96, 97) is None
 
 
 def test_infer_batch_shapes_and_padding(engine):
@@ -125,9 +129,46 @@ def test_int8_engine_path():
     assert eng._params["m1"]["w_q"].dtype.name == "int8"
 
 
+def test_engine_registry():
+    from zero_latency_yolo_tpu.runtime.engine import (
+        ENGINE_REGISTRY, SimulationEngine, create_engine, register_engine)
+    # "onnx" (the reference config default) aliases the JAX engine.
+    assert ENGINE_REGISTRY["onnx"] is InferenceEngine
+    eng = create_engine(_cfg(inference_engine="simulation"))
+    assert isinstance(eng, SimulationEngine) and eng.simulation
+    out = eng.infer_batch([_req(1, 1)])
+    assert len(out) == 1
+    assert not eng.maybe_reload()  # sim engine never flips modes
+    # Unknown names fall back to the default engine with a warning
+    # (reference server/main.cpp:226-240); no model file => simulation.
+    fallback = create_engine(_cfg(inference_engine="tensorrt"))
+    assert type(fallback) is InferenceEngine
+
+    @register_engine("custom-test")
+    class Custom(SimulationEngine):
+        pass
+
+    assert isinstance(create_engine(_cfg(inference_engine="custom-test")),
+                      Custom)
+    del ENGINE_REGISTRY["custom-test"]
+
+
 def test_status_map(engine):
     st = engine.status()
     assert st["engine"] == "jax-tpu"
     assert st["simulation"] == "false"
     assert int(st["inferences"]) > 0
     assert float(st["device_avg_ms"]) > 0
+
+
+def test_oversized_frames_shed_not_compiled(engine):
+    engine.infer_batch([_req(1, 0)])  # ensure the (1, 96, 96) program exists
+    programs_before = len(engine._step_cache)
+    dropped_before = engine.frames_dropped.value
+    results = engine.infer_batch([_req(1, 1), _req(2, 2, h=500, w=700)])
+    assert len(results) == 1 and results[0].client_id == 1
+    assert engine.frames_dropped.value == dropped_before + 1
+    assert len(engine._step_cache) == programs_before  # no new program
+    # All-oversized batch yields no results and no compile.
+    assert engine.infer_batch([_req(3, 3, h=500, w=700)]) == []
+    assert len(engine._step_cache) == programs_before

@@ -1,0 +1,66 @@
+"""ContinuousBatcher unit tests (batch admission policy, no threads)."""
+
+import numpy as np
+
+from zero_latency_yolo_tpu.config import ServerConfig
+from zero_latency_yolo_tpu.runtime.engine import (
+    InferenceRequest, SimulationEngine)
+from zero_latency_yolo_tpu.runtime.scheduler import ContinuousBatcher
+
+
+def _cfg():
+    return ServerConfig.from_dict({
+        "model_path": "/nonexistent.npz",
+        "detection": {"model_width": 64, "model_height": 64},
+        "tpu": {"variant": "yolov8p", "num_classes": 4,
+                "batch_buckets": [1, 2, 4], "frame_buckets": [[96, 96]]},
+    })
+
+
+def _req(cid, fid, keyframe=False):
+    return InferenceRequest(
+        client_id=cid, frame_id=fid, timestamp=fid, width=96, height=64,
+        data=np.zeros((64, 96, 3), np.uint8), keyframe=keyframe)
+
+
+def _batcher(max_batch):
+    return ContinuousBatcher(SimulationEngine(_cfg()), lambda r: None,
+                             max_batch=max_batch)
+
+
+def test_keyframe_priority_when_oversubscribed():
+    """When more streams are pending than the batch admits, clients whose
+    newest frame is a keyframe are admitted first (reference
+    onnx_engine.cpp:241-244 bumped keyframe priority)."""
+    b = _batcher(max_batch=2)
+    b.submit(_req(1, 1))
+    b.submit(_req(2, 2, keyframe=True))
+    b.submit(_req(3, 3))
+    b.submit(_req(4, 4, keyframe=True))
+    batch = b._collect()
+    assert [r.client_id for r in batch] == [2, 4]
+    # Next collect round drains the remaining (non-keyframe) streams.
+    assert [r.client_id for r in b._collect()] == [1, 3]
+
+
+def test_round_robin_fairness_without_keyframes():
+    b = _batcher(max_batch=2)
+    for cid in (1, 2, 3):
+        b.submit(_req(cid, cid))
+    assert [r.client_id for r in b._collect()] == [1, 2]
+    b.submit(_req(1, 10))
+    # Client 3 (not served last round) goes before client 1 (rotated to back).
+    assert [r.client_id for r in b._collect()] == [3, 1]
+
+
+def test_supersede_counts_drops():
+    b = _batcher(max_batch=4)
+    eng = b.engine
+    before = eng.frames_dropped.value
+    b.submit(_req(1, 1))
+    b.submit(_req(1, 2))
+    b.submit(_req(1, 3))
+    batch = b._collect()
+    assert [r.frame_id for r in batch] == [3]  # newest wins
+    assert eng.frames_dropped.value == before + 2
+    assert b.queue_depth() == 0

@@ -48,3 +48,35 @@ def test_anchor_counts_by_size():
     assert spec.num_anchors(416, 416) == 3549
     assert spec.num_anchors(640, 640) == 8400
     assert spec.num_anchors(64, 64) == 84
+
+
+def test_concurrent_traces_are_isolated():
+    """Serving (accum_f32=True, bf16 tails) and training (accum_f32=False,
+    f32 tails) traces running on separate threads must not contaminate each
+    other — the flag is threaded through explicitly, with no module-global
+    trace switch."""
+    import threading
+
+    import jax.numpy as jnp
+
+    from zero_latency_yolo_tpu.models import forward_raw
+
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+
+    def run(flag):
+        fn = jax.jit(lambda p, xx: forward_raw(
+            p, spec, xx, dtype=jnp.bfloat16, accum_f32=flag)[0])
+        return np.asarray(fn(params, jnp.asarray(x)))
+
+    ref = {flag: run(flag) for flag in (True, False)}
+    got = {}
+    threads = [threading.Thread(target=lambda f=f: got.update({f: run(f)}))
+               for f in (True, False)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for flag in (True, False):
+        np.testing.assert_array_equal(got[flag], ref[flag])

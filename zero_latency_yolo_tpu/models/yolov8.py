@@ -219,26 +219,22 @@ def fold_batchnorm(params: Params, eps: float = BN_EPS) -> Params:
 
 _DN = ("NHWC", "HWIO", "NHWC")
 
-# Module-level inference/training switch consumed by _conv (set via
-# forward_raw's accum_f32 argument at trace time).
-_ACCUM_F32 = True
-
 
 def _conv(p: Params, x: jnp.ndarray, stride: int = 1, act: bool = True,
-          dtype=jnp.float32, accum_f32: bool = None) -> jnp.ndarray:
+          dtype=jnp.float32, accum_f32: bool = True) -> jnp.ndarray:
     """Conv + bias + SiLU. `SAME` padding for k1/k3 s1; YOLO k3 s2 uses p=1.
 
     accum_f32=True selects the serving fast path (conv + tails entirely in
     the compute dtype; the MXU accumulates f32 internally either way).
     Training uses accum_f32=False: compute-dtype conv with an f32 tail, the
-    autodiff-safe form. Defaults to the module flag set by forward_raw.
+    autodiff-safe form. Threaded explicitly from forward_raw — there is
+    deliberately NO module-global trace switch (the batcher thread compiles
+    serve steps lazily while train code may trace elsewhere).
 
     Dispatches to the int8 path when the block carries quantized weights
     (ops/quant.py): per-tensor activation quant, int8 MXU conv with int32
     accumulation, dequant into the f32 tail.
     """
-    if accum_f32 is None:
-        accum_f32 = _ACCUM_F32
     if "w_q" in p:
         w_q = p["w_q"]
         k = w_q.shape[0]
@@ -305,18 +301,18 @@ def _conv(p: Params, x: jnp.ndarray, stride: int = 1, act: bool = True,
     return y.astype(dtype)
 
 
-def _bottleneck(p: Params, x: jnp.ndarray, shortcut: bool, dtype) -> jnp.ndarray:
-    y = _conv(p["cv2"], _conv(p["cv1"], x, dtype=dtype), dtype=dtype)
+def _bottleneck(p: Params, x: jnp.ndarray, shortcut: bool, cv) -> jnp.ndarray:
+    y = cv(p["cv2"], cv(p["cv1"], x))
     return x + y if shortcut else y
 
 
-def _c2f(p: Params, x: jnp.ndarray, shortcut: bool, dtype) -> jnp.ndarray:
-    y = _conv(p["cv1"], x, dtype=dtype)
+def _c2f(p: Params, x: jnp.ndarray, shortcut: bool, cv) -> jnp.ndarray:
+    y = cv(p["cv1"], x)
     c = y.shape[-1] // 2
     ys = [y[..., :c], y[..., c:]]
     for mp in p["m"]:
-        ys.append(_bottleneck(mp, ys[-1], shortcut, dtype))
-    return _conv(p["cv2"], jnp.concatenate(ys, axis=-1), dtype=dtype)
+        ys.append(_bottleneck(mp, ys[-1], shortcut, cv))
+    return cv(p["cv2"], jnp.concatenate(ys, axis=-1))
 
 
 def _maxpool5(x: jnp.ndarray) -> jnp.ndarray:
@@ -340,12 +336,12 @@ def _maxpool5(x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _sppf(p: Params, x: jnp.ndarray, dtype) -> jnp.ndarray:
-    y = _conv(p["cv1"], x, dtype=dtype)
+def _sppf(p: Params, x: jnp.ndarray, cv) -> jnp.ndarray:
+    y = cv(p["cv1"], x)
     pools = [y]
     for _ in range(3):
         pools.append(_maxpool5(pools[-1]))
-    return _conv(p["cv2"], jnp.concatenate(pools, axis=-1), dtype=dtype)
+    return cv(p["cv2"], jnp.concatenate(pools, axis=-1))
 
 
 def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
@@ -354,64 +350,63 @@ def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, 2 * h, 2 * w, c)
 
 
-def apply_backbone(params: Params, x: jnp.ndarray, dtype=jnp.float32
+def apply_backbone(params: Params, x: jnp.ndarray, dtype=jnp.float32,
+                   accum_f32: bool = True, conv_fn=None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Backbone + neck. x: (B, H, W, 3) float in [0,1]. Returns (P3, P4, P5)."""
-    cv = partial(_conv, dtype=dtype)
+    """Backbone + neck. x: (B, H, W, 3) float in [0,1]. Returns (P3, P4, P5).
+
+    conv_fn: optional _conv replacement (same signature) — the injection
+    hook quant calibration uses to record per-conv input ranges without
+    mutating module state.
+    """
+    cv = partial(conv_fn or _conv, dtype=dtype, accum_f32=accum_f32)
     x = x.astype(dtype)
     x = cv(params["m0"], x, stride=2)
     x = cv(params["m1"], x, stride=2)
-    x = _c2f(params["m2"], x, True, dtype)
+    x = _c2f(params["m2"], x, True, cv)
     x = cv(params["m3"], x, stride=2)
-    p3_in = _c2f(params["m4"], x, True, dtype)            # idx 4
+    p3_in = _c2f(params["m4"], x, True, cv)               # idx 4
     x = cv(params["m5"], p3_in, stride=2)
-    p4_in = _c2f(params["m6"], x, True, dtype)            # idx 6
+    p4_in = _c2f(params["m6"], x, True, cv)               # idx 6
     x = cv(params["m7"], p4_in, stride=2)
-    x = _c2f(params["m8"], x, True, dtype)
-    p5_in = _sppf(params["m9"], x, dtype)                 # idx 9
+    x = _c2f(params["m8"], x, True, cv)
+    p5_in = _sppf(params["m9"], x, cv)                    # idx 9
 
     # Top-down
     x = jnp.concatenate([_upsample2x(p5_in), p4_in], axis=-1)   # 10, 11
-    n12 = _c2f(params["m12"], x, False, dtype)
+    n12 = _c2f(params["m12"], x, False, cv)
     x = jnp.concatenate([_upsample2x(n12), p3_in], axis=-1)     # 13, 14
-    p3 = _c2f(params["m15"], x, False, dtype)
+    p3 = _c2f(params["m15"], x, False, cv)
     # Bottom-up
     x = jnp.concatenate([cv(params["m16"], p3, stride=2), n12], axis=-1)  # 16, 17
-    p4 = _c2f(params["m18"], x, False, dtype)
+    p4 = _c2f(params["m18"], x, False, cv)
     x = jnp.concatenate([cv(params["m19"], p4, stride=2), p5_in], axis=-1)  # 19, 20
-    p5 = _c2f(params["m21"], x, False, dtype)
+    p5 = _c2f(params["m21"], x, False, cv)
     return p3, p4, p5
 
 
 def forward_raw(params: Params, spec: ModelSpec, x: jnp.ndarray,
-                dtype=jnp.float32, accum_f32: bool = None) -> List[jnp.ndarray]:
+                dtype=jnp.float32, accum_f32: bool = True,
+                conv_fn=None) -> List[jnp.ndarray]:
     """Full forward. Returns per-level (B, Hi, Wi, 4*reg_max + nc) maps in f32.
 
     accum_f32: True for serving (fused f32 MXU accumulation, ~1.75x),
-    False for training (autodiff-safe). None keeps the current module flag.
+    False for training (autodiff-safe). Threaded explicitly — concurrent
+    traces with different settings are safe (no module-global state).
+    conv_fn: optional _conv replacement (see apply_backbone).
     """
-    global _ACCUM_F32
-    prev = _ACCUM_F32
-    if accum_f32 is not None:
-        _ACCUM_F32 = accum_f32
-    try:
-        return _forward_raw_inner(params, spec, x, dtype)
-    finally:
-        _ACCUM_F32 = prev
-
-
-def _forward_raw_inner(params: Params, spec: ModelSpec, x: jnp.ndarray,
-                       dtype=jnp.float32) -> List[jnp.ndarray]:
-    feats = apply_backbone(params, x, dtype=dtype)
+    cv = partial(conv_fn or _conv, dtype=dtype, accum_f32=accum_f32)
+    feats = apply_backbone(params, x, dtype=dtype, accum_f32=accum_f32,
+                           conv_fn=conv_fn)
     det = params["m22"]
     outs = []
     for level, f in enumerate(feats):
         box = f
         for i, bp in enumerate(det["cv2"][level]):
-            box = _conv(bp, box, act=(i < 2), dtype=dtype)
+            box = cv(bp, box, act=(i < 2))
         cls = f
         for i, cp in enumerate(det["cv3"][level]):
-            cls = _conv(cp, cls, act=(i < 2), dtype=dtype)
+            cls = cv(cp, cls, act=(i < 2))
         outs.append(jnp.concatenate(
             [box.astype(jnp.float32), cls.astype(jnp.float32)], axis=-1))
     return outs
@@ -465,7 +460,7 @@ def decode_outputs(spec: ModelSpec, outs: Sequence[jnp.ndarray],
 
 
 def forward_decoded(params: Params, spec: ModelSpec, x: jnp.ndarray,
-                    dtype=jnp.float32) -> jnp.ndarray:
+                    dtype=jnp.float32, accum_f32: bool = True) -> jnp.ndarray:
     """(B, A, 4+nc) decoded output — the ONNX `output0` equivalent (transposed)."""
-    outs = forward_raw(params, spec, x, dtype=dtype)
+    outs = forward_raw(params, spec, x, dtype=dtype, accum_f32=accum_f32)
     return decode_outputs(spec, outs, (x.shape[1], x.shape[2]))

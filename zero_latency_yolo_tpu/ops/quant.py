@@ -72,28 +72,28 @@ def calibrate_activations(qparams: Params, spec, sample_inputs,
     # Collect per-conv input maxima *functionally*: the recording wrapper
     # appends tracers during the single jit trace and the wrapped function
     # returns them, so calibration runs as one compiled program (eager per-op
-    # dispatch would be unusable through a remote TPU link).
+    # dispatch would be unusable through a remote TPU link). Injected via
+    # forward_raw's conv_fn hook — no module-global mutation, so concurrent
+    # traces elsewhere are unaffected.
     block_ids = []
     maxima = []
-    orig_conv = _y._conv
 
-    def recording_conv(p, x, stride=1, act=True, dtype=jnp.float32):
+    def recording_conv(p, x, stride=1, act=True, dtype=jnp.float32,
+                       accum_f32=True):
         if "w_q" in p:
             block_ids.append(id(p))
             maxima.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
-        return orig_conv(p, x, stride=stride, act=act, dtype=dtype)
+        return _y._conv(p, x, stride=stride, act=act, dtype=dtype,
+                        accum_f32=accum_f32)
 
     def calib_fn(x):
         block_ids.clear()
         maxima.clear()
-        _y.forward_raw(qparams, spec, x, dtype=dtype or jnp.float32)
+        _y.forward_raw(qparams, spec, x, dtype=dtype or jnp.float32,
+                       conv_fn=recording_conv)
         return tuple(maxima)
 
-    _y._conv = recording_conv
-    try:
-        vals = jax.jit(calib_fn)(jnp.asarray(sample_inputs))
-    finally:
-        _y._conv = orig_conv
+    vals = jax.jit(calib_fn)(jnp.asarray(sample_inputs))
     seen: Dict[int, float] = {
         bid: float(v) for bid, v in zip(block_ids, np.asarray(vals))}
 

@@ -76,13 +76,31 @@ class EngineResult:
     detections: List[Detection]
     infer_ms: float = 0.0
     queue_ms: float = 0.0
+    # perf_counter stamp of datagram arrival — lets the server compute true
+    # recv->sent latency at send time.
+    recv_t: float = 0.0
 
 
-def _pick_bucket(buckets: Sequence[Tuple[int, int]], h: int, w: int) -> Tuple[int, int]:
+def _pick_bucket(buckets: Sequence[Tuple[int, int]], h: int, w: int
+                 ) -> Optional[Tuple[int, int]]:
+    """Smallest configured bucket covering (h, w); None when none does.
+    Oversized frames are shed, never compiled — a per-shape program mint on
+    attacker-controlled dimensions would be a compile storm."""
     for bh, bw in sorted(buckets, key=lambda b: b[0] * b[1]):
         if h <= bh and w <= bw:
             return (bh, bw)
-    return (max(h, max(b[0] for b in buckets)), max(w, max(b[1] for b in buckets)))
+    return None
+
+
+def _start_host_copy(out) -> None:
+    """Kick off the D2H transfer of the packed outputs immediately after
+    dispatch so it overlaps the next batch's staging/compute — complete()
+    then finds the bytes already on host (on a relayed TPU this hides a full
+    link RTT per batch)."""
+    try:
+        out.copy_to_host_async()
+    except (AttributeError, RuntimeError):  # backend without async copies
+        pass
 
 
 def _pick_batch(buckets: Sequence[int], n: int) -> int:
@@ -213,9 +231,11 @@ class InferenceEngine:
                 pred = pred.at[..., 1].set(pred[..., 1] / sy[:, None])
                 pred = pred.at[..., 3].set(pred[..., 3] / sy[:, None])
             src_wh = jnp.stack([wf, hf], axis=-1)
-            return nms_ops.postprocess_batch(
+            out = nms_ops.postprocess_batch(
                 pred, class_w, conf, iou, scale, pad, src_wh, topk,
                 self.nms_impl)
+            # ONE packed output array => ONE small D2H per batch (not four).
+            return nms_ops.pack_outputs(out)
 
         return jax.jit(step, donate_argnums=(1,))
 
@@ -283,6 +303,19 @@ class InferenceEngine:
                                 t0=time.perf_counter(), n=len(requests),
                                 simulated=[self._simulate(r) for r in requests])
         t0 = time.perf_counter()
+        # Shed frames larger than every configured bucket (reject, never
+        # compile on request-controlled shapes).
+        oversized = [r for r in requests
+                     if _pick_bucket(self.frame_buckets, r.height, r.width)
+                     is None]
+        if oversized:
+            self.frames_dropped.inc(len(oversized))
+            log.warning("shed %d oversized frame(s) (max bucket %s)",
+                        len(oversized), max(self.frame_buckets))
+            bad = {id(r) for r in oversized}
+            requests = [r for r in requests if id(r) not in bad]
+            if not requests:
+                return PendingBatch(requests=[], out=None, t0=0.0, n=0)
         n = len(requests)
         batch = _pick_batch(self.batch_buckets, n)
         bucket = _pick_bucket(
@@ -344,6 +377,7 @@ class InferenceEngine:
         out = step(params, cache, jnp.asarray(slots, jnp.int32),
                    jnp.asarray(heights), jnp.asarray(widths),
                    self._class_weights, self._conf, self._iou)
+        _start_host_copy(out)
         return PendingBatch(requests=requests, out=out, t0=t0, n=len(requests))
 
     def _dispatch_device(self, frames, heights, widths,
@@ -355,6 +389,7 @@ class InferenceEngine:
         # donate_argnums invalidates the device copy, not the numpy staging.
         out = step(params, frames, heights, widths,
                    self._class_weights, self._conf, self._iou)
+        _start_host_copy(out)
         return PendingBatch(requests=requests, out=out, t0=t0, n=len(requests))
 
     def complete(self, pending: "PendingBatch") -> List[EngineResult]:
@@ -363,11 +398,11 @@ class InferenceEngine:
             return []
         if pending.simulated is not None:
             return pending.simulated
-        out = pending.out
-        boxes = np.asarray(out["boxes"])
-        scores = np.asarray(out["scores"])
-        classes = np.asarray(out["classes"])
-        counts = np.asarray(out["count"])
+        out = nms_ops.unpack_outputs(np.asarray(pending.out))  # one D2H
+        boxes = out["boxes"]
+        scores = out["scores"]
+        classes = out["classes"]
+        counts = out["count"]
         infer_ms = (time.perf_counter() - pending.t0) * 1e3
         self.latency.record(infer_ms)
         self.batch_sizes.record(pending.n)
@@ -391,7 +426,8 @@ class InferenceEngine:
             results.append(EngineResult(
                 client_id=r.client_id, frame_id=r.frame_id,
                 timestamp=r.timestamp, detections=dets,
-                infer_ms=infer_ms, queue_ms=max(q_ms, 0.0)))
+                infer_ms=infer_ms, queue_ms=max(q_ms, 0.0),
+                recv_t=r.enqueue_t))
         return results
 
     def _simulate(self, r: InferenceRequest) -> EngineResult:
@@ -407,7 +443,8 @@ class InferenceEngine:
                 track_id=0, timestamp=r.timestamp))
         self.inference_count.inc()
         return EngineResult(client_id=r.client_id, frame_id=r.frame_id,
-                            timestamp=r.timestamp, detections=dets)
+                            timestamp=r.timestamp, detections=dets,
+                            recv_t=r.enqueue_t)
 
     # -------------------------------------------------------- live config
     def update_thresholds(self, confidence: Optional[float] = None,
@@ -465,3 +502,54 @@ class InferenceEngine:
             "avg_batch": f"{self.batch_sizes.snapshot()['avg_ms']:.1f}",
             "compiled_programs": str(len(self._step_cache)),
         }
+
+
+class SimulationEngine(InferenceEngine):
+    """Engine that always serves random detections, regardless of whether a
+    model file exists — the reference's simulation mode promoted to a
+    selectable engine (onnx_engine.cpp:1133-1177 + the registry the
+    reference declared in inference_engine.h:45-103). Never touches the
+    accelerator; useful for protocol/load testing on model-less hosts."""
+
+    def __init__(self, config: ServerConfig,
+                 params: Optional[Dict[str, Any]] = None,
+                 preprocess_mode: Optional[str] = None) -> None:
+        import dataclasses
+        cfg = dataclasses.replace(config)
+        cfg.tpu = dataclasses.replace(cfg.tpu, quantize_int8=False)
+        super().__init__(cfg, params={}, preprocess_mode=preprocess_mode)
+        self.simulation = True
+
+    def maybe_reload(self) -> bool:  # a model appearing must not flip modes
+        return False
+
+
+# Engine registry (reference inference_engine.h:45-103
+# InferenceEngineManager + REGISTER_INFERENCE_ENGINE). "onnx" — the
+# reference's default config value (configs/server.json:3) — aliases the
+# JAX engine so existing config files select the real detection core.
+ENGINE_REGISTRY: Dict[str, type] = {
+    "jax": InferenceEngine,
+    "onnx": InferenceEngine,
+    "simulation": SimulationEngine,
+}
+
+
+def register_engine(name: str):
+    """Class decorator registering a custom engine under `name`."""
+    def deco(cls):
+        ENGINE_REGISTRY[name] = cls
+        return cls
+    return deco
+
+
+def create_engine(config: ServerConfig, **kwargs) -> InferenceEngine:
+    """Factory honoring config.inference_engine; unknown names fall back to
+    the default engine with a warning (reference server/main.cpp:226-240)."""
+    name = (config.inference_engine or "jax").strip().lower()
+    cls = ENGINE_REGISTRY.get(name)
+    if cls is None:
+        log.warning("unknown inference_engine %r; using the default JAX "
+                    "engine", name)
+        cls = InferenceEngine
+    return cls(config, **kwargs)

@@ -116,6 +116,14 @@ class ContinuousBatcher:
         batch: List[InferenceRequest] = []
         with self._cv:
             clients = list(self._queues.keys())
+            # Keyframe priority (reference onnx_engine.cpp:241-244): when the
+            # batch can't admit every stream, clients whose newest pending
+            # frame is a keyframe go first — a keyframe re-anchors the
+            # client's device frame cache, so serving it late stalls every
+            # subsequent ROI delta for that stream.
+            if self._pending > self.max_batch:
+                clients.sort(key=lambda c: not (
+                    self._queues[c] and self._queues[c][-1].keyframe))
             for cid in clients:
                 q = self._queues[cid]
                 if not q:

@@ -48,7 +48,8 @@ from ..utils.logging import get_logger
 from ..utils.stats import Counter, RollingStats
 from ..ops.roi import DeviceFrameCache
 from .adapters import GameAdapter, get_adapter
-from .engine import EngineResult, InferenceEngine, InferenceRequest
+from .engine import (EngineResult, InferenceEngine, InferenceRequest,
+                     create_engine)
 from .frames import DecodedFrame, FrameDecodeError, decode_frame_payload
 from .scheduler import ContinuousBatcher
 
@@ -113,7 +114,9 @@ class DetectionServer:
                  engine: Optional[InferenceEngine] = None,
                  use_device_cache: bool = True) -> None:
         self.config = config
-        self.engine = engine or InferenceEngine(config)
+        # config.inference_engine selects from the engine registry
+        # (reference inference_engine.h:45-103 factory semantics).
+        self.engine = engine or create_engine(config)
         game_name = next(
             (name for name, g in config.game_adapters.items() if g.enabled),
             "cs16")
@@ -425,18 +428,22 @@ class DetectionServer:
     def _handle_frame_fast(self, session: ClientSession, frame_id: int,
                            frame_ts: int, width: int, height: int,
                            keyframe: bool, payload: bytes) -> None:
+        # detect_latency starts HERE, at datagram arrival — decode-queue wait
+        # + JPEG/ROI decode time must show up in the reported p99, not be
+        # silently excluded by stamping after decode.
+        recv_t = time.perf_counter()
         if self._decode_queue is not None:
             # Offload JPEG/ROI decode + cache writes off the packet thread
             # (single worker preserves per-client keyframe->ROI ordering).
             try:
                 self._decode_queue.put_nowait(
                     (session, frame_id, frame_ts, width, height, keyframe,
-                     payload))
+                     payload, recv_t))
             except Exception:  # noqa: BLE001 — queue full: shed the frame
                 self.engine.frames_dropped.inc()
             return
         self._decode_frame(session, frame_id, frame_ts, width, height,
-                           keyframe, payload)
+                           keyframe, payload, recv_t)
 
     def _decode_loop(self) -> None:
         while True:
@@ -450,7 +457,8 @@ class DetectionServer:
 
     def _decode_frame(self, session: ClientSession, frame_id: int,
                       frame_ts: int, width: int, height: int,
-                      keyframe: bool, payload: bytes) -> None:
+                      keyframe: bool, payload: bytes,
+                      recv_t: Optional[float] = None) -> None:
         try:
             decoded = decode_frame_payload(payload, width, height)
         except FrameDecodeError as e:
@@ -480,7 +488,8 @@ class DetectionServer:
                 log.debug("ROI update without device cache; dropped")
                 return
             request.data = decoded.pixels
-        request.enqueue_t = time.perf_counter()
+        request.enqueue_t = (recv_t if recv_t is not None
+                             else time.perf_counter())
         self.batcher.submit(request)
 
     # ============================================================== tx path
@@ -527,7 +536,13 @@ class DetectionServer:
                     detections=dets).serialize()
             self._send_raw(raw, session.addr)
             session.results_sent += 1
-            self.detect_latency.record(res.infer_ms + res.queue_ms)
+            # True datagram-arrival -> result-sent latency (includes decode
+            # queueing, batch window, device step, and the send hop).
+            if res.recv_t:
+                self.detect_latency.record(
+                    (time.perf_counter() - res.recv_t) * 1e3)
+            else:
+                self.detect_latency.record(res.infer_ms + res.queue_ms)
             EVENT_BUS.publish("inference_completed", res.client_id)
 
     # ========================================================== maintenance
