@@ -187,7 +187,8 @@ def main() -> None:
     statusz = f"http://127.0.0.1:{args.web_port}/statusz"
     try:
         wait_statusz(statusz, 120)
-        n_programs = len({max(1, args.streams // 2), args.streams})
+        # Warmup compiles hosted + cached-gather programs per batch bucket.
+        n_programs = 2 * len({max(1, args.streams // 2), args.streams})
         wait_warm(statusz, n_programs, args.warmup_timeout)
         print("# engine warm", file=sys.stderr)
 

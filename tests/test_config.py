@@ -97,3 +97,23 @@ def test_unknown_game_adapter_accepted():
     assert isinstance(cfg.game_adapters["csgo"], GameConfig)
     assert cfg.game_adapters["csgo"].head_size_factor == 0.6
     assert cfg.game_adapters["cs16"].enabled  # default preserved
+
+
+def test_json_numeric_coercion():
+    """JSON 60.0 for an int field (or 1 for a float field) must coerce to the
+    declared type — ServerInfo struct packing requires real ints."""
+    from zero_latency_yolo_tpu.config import ServerConfig
+    cfg = ServerConfig.from_dict({
+        "target_fps": 60.0, "max_clients": 8.0,
+        "confidence_threshold": 1,
+        "network": {"timeout_ms": 5000.0},
+    })
+    assert cfg.target_fps == 60 and isinstance(cfg.target_fps, int)
+    assert isinstance(cfg.max_clients, int)
+    assert isinstance(cfg.confidence_threshold, float)
+    assert isinstance(cfg.network.timeout_ms, int)
+    # The handshake packet this crashed in round-2 loadtest bring-up:
+    from zero_latency_yolo_tpu.protocol import ServerInfo, ServerInfoPacket
+    ServerInfoPacket(info=ServerInfo(
+        server_id=1, model_version=1.0, max_clients=cfg.max_clients,
+        max_fps=cfg.target_fps, status=0)).serialize()

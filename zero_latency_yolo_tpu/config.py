@@ -175,7 +175,7 @@ class ServerConfig:
                     "use_cpu_affinity", "cpu_core_id", "use_high_priority",
                     "worker_threads"):
             if key in j:
-                setattr(cfg, key, j[key])
+                setattr(cfg, key, _coerce(j[key], getattr(cfg, key)))
         # Top-level port/web_port alias into network (reference config.h:387-390).
         if "port" in j:
             cfg.network.port = int(j["port"])
@@ -316,6 +316,21 @@ class ClientConfig:
             return cls.from_dict(json.load(f))
 
 
+def _coerce(val: Any, cur: Any) -> Any:
+    """Coerce a JSON scalar to the field's current (default) type. JSON does
+    not distinguish 60 from 60.0 — an int field fed a float (or a float fed
+    an int) must not leak a mistyped value into struct packing."""
+    if isinstance(cur, bool):
+        return bool(val)
+    if isinstance(cur, int) and isinstance(val, (int, float)):
+        return int(val)
+    if isinstance(cur, float) and isinstance(val, (int, float)):
+        return float(val)
+    if isinstance(cur, tuple) and isinstance(val, (list, tuple)):
+        return tuple(val)
+    return val
+
+
 def _merge(obj: Any, j: Optional[Dict[str, Any]], skip=()) -> None:
     """Contains-check merge: only keys present in the JSON override defaults."""
     if not isinstance(j, dict):
@@ -323,8 +338,4 @@ def _merge(obj: Any, j: Optional[Dict[str, Any]], skip=()) -> None:
     for f in dataclasses.fields(obj):
         if f.name in skip or f.name not in j:
             continue
-        val = j[f.name]
-        cur = getattr(obj, f.name)
-        if isinstance(cur, tuple) and isinstance(val, (list, tuple)):
-            val = tuple(val)
-        setattr(obj, f.name, val)
+        setattr(obj, f.name, _coerce(j[f.name], getattr(obj, f.name)))

@@ -266,8 +266,15 @@ class InferenceEngine:
         return fn
 
     def warmup(self, batches: Optional[Sequence[int]] = None,
-               buckets: Optional[Sequence[Tuple[int, int]]] = None) -> float:
-        """Pre-compile the hot (batch, bucket) grid; returns seconds spent."""
+               buckets: Optional[Sequence[Tuple[int, int]]] = None,
+               cache=None) -> float:
+        """Pre-compile the hot (batch, bucket) grid; returns seconds spent.
+
+        When `cache` (a DeviceFrameCache or its device array) is given, the
+        fused cached-gather programs — the ones the live ROI path actually
+        runs — are compiled too; otherwise the first live batch per shape
+        pays a full XLA compile (tens of seconds through a relayed TPU).
+        """
         t0 = time.perf_counter()
         for b in (batches or self.batch_buckets):
             for bk in (buckets or self.frame_buckets):
@@ -276,6 +283,17 @@ class InferenceEngine:
                 out = self.get_step(b, bk)(
                     self._params, jnp.asarray(frames),
                     jnp.asarray(hw[0]), jnp.asarray(hw[1]),
+                    self._class_weights, self._conf, self._iou)
+                jax.block_until_ready(out)
+        if cache is not None:
+            arr = cache.device_cache() if hasattr(cache, "device_cache") else cache
+            bucket = (int(arr.shape[1]), int(arr.shape[2]))
+            for b in (batches or self.batch_buckets):
+                slots = jnp.zeros((b,), jnp.int32)
+                hs = jnp.full((b,), bucket[0], jnp.int32)
+                ws = jnp.full((b,), bucket[1], jnp.int32)
+                out = self.get_step_cached(b, bucket)(
+                    self._params, arr, slots, hs, ws,
                     self._class_weights, self._conf, self._iou)
                 jax.block_until_ready(out)
         dt = time.perf_counter() - t0

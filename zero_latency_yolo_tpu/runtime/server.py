@@ -782,7 +782,8 @@ def main() -> None:  # pragma: no cover
             loop.add_signal_handler(sig, stop.set)
         await server.start()
         if not server.engine.simulation:
-            await asyncio.to_thread(server.engine.warmup)
+            await asyncio.to_thread(server.engine.warmup,
+                                    None, None, server.device_cache)
         await stop.wait()
         await server.stop()
 
