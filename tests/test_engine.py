@@ -172,3 +172,20 @@ def test_oversized_frames_shed_not_compiled(engine):
     # All-oversized batch yields no results and no compile.
     assert engine.infer_batch([_req(3, 3, h=500, w=700)]) == []
     assert len(engine._step_cache) == programs_before
+
+
+def test_s2d_stem_engine_matches_baseline():
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    base = InferenceEngine(_cfg(), params=params,
+                           preprocess_mode="letterbox_mxu")
+    cfg = _cfg()
+    cfg.tpu.stem = "s2d"
+    s2d = InferenceEngine(cfg, params=params, preprocess_mode="letterbox_mxu")
+    req = _req(1, 1, seed=21)
+    a = base.infer_batch([req])[0]
+    b = s2d.infer_batch([_req(1, 1, seed=21)])[0]
+    assert len(a.detections) == len(b.detections)
+    for da, db in zip(a.detections, b.detections):
+        assert da.class_id == db.class_id
+        assert abs(da.x - db.x) < 1e-3 and abs(da.confidence - db.confidence) < 1e-3

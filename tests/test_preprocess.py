@@ -97,3 +97,23 @@ def test_batch_of_mixed_sizes():
     out = np.asarray(letterbox_batch(jnp.asarray(buf), hs, ws, SIZE))
     assert out.shape == (3, SIZE, SIZE, 3)
     assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_s2d_letterbox_is_channel_shuffle_of_mxu():
+    """letterbox_batch_mxu_s2d output must be the exact space-to-depth
+    shuffle of letterbox_batch_mxu: z[p,q,a*6+b*3+c] == y[2p+a,2q+b,c]."""
+    import numpy as np
+    import jax.numpy as jnp
+    from zero_latency_yolo_tpu.ops.preprocess import (
+        letterbox_batch_mxu, letterbox_batch_mxu_s2d)
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.integers(0, 256, (2, 72, 96, 3), np.uint8))
+    hs = jnp.asarray([60, 72], jnp.int32)
+    ws = jnp.asarray([96, 80], jnp.int32)
+    size = 64
+    y = np.asarray(letterbox_batch_mxu(frames, hs, ws, size))
+    z = np.asarray(letterbox_batch_mxu_s2d(frames, hs, ws, size))
+    assert z.shape == (2, size // 2, size // 2, 12)
+    ref = (y.reshape(2, size // 2, 2, size // 2, 2, 3)
+           .transpose(0, 1, 3, 2, 4, 5).reshape(2, size // 2, size // 2, 12))
+    np.testing.assert_allclose(z, ref, atol=1e-6)

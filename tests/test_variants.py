@@ -80,3 +80,40 @@ def test_concurrent_traces_are_isolated():
         t.join()
     for flag in (True, False):
         np.testing.assert_array_equal(got[flag], ref[flag])
+
+
+def test_s2d_stem_and_dot1x1_match_baseline():
+    """The serving-layout experiments are exact rewrites: s2d stem over s2d
+    input and dot_general 1x1 convs must reproduce the baseline forward."""
+    import jax.numpy as jnp
+    from zero_latency_yolo_tpu.models import forward_decoded
+    from zero_latency_yolo_tpu.ops.preprocess import (
+        letterbox_batch_mxu, letterbox_batch_mxu_s2d)
+
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(2), spec, folded=True)
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.integers(0, 256, (2, 72, 96, 3), np.uint8))
+    hs = jnp.asarray([64, 72], jnp.int32)
+    ws = jnp.asarray([96, 88], jnp.int32)
+    size = 64
+
+    x = letterbox_batch_mxu(frames, hs, ws, size)
+    base = np.asarray(jax.jit(
+        lambda p, xx: forward_decoded(p, spec, xx, dtype=jnp.float32)
+    )(params, x))
+
+    xz = letterbox_batch_mxu_s2d(frames, hs, ws, size)
+    s2d = np.asarray(jax.jit(
+        lambda p, xx: forward_decoded(p, spec, xx, dtype=jnp.float32,
+                                      stem="s2d"))(params, xz))
+    np.testing.assert_allclose(s2d, base, rtol=1e-4, atol=1e-4)
+
+    # dot1x1 engages on the bf16 fast path; compare bf16-vs-bf16.
+    b16 = np.asarray(jax.jit(
+        lambda p, xx: forward_decoded(p, spec, xx, dtype=jnp.bfloat16)
+    )(params, x))
+    b16_dot = np.asarray(jax.jit(
+        lambda p, xx: forward_decoded(p, spec, xx, dtype=jnp.bfloat16,
+                                      dot1x1=True))(params, x))
+    np.testing.assert_allclose(b16_dot, b16, rtol=2e-2, atol=2e-2)

@@ -144,6 +144,13 @@ class TpuConfig:
     # NMS suppression scan: "auto" (currently the XLA scan — the axon
     # remote-compile relay cannot build Pallas programs), "xla", "pallas".
     nms: str = "auto"
+    # Serving-layout experiments (exact-equivalent rewrites, measured on
+    # hardware before promotion — see docs/BENCH_NOTES.md):
+    # stem="s2d": letterbox emits space-to-depth (S/2, S/2, 12) directly and
+    # the stem runs as a k2 s1 conv (48-deep contraction at half spatial).
+    stem: str = "conv"
+    # dot1x1=True: k1 s1 convs via dot_general (probes TPU output fusion).
+    dot1x1: bool = False
 
 
 @dataclass

@@ -221,7 +221,8 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 
 def _conv(p: Params, x: jnp.ndarray, stride: int = 1, act: bool = True,
-          dtype=jnp.float32, accum_f32: bool = True) -> jnp.ndarray:
+          dtype=jnp.float32, accum_f32: bool = True,
+          dot1x1: bool = False) -> jnp.ndarray:
     """Conv + bias + SiLU. `SAME` padding for k1/k3 s1; YOLO k3 s2 uses p=1.
 
     accum_f32=True selects the serving fast path (conv + tails entirely in
@@ -230,6 +231,10 @@ def _conv(p: Params, x: jnp.ndarray, stride: int = 1, act: bool = True,
     autodiff-safe form. Threaded explicitly from forward_raw — there is
     deliberately NO module-global trace switch (the batcher thread compiles
     serve steps lazily while train code may trace elsewhere).
+
+    dot1x1=True routes k=1 s=1 convs through dot_general (bit-identical
+    contraction) — a serving experiment probing whether XLA:TPU fuses the
+    bias+SiLU tail into dot output fusions where it can't for convolutions.
 
     Dispatches to the int8 path when the block carries quantized weights
     (ops/quant.py): per-tensor activation quant, int8 MXU conv with int32
@@ -266,11 +271,14 @@ def _conv(p: Params, x: jnp.ndarray, stride: int = 1, act: bool = True,
         # (the MXU still accumulates f32 internally). Measured ~19% faster
         # than widening to f32 tails at batch 64 on v5e, with ~1.5e-4 output
         # difference — far inside the 1e-3 parity gate.
-        y = lax.conv_general_dilated(
-            x, w, window_strides=(stride, stride),
-            padding=((pad, pad), (pad, pad)),
-            dimension_numbers=_DN,
-        )
+        if dot1x1 and k == 1 and stride == 1:
+            y = lax.dot_general(x, w[0, 0], (((3,), (0,)), ((), ())))
+        else:
+            y = lax.conv_general_dilated(
+                x, w, window_strides=(stride, stride),
+                padding=((pad, pad), (pad, pad)),
+                dimension_numbers=_DN,
+            )
         if "b" in p:
             y = y + p["b"].astype(dtype)
         if "bn" in p:
@@ -350,18 +358,67 @@ def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, 2 * h, 2 * w, c)
 
 
+def _stem_s2d_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """Scatter the k3 s2 stem kernel (3, 3, 3, Co) into the equivalent
+    k2 s1 kernel (2, 2, 12, Co) over space-to-depth input.
+
+    With z[p, q, a*6+b*3+c] = x[2p+a, 2q+b, c] (a, b in {0,1}), the stride-2
+    tap x[2i+di-1] maps to kernel position/offset (kp, a) = (0,1), (1,0),
+    (1,1) for di = 0, 1, 2 — position (0, 0) never contributes and stays
+    zero. The conv then runs at half spatial size with a 48-deep contraction
+    instead of 27 taps over a 3-channel input (better MXU occupancy on the
+    largest feature map).
+    """
+    co = w.shape[-1]
+    w2 = jnp.zeros((2, 2, 12, co), w.dtype)
+    taps = ((0, 1, 0), (1, 0, 1), (1, 1, 2))  # (kernel pos, offset, orig tap)
+    for kp, a, di in taps:
+        for kq, b, dj in taps:
+            ch = a * 6 + b * 3
+            w2 = w2.at[kp, kq, ch:ch + 3].set(w[di, dj])
+    return w2
+
+
+def _stem_s2d(p: Params, x: jnp.ndarray, dtype, accum_f32: bool) -> jnp.ndarray:
+    """Stem conv over space-to-depth input (B, S/2, S/2, 12) — exact
+    equivalent of _conv(m0, letterboxed, stride=2). Asymmetric (1, 0) pad
+    reproduces the original SAME pad-1 border zeros."""
+    w2 = _stem_s2d_weights(p["w"]).astype(dtype)
+    xp = x.astype(dtype)
+    if accum_f32 and dtype != jnp.float32:
+        y = lax.conv_general_dilated(
+            xp, w2, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+            dimension_numbers=_DN)
+        y = y + p["b"].astype(dtype)
+        return jax.nn.silu(y)
+    y = lax.conv_general_dilated(
+        xp, w2, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+        dimension_numbers=_DN).astype(jnp.float32)
+    y = y + p["b"].astype(jnp.float32)
+    return jax.nn.silu(y).astype(dtype)
+
+
 def apply_backbone(params: Params, x: jnp.ndarray, dtype=jnp.float32,
-                   accum_f32: bool = True, conv_fn=None
+                   accum_f32: bool = True, conv_fn=None,
+                   stem: str = "conv", dot1x1: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Backbone + neck. x: (B, H, W, 3) float in [0,1]. Returns (P3, P4, P5).
+    """Backbone + neck. x: (B, H, W, 3) float in [0,1] — or, with
+    stem="s2d", the space-to-depth form (B, H/2, W/2, 12) produced by
+    preprocess.letterbox_batch_mxu_s2d. Returns (P3, P4, P5).
 
     conv_fn: optional _conv replacement (same signature) — the injection
     hook quant calibration uses to record per-conv input ranges without
     mutating module state.
     """
-    cv = partial(conv_fn or _conv, dtype=dtype, accum_f32=accum_f32)
+    cv = partial(conv_fn or _conv, dtype=dtype, accum_f32=accum_f32,
+                 dot1x1=dot1x1)
     x = x.astype(dtype)
-    x = cv(params["m0"], x, stride=2)
+    if stem == "s2d":
+        if "w_q" in params["m0"]:
+            raise ValueError("s2d stem incompatible with quantized m0")
+        x = _stem_s2d(params["m0"], x, dtype, accum_f32)
+    else:
+        x = cv(params["m0"], x, stride=2)
     x = cv(params["m1"], x, stride=2)
     x = _c2f(params["m2"], x, True, cv)
     x = cv(params["m3"], x, stride=2)
@@ -387,17 +444,20 @@ def apply_backbone(params: Params, x: jnp.ndarray, dtype=jnp.float32,
 
 def forward_raw(params: Params, spec: ModelSpec, x: jnp.ndarray,
                 dtype=jnp.float32, accum_f32: bool = True,
-                conv_fn=None) -> List[jnp.ndarray]:
+                conv_fn=None, stem: str = "conv",
+                dot1x1: bool = False) -> List[jnp.ndarray]:
     """Full forward. Returns per-level (B, Hi, Wi, 4*reg_max + nc) maps in f32.
 
     accum_f32: True for serving (fused f32 MXU accumulation, ~1.75x),
     False for training (autodiff-safe). Threaded explicitly — concurrent
     traces with different settings are safe (no module-global state).
     conv_fn: optional _conv replacement (see apply_backbone).
+    stem/dot1x1: serving-layout experiments (see _stem_s2d / _conv).
     """
-    cv = partial(conv_fn or _conv, dtype=dtype, accum_f32=accum_f32)
+    cv = partial(conv_fn or _conv, dtype=dtype, accum_f32=accum_f32,
+                 dot1x1=dot1x1)
     feats = apply_backbone(params, x, dtype=dtype, accum_f32=accum_f32,
-                           conv_fn=conv_fn)
+                           conv_fn=conv_fn, stem=stem, dot1x1=dot1x1)
     det = params["m22"]
     outs = []
     for level, f in enumerate(feats):
@@ -460,7 +520,11 @@ def decode_outputs(spec: ModelSpec, outs: Sequence[jnp.ndarray],
 
 
 def forward_decoded(params: Params, spec: ModelSpec, x: jnp.ndarray,
-                    dtype=jnp.float32, accum_f32: bool = True) -> jnp.ndarray:
+                    dtype=jnp.float32, accum_f32: bool = True,
+                    stem: str = "conv", dot1x1: bool = False) -> jnp.ndarray:
     """(B, A, 4+nc) decoded output — the ONNX `output0` equivalent (transposed)."""
-    outs = forward_raw(params, spec, x, dtype=dtype, accum_f32=accum_f32)
-    return decode_outputs(spec, outs, (x.shape[1], x.shape[2]))
+    outs = forward_raw(params, spec, x, dtype=dtype, accum_f32=accum_f32,
+                       stem=stem, dot1x1=dot1x1)
+    hw = ((x.shape[1] * 2, x.shape[2] * 2) if stem == "s2d"
+          else (x.shape[1], x.shape[2]))
+    return decode_outputs(spec, outs, hw)

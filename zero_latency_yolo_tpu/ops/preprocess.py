@@ -149,6 +149,51 @@ def letterbox_batch_mxu(frames: jnp.ndarray, heights: jnp.ndarray,
         frames, heights, widths)
 
 
+def _letterbox_one_mxu_s2d(frame: jnp.ndarray, h, w, size: int,
+                           dtype=jnp.float32) -> jnp.ndarray:
+    """MXU letterbox emitting the space-to-depth layout directly:
+    (S/2, S/2, 12) with channel a*6+b*3+c = letterboxed[2p+a, 2q+b, c].
+
+    The 416x416x3 intermediate never materializes — the row-interp matrix is
+    split by output-row parity into two half-height matmuls (identical dot
+    products, same FLOPs), each column-interp matmul writes its (a, b)
+    channel block. Feeds models.yolov8 stem="s2d"."""
+    hbuf, wbuf = frame.shape[0], frame.shape[1]
+    scale, pad_x, pad_y = letterbox_params(h, w, size)
+    o = jnp.arange(size, dtype=jnp.float32)
+    src_y = (o - pad_y + 0.5) / scale - 0.5
+    src_x = (o - pad_x + 0.5) / scale - 0.5
+    ry = _interp_matrix(src_y, hbuf, h).astype(dtype)        # (S, Hbuf)
+    rx = _interp_matrix(src_x, wbuf, w).astype(dtype)        # (S, Wbuf)
+    hf = h.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    iy = (src_y >= -0.5) & (src_y <= hf - 0.5)
+    ix = (src_x >= -0.5) & (src_x <= wf - 0.5)
+    f = frame.astype(dtype)
+    blocks = []
+    for a in (0, 1):
+        tmp = jnp.einsum("oi,ijc->ojc", ry[a::2], f,
+                         preferred_element_type=jnp.float32)  # (S/2, Wbuf, 3)
+        for b in (0, 1):
+            out = jnp.einsum("pj,ojc->opc", rx[b::2], tmp.astype(dtype),
+                             preferred_element_type=jnp.float32) / 255.0
+            inside = iy[a::2][:, None] & ix[b::2][None, :]
+            blocks.append(jnp.where(inside[..., None], out, FILL))
+    return jnp.concatenate(blocks, axis=-1).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def letterbox_batch_mxu_s2d(frames: jnp.ndarray, heights: jnp.ndarray,
+                            widths: jnp.ndarray, size: int,
+                            dtype=jnp.float32) -> jnp.ndarray:
+    """Space-to-depth MXU letterbox: (B, size/2, size/2, 12); exact
+    channel-shuffle of letterbox_batch_mxu output."""
+    assert size % 2 == 0, "s2d letterbox needs an even model size"
+    return jax.vmap(lambda f, h, w: _letterbox_one_mxu_s2d(f, h, w, size,
+                                                           dtype))(
+        frames, heights, widths)
+
+
 def _letterbox_one_rowcol(frame: jnp.ndarray, h, w, size: int,
                           dtype=jnp.float32) -> jnp.ndarray:
     """Letterbox via separable row/column gathers + lerp.

@@ -78,13 +78,11 @@ def calibrate_activations(qparams: Params, spec, sample_inputs,
     block_ids = []
     maxima = []
 
-    def recording_conv(p, x, stride=1, act=True, dtype=jnp.float32,
-                       accum_f32=True):
+    def recording_conv(p, x, stride=1, act=True, dtype=jnp.float32, **kw):
         if "w_q" in p:
             block_ids.append(id(p))
             maxima.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
-        return _y._conv(p, x, stride=stride, act=act, dtype=dtype,
-                        accum_f32=accum_f32)
+        return _y._conv(p, x, stride=stride, act=act, dtype=dtype, **kw)
 
     def calib_fn(x):
         block_ids.clear()

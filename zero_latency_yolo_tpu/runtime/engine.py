@@ -206,16 +206,27 @@ class InferenceEngine:
         dtype = self.dtype
         topk = self.pre_nms_topk
         mode = self.preprocess_mode
-        resize = {
-            "letterbox": pre_ops.letterbox_batch,
-            "letterbox_mxu": (lambda f, hh, ww, s:
-                              pre_ops.letterbox_batch_mxu(f, hh, ww, s, dtype)),
-            "stretch": pre_ops.stretch_batch,
-        }[mode]
+        stem = getattr(self.config.tpu, "stem", "conv")
+        dot1x1 = bool(getattr(self.config.tpu, "dot1x1", False))
+        if stem == "s2d":
+            if not mode.startswith("letterbox"):
+                raise ValueError("stem='s2d' requires a letterbox preprocess")
+            mode = "letterbox"  # for the scale/pad branch below
+            resize = (lambda f, hh, ww, s:
+                      pre_ops.letterbox_batch_mxu_s2d(f, hh, ww, s, dtype))
+        else:
+            resize = {
+                "letterbox": pre_ops.letterbox_batch,
+                "letterbox_mxu": (lambda f, hh, ww, s:
+                                  pre_ops.letterbox_batch_mxu(f, hh, ww, s,
+                                                              dtype)),
+                "stretch": pre_ops.stretch_batch,
+            }[mode]
 
         def step(params, frames, heights, widths, class_w, conf, iou):
             x = resize(frames, heights, widths, size)
-            pred = forward_decoded(params, spec, x, dtype=dtype)
+            pred = forward_decoded(params, spec, x, dtype=dtype, stem=stem,
+                                   dot1x1=dot1x1)
             hf = heights.astype(jnp.float32)
             wf = widths.astype(jnp.float32)
             if mode.startswith("letterbox"):

@@ -148,7 +148,14 @@ def main() -> None:  # pragma: no cover
     ap.add_argument("--ema", action="store_true",
                     help="track an EMA of the weights (serve the EMA)")
     ap.add_argument("--init-from", default=None, help="warm-start .npz")
+    ap.add_argument("--platform", default="",
+                    help="force a JAX platform (e.g. cpu); overrides "
+                         "sitecustomize-registered accelerators, which "
+                         "ignore the JAX_PLATFORMS env var")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     train(variant=args.variant, num_classes=args.classes, size=args.size,
           batch=args.batch, steps=args.steps, lr=args.lr, data=args.data,
           ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,
