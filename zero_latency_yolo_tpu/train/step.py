@@ -79,7 +79,12 @@ def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
         params = optax.apply_updates(state.params, updates)
         ema = state.ema_params
         if ema is not None:
-            d = jnp.asarray(ema_decay, jnp.float32)
+            # Ramped decay (ultralytics ModelEMA): effective decay grows
+            # from 0 to ema_decay over ~2k steps, so short fine-tunes don't
+            # leave the EMA dominated by the random init (observed: decay
+            # 0.9998 flat over 2500 steps kept 61% init weight, mAP 0).
+            t = state.step.astype(jnp.float32) + 1.0
+            d = jnp.asarray(ema_decay, jnp.float32) * (1.0 - jnp.exp(-t / 2000.0))
             ema = jax.tree.map(lambda e, p: e * d + p.astype(e.dtype) * (1 - d),
                                ema, params)
         new_state = TrainState(params=params, opt_state=opt_state,
