@@ -89,7 +89,34 @@ def main() -> None:
                           "value": 0.0, "unit": "frames/sec/chip",
                           "vs_baseline": 0.0, "error": "all combos failed"}))
         return
-    _report(results, variant, size)
+    live = None if SMOKE else _live_loadtest()
+    _report(results, variant, size, live)
+
+
+def _live_loadtest():
+    """Measured p99 under offered load: run scripts/loadtest.py (64 live
+    SimClient streams at 60 FPS against a real server process on this
+    device) and return its report. Returns None on any failure — the
+    throughput headline must not depend on the live phase."""
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    cmd = [sys.executable, os.path.join(here, "scripts", "loadtest.py"),
+           "--streams", "64", "--fps", "60", "--duration", "12",
+           "--variant", "yolov8n", "--size", "416",
+           "--warmup-timeout", "900"]
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=1500, cwd=here)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        rep = json.loads(line)
+        print(f"# live loadtest: served {rep.get('served_fps')} fps, "
+              f"server p99 {rep.get('server_detect_p99_ms')} ms",
+              file=sys.stderr)
+        return rep
+    except Exception as e:  # noqa: BLE001
+        print(f"# live loadtest failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return None
 
 
 def _run_combo(cfg, params, batch, mode, source, bh, bw, h, w, rng, results):
@@ -159,13 +186,13 @@ def _run_combo(cfg, params, batch, mode, source, bh, bw, h, w, rng, results):
               file=sys.stderr)
 
 
-def _report(results, variant, size):
+def _report(results, variant, size, live=None):
     import jax
     best_key = max(results, key=lambda k: results[k]["fps"])
     best_batch, best_mode, best_source = best_key
     best = results[best_key]
     target_fps = 64 * 60.0
-    print(json.dumps({
+    out = {
         "metric": f"{variant}_{size}_serve_throughput",
         "value": round(best["fps"], 1),
         "unit": "frames/sec/chip",
@@ -173,11 +200,22 @@ def _report(results, variant, size):
         "batch": best_batch,
         "preprocess": best_mode,
         "frame_source": best_source,
-        "step_p99_ms": round(best["p99_step_ms"], 2),
-        "detect_p99_ms_at_60fps_per_stream": round(
-            best["p99_step_ms"] + 3.0, 2),  # + batch window
+        "avg_step_ms": round(best["step_ms"], 2),
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if live is not None:
+        # MEASURED under live load (64 SimClient streams at 60 FPS against a
+        # real server process; the server's own rolling counters).
+        out["live"] = {
+            "offered_fps": live.get("offered_fps"),
+            "served_fps": live.get("served_fps"),
+            "server_detect_p99_ms": live.get("server_detect_p99_ms"),
+            "server_detect_avg_ms": live.get("server_detect_avg_ms"),
+            "engine_device_p99_ms": live.get("engine_device_p99_ms"),
+            "client_e2e_p99_ms": live.get("client_e2e_p99_ms"),
+            "frames_dropped": live.get("frames_dropped"),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
