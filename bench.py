@@ -57,11 +57,15 @@ def main() -> None:
     # axon relay (~20 MB/s), so the sweep covers the MXU letterbox over the
     # device cache at the fps-optimal (64) and p99-optimal (32) batch sizes,
     # plus the int8 backbone.
+    # Batch 128 fills the 128 VPU lanes (the trace shows batch as the lane
+    # dim on elementwise tails — BENCH_NOTES round 2); 192/256 regress
+    # (HBM pressure). 32 stays the p99-optimal config.
     combos = (((2, "letterbox", "cached"), (2, "letterbox_mxu", "cached"),
                (2, "letterbox", "hosted")) if SMOKE else
               ((32, "letterbox_mxu", "cached"),
                (64, "letterbox_mxu", "cached"),
-               (64, "letterbox_mxu", "cached_int8")))
+               (128, "letterbox_mxu", "cached"),
+               (128, "letterbox_mxu", "cached_int8")))
 
     cfg = ServerConfig.from_dict({
         "confidence_threshold": 0.5,

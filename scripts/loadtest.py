@@ -84,13 +84,13 @@ def wait_statusz(url: str, timeout: float) -> dict:
     raise TimeoutError(f"statusz not up: {last}")
 
 
-def wait_warm(url: str, want_programs: int, timeout: float) -> None:
-    """Block until the engine compiled its (batch, bucket) grid (slow through
-    a relayed TPU on first run; cached afterwards)."""
+def wait_warm(url: str, timeout: float) -> None:
+    """Block until the engine finished warmup (slow through a relayed TPU
+    on first run; cached afterwards)."""
     deadline = time.monotonic() + timeout
     while time.monotonic() < deadline:
         st = wait_statusz(url, 30)
-        if int(st["engine"].get("compiled_programs", 0)) >= want_programs:
+        if st["engine"].get("warmed") == "true":
             return
         time.sleep(2.0)
     raise TimeoutError("engine warmup did not finish")
@@ -187,9 +187,7 @@ def main() -> None:
     statusz = f"http://127.0.0.1:{args.web_port}/statusz"
     try:
         wait_statusz(statusz, 120)
-        # Warmup compiles hosted + cached-gather programs per batch bucket.
-        n_programs = 2 * len({max(1, args.streams // 2), args.streams})
-        wait_warm(statusz, n_programs, args.warmup_timeout)
+        wait_warm(statusz, args.warmup_timeout)
         print("# engine warm", file=sys.stderr)
 
         from zero_latency_yolo_tpu.protocol import build_roi_header

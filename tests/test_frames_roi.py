@@ -134,3 +134,33 @@ def test_concurrent_writes_and_fused_dispatch():
     stop.set()
     t.join(timeout=5)
     assert not errors, errors[:1]
+
+
+def test_batched_roi_flush_order_and_noop_padding():
+    """Deferred ROI writes apply in submission order in ONE program at the
+    next flush; overlapping writes must land last-wins; keyframes drop
+    superseded pending deltas for their slot."""
+    import numpy as np
+    from zero_latency_yolo_tpu.ops.roi import DeviceFrameCache
+    cache = DeviceFrameCache(num_slots=2, height=64, width=64)
+    base = np.zeros((64, 64, 3), np.uint8)
+    assert cache.write_keyframe(1, base)
+    r1 = np.full((8, 8, 3), 10, np.uint8)
+    r2 = np.full((8, 8, 3), 20, np.uint8)
+    assert cache.write_roi(1, r1, 4, 4)
+    assert cache.write_roi(1, r2, 8, 8)   # overlaps r1; must win
+    assert cache.flushes == 0             # nothing dispatched yet
+    frames, hs, ws = cache.gather([1])
+    img = np.asarray(frames[0])
+    # One keyframe-batch program + one ROI-batch program, 3 writes total.
+    assert cache.flushes == 2 and cache.writes_flushed == 3
+    assert img[5, 5].tolist() == [10, 10, 10]
+    assert img[10, 10].tolist() == [20, 20, 20]   # overlap: last wins
+    assert img[12, 12].tolist() == [20, 20, 20]
+    assert img[30, 30].tolist() == [0, 0, 0]      # padding no-ops wrote nothing
+
+    # Keyframe supersedes queued deltas for its slot.
+    assert cache.write_roi(1, r1, 0, 0)
+    assert cache.write_keyframe(1, np.full((64, 64, 3), 77, np.uint8))
+    frames, _, _ = cache.gather([1])
+    assert np.asarray(frames[0])[0, 0].tolist() == [77, 77, 77]

@@ -100,11 +100,20 @@ def test_jpeg_and_roi_stream(harness):
         c.connect()
         c.start_receiver()
         frame = synthetic_frame(96, 64, seed=2)
-        c.send_jpeg_keyframe(frame)
+        kf_id = c.send_jpeg_keyframe(frame)
         region = synthetic_frame(32, 16, seed=3)
-        c.send_roi_update(region, x=8, y=8)
-        results = c.wait_results(2, timeout=5.0)
-        assert len(results) >= 2
+        roi_id = c.send_roi_update(region, x=8, y=8)
+        # Per-client supersede semantics: when both frames land in the same
+        # batch window, the older one is dropped — but the NEWEST frame must
+        # always be answered.
+        deadline = time.monotonic() + 5.0
+        got = []
+        while time.monotonic() < deadline:
+            got = [r.frame_id for r in c.wait_results(1, timeout=1.0)]
+            if roi_id in got:
+                break
+        assert roi_id in got, f"newest frame unanswered; got {got}"
+        assert set(got) <= {kf_id, roi_id}
         # The device cache now holds the pasted content.
         cache = harness.device_cache
         cid = max(harness._sessions.keys())

@@ -37,16 +37,16 @@ def _bucket(n: int, lo: int = 64) -> int:
     return b
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _paste(cache: jnp.ndarray, slot: jnp.ndarray, region: jnp.ndarray,
-           y: jnp.ndarray, x: jnp.ndarray,
-           rh: jnp.ndarray, rw: jnp.ndarray) -> jnp.ndarray:
-    """Masked paste of region[:rh, :rw] into cache[slot] at (y, x), in place.
+def _paste_body(cache: jnp.ndarray, slot: jnp.ndarray, region: jnp.ndarray,
+                y: jnp.ndarray, x: jnp.ndarray,
+                rh: jnp.ndarray, rw: jnp.ndarray) -> jnp.ndarray:
+    """Masked paste of region[:rh, :rw] into cache[slot] at (y, x).
 
     `region` is host-padded to a power-of-two bucket so the program count
     stays bounded (shapes static, true extent (rh, rw) is a runtime scalar).
     The block is read-modify-written: clamped start + iota mask keeps writes
     inside the target rect even when the bucket overhangs the cache edge.
+    An empty extent (rh == rw == 0) is a no-op — used to pad write batches.
     """
     bh, bw = region.shape[0], region.shape[1]
     ch, cw = cache.shape[1], cache.shape[2]
@@ -67,10 +67,42 @@ def _paste(cache: jnp.ndarray, slot: jnp.ndarray, region: jnp.ndarray,
 
 
 @partial(jax.jit, donate_argnums=(0,))
+def _paste(cache: jnp.ndarray, slot: jnp.ndarray, region: jnp.ndarray,
+           y: jnp.ndarray, x: jnp.ndarray,
+           rh: jnp.ndarray, rw: jnp.ndarray) -> jnp.ndarray:
+    return _paste_body(cache, slot, region, y, x, rh, rw)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _paste_many(cache: jnp.ndarray, regions: jnp.ndarray, slots: jnp.ndarray,
+                ys: jnp.ndarray, xs: jnp.ndarray,
+                rhs: jnp.ndarray, rws: jnp.ndarray) -> jnp.ndarray:
+    """Apply K pastes in submission order as ONE device program.
+
+    The live serving finding behind this (docs/BENCH_NOTES round 2): at 64
+    streams x 60 FPS, per-ROI paste dispatches form a 3.8k-deep donation
+    chain on the cache buffer and the device queue falls seconds behind.
+    Batched, a window's writes cost one dispatch (~60/s).
+    """
+    def body(i, c):
+        return _paste_body(c, slots[i], regions[i], ys[i], xs[i],
+                           rhs[i], rws[i])
+    return jax.lax.fori_loop(0, regions.shape[0], body, cache)
+
+
+@partial(jax.jit, donate_argnums=(0,))
 def _paste_full(cache: jnp.ndarray, slot: jnp.ndarray,
                 frame: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.dynamic_update_slice(
         cache, frame[None], (slot, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _paste_full_many(cache: jnp.ndarray, frames: jnp.ndarray,
+                     slots: jnp.ndarray) -> jnp.ndarray:
+    """K full-slot keyframe writes in one program (duplicate pad slots
+    carry identical content, so scatter order does not matter)."""
+    return cache.at[slots].set(frames)
 
 
 @jax.jit
@@ -90,6 +122,18 @@ class DeviceFrameCache:
         self._slot_of: Dict[int, int] = {}
         self._dims: Dict[int, Tuple[int, int]] = {}
         self._lock = threading.Lock()
+        # Deferred ROI writes: (slot, y, x, rh, rw, region) applied in
+        # submission order by ONE _paste_many program at the next flush
+        # (gather/dispatch/run_locked). Per-write device dispatches do not
+        # scale — see _paste_many.
+        self._pending: list = []
+        # slot -> latest full keyframe (applied before the ROI deltas: a
+        # slot's queued ROIs always postdate its queued keyframe because
+        # the keyframe drops everything older for that slot).
+        self._pending_kf: Dict[int, np.ndarray] = {}
+        self._max_pending = max(2 * num_slots, 64)
+        self.flushes = 0
+        self.writes_flushed = 0
 
     # ------------------------------------------------------------ slot mgmt
     def acquire(self, client_id: int) -> Optional[int]:
@@ -108,6 +152,8 @@ class DeviceFrameCache:
             slot = self._slot_of.pop(client_id, None)
             self._dims.pop(client_id, None)
             if slot is not None:
+                self._pending = [p for p in self._pending if p[0] != slot]
+                self._pending_kf.pop(slot, None)
                 self._free.append(slot)
 
     def slot(self, client_id: int) -> Optional[int]:
@@ -123,25 +169,33 @@ class DeviceFrameCache:
 
     # -------------------------------------------------------------- updates
     def write_keyframe(self, client_id: int, frame: np.ndarray) -> bool:
-        """Upload a full (h, w, 3) uint8 frame into the client's slot."""
+        """Queue a full (h, w, 3) uint8 frame for the client's slot.
+
+        Deferred like ROI writes: the decode worker must never touch the
+        device — concurrent dispatch from multiple host threads wedges
+        relayed TPU transports, and one batched write program per window is
+        the efficient form anyway. A keyframe supersedes everything queued
+        for its slot."""
         slot = self.acquire(client_id)
         if slot is None:
             return False
         h, w = frame.shape[:2]
         if h > self.height or w > self.width:
             return False
-        padded = frame
-        if (h, w) != (self.height, self.width):
-            padded = np.zeros((self.height, self.width, 3), np.uint8)
-            padded[:h, :w] = frame
         with self._lock:
-            self._cache = _paste_full(self._cache, jnp.int32(slot),
-                                      jnp.asarray(padded))
+            # Pre-keyframe deltas (and older keyframes) are superseded —
+            # applying them after this keyframe would corrupt it.
+            self._pending = [p for p in self._pending if p[0] != slot]
+            self._pending_kf[slot] = frame
             self._dims[client_id] = (h, w)
+            if len(self._pending) + len(self._pending_kf) >= self._max_pending:
+                self._flush_locked()
         return True
 
     def write_roi(self, client_id: int, region: np.ndarray, x: int, y: int) -> bool:
-        """Paste a decoded (rh, rw, 3) region at (x, y) into the cached frame."""
+        """Queue a decoded (rh, rw, 3) region paste at (x, y) for the
+        client's cached frame. Applied (in order) by one batched device
+        program at the next flush — no per-write device dispatch."""
         slot = self.slot(client_id)
         if slot is None or not self.has_frame(client_id):
             return False  # need a keyframe first
@@ -149,17 +203,58 @@ class DeviceFrameCache:
         h, w = self.dims(client_id)
         if y + rh > h or x + rw > w:
             return False
-        bh = min(_bucket(rh), self.height)
-        bw = min(_bucket(rw), self.width)
-        padded = region
-        if (bh, bw) != (rh, rw):
-            padded = np.zeros((bh, bw, 3), np.uint8)
-            padded[:rh, :rw] = region
         with self._lock:
-            self._cache = _paste(self._cache, jnp.int32(slot),
-                                 jnp.asarray(padded), jnp.int32(y), jnp.int32(x),
-                                 jnp.int32(rh), jnp.int32(rw))
+            self._pending.append((slot, y, x, rh, rw, region))
+            # Bound host memory: a writer outpacing the batch cadence (or a
+            # hostile flood) flushes synchronously instead of growing the
+            # queue without limit.
+            if len(self._pending) >= self._max_pending:
+                self._flush_locked()
         return True
+
+    def _flush_locked(self) -> None:
+        """Apply all pending writes (keyframes first, then ROI deltas in
+        submission order) as batched device programs. Caller holds
+        self._lock. Regions are padded to each chunk's max power-of-two
+        bucket and counts to power-of-two buckets (chunked at _max_pending)
+        so the compiled-program grid stays bounded."""
+        if self._pending_kf:
+            kf = self._pending_kf
+            self._pending_kf = {}
+            items = sorted(kf.items())
+            k = _bucket(len(items), lo=4)
+            frames = np.zeros((k, self.height, self.width, 3), np.uint8)
+            slots = np.zeros((k,), np.int32)
+            for i, (slot, frame) in enumerate(items):
+                h, w = frame.shape[:2]
+                frames[i, :h, :w] = frame
+                slots[i] = slot
+            for i in range(len(items), k):
+                slots[i] = slots[0]  # pad: rewrite slot 0 with its own frame
+                frames[i] = frames[0]
+            self._cache = _paste_full_many(self._cache, jnp.asarray(frames),
+                                           jnp.asarray(slots))
+            self.flushes += 1
+            self.writes_flushed += len(items)
+        while self._pending:
+            pend = self._pending[:self._max_pending]
+            self._pending = self._pending[self._max_pending:]
+            bh = min(_bucket(max(p[3] for p in pend)), self.height)
+            bw = min(_bucket(max(p[4] for p in pend)), self.width)
+            k = _bucket(len(pend), lo=8)
+            regions = np.zeros((k, bh, bw, 3), np.uint8)
+            meta = np.zeros((k, 5), np.int32)  # slot, y, x, rh, rw
+            for i, (slot, y, x, rh, rw, region) in enumerate(pend):
+                regions[i, :rh, :rw] = region
+                meta[i] = (slot, y, x, rh, rw)
+            # Padding entries have rh=rw=0 => masked no-op.
+            self._cache = _paste_many(
+                self._cache, jnp.asarray(regions),
+                jnp.asarray(meta[:, 0]), jnp.asarray(meta[:, 1]),
+                jnp.asarray(meta[:, 2]), jnp.asarray(meta[:, 3]),
+                jnp.asarray(meta[:, 4]))
+            self.flushes += 1
+            self.writes_flushed += len(pend)
 
     def apply_diff(self, client_id: int, diff_region: np.ndarray, x: int, y: int) -> bool:
         """Difference-frame update: the region is the new content for that
@@ -181,6 +276,7 @@ class DeviceFrameCache:
             hs.append(h)
             ws.append(w)
         with self._lock:
+            self._flush_locked()
             frames = _gather(self._cache, jnp.asarray(slots, jnp.int32))
         return frames, np.asarray(hs, np.int32), np.asarray(ws, np.int32)
 
@@ -201,9 +297,20 @@ class DeviceFrameCache:
             hs.append(h)
             ws.append(w)
         with self._lock:
+            self._flush_locked()
             return fn(self._cache, np.asarray(slots, np.int32),
                       np.asarray(hs, np.int32), np.asarray(ws, np.int32))
 
+    def run_locked(self, fn):
+        """Run fn(cache_array) under the cache lock. Writes donate the
+        previous buffer, so any dispatch closing over the array must not
+        race them (e.g. warmup compiles while clients are already sending
+        keyframes). fn should launch device work, not block on results."""
+        with self._lock:
+            self._flush_locked()
+            return fn(self._cache)
+
     def device_cache(self) -> jnp.ndarray:
         with self._lock:
+            self._flush_locked()
             return self._cache

@@ -159,6 +159,9 @@ class InferenceEngine:
                 params = self._quantize_and_calibrate(params)
             self._params = jax.device_put(jax.tree.map(jnp.asarray, params))
         self._params_lock = threading.Lock()
+        # Host-side staged params from maybe_reload (applied on the
+        # dispatch thread by _current_params).
+        self._staged_params: Optional[Dict[str, Any]] = None
 
         nc = self.spec.num_classes
         names = CS16_CLASS_NAMES if nc == len(CS16_CLASS_NAMES) else tuple(
@@ -180,6 +183,8 @@ class InferenceEngine:
         self.e2e_latency = RollingStats()  # submit -> result
         self.batch_sizes = RollingStats()
         self._rng = random.Random(1337)
+        # True once warmup() finished (simulation needs none).
+        self.warmed = self.simulation
 
     def _quantize_and_calibrate(self, params):
         """int8 backbone: per-channel weight quant + static activation scales
@@ -297,17 +302,25 @@ class InferenceEngine:
                     self._class_weights, self._conf, self._iou)
                 jax.block_until_ready(out)
         if cache is not None:
-            arr = cache.device_cache() if hasattr(cache, "device_cache") else cache
-            bucket = (int(arr.shape[1]), int(arr.shape[2]))
+            locked = (cache.run_locked if hasattr(cache, "run_locked")
+                      else (lambda fn, _c=cache: fn(_c)))
             for b in (batches or self.batch_buckets):
                 slots = jnp.zeros((b,), jnp.int32)
-                hs = jnp.full((b,), bucket[0], jnp.int32)
-                ws = jnp.full((b,), bucket[1], jnp.int32)
-                out = self.get_step_cached(b, bucket)(
-                    self._params, arr, slots, hs, ws,
-                    self._class_weights, self._conf, self._iou)
-                jax.block_until_ready(out)
+
+                def launch(arr, b=b, slots=slots):
+                    # Under the cache lock: a concurrent keyframe write
+                    # donates the buffer and would leave us dispatching on
+                    # a deleted array.
+                    bucket = (int(arr.shape[1]), int(arr.shape[2]))
+                    hs = jnp.full((b,), bucket[0], jnp.int32)
+                    ws = jnp.full((b,), bucket[1], jnp.int32)
+                    return self.get_step_cached(b, bucket)(
+                        self._params, arr, slots, hs, ws,
+                        self._class_weights, self._conf, self._iou)
+
+                jax.block_until_ready(locked(launch))
         dt = time.perf_counter() - t0
+        self.warmed = True
         log.info("engine warmup done in %.1fs", dt)
         return dt
 
@@ -400,8 +413,7 @@ class InferenceEngine:
         t0 = time.perf_counter()
         batch = len(slots)
         bucket = (cache.shape[1], cache.shape[2])
-        with self._params_lock:
-            params = self._params
+        params = self._current_params()
         step = self.get_step_cached(batch, bucket)
         out = step(params, cache, jnp.asarray(slots, jnp.int32),
                    jnp.asarray(heights), jnp.asarray(widths),
@@ -412,8 +424,7 @@ class InferenceEngine:
     def _dispatch_device(self, frames, heights, widths,
                          requests: List[InferenceRequest], batch: int,
                          bucket: Tuple[int, int], t0: float) -> "PendingBatch":
-        with self._params_lock:
-            params = self._params
+        params = self._current_params()
         step = self.get_step(batch, bucket)
         # donate_argnums invalidates the device copy, not the numpy staging.
         out = step(params, frames, heights, widths,
@@ -489,8 +500,11 @@ class InferenceEngine:
 
     # ------------------------------------------------------------ hot swap
     def maybe_reload(self) -> bool:
-        """Re-hash the model file; on change, swap params in place
-        (same shapes => no recompile). Reference onnx_engine.cpp:473-515."""
+        """Re-hash the model file; on change, STAGE new params host-side
+        (same shapes => no recompile). The device swap happens on the
+        dispatch thread at the next batch — the watcher thread must not
+        touch the device (single-device-lane discipline; concurrent
+        dispatch wedges relayed transports). Reference onnx_engine.cpp:473-515."""
         path = self.config.model_path
         try:
             new_hash = file_sha256(path)
@@ -502,14 +516,25 @@ class InferenceEngine:
                                        self.config.tpu.num_classes)
         if sim:
             return False
-        if self.config.tpu.quantize_int8:
-            params = self._quantize_and_calibrate(params)
         with self._params_lock:
-            self._params = jax.device_put(jax.tree.map(jnp.asarray, params))
+            self._staged_params = params
             self._model_hash = new_hash
-            self.simulation = False
-        log.info("hot-reloaded model %s (sha256=%s)", path, new_hash[:12])
+        log.info("hot-reload staged: %s (sha256=%s)", path, new_hash[:12])
         return True
+
+    def _current_params(self):
+        """Called on the dispatch thread: applies any staged hot-swap
+        (quantize + device_put happen HERE, on the device lane)."""
+        with self._params_lock:
+            staged = self._staged_params
+            self._staged_params = None
+        if staged is not None:
+            if self.config.tpu.quantize_int8:
+                staged = self._quantize_and_calibrate(staged)
+            self._params = jax.device_put(jax.tree.map(jnp.asarray, staged))
+            self.simulation = False
+            log.info("hot-reload applied on dispatch thread")
+        return self._params
 
     # -------------------------------------------------------------- status
     def status(self) -> Dict[str, str]:
@@ -530,6 +555,7 @@ class InferenceEngine:
             "e2e_p99_ms": f"{e2e['p99_ms']:.2f}",
             "avg_batch": f"{self.batch_sizes.snapshot()['avg_ms']:.1f}",
             "compiled_programs": str(len(self._step_cache)),
+            "warmed": str(self.warmed).lower(),
         }
 
 
@@ -548,6 +574,7 @@ class SimulationEngine(InferenceEngine):
         cfg.tpu = dataclasses.replace(cfg.tpu, quantize_int8=False)
         super().__init__(cfg, params={}, preprocess_mode=preprocess_mode)
         self.simulation = True
+        self.warmed = True
 
     def maybe_reload(self) -> bool:  # a model appearing must not flip modes
         return False

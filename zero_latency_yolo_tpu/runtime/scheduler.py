@@ -14,7 +14,12 @@ with a single coherent batcher:
 - at most one frame per client per batch (a newer frame supersedes, matching
   the drop-oldest stream semantics);
 - frames live in the on-device cache (ops/roi.py) when enabled: the batch is
-  assembled by a device gather, so closing a batch costs no pixel H2D.
+  assembled by a device gather, so closing a batch costs no pixel H2D;
+- the batcher thread is the ONLY thread touching the device: cache writes
+  are deferred host-side and flushed at dispatch, and completion runs inline
+  after the NEXT dispatch (pipelining via async D2H copies). Concurrent
+  multi-threaded dispatch measurably wedges relayed TPU transports, and a
+  single device lane is the correct discipline regardless.
 """
 
 from __future__ import annotations
@@ -47,12 +52,10 @@ class ContinuousBatcher:
         self._cv = threading.Condition()
         self._running = False
         self._thread: Optional[threading.Thread] = None
-        self._completion_thread: Optional[threading.Thread] = None
         self._pending = 0
-        # Dispatch -> completion handoff (depth 2: one batch computing on
+        # Dispatched-but-unread batches (depth 2: one batch computing on
         # device while the previous one's results convert on host).
-        import queue as _queue
-        self._inflight: "_queue.Queue" = _queue.Queue(maxsize=2)
+        self._inflight: deque = deque()
 
     # ---------------------------------------------------------------- submit
     def submit(self, request: InferenceRequest) -> bool:
@@ -92,10 +95,7 @@ class ContinuousBatcher:
         self._running = True
         self._thread = threading.Thread(target=self._loop, name="zlt-batcher",
                                         daemon=True)
-        self._completion_thread = threading.Thread(
-            target=self._completion_loop, name="zlt-completion", daemon=True)
         self._thread.start()
-        self._completion_thread.start()
 
     def stop(self) -> None:
         with self._cv:
@@ -104,10 +104,6 @@ class ContinuousBatcher:
         if self._thread:
             self._thread.join(timeout=5.0)
             self._thread = None
-        self._inflight.put(None)  # wake the completion thread
-        if self._completion_thread:
-            self._completion_thread.join(timeout=5.0)
-            self._completion_thread = None
 
     # ------------------------------------------------------------------ loop
     def _collect(self) -> List[InferenceRequest]:
@@ -144,54 +140,72 @@ class ContinuousBatcher:
         window_s = self.batch_window_ms / 1000.0
         while True:
             with self._cv:
-                while self._running and self._pending == 0:
+                while self._running and self._pending == 0 and not self._inflight:
                     self._cv.wait(timeout=0.1)
                 if not self._running:
+                    self._drain_inflight()
                     return
-                # Anchor the batch window at the oldest queued frame so a
-                # frame that waited while the previous batch ran is not
-                # charged a second full window.
+                if self._pending == 0:
+                    # Idle with batches in flight: complete them now.
+                    pass
                 oldest = min((q[0].enqueue_t for q in self._queues.values() if q),
                              default=time.perf_counter())
+            if self._pending == 0 and self._inflight:
+                self._complete_oldest()
+                continue
             deadline = oldest + window_s
             # Batch-forming window: wait on the condition variable (woken by
-            # submits) until the batch fills or the deadline passes.
+            # submits) until the batch fills or the deadline passes. In-flight
+            # batches whose async D2H has landed complete immediately (2 ms
+            # readiness polling), so the single lane adds no window of
+            # completion latency.
             while True:
+                if self._inflight and self._ready(self._inflight[0]):
+                    self._complete_oldest()
                 remaining = deadline - time.perf_counter()
                 with self._cv:
                     if self._pending >= self.max_batch or remaining <= 0:
                         break
-                    self._cv.wait(timeout=remaining)
+                    self._cv.wait(timeout=(remaining if not self._inflight
+                                           else min(remaining, 0.002)))
             batch = self._collect()
-            if not batch:
-                continue
-            try:
-                for pending in self._dispatch(batch):
-                    self._inflight.put(pending)  # blocks at depth 2
-            except Exception:  # noqa: BLE001
-                self.engine.error_count.inc()
-                log.exception("batch dispatch failed (batch=%d)", len(batch))
-                continue
+            if batch:
+                try:
+                    self._inflight.extend(self._dispatch(batch))
+                except Exception:  # noqa: BLE001
+                    self.engine.error_count.inc()
+                    log.exception("batch dispatch failed (batch=%d)", len(batch))
+            # Single device lane, pipelined: the newest dispatch computes on
+            # device while we convert the oldest one's (async-copied)
+            # results on host.
+            while len(self._inflight) > 1:
+                self._complete_oldest()
 
-    def _completion_loop(self) -> None:
-        """Second pipeline stage: read device results, run the callback —
-        overlaps with the dispatch thread staging the next batch."""
-        while True:
-            pending = self._inflight.get()
-            if pending is None:
-                if not self._running:
-                    return
-                continue
-            try:
-                results = self.engine.complete(pending)
-            except Exception:  # noqa: BLE001
-                self.engine.error_count.inc()
-                log.exception("batch completion failed")
-                continue
-            try:
-                self.on_result(results)
-            except Exception:  # noqa: BLE001
-                log.exception("result callback failed")
+    @staticmethod
+    def _ready(pending) -> bool:
+        if pending.simulated is not None or pending.out is None:
+            return True
+        try:
+            return bool(pending.out.is_ready())
+        except AttributeError:
+            return False
+
+    def _complete_oldest(self) -> None:
+        pending = self._inflight.popleft()
+        try:
+            results = self.engine.complete(pending)
+        except Exception:  # noqa: BLE001
+            self.engine.error_count.inc()
+            log.exception("batch completion failed")
+            return
+        try:
+            self.on_result(results)
+        except Exception:  # noqa: BLE001
+            log.exception("result callback failed")
+
+    def _drain_inflight(self) -> None:
+        while self._inflight:
+            self._complete_oldest()
 
     def _dispatch(self, batch: List[InferenceRequest]):
         cache = self.device_cache

@@ -173,7 +173,12 @@ class DetectionServer:
         self.detect_latency = RollingStats()  # frame recv -> result sent
 
     # ================================================================ lifecycle
-    async def start(self) -> None:
+    async def start(self, warmup: bool = False) -> None:
+        """Bring up transports + management plane; optionally pre-compile the
+        serving programs BEFORE the batcher thread starts — the warmup
+        thread and the batcher must never both touch the device (single
+        device lane; concurrent dispatch wedges relayed TPU transports).
+        Frames arriving during warmup queue host-side (drop-oldest)."""
         self._loop = asyncio.get_running_loop()
         port = self.config.network.port
         use_native = self.config.network.use_native_transport
@@ -206,10 +211,6 @@ class DetectionServer:
             self._decode_thread = _threading.Thread(
                 target=self._decode_loop, name="zlt-decode", daemon=True)
             self._decode_thread.start()
-        self.batcher.start()
-        self._mgmt_task = asyncio.create_task(self._management_loop())
-        self._watch_task = asyncio.create_task(self._model_watch_loop())
-        self._monitor_task = asyncio.create_task(self._monitor_loop())
         if self.config.network.web_port:
             try:
                 self._http_server = await asyncio.start_server(
@@ -217,6 +218,13 @@ class DetectionServer:
             except OSError:
                 log.warning("statusz port %d busy; endpoint disabled",
                             self.config.network.web_port)
+        if warmup and not self.engine.simulation:
+            await asyncio.to_thread(self.engine.warmup,
+                                    None, None, self.device_cache)
+        self.batcher.start()
+        self._mgmt_task = asyncio.create_task(self._management_loop())
+        self._watch_task = asyncio.create_task(self._model_watch_loop())
+        self._monitor_task = asyncio.create_task(self._monitor_loop())
         self._running = True
         EVENT_BUS.publish(SERVER_STARTED, {"port": self.port})
         log.info("detection server listening on udp/%d (statusz on %s)",
@@ -737,6 +745,11 @@ def main() -> None:  # pragma: no cover
     import os
     import signal
 
+    import faulthandler
+    faulthandler.enable()
+    if hasattr(signal, "SIGUSR1"):  # kill -USR1 <pid> => all-thread dump
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+
     ap = argparse.ArgumentParser(description="zero-latency-yolo TPU server")
     ap.add_argument("--config", default="configs/server.json")
     ap.add_argument("--platform", default=os.environ.get("ZLT_PLATFORM", ""),
@@ -780,10 +793,7 @@ def main() -> None:  # pragma: no cover
         stop = asyncio.Event()
         for sig in (signal.SIGINT, signal.SIGTERM):
             loop.add_signal_handler(sig, stop.set)
-        await server.start()
-        if not server.engine.simulation:
-            await asyncio.to_thread(server.engine.warmup,
-                                    None, None, server.device_cache)
+        await server.start(warmup=True)
         await stop.wait()
         await server.stop()
 
