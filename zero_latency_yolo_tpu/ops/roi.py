@@ -37,6 +37,14 @@ def _bucket(n: int, lo: int = 64) -> int:
     return b
 
 
+def _roi_bucket(n: int, full: int) -> int:
+    """Coarse ROI edge buckets: 32, 128, or the full cache extent."""
+    for b in (32, 128):
+        if n <= b:
+            return b
+    return full
+
+
 def _paste_body(cache: jnp.ndarray, slot: jnp.ndarray, region: jnp.ndarray,
                 y: jnp.ndarray, x: jnp.ndarray,
                 rh: jnp.ndarray, rw: jnp.ndarray) -> jnp.ndarray:
@@ -239,9 +247,14 @@ class DeviceFrameCache:
         while self._pending:
             pend = self._pending[:self._max_pending]
             self._pending = self._pending[self._max_pending:]
-            bh = min(_bucket(max(p[3] for p in pend)), self.height)
-            bw = min(_bucket(max(p[4] for p in pend)), self.width)
-            k = _bucket(len(pend), lo=8)
+            # Coarse shape buckets: ROI programs are keyed by (k, bh, bw);
+            # through a remote-compile relay every new shape costs tens of
+            # seconds, so the grid is {16, max} x {32, 128, full} per axis.
+            bh = min(_roi_bucket(max(p[3] for p in pend), self.height),
+                     self.height)
+            bw = min(_roi_bucket(max(p[4] for p in pend), self.width),
+                     self.width)
+            k = 16 if len(pend) <= 16 else self._max_pending
             regions = np.zeros((k, bh, bw, 3), np.uint8)
             meta = np.zeros((k, 5), np.int32)  # slot, y, x, rh, rw
             for i, (slot, y, x, rh, rw, region) in enumerate(pend):
@@ -300,6 +313,30 @@ class DeviceFrameCache:
             self._flush_locked()
             return fn(self._cache, np.asarray(slots, np.int32),
                       np.asarray(hs, np.int32), np.asarray(ws, np.int32))
+
+    def warm(self) -> None:
+        """Pre-compile the common write programs (small-ROI paste at both
+        count buckets, keyframe scatter) so live traffic doesn't stall on
+        first-shape compiles — tens of seconds each through a relayed TPU.
+        Zero-extent writes are masked no-ops; content is untouched."""
+        zero = np.zeros((1, 1, 3), np.uint8)
+        with self._lock:
+            saved, saved_kf = self._pending, self._pending_kf
+            for count in (1, 17):  # -> k buckets 16 and _max_pending
+                self._pending = [(0, 0, 0, 0, 0, zero)] * count
+                self._pending_kf = {}
+                self._flush_locked()
+            # Keyframe scatter at the single-slot bucket (k=4 padded) — the
+            # shape used by steady-state keyframe cadence. Use a FREE slot:
+            # the scatter rewrites the whole slot frame.
+            if self._free:
+                self._pending = []
+                self._pending_kf = {self._free[0]:
+                                    np.zeros((1, 1, 3), np.uint8)}
+                self._flush_locked()
+            self._pending, self._pending_kf = saved, saved_kf
+            self.flushes = 0
+            self.writes_flushed = 0
 
     def run_locked(self, fn):
         """Run fn(cache_array) under the cache lock. Writes donate the

@@ -302,6 +302,8 @@ class InferenceEngine:
                     self._class_weights, self._conf, self._iou)
                 jax.block_until_ready(out)
         if cache is not None:
+            if hasattr(cache, "warm"):
+                cache.warm()  # pre-compile write programs too
             locked = (cache.run_locked if hasattr(cache, "run_locked")
                       else (lambda fn, _c=cache: fn(_c)))
             for b in (batches or self.batch_buckets):
