@@ -94,20 +94,25 @@ def test_bf16_close_to_f32(setup):
 # yet detection-level outputs match — hence the set-matched NMS-level gate).
 # ---------------------------------------------------------------------------
 
-ARTIFACT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "artifacts", "yolov8n_trained.npz")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# Two converged in-repo artifacts: trained at 128, and fine-tuned at the
+# deployment size (416, mAP 0.88 on its task).
+ARTIFACTS = (os.path.join(_REPO, "artifacts", "yolov8n_trained.npz"),
+             os.path.join(_REPO, "artifacts", "yolov8n_trained_416.npz"))
 DEPLOY_SIZE = 416
 
 
-@pytest.fixture(scope="module")
-def trained():
-    if not os.path.exists(ARTIFACT):
+@pytest.fixture(scope="module", params=[os.path.basename(a) for a in ARTIFACTS])
+def trained(request):
+    path = next(a for a in ARTIFACTS
+                if os.path.basename(a) == request.param)
+    if not os.path.exists(path):
         pytest.skip("trained artifact missing")
     from zero_latency_yolo_tpu.models.weights import load_params
     from zero_latency_yolo_tpu.ops.preprocess import letterbox_batch
     from zero_latency_yolo_tpu.runtime.simulator import synthetic_frame
     spec = get_spec("yolov8n", num_classes=4)
-    params = load_params(ARTIFACT)
+    params = load_params(path)
     frame = synthetic_frame(800, 600, seed=4)
     x = np.asarray(letterbox_batch(
         jnp.asarray(frame[None]), jnp.asarray([600], jnp.int32),
@@ -129,14 +134,18 @@ def test_real_weights_parity_416_f32(trained):
     assert (out_jax[..., 4:] > 0.5).any()
 
 
-def test_real_weights_bf16_detection_level(trained):
+def test_real_weights_bf16_detection_level():
     """bf16 serving vs f32, compared where it matters: post-NMS detections.
     Raw bf16 activations drift several percent through a sharp trained
     network (rank swaps among near-equal scores), but every detection must
-    set-match an f32 twin: same class, coords within 2e-3, conf within 0.02."""
+    set-match an f32 twin: same class, high IoU, conf within 0.03."""
+    from zero_latency_yolo_tpu.models.weights import load_params
     from zero_latency_yolo_tpu.ops import nms as nms_ops
     from zero_latency_yolo_tpu.train.loop import synthetic_batches
-    spec, params, _ = trained
+    if not os.path.exists(ARTIFACTS[0]):
+        pytest.skip("trained artifact missing")
+    spec = get_spec("yolov8n", num_classes=4)
+    params = load_params(ARTIFACTS[0])
     # In-distribution input (the task the artifact was trained on): OOD
     # frames drive the overfit model into saturated full-frame
     # hallucinations whose NMS outcome is inherently unstable in any dtype.
@@ -180,6 +189,30 @@ def test_real_weights_bf16_detection_level(trained):
         assert bc[j] == fc[i]
         assert abs(bs[j] - fs[i]) < 0.03
         used.add(j)
+
+
+def test_real_weights_bf16_ap_gate_416():
+    """Serving-quality gate on the deployment-size artifact: bf16 must stay
+    within 0.05 mAP / 0.08 recall of f32 on in-distribution data (measured:
+    f32 mAP 0.986 vs bf16 0.95 — the cost of bf16 on a sharp fine-tune,
+    pinned so regressions in the conv/tail precision strategy surface)."""
+    import jax.numpy as jnp
+    from zero_latency_yolo_tpu.models.weights import load_params
+    from zero_latency_yolo_tpu.train.eval import evaluate
+    from zero_latency_yolo_tpu.train.loop import synthetic_batches
+    if not os.path.exists(ARTIFACTS[1]):
+        pytest.skip("416 artifact missing")
+    spec = get_spec("yolov8n", num_classes=4)
+    params = load_params(ARTIFACTS[1])
+    images, targets = next(synthetic_batches(8, DEPLOY_SIZE, seed=777))
+    mf = evaluate(params, spec, images, targets, conf_thresh=0.25, batch=4,
+                  dtype=jnp.float32)
+    mb = evaluate(params, spec, images, targets, conf_thresh=0.25, batch=4,
+                  dtype=jnp.bfloat16)
+    assert mf["mAP"] > 0.9, f"gate vacuous: f32 mAP {mf['mAP']:.3f}"
+    assert mb["mAP"] > 0.9, f"bf16 mAP {mb['mAP']:.3f}"
+    assert abs(mf["mAP"] - mb["mAP"]) < 0.05
+    assert abs(mf["recall"] - mb["recall"]) < 0.08
 
 
 def test_variant_specs():
