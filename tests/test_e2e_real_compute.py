@@ -40,7 +40,10 @@ def harness(tmp_path_factory):
     server = DetectionServer(cfg)
     assert not server.engine.simulation
     # Compile ahead of time so result waits don't race XLA on a loaded core.
-    server.engine.warmup()
+    # Pass the server's device cache: the live raw-frame path runs the
+    # cached-gather programs (plus the cache write programs), and an unwarmed
+    # compile at request time outlasts the 5s client-liveness eviction.
+    server.engine.warmup(cache=server.device_cache)
     loop = asyncio.new_event_loop()
     t = threading.Thread(target=loop.run_forever, daemon=True)
     t.start()

@@ -57,6 +57,76 @@ def test_native_transport_full_flow(harness):
         c.stop()
 
 
+def test_inline_ack_from_drain_thread(harness):
+    """v2 transport: a registered peer's packet is ACKed by the C++ drain
+    path (reference ACK-all, reliable_udp.cpp:602-605) — the ACK carries the
+    original packet's sequence, and arrives even before the loop thread runs
+    the packet handler."""
+    import socket as _socket
+
+    from zero_latency_yolo_tpu.protocol import (
+        AckPacket, ClientInfo, ClientInfoPacket, HeartbeatPacket, PacketType,
+        parse_packet)
+    from zero_latency_yolo_tpu.runtime.transport import HAVE_NATIVE_UDP_V2
+    if not HAVE_NATIVE_UDP_V2:
+        pytest.skip("v2 UDP symbols unavailable")
+
+    sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    sock.settimeout(3.0)
+    sock.bind(("127.0.0.1", 0))
+    try:
+        sock.sendto(ClientInfoPacket(info=ClientInfo(
+            client_id=0, protocol_version=1, screen_width=96,
+            screen_height=64, game_id=1)).serialize(), ("127.0.0.1", PORT))
+        # Absorb the SERVER_INFO reply (registration also installs us in the
+        # native peer table).
+        deadline = time.monotonic() + 3.0
+        while time.monotonic() < deadline:
+            data, _ = sock.recvfrom(65536)
+            if parse_packet(data).TYPE == PacketType.SERVER_INFO:
+                break
+        hb = HeartbeatPacket(ping=7)
+        raw = hb.serialize()
+        sock.sendto(raw, ("127.0.0.1", PORT))
+        acked = None
+        deadline = time.monotonic() + 3.0
+        while time.monotonic() < deadline and acked is None:
+            data, _ = sock.recvfrom(65536)
+            pkt = parse_packet(data)
+            if isinstance(pkt, AckPacket) and \
+                    pkt.acked_sequence == hb.sequence:
+                acked = pkt
+        assert acked is not None, "no inline ACK for the heartbeat"
+    finally:
+        sock.close()
+
+
+def test_send_many_burst(harness):
+    """send_many (sendmmsg) delivers every packet of a result-sized burst."""
+    from zero_latency_yolo_tpu.protocol import HeartbeatPacket, parse_packet
+    from zero_latency_yolo_tpu.runtime.transport import HAVE_NATIVE_UDP_V2
+    if not HAVE_NATIVE_UDP_V2:
+        pytest.skip("v2 UDP symbols unavailable")
+    import socket as _socket
+    sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    sock.settimeout(3.0)
+    sock.bind(("127.0.0.1", 0))
+    addr = sock.getsockname()
+    try:
+        pkts = [(HeartbeatPacket(ping=i).serialize(), addr)
+                for i in range(100)]  # > one sendmmsg chunk (64)
+        sent = harness._transport.send_many(pkts)
+        assert sent == 100
+        got = set()
+        deadline = time.monotonic() + 3.0
+        while time.monotonic() < deadline and len(got) < 100:
+            data, _ = sock.recvfrom(65536)
+            got.add(parse_packet(data).ping)
+        assert got == set(range(100))
+    finally:
+        sock.close()
+
+
 def test_native_transport_burst(harness):
     """A burst larger than one recvmmsg batch still all lands."""
     c = SimClient(("127.0.0.1", PORT), screen_width=96, screen_height=64)

@@ -10,17 +10,37 @@
 //   zl_udp_open(port, rcvbuf, sndbuf) -> fd (or -errno); binds 0.0.0.0:port
 //   zl_udp_recv_batch(fd, arena, arena_cap, pkts, max_pkts, timeout_ms)
 //       -> n packets written (0 on timeout, -errno on error)
+//   zl_udp_recv_batch2(...)  -> as above, but each datagram is ZLTY-validated
+//       in C++ (header + CRC, via the codec in this library) and valid
+//       non-ACK packets from known peers are ACKed inline with ONE sendmmsg
+//       — the ACK never crosses into Python (reference ACK-all semantics,
+//       src/network/reliable_udp.cpp:602-605, minus two thread hops)
 //   zl_udp_send(fd, data, len, ip_be, port_be) -> sent bytes or -errno
+//   zl_udp_send_batch(fd, arena, descs, n) -> sendmmsg burst (result sends)
 //   zl_udp_close(fd)
 
 #include <arpa/inet.h>
+#include <atomic>
 #include <cerrno>
 #include <cstdint>
 #include <cstring>
+#include <ctime>
 #include <netinet/in.h>
 #include <poll.h>
 #include <sys/socket.h>
 #include <unistd.h>
+
+// From codec.cpp (same shared object).
+struct ZlHeader {
+    uint8_t type;
+    uint16_t length;
+    uint32_t sequence;
+    uint64_t timestamp;
+};
+extern "C" int zl_validate_packet(const uint8_t* data, size_t size,
+                                  ZlHeader* out);
+extern "C" int zl_build_ack(uint8_t* out, uint32_t acked_seq, uint32_t seq,
+                            uint64_t ts);
 
 extern "C" {
 
@@ -88,6 +108,178 @@ int zl_udp_recv_batch(int fd, uint8_t* arena, int arena_cap,
         pkts[i]._pad = 0;
     }
     return n;
+}
+
+// ---------------------------------------------------------------------------
+// v2 receive: ZLTY validation + inline ACK generation on the drain thread.
+//
+// Each datagram is validated (magic/version/length/CRC) right in the intake
+// batch; valid non-ACK packets whose sender is in the caller-provided peer
+// table are ACKed with ONE sendmmsg before returning. Python receives
+// pre-parsed headers (no second CRC pass over JPEG payloads) and skips the
+// two thread-hops the ACK used to take (drain -> loop -> sendto).
+
+struct ZlPacketDesc2 {
+    uint32_t offset;     // into the arena
+    uint32_t length;
+    uint32_t ip_be;      // sender IPv4, network byte order
+    uint16_t port_be;    // sender port, network byte order
+    uint8_t flags;       // bit0: valid ZLTY frame; bit1: ACK already sent
+    uint8_t type;        // header fields (valid frames only)
+    uint32_t sequence;
+    uint32_t _pad;
+    uint64_t timestamp;
+};
+
+static const uint8_t ZL_F_VALID = 1;
+static const uint8_t ZL_F_ACKED = 2;
+static const int ZL_ACK_SIZE = 26;
+
+static std::atomic<uint32_t> g_ack_seq{1u << 20};  // disjoint from Python's
+
+static uint64_t zl_now_ms() {
+    timespec ts;
+    clock_gettime(CLOCK_REALTIME, &ts);
+    return static_cast<uint64_t>(ts.tv_sec) * 1000u + ts.tv_nsec / 1000000u;
+}
+
+// peers: sorted array of ((uint64)ip_be << 16) | port_be keys.
+static bool zl_peer_known(const uint64_t* peers, int n_peers, uint64_t key) {
+    int lo = 0, hi = n_peers;
+    while (lo < hi) {
+        int mid = (lo + hi) / 2;
+        if (peers[mid] < key) lo = mid + 1;
+        else hi = mid;
+    }
+    return lo < n_peers && peers[lo] == key;
+}
+
+int zl_udp_recv_batch2(int fd, uint8_t* arena, int arena_cap,
+                       ZlPacketDesc2* pkts, int max_pkts, int timeout_ms,
+                       const uint64_t* peers, int n_peers, int do_ack) {
+    if (max_pkts > ZL_RECV_BATCH_MAX) max_pkts = ZL_RECV_BATCH_MAX;
+    pollfd pfd{fd, POLLIN, 0};
+    int pr = ::poll(&pfd, 1, timeout_ms);
+    if (pr < 0) return errno == EINTR ? 0 : -errno;
+    if (pr == 0) return 0;
+
+    static thread_local mmsghdr msgs[ZL_RECV_BATCH_MAX];
+    static thread_local iovec iovs[ZL_RECV_BATCH_MAX];
+    static thread_local sockaddr_in addrs[ZL_RECV_BATCH_MAX];
+
+    const int slot = arena_cap / max_pkts;
+    for (int i = 0; i < max_pkts; i++) {
+        iovs[i].iov_base = arena + i * slot;
+        iovs[i].iov_len = slot;
+        std::memset(&msgs[i], 0, sizeof(mmsghdr));
+        msgs[i].msg_hdr.msg_iov = &iovs[i];
+        msgs[i].msg_hdr.msg_iovlen = 1;
+        msgs[i].msg_hdr.msg_name = &addrs[i];
+        msgs[i].msg_hdr.msg_namelen = sizeof(sockaddr_in);
+    }
+    int n = ::recvmmsg(fd, msgs, max_pkts, MSG_DONTWAIT, nullptr);
+    if (n < 0) {
+        int e = errno;
+        return (e == EAGAIN || e == EWOULDBLOCK || e == EINTR) ? 0 : -e;
+    }
+
+    static thread_local uint8_t ack_buf[ZL_RECV_BATCH_MAX * ZL_ACK_SIZE];
+    static thread_local mmsghdr ack_msgs[ZL_RECV_BATCH_MAX];
+    static thread_local iovec ack_iovs[ZL_RECV_BATCH_MAX];
+    static thread_local sockaddr_in ack_addrs[ZL_RECV_BATCH_MAX];
+    int n_acks = 0;
+    const uint64_t now = zl_now_ms();
+
+    for (int i = 0; i < n; i++) {
+        ZlPacketDesc2& d = pkts[i];
+        d.offset = static_cast<uint32_t>(i * slot);
+        d.length = msgs[i].msg_len;
+        d.ip_be = addrs[i].sin_addr.s_addr;
+        d.port_be = addrs[i].sin_port;
+        d._pad = 0;
+        ZlHeader hdr{};
+        if (zl_validate_packet(arena + d.offset, d.length, &hdr) != 0) {
+            d.flags = 0;
+            d.type = 0;
+            d.sequence = 0;
+            d.timestamp = 0;
+            continue;
+        }
+        d.flags = ZL_F_VALID;
+        d.type = hdr.type;
+        d.sequence = hdr.sequence;
+        d.timestamp = hdr.timestamp;
+        if (!do_ack || hdr.type == 8 /*ACK*/) continue;
+        const uint64_t key =
+            (static_cast<uint64_t>(d.ip_be) << 16) | d.port_be;
+        if (!zl_peer_known(peers, n_peers, key)) continue;
+        uint8_t* ab = ack_buf + n_acks * ZL_ACK_SIZE;
+        zl_build_ack(ab, hdr.sequence,
+                     g_ack_seq.fetch_add(1, std::memory_order_relaxed), now);
+        ack_iovs[n_acks].iov_base = ab;
+        ack_iovs[n_acks].iov_len = ZL_ACK_SIZE;
+        ack_addrs[n_acks] = addrs[i];
+        std::memset(&ack_msgs[n_acks], 0, sizeof(mmsghdr));
+        ack_msgs[n_acks].msg_hdr.msg_iov = &ack_iovs[n_acks];
+        ack_msgs[n_acks].msg_hdr.msg_iovlen = 1;
+        ack_msgs[n_acks].msg_hdr.msg_name = &ack_addrs[n_acks];
+        ack_msgs[n_acks].msg_hdr.msg_namelen = sizeof(sockaddr_in);
+        d.flags |= ZL_F_ACKED;
+        n_acks++;
+    }
+    if (n_acks > 0) {
+        int sent = 0;
+        while (sent < n_acks) {
+            int r = ::sendmmsg(fd, ack_msgs + sent, n_acks - sent, 0);
+            if (r <= 0) break;  // best-effort: retransmit covers losses
+            sent += r;
+        }
+    }
+    return n;
+}
+
+struct ZlSendDesc {
+    uint32_t offset;
+    uint32_t length;
+    uint32_t ip_be;
+    uint16_t port_be;
+    uint16_t _pad;
+};
+
+// One sendmmsg for a burst of result packets. Returns packets sent.
+int zl_udp_send_batch(int fd, const uint8_t* arena, const ZlSendDesc* descs,
+                      int n) {
+    if (n <= 0) return 0;
+    static thread_local mmsghdr msgs[ZL_RECV_BATCH_MAX];
+    static thread_local iovec iovs[ZL_RECV_BATCH_MAX];
+    static thread_local sockaddr_in addrs[ZL_RECV_BATCH_MAX];
+    int done = 0;
+    while (done < n) {
+        int chunk = n - done;
+        if (chunk > ZL_RECV_BATCH_MAX) chunk = ZL_RECV_BATCH_MAX;
+        for (int i = 0; i < chunk; i++) {
+            const ZlSendDesc& d = descs[done + i];
+            iovs[i].iov_base = const_cast<uint8_t*>(arena) + d.offset;
+            iovs[i].iov_len = d.length;
+            std::memset(&addrs[i], 0, sizeof(sockaddr_in));
+            addrs[i].sin_family = AF_INET;
+            addrs[i].sin_addr.s_addr = d.ip_be;
+            addrs[i].sin_port = d.port_be;
+            std::memset(&msgs[i], 0, sizeof(mmsghdr));
+            msgs[i].msg_hdr.msg_iov = &iovs[i];
+            msgs[i].msg_hdr.msg_iovlen = 1;
+            msgs[i].msg_hdr.msg_name = &addrs[i];
+            msgs[i].msg_hdr.msg_namelen = sizeof(sockaddr_in);
+        }
+        int r = ::sendmmsg(fd, msgs, chunk, 0);
+        if (r < 0) {
+            int e = errno;
+            return done > 0 ? done : -e;
+        }
+        done += r;
+        if (r < chunk) break;  // kernel backpressure: report partial send
+    }
+    return done;
 }
 
 int zl_udp_send(int fd, const uint8_t* data, int len,

@@ -255,12 +255,26 @@ class DetectionServer:
 
     # ============================================================== rx path
     def _on_native_batch(self, batch) -> None:
-        """Called on the native drain thread: hop to the loop once per batch."""
+        """Called on the native drain thread: hop to the loop once per batch.
+        v2 batches carry pre-validated headers (CRC already checked in C++)
+        and an already-ACKed flag (the ACK left via sendmmsg on the drain
+        thread); v1 batches carry hdr=None and take the validating path."""
         if self._loop is None:
             return
         def deliver():
-            for data, addr in batch:
-                self._on_datagram(data, addr)
+            for data, addr, hdr, pre_acked in batch:
+                if hdr is None:
+                    self._on_datagram(data, addr)
+                    continue
+                self.packets_received.inc()
+                self.bytes_received.inc(len(data))
+                if pre_acked:  # the drain thread already sent a 26B ACK
+                    self.packets_sent.inc()
+                    self.bytes_sent.inc(26)
+                ntype, sequence, _ts = hdr
+                self._handle_validated(data, addr,
+                                       self._session_by_addr(addr),
+                                       ntype, sequence, pre_acked)
         self._loop.call_soon_threadsafe(deliver)
 
     def _on_datagram(self, data: bytes, addr: Addr) -> None:
@@ -279,38 +293,9 @@ class DetectionServer:
                 log.debug("bad packet from %s (native reject)", addr)
                 return
             ntype, _length, sequence, _ts = hdr
-            if session is not None:
-                session.last_active = time.monotonic()
-            if ntype == PacketType.ACK:
-                if session is not None and len(data) >= 26:
-                    acked = int.from_bytes(data[22:26], "little")
-                    pending = session.pending.pop(acked, None)
-                    if pending is not None:
-                        session.observe_rtt(time.monotonic() - pending.sent_at)
-                return
-            from ..protocol.packets import next_sequence, now_ms
-            if session is not None:
-                self._send_raw(
-                    native.build_ack(sequence, next_sequence(), now_ms()), addr)
-            if ntype == PacketType.FRAME_DATA:
-                if session is None:
-                    log.debug("frame data from unknown client %s", addr)
-                    return
-                parsed = native.parse_frame_header(data)
-                if parsed is None:
-                    self.bad_packets.inc()
-                    return
-                fid, fts, w, h, keyframe, off = parsed
-                self._handle_frame_fast(session, fid, fts, w, h, keyframe,
-                                        data[off:])
-                return
-            if ntype == PacketType.HEARTBEAT:
-                if session is not None and len(data) >= 26:
-                    ping = int.from_bytes(data[22:26], "little")
-                    self._send_raw(native.build_heartbeat(
-                        ping, next_sequence(), now_ms()), addr)
-                return
-            # Rare control packets fall through to the object codec.
+            self._handle_validated(data, addr, session, ntype, sequence,
+                                   pre_acked=False)
+            return
 
         try:
             pkt = parse_packet(data)
@@ -343,6 +328,60 @@ class DetectionServer:
                 log.debug("frame data from unknown client %s", addr)
                 return
             self._handle_frame(pkt, session)
+        elif ptype == PacketType.COMMAND:
+            self._handle_command(pkt, session)
+        elif ptype == PacketType.ERROR:
+            log.debug("received error packet")
+        else:
+            log.debug("unhandled packet type %d", ptype)
+
+    def _handle_validated(self, data: bytes, addr: Addr,
+                          session: Optional[ClientSession], ntype: int,
+                          sequence: int, pre_acked: bool) -> None:
+        """Dispatch a header-validated datagram. The dominant packet types
+        (FRAME_DATA, ACK, HEARTBEAT) never construct Python packet objects;
+        rare control packets fall through to the object codec."""
+        from ..protocol.packets import next_sequence, now_ms
+        if session is not None:
+            session.last_active = time.monotonic()
+        if ntype == PacketType.ACK:
+            if session is not None and len(data) >= 26:
+                acked = int.from_bytes(data[22:26], "little")
+                pending = session.pending.pop(acked, None)
+                if pending is not None:
+                    session.observe_rtt(time.monotonic() - pending.sent_at)
+            return
+        if session is not None and not pre_acked:
+            self._send_raw(
+                native.build_ack(sequence, next_sequence(), now_ms()), addr)
+        if ntype == PacketType.FRAME_DATA:
+            if session is None:
+                log.debug("frame data from unknown client %s", addr)
+                return
+            parsed = native.parse_frame_header(data)
+            if parsed is None:
+                self.bad_packets.inc()
+                return
+            fid, fts, w, h, keyframe, off = parsed
+            self._handle_frame_fast(session, fid, fts, w, h, keyframe,
+                                    data[off:])
+            return
+        if ntype == PacketType.HEARTBEAT:
+            if session is not None and len(data) >= 26:
+                ping = int.from_bytes(data[22:26], "little")
+                self._send_raw(native.build_heartbeat(
+                    ping, next_sequence(), now_ms()), addr)
+            return
+        # Rare control packets: full object parse.
+        try:
+            pkt = parse_packet(data)
+        except ProtocolError as e:
+            self.bad_packets.inc()
+            log.debug("bad packet from %s: %s", addr, e)
+            return
+        ptype = pkt.TYPE
+        if ptype == PacketType.CLIENT_INFO:
+            self._handle_client_info(pkt, addr)
         elif ptype == PacketType.COMMAND:
             self._handle_command(pkt, session)
         elif ptype == PacketType.ERROR:
@@ -383,6 +422,7 @@ class DetectionServer:
             self._by_addr[addr] = client_id
             self.adapter.register_client(client_id, session.screen_width,
                                          session.screen_height, info.game_id)
+            self._sync_peers()
             EVENT_BUS.publish(CLIENT_CONNECTED, client_id)
             log.info("client #%d connected from %s (game %d)", client_id, addr,
                      info.game_id)
@@ -500,6 +540,13 @@ class DetectionServer:
                              else time.perf_counter())
         self.batcher.submit(request)
 
+    def _sync_peers(self) -> None:
+        """Install the live client set into the native transport's inline-ACK
+        filter (no-op on the asyncio transport)."""
+        t = self._transport
+        if t is not None and hasattr(t, "set_peers"):
+            t.set_peers(list(self._by_addr.keys()))
+
     # ============================================================== tx path
     def _send_raw(self, data: bytes, addr: Addr) -> None:
         if self._transport is None:
@@ -523,6 +570,9 @@ class DetectionServer:
     def _send_results(self, results: List[EngineResult]) -> None:
         import numpy as np
         from ..protocol.packets import next_sequence, now_ms
+        burst: List[Tuple[bytes, Addr]] = []
+        recvs: List[Optional[float]] = []
+        fallback_lat: List[float] = []
         for res in results:
             session = self._sessions.get(res.client_id)
             if session is None:
@@ -542,16 +592,31 @@ class DetectionServer:
                 raw = DetectionResultPacket(
                     frame_id=res.frame_id, frame_timestamp=res.timestamp,
                     detections=dets).serialize()
-            self._send_raw(raw, session.addr)
+            burst.append((raw, session.addr))
+            recvs.append(res.recv_t)
+            fallback_lat.append(res.infer_ms + res.queue_ms)
             session.results_sent += 1
-            # True datagram-arrival -> result-sent latency (includes decode
-            # queueing, batch window, device step, and the send hop).
-            if res.recv_t:
-                self.detect_latency.record(
-                    (time.perf_counter() - res.recv_t) * 1e3)
-            else:
-                self.detect_latency.record(res.infer_ms + res.queue_ms)
             EVENT_BUS.publish("inference_completed", res.client_id)
+        if not burst:
+            return
+        # One sendmmsg for the whole engine batch on the native transport;
+        # per-packet sendto otherwise.
+        t = self._transport
+        if t is not None and hasattr(t, "send_many"):
+            t.send_many(burst)
+            self.packets_sent.inc(len(burst))
+            self.bytes_sent.inc(sum(len(d) for d, _ in burst))
+        else:
+            for data, addr in burst:
+                self._send_raw(data, addr)
+        # True datagram-arrival -> result-sent latency (includes decode
+        # queueing, batch window, device step, and the send hop).
+        sent_t = time.perf_counter()
+        for recv_t, fb in zip(recvs, fallback_lat):
+            if recv_t:
+                self.detect_latency.record((sent_t - recv_t) * 1e3)
+            else:
+                self.detect_latency.record(fb)
 
     # ========================================================== maintenance
     async def _management_loop(self) -> None:
@@ -583,6 +648,7 @@ class DetectionServer:
         if session is None:
             return
         self._by_addr.pop(session.addr, None)
+        self._sync_peers()
         self.adapter.unregister_client(client_id)
         self.batcher.remove_client(client_id)
         if self.device_cache is not None:

@@ -6,6 +6,14 @@ batch to the event loop in one call_soon_threadsafe — per-datagram Python
 overhead collapses to per-batch overhead at high packet rates, replacing the
 reference's recvfrom-per-loop thread (src/network/reliable_udp.cpp:465-539).
 
+The v2 path additionally does ZLTY validation (header + CRC) and ACK
+generation inside the C call (reference ACK-all semantics,
+reliable_udp.cpp:602-605): the ACK leaves in one sendmmsg from the drain
+thread without ever crossing into Python, and the loop thread receives
+pre-parsed headers — no second CRC pass over JPEG payloads. Result bursts go
+out through `send_many` (one sendmmsg per engine batch instead of one
+sendto per client).
+
 Falls back cleanly: if libzlcodec.so lacks the UDP symbols, the server keeps
 its asyncio datagram endpoint.
 """
@@ -16,7 +24,7 @@ import ctypes
 import socket
 import struct
 import threading
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, Iterable, List, Optional, Sequence, Tuple
 
 from ..protocol import native as _codec
 from ..utils.logging import get_logger
@@ -28,6 +36,10 @@ log = get_logger("transport")
 MAX_PKTS = 64
 ARENA_CAP = MAX_PKTS * 65536  # 4 MB arena
 
+Addr = Tuple[str, int]
+# (data, addr, header-or-None, already_acked); header = (type, seq, ts).
+Datagram = Tuple[bytes, Addr, Optional[Tuple[int, int, int]], bool]
+
 
 class _ZlPacketDesc(ctypes.Structure):
     _fields_ = [("offset", ctypes.c_uint32),
@@ -35,6 +47,30 @@ class _ZlPacketDesc(ctypes.Structure):
                 ("ip_be", ctypes.c_uint32),
                 ("port_be", ctypes.c_uint16),
                 ("_pad", ctypes.c_uint16)]
+
+
+class _ZlPacketDesc2(ctypes.Structure):
+    _fields_ = [("offset", ctypes.c_uint32),
+                ("length", ctypes.c_uint32),
+                ("ip_be", ctypes.c_uint32),
+                ("port_be", ctypes.c_uint16),
+                ("flags", ctypes.c_uint8),
+                ("type", ctypes.c_uint8),
+                ("sequence", ctypes.c_uint32),
+                ("_pad", ctypes.c_uint32),
+                ("timestamp", ctypes.c_uint64)]
+
+
+class _ZlSendDesc(ctypes.Structure):
+    _fields_ = [("offset", ctypes.c_uint32),
+                ("length", ctypes.c_uint32),
+                ("ip_be", ctypes.c_uint32),
+                ("port_be", ctypes.c_uint16),
+                ("_pad", ctypes.c_uint16)]
+
+
+_F_VALID = 1
+_F_ACKED = 2
 
 
 def _bind_udp_symbols(lib: ctypes.CDLL) -> bool:
@@ -56,7 +92,29 @@ def _bind_udp_symbols(lib: ctypes.CDLL) -> bool:
         return False
 
 
+def _bind_udp_v2_symbols(lib: ctypes.CDLL) -> bool:
+    try:
+        lib.zl_udp_recv_batch2.restype = ctypes.c_int
+        lib.zl_udp_recv_batch2.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(_ZlPacketDesc2), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, ctypes.c_int]
+        lib.zl_udp_send_batch.restype = ctypes.c_int
+        lib.zl_udp_send_batch.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.POINTER(_ZlSendDesc),
+            ctypes.c_int]
+        return True
+    except AttributeError:
+        return False
+
+
 HAVE_NATIVE_UDP = _codec._LIB is not None and _bind_udp_symbols(_codec._LIB)
+HAVE_NATIVE_UDP_V2 = HAVE_NATIVE_UDP and _bind_udp_v2_symbols(_codec._LIB)
+
+
+def _addr_key(addr: Addr) -> int:
+    ip_be = struct.unpack("=I", socket.inet_aton(addr[0]))[0]
+    return (ip_be << 16) | socket.htons(addr[1])
 
 
 class NativeUdpTransport:
@@ -64,8 +122,7 @@ class NativeUdpTransport:
     plus a drain thread delivering inbound batches to a callback."""
 
     def __init__(self, port: int, recv_buffer: int, send_buffer: int,
-                 on_batch: Callable[[List[Tuple[bytes, Tuple[str, int]]]], None]
-                 ) -> None:
+                 on_batch: Callable[[List[Datagram]], None]) -> None:
         if not HAVE_NATIVE_UDP:
             raise RuntimeError("native UDP symbols unavailable")
         self._lib = _codec._LIB
@@ -77,16 +134,65 @@ class NativeUdpTransport:
         self.on_batch = on_batch
         self._arena = ctypes.create_string_buffer(ARENA_CAP)
         self._descs = (_ZlPacketDesc * MAX_PKTS)()
+        self._descs2 = (_ZlPacketDesc2 * MAX_PKTS)()
+        self._send_arena = ctypes.create_string_buffer(ARENA_CAP)
+        self._send_descs = (_ZlSendDesc * MAX_PKTS)()
+        # Sorted peer-key array for the C ACK filter. Replaced wholesale by
+        # set_peers (loop thread); the drain thread reads the current
+        # reference each iteration — assignment is atomic under the GIL.
+        self._peers = (ctypes.c_uint64 * 0)()
         self._running = True
         self._thread = threading.Thread(target=self._drain_loop,
                                         name="zlt-native-udp", daemon=True)
         self._thread.start()
 
+    # ---------------------------------------------------------------- peers
+    def set_peers(self, addrs: Iterable[Addr]) -> None:
+        """Install the known-client set for inline ACK generation."""
+        keys = sorted(_addr_key(a) for a in addrs)
+        self._peers = (ctypes.c_uint64 * len(keys))(*keys)
+
     # ---------------------------------------------------------------- sends
-    def sendto(self, data: bytes, addr: Tuple[str, int]) -> None:
+    def sendto(self, data: bytes, addr: Addr) -> None:
         ip_be = struct.unpack("=I", socket.inet_aton(addr[0]))[0]
         port_be = socket.htons(addr[1])
         self._lib.zl_udp_send(self.fd, data, len(data), ip_be, port_be)
+
+    def send_many(self, items: Sequence[Tuple[bytes, Addr]]) -> int:
+        """Burst-send result packets: one sendmmsg per call (falls back to
+        per-packet sendto when v2 symbols are absent). Returns packets sent."""
+        if not HAVE_NATIVE_UDP_V2:
+            for data, addr in items:
+                self.sendto(data, addr)
+            return len(items)
+        sent_total = 0
+        i = 0
+        while i < len(items):
+            chunk = items[i:i + MAX_PKTS]
+            off = 0
+            n = 0
+            for data, addr in chunk:
+                if off + len(data) > ARENA_CAP:
+                    break
+                ctypes.memmove(ctypes.addressof(self._send_arena) + off,
+                               data, len(data))
+                d = self._send_descs[n]
+                d.offset = off
+                d.length = len(data)
+                d.ip_be = struct.unpack("=I", socket.inet_aton(addr[0]))[0]
+                d.port_be = socket.htons(addr[1])
+                off += len(data)
+                n += 1
+            if n == 0:  # single oversized packet: fall back
+                self.sendto(*chunk[0])
+                i += 1
+                sent_total += 1
+                continue
+            r = self._lib.zl_udp_send_batch(self.fd, self._send_arena,
+                                            self._send_descs, n)
+            sent_total += max(r, 0)
+            i += n
+        return sent_total
 
     def close(self) -> None:
         self._running = False
@@ -96,8 +202,45 @@ class NativeUdpTransport:
 
     # ----------------------------------------------------------------- recv
     def _drain_loop(self) -> None:
+        if HAVE_NATIVE_UDP_V2:
+            self._drain_loop_v2()
+        else:
+            self._drain_loop_v1()
+
+    def _drain_loop_v2(self) -> None:
+        arena = self._arena
+        descs = self._descs2
+        base = ctypes.addressof(arena)
+        while self._running:
+            peers = self._peers  # snapshot: set_peers swaps the whole array
+            n = self._lib.zl_udp_recv_batch2(
+                self.fd, arena, ARENA_CAP, descs, MAX_PKTS, 100,
+                peers, len(peers), 1)
+            if n < 0:
+                log.warning("native recv error: errno=%d", -n)
+                continue
+            if n == 0:
+                continue
+            batch: List[Datagram] = []
+            for i in range(n):
+                d = descs[i]
+                data = ctypes.string_at(base + d.offset, d.length)
+                ip = socket.inet_ntoa(struct.pack("=I", d.ip_be))
+                addr = (ip, socket.ntohs(d.port_be))
+                if d.flags & _F_VALID:
+                    hdr = (d.type, d.sequence, d.timestamp)
+                    batch.append((data, addr, hdr, bool(d.flags & _F_ACKED)))
+                else:
+                    batch.append((data, addr, None, False))
+            try:
+                self.on_batch(batch)
+            except Exception:  # noqa: BLE001
+                log.exception("native batch handler failed")
+
+    def _drain_loop_v1(self) -> None:
         arena = self._arena
         descs = self._descs
+        base = ctypes.addressof(arena)
         while self._running:
             n = self._lib.zl_udp_recv_batch(
                 self.fd, arena, ARENA_CAP, descs, MAX_PKTS, 100)
@@ -106,15 +249,15 @@ class NativeUdpTransport:
                 continue
             if n == 0:
                 continue
-            batch = []
-            base = ctypes.addressof(arena)
+            batch: List[Datagram] = []
             for i in range(n):
                 d = descs[i]
                 # Copy just this datagram out of the arena (arena.raw would
                 # copy the whole 4 MB buffer per batch).
                 data = ctypes.string_at(base + d.offset, d.length)
                 ip = socket.inet_ntoa(struct.pack("=I", d.ip_be))
-                batch.append((data, (ip, socket.ntohs(d.port_be))))
+                batch.append((data, (ip, socket.ntohs(d.port_be)), None,
+                              False))
             try:
                 self.on_batch(batch)
             except Exception:  # noqa: BLE001
