@@ -57,6 +57,9 @@ def build_config(args, model_path: str) -> dict:
             "frame_buckets": [[args.bucket_h, args.bucket_w]],
             "batch_window_ms": args.window_ms,
             "preprocess": "letterbox_mxu",
+            # Deeper inflight window amortizes per-readback link RTT when
+            # the TPU sits behind a relay; local deployments keep 2.
+            "max_inflight": args.max_inflight,
         },
     }
 
@@ -160,6 +163,7 @@ def main() -> None:
     ap.add_argument("--external", default="",
                     help="host:port of an already-running server (skip spawn)")
     ap.add_argument("--warmup-timeout", type=float, default=900.0)
+    ap.add_argument("--max-inflight", type=int, default=4)
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="zlt-loadtest-")
@@ -203,10 +207,21 @@ def main() -> None:
                    for i in range(args.streams)]
         for s in streams:
             s.connect_and_prime()
-        time.sleep(1.0)  # let keyframes land + caches settle
-        base = wait_statusz(statusz, 30)
-        base_results = sum(int(v["results"])
-                           for v in base["sessions"].values())
+        # Drain the prime phase BEFORE timing: every keyframe must be
+        # uploaded to the device cache and served (through a relayed TPU the
+        # one-shot keyframe flood alone is seconds of link time). Measuring
+        # from here isolates steady-state ROI serving.
+        deadline = time.monotonic() + 300.0
+        base_results = 0
+        while time.monotonic() < deadline:
+            base = wait_statusz(statusz, 30)
+            base_results = sum(int(v["results"])
+                               for v in base["sessions"].values())
+            if base_results >= args.streams:
+                break
+            time.sleep(2.0)
+        print(f"# prime drained: {base_results} keyframe results",
+              file=sys.stderr)
 
         start_t = time.perf_counter() + 0.5
         end_t = start_t + args.duration

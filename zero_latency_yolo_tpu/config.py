@@ -151,6 +151,11 @@ class TpuConfig:
     stem: str = "conv"
     # dot1x1=True: k1 s1 convs via dot_general (probes TPU output fusion).
     dot1x1: bool = False
+    # Dispatched-but-unread batch depth the scheduler keeps in flight.
+    # 2 = one computing while the previous converts (the local optimum);
+    # higher values amortize per-readback link RTT through relayed
+    # transports (completions drain in one batched D2H).
+    max_inflight: int = 2
 
 
 @dataclass

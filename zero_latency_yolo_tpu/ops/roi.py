@@ -38,11 +38,24 @@ def _bucket(n: int, lo: int = 64) -> int:
 
 
 def _roi_bucket(n: int, full: int) -> int:
-    """Coarse ROI edge buckets: 32, 128, or the full cache extent."""
-    for b in (32, 128):
+    """Coarse ROI edge buckets: 16, 32, 128, or the full cache extent.
+
+    The 16px bucket matters through bandwidth-constrained host links (the
+    axon relay moves ~20-36 MB/s): small ROI cadences padded to 32px
+    quadruple the upload bytes and saturate the link at 64 streams."""
+    for b in (16, 32, 128):
         if n <= b:
             return b
     return full
+
+
+def _count_bucket(n: int, cap: int) -> int:
+    """Write-batch count buckets: 16, 64, or the cap — bounds per-flush
+    padding waste to ~2x while keeping the compiled-program grid small."""
+    for b in (16, 64):
+        if n <= b and b < cap:
+            return b
+    return cap
 
 
 def _paste_body(cache: jnp.ndarray, slot: jnp.ndarray, region: jnp.ndarray,
@@ -254,7 +267,7 @@ class DeviceFrameCache:
                      self.height)
             bw = min(_roi_bucket(max(p[4] for p in pend), self.width),
                      self.width)
-            k = 16 if len(pend) <= 16 else self._max_pending
+            k = _count_bucket(len(pend), self._max_pending)
             regions = np.zeros((k, bh, bw, 3), np.uint8)
             meta = np.zeros((k, 5), np.int32)  # slot, y, x, rh, rw
             for i, (slot, y, x, rh, rw, region) in enumerate(pend):
@@ -315,28 +328,37 @@ class DeviceFrameCache:
                       np.asarray(hs, np.int32), np.asarray(ws, np.int32))
 
     def warm(self) -> None:
-        """Pre-compile the common write programs (small-ROI paste at both
-        count buckets, keyframe scatter) so live traffic doesn't stall on
-        first-shape compiles — tens of seconds each through a relayed TPU.
-        Zero-extent writes are masked no-ops; content is untouched."""
-        zero = np.zeros((1, 1, 3), np.uint8)
+        """Pre-compile the common write programs (small-ROI paste over the
+        {16,32}px x {16,64,cap}-count grid, keyframe scatter) so live
+        traffic doesn't stall on first-shape compiles — tens of seconds each
+        through a relayed TPU. Zero-extent writes are masked no-ops; content
+        is untouched."""
         with self._lock:
-            saved, saved_kf = self._pending, self._pending_kf
-            for count in (1, 17):  # -> k buckets 16 and _max_pending
-                self._pending = [(0, 0, 0, 0, 0, zero)] * count
-                self._pending_kf = {}
-                self._flush_locked()
+            for edge in (16, 32):
+                for count in (16, 64, self._max_pending):
+                    self._probe_locked(count, min(edge, self.height),
+                                       min(edge, self.width))
             # Keyframe scatter at the single-slot bucket (k=4 padded) — the
             # shape used by steady-state keyframe cadence. Use a FREE slot:
             # the scatter rewrites the whole slot frame.
             if self._free:
-                self._pending = []
+                saved_kf = self._pending_kf
                 self._pending_kf = {self._free[0]:
                                     np.zeros((1, 1, 3), np.uint8)}
+                saved = self._pending
+                self._pending = []
                 self._flush_locked()
-            self._pending, self._pending_kf = saved, saved_kf
+                self._pending, self._pending_kf = saved, saved_kf
             self.flushes = 0
             self.writes_flushed = 0
+
+    def _probe_locked(self, k: int, bh: int, bw: int) -> None:
+        """Compile one _paste_many shape with an all-no-op write batch
+        (every entry rh=rw=0 => masked out; cache content untouched)."""
+        regions = jnp.zeros((k, bh, bw, 3), jnp.uint8)
+        zeros = jnp.zeros((k,), jnp.int32)
+        self._cache = _paste_many(self._cache, regions, zeros, zeros, zeros,
+                                  zeros, zeros)
 
     def run_locked(self, fn):
         """Run fn(cache_array) under the cache lock. Writes donate the

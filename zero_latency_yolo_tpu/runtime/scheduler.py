@@ -41,13 +41,15 @@ class ContinuousBatcher:
                  max_batch: int = 64,
                  batch_window_ms: float = 3.0,
                  max_queue_per_client: int = 8,
-                 device_cache=None) -> None:
+                 device_cache=None,
+                 max_inflight: int = 2) -> None:
         self.engine = engine
         self.on_result = on_result
         self.max_batch = max_batch
         self.batch_window_ms = batch_window_ms
         self.max_queue = max_queue_per_client
         self.device_cache = device_cache
+        self.max_inflight = max(int(max_inflight), 1)
         self._queues: "OrderedDict[int, deque]" = OrderedDict()
         self._cv = threading.Condition()
         self._running = False
@@ -176,10 +178,12 @@ class ContinuousBatcher:
                     self.engine.error_count.inc()
                     log.exception("batch dispatch failed (batch=%d)", len(batch))
             # Single device lane, pipelined: the newest dispatch computes on
-            # device while we convert the oldest one's (async-copied)
-            # results on host.
-            while len(self._inflight) > 1:
-                self._complete_oldest()
+            # device while we convert the older ones' (async-copied) results
+            # on host. Everything beyond the inflight window drains in ONE
+            # batched readback (one link RTT for all of them).
+            excess = len(self._inflight) - (self.max_inflight - 1)
+            if excess > 0:
+                self._complete_n(excess)
 
     @staticmethod
     def _ready(pending) -> bool:
@@ -191,21 +195,26 @@ class ContinuousBatcher:
             return False
 
     def _complete_oldest(self) -> None:
-        pending = self._inflight.popleft()
+        self._complete_n(1)
+
+    def _complete_n(self, k: int) -> None:
+        batch = [self._inflight.popleft() for _ in range(min(k, len(self._inflight)))]
+        if not batch:
+            return
         try:
-            results = self.engine.complete(pending)
+            all_results = self.engine.complete_many(batch)
         except Exception:  # noqa: BLE001
             self.engine.error_count.inc()
             log.exception("batch completion failed")
             return
-        try:
-            self.on_result(results)
-        except Exception:  # noqa: BLE001
-            log.exception("result callback failed")
+        for results in all_results:
+            try:
+                self.on_result(results)
+            except Exception:  # noqa: BLE001
+                log.exception("result callback failed")
 
     def _drain_inflight(self) -> None:
-        while self._inflight:
-            self._complete_oldest()
+        self._complete_n(len(self._inflight))
 
     def _dispatch(self, batch: List[InferenceRequest]):
         cache = self.device_cache

@@ -135,7 +135,8 @@ class DetectionServer:
             max_batch=max(config.tpu.batch_buckets),
             batch_window_ms=config.tpu.batch_window_ms,
             max_queue_per_client=config.max_queue_size,
-            device_cache=self.device_cache)
+            device_cache=self.device_cache,
+            max_inflight=config.tpu.max_inflight)
 
         import os as _os
         from .web import ManagementApi
