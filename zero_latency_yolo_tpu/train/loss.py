@@ -5,14 +5,18 @@ start.sh:113-149); this framework adds native fine-tuning so deployed models
 (e.g. the 4-class cs16 set) can be trained/adapted on TPU.
 
 Components (following the YOLOv8 formulation):
-- **assignment**: center-prior positive selection — an anchor is positive for
-  a GT box when its center lies inside the box *and* inside a radius of
-  `center_radius × stride` around the GT center, at the level whose stride
-  matches the box scale; an anchor claimed by several GTs goes to the
-  smallest-area one. (A deliberate, documented simplification of ultralytics'
-  task-aligned assigner: fully vectorized, shape-static, jit/pjit-friendly.)
-- **cls**: BCE on class logits over all anchors (positives get one-hot).
-- **box**: CIoU loss at positive anchors.
+- **assignment** (two selectable schemes, both fully vectorized,
+  shape-static, jit/pjit-friendly):
+  - `"tal"` (default): task-aligned assignment — alignment metric
+    t = p_cls^alpha * IoU^beta between each anchor's prediction and each GT,
+    top-k candidates per GT among anchors whose center lies inside the box,
+    conflicts to the highest-t GT, and *soft* classification targets
+    t_norm = t / max_t * max_IoU (the standard YOLOv8 assigner).
+  - `"center"`: center-prior selection — anchor positive when its center is
+    inside the box and within `center_radius × stride` of the GT center;
+    conflicts to the smallest-area GT; hard one-hot cls targets.
+- **cls**: BCE on class logits over all anchors.
+- **box**: CIoU loss at positive anchors (TAL: weighted by t_norm).
 - **dfl**: distribution focal loss on the ltrb bin distributions.
 
 All fixed shapes: targets are (B, M, 5) [class, cx, cy, w, h] in [0,1],
@@ -53,10 +57,29 @@ def _pairwise_ciou(box1: jnp.ndarray, box2: jnp.ndarray) -> jnp.ndarray:
     return iou - rho2 / c2 - alpha * v
 
 
+def _iou_matrix(pred_px: jnp.ndarray, gt_px: jnp.ndarray) -> jnp.ndarray:
+    """Plain IoU between all (B, A, 4) predictions and (B, M, 4) GTs, both
+    center-format px -> (B, A, M). Used by the TAL alignment metric."""
+    eps = 1e-9
+    p = pred_px[:, :, None, :]                      # (B, A, 1, 4)
+    g = gt_px[:, None, :, :]                        # (B, 1, M, 4)
+    px1, py1 = p[..., 0] - p[..., 2] / 2, p[..., 1] - p[..., 3] / 2
+    px2, py2 = p[..., 0] + p[..., 2] / 2, p[..., 1] + p[..., 3] / 2
+    gx1, gy1 = g[..., 0] - g[..., 2] / 2, g[..., 1] - g[..., 3] / 2
+    gx2, gy2 = g[..., 0] + g[..., 2] / 2, g[..., 1] + g[..., 3] / 2
+    iw = jnp.maximum(jnp.minimum(px2, gx2) - jnp.maximum(px1, gx1), 0)
+    ih = jnp.maximum(jnp.minimum(py2, gy2) - jnp.maximum(py1, gy1), 0)
+    inter = iw * ih
+    union = (p[..., 2] * p[..., 3] + g[..., 2] * g[..., 3] - inter + eps)
+    return inter / union
+
+
 def detection_loss(spec: ModelSpec, outs: Sequence[jnp.ndarray],
                    targets: jnp.ndarray, input_hw: Tuple[int, int],
                    center_radius: float = 2.5,
-                   w_box: float = 7.5, w_cls: float = 0.5, w_dfl: float = 1.5
+                   w_box: float = 7.5, w_cls: float = 0.5, w_dfl: float = 1.5,
+                   assigner: str = "tal", tal_topk: int = 10,
+                   tal_alpha: float = 0.5, tal_beta: float = 6.0
                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Detection loss over raw per-level maps.
 
@@ -81,6 +104,16 @@ def detection_loss(spec: ModelSpec, outs: Sequence[jnp.ndarray],
         [w_in, h_in, w_in, h_in], jnp.float32)      # (B, M, 4) cxcywh px
     gt_valid = gt_cls >= 0                          # (B, M)
 
+    # Decode predicted boxes everywhere (DFL expectation, px units) — used
+    # by the box loss and, under TAL, by the alignment metric.
+    probs = jax.nn.softmax(box_logits.reshape(b, a, 4, reg_max), axis=-1)
+    dist = jnp.sum(probs * jnp.arange(reg_max, dtype=jnp.float32), axis=-1)
+    lt, rb = dist[..., :2], dist[..., 2:]
+    x1y1 = anchors[None] - lt
+    x2y2 = anchors[None] + rb
+    pred_box_px = jnp.concatenate(
+        [(x1y1 + x2y2) / 2, x2y2 - x1y1], axis=-1) * strides[None, :, None]
+
     # ---------------- assignment: (B, A, M) positive mask ----------------
     ax = anchor_px[None, :, None, 0]
     ay = anchor_px[None, :, None, 1]
@@ -90,38 +123,73 @@ def detection_loss(spec: ModelSpec, outs: Sequence[jnp.ndarray],
     gh = gt_box_px[:, None, :, 3]
     inside = ((ax > gx - gw / 2) & (ax < gx + gw / 2) &
               (ay > gy - gh / 2) & (ay < gy + gh / 2))
-    radius = center_radius * strides[None, :, None]
-    near = (jnp.abs(ax - gx) < radius) & (jnp.abs(ay - gy) < radius)
-    pos = inside & near & gt_valid[:, None, :]      # (B, A, M)
 
-    # Resolve conflicts: anchor goes to the smallest-area GT claiming it.
-    area = (gw * gh)
-    area = jnp.where(pos, area, jnp.inf)
-    best_gt = jnp.argmin(area, axis=-1)             # (B, A)
-    is_pos = jnp.any(pos, axis=-1)                  # (B, A)
+    if assigner == "tal":
+        # Task-aligned assignment (the YOLOv8 assigner): alignment metric
+        # t = p_cls^alpha * IoU^beta over prediction/GT pairs, top-k anchors
+        # per GT among in-box candidates, conflicts to the highest-t GT,
+        # soft cls targets t / max_t * max_IoU. Assignment quantities carry
+        # no gradient.
+        cand = inside & gt_valid[:, None, :]        # (B, A, M)
+        cls_prob = jax.nn.sigmoid(
+            jax.lax.stop_gradient(cls_logits))      # (B, A, nc)
+        gt_idx = jnp.maximum(gt_cls, 0).astype(jnp.int32)  # (B, M)
+        p_at_gt = jnp.take_along_axis(
+            cls_prob, gt_idx[:, None, :], axis=-1)  # (B, A, M)
+        iou = _iou_matrix(jax.lax.stop_gradient(pred_box_px), gt_box_px)
+        iou = jnp.maximum(iou, 0.0)
+        metric = (p_at_gt ** tal_alpha) * (iou ** tal_beta)
+        metric = jnp.where(cand, metric, 0.0)
+        # Top-k per GT by threshold against the k-th largest value — static
+        # shapes, no scatter; ties may admit a few extra anchors (harmless).
+        k = min(tal_topk, a)
+        topv = jax.lax.top_k(
+            jnp.transpose(metric, (0, 2, 1)), k)[0]  # (B, M, k)
+        kth = jnp.transpose(topv[..., -1:], (0, 2, 1))  # (B, 1, M)
+        pos = cand & (metric >= kth) & (metric > 1e-12)
+        # Conflicts: anchor claimed by several GTs goes to the highest-t one.
+        m_masked = jnp.where(pos, metric, -1.0)
+        best_gt = jnp.argmax(m_masked, axis=-1)     # (B, A)
+        is_pos = jnp.any(pos, axis=-1)              # (B, A)
+        # Soft target scores: normalize per GT so its best anchor's target
+        # equals that GT's best IoU.
+        pos_metric = jnp.where(pos, metric, 0.0)
+        max_t = jnp.max(pos_metric, axis=1)         # (B, M)
+        max_iou = jnp.max(jnp.where(pos, iou, 0.0), axis=1)  # (B, M)
+        norm = max_iou / (max_t + 1e-9)             # (B, M)
+        t_at_anchor = jnp.take_along_axis(
+            pos_metric, best_gt[..., None], axis=-1)[..., 0]  # (B, A)
+        n_at_anchor = jax.vmap(lambda g, idx: g[idx])(norm, best_gt)
+        score = jnp.where(is_pos, t_at_anchor * n_at_anchor, 0.0)  # (B, A)
+    elif assigner == "center":
+        radius = center_radius * strides[None, :, None]
+        near = (jnp.abs(ax - gx) < radius) & (jnp.abs(ay - gy) < radius)
+        pos = inside & near & gt_valid[:, None, :]  # (B, A, M)
+        # Resolve conflicts: anchor goes to the smallest-area GT claiming it.
+        area = jnp.where(pos, gw * gh, jnp.inf)
+        best_gt = jnp.argmin(area, axis=-1)         # (B, A)
+        is_pos = jnp.any(pos, axis=-1)              # (B, A)
+        score = is_pos.astype(jnp.float32)
+    else:
+        raise ValueError(f"unknown assigner {assigner!r}")
 
     m_box = jax.vmap(lambda g, idx: g[idx])(gt_box_px, best_gt)  # (B, A, 4)
     m_cls = jax.vmap(lambda g, idx: g[idx])(gt_cls, best_gt)     # (B, A)
 
     num_pos = jnp.maximum(jnp.sum(is_pos.astype(jnp.float32)), 1.0)
+    # Loss normalizer: sum of target scores (TAL) == num_pos for "center".
+    score = jax.lax.stop_gradient(score)
+    score_sum = jnp.maximum(jnp.sum(score), 1.0)
 
     # ----------------------------- cls loss ------------------------------
-    one_hot = jax.nn.one_hot(m_cls.astype(jnp.int32), nc) * is_pos[..., None]
+    one_hot = jax.nn.one_hot(m_cls.astype(jnp.int32), nc) * score[..., None]
     cls_loss = jnp.sum(
-        _bce_logits(cls_logits, one_hot)) / num_pos
+        _bce_logits(cls_logits, one_hot)) / score_sum
 
     # ----------------------------- box loss ------------------------------
-    # Decode predicted boxes at positives (DFL expectation, px units).
-    probs = jax.nn.softmax(box_logits.reshape(b, a, 4, reg_max), axis=-1)
-    dist = jnp.sum(probs * jnp.arange(reg_max, dtype=jnp.float32), axis=-1)
-    lt, rb = dist[..., :2], dist[..., 2:]
-    x1y1 = anchors[None] - lt
-    x2y2 = anchors[None] + rb
-    pred_box_px = jnp.concatenate(
-        [(x1y1 + x2y2) / 2, x2y2 - x1y1], axis=-1) * strides[None, :, None]
-    w_pos = is_pos.astype(jnp.float32)
+    w_pos = score
     ciou = _pairwise_ciou(pred_box_px.reshape(-1, 4), m_box.reshape(-1, 4))
-    box_loss = jnp.sum((1.0 - ciou) * w_pos.reshape(-1)) / num_pos
+    box_loss = jnp.sum((1.0 - ciou) * w_pos.reshape(-1)) / score_sum
 
     # ----------------------------- dfl loss ------------------------------
     # Target ltrb distances in grid units, clipped to [0, reg_max-1].
@@ -139,7 +207,7 @@ def detection_loss(spec: ModelSpec, outs: Sequence[jnp.ndarray],
     lp_r = jnp.take_along_axis(
         logp, jnp.minimum(tl_i + 1, reg_max - 1)[..., None], axis=-1)[..., 0]
     dfl = -(wl * lp_l + wr * lp_r)                  # (B, A, 4)
-    dfl_loss = jnp.sum(jnp.mean(dfl, axis=-1) * w_pos) / num_pos
+    dfl_loss = jnp.sum(jnp.mean(dfl, axis=-1) * w_pos) / score_sum
 
     total = w_box * box_loss + w_cls * cls_loss + w_dfl * dfl_loss
     return total, {"box": box_loss, "cls": cls_loss, "dfl": dfl_loss,
