@@ -118,3 +118,42 @@ def test_checkpoint_retention(tmp_path, setup):
                            step=jnp.asarray(step_num, jnp.int32))
         mgr.save(state)
     assert mgr.latest_step() == 3
+
+
+def test_mosaic_batches_shapes_and_validity():
+    """Mosaic: same image shape, doubled target capacity, boxes in-window,
+    classes drawn from the source label set, hflip math consistent."""
+    from zero_latency_yolo_tpu.train.loop import mosaic_batches, synthetic_batches
+
+    b, size, m = 4, 64, 4
+    it = mosaic_batches(synthetic_batches(b, size, max_boxes=m, seed=3),
+                        prob=1.0, hflip=0.5, seed=7)
+    for _ in range(3):
+        images, targets = next(it)
+        assert images.shape == (b, size, size, 3)
+        assert targets.shape == (b, 2 * m, 5)
+        valid = targets[..., 0] >= 0
+        assert valid.any(), "mosaic produced no boxes at all"
+        cls = targets[..., 0][valid]
+        assert set(np.unique(cls)).issubset({0.0, 1.0, 2.0, 3.0})
+        cx, cy, w, h = (targets[..., i][valid] for i in (1, 2, 3, 4))
+        assert (w >= 0.01).all() and (h >= 0.01).all()
+        # Clipped boxes stay inside the crop window.
+        assert (cx - w / 2 >= -1e-6).all() and (cx + w / 2 <= 1 + 1e-6).all()
+        assert (cy - h / 2 >= -1e-6).all() and (cy + h / 2 <= 1 + 1e-6).all()
+
+
+def test_mosaic_passthrough_prob_zero():
+    """prob=0: images pass through unchanged (up to hflip) with the doubled
+    target padding."""
+    from zero_latency_yolo_tpu.train.loop import mosaic_batches, synthetic_batches
+
+    b, size, m = 2, 32, 3
+    src = list(x for _, x in zip(range(8), synthetic_batches(b, size, m, seed=1)))
+    it = mosaic_batches(iter(src), prob=0.0, hflip=0.0, seed=0)
+    images, targets = next(it)
+    pool = np.concatenate([s[0] for s in src[:4]])
+    # Every passthrough image must be one of the pooled source images.
+    for img in images:
+        assert any(np.array_equal(img, p) for p in pool)
+    assert targets.shape == (b, 2 * m, 5)

@@ -48,6 +48,76 @@ def synthetic_batches(batch: int, size: int, max_boxes: int = 4,
         yield images, targets
 
 
+def mosaic_batches(src: Iterator[Tuple[np.ndarray, np.ndarray]],
+                   prob: float = 1.0, hflip: float = 0.5,
+                   seed: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Mosaic + horizontal-flip augmentation (the YOLOv8 recipe's core).
+
+    Each output image stitches 4 source images onto a 2S x 2S canvas
+    (one per quadrant, native scale) and takes a random S x S crop; boxes
+    are remapped into crop coordinates, clipped to the window, and dropped
+    when a clipped side falls under 1% of the image. Output target capacity
+    doubles (4 images crop to roughly 2x the boxes on average) and stays
+    shape-static across batches, so the train step never recompiles.
+    """
+    rng = np.random.default_rng(seed)
+    pool_imgs: list = []
+    pool_tgts: list = []
+    for images, targets in src:
+        pool_imgs.extend(images)
+        pool_tgts.extend(targets)
+        b = len(images)
+        if len(pool_imgs) < 4 * b:
+            continue
+        size = images.shape[1]
+        m_out = 2 * targets.shape[1]
+        out_i = np.empty_like(images)
+        out_t = np.full((b, m_out, 5), -1.0, targets.dtype)
+        for i in range(b):
+            if rng.random() >= prob:
+                j = rng.integers(len(pool_imgs))
+                out_i[i] = pool_imgs[j]
+                t = pool_tgts[j]
+                out_t[i, :len(t)] = t
+            else:
+                canvas = np.zeros((2 * size, 2 * size, 3), images.dtype)
+                boxes = []
+                for q, (qy, qx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+                    j = rng.integers(len(pool_imgs))
+                    canvas[qy * size:(qy + 1) * size,
+                           qx * size:(qx + 1) * size] = pool_imgs[j]
+                    for cls, cx, cy, w, h in pool_tgts[j]:
+                        if cls < 0:
+                            continue
+                        boxes.append((cls, cx + qx, cy + qy, w, h))
+                oy = rng.uniform(0, 1)
+                ox = rng.uniform(0, 1)
+                out_i[i] = canvas[int(oy * size):int(oy * size) + size,
+                                  int(ox * size):int(ox * size) + size]
+                kept = 0
+                for cls, cx, cy, w, h in boxes:
+                    if kept >= m_out:
+                        break
+                    # Crop window in canvas units: [ox, ox+1] x [oy, oy+1].
+                    x0 = max(cx - w / 2, ox)
+                    x1 = min(cx + w / 2, ox + 1)
+                    y0 = max(cy - h / 2, oy)
+                    y1 = min(cy + h / 2, oy + 1)
+                    if x1 - x0 < 0.01 or y1 - y0 < 0.01:
+                        continue
+                    out_t[i, kept] = (cls, (x0 + x1) / 2 - ox,
+                                      (y0 + y1) / 2 - oy, x1 - x0, y1 - y0)
+                    kept += 1
+            if rng.random() < hflip:
+                out_i[i] = out_i[i, :, ::-1]
+                valid = out_t[i, :, 0] >= 0
+                out_t[i, valid, 1] = 1.0 - out_t[i, valid, 1]
+        # Keep the pool a bounded sliding window of recent source images.
+        pool_imgs = pool_imgs[-8 * b:]
+        pool_tgts = pool_tgts[-8 * b:]
+        yield out_i, out_t
+
+
 def npz_batches(pattern: str, batch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     files = sorted(glob.glob(pattern))
     if not files:
@@ -69,7 +139,7 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
           ckpt_every: int = 100, mesh_data: int = 1, mesh_model: int = 1,
           remat: bool = False, init_from: Optional[str] = None,
           ema: bool = False, ema_decay: float = 0.9998,
-          log_every: int = 10):
+          mosaic: float = 0.0, log_every: int = 10):
     import jax
     import jax.numpy as jnp
     import optax
@@ -105,6 +175,8 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
 
     batches = (npz_batches(data, batch) if data
                else synthetic_batches(batch, size))
+    if mosaic > 0:
+        batches = mosaic_batches(batches, prob=mosaic)
     t0 = time.perf_counter()
     start = int(state.step)
     for i, (images, targets) in enumerate(batches):
@@ -147,6 +219,8 @@ def main() -> None:  # pragma: no cover
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--ema", action="store_true",
                     help="track an EMA of the weights (serve the EMA)")
+    ap.add_argument("--mosaic", type=float, default=0.0,
+                    help="mosaic augmentation probability (0 disables)")
     ap.add_argument("--init-from", default=None, help="warm-start .npz")
     ap.add_argument("--platform", default="",
                     help="force a JAX platform (e.g. cpu); overrides "
@@ -160,7 +234,8 @@ def main() -> None:  # pragma: no cover
           batch=args.batch, steps=args.steps, lr=args.lr, data=args.data,
           ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,
           mesh_data=args.mesh_data, mesh_model=args.mesh_model,
-          remat=args.remat, init_from=args.init_from, ema=args.ema)
+          remat=args.remat, init_from=args.init_from, ema=args.ema,
+          mosaic=args.mosaic)
 
 
 if __name__ == "__main__":  # pragma: no cover
