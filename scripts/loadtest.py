@@ -47,7 +47,10 @@ def build_config(args, model_path: str) -> dict:
         "worker_threads": 1,
         "confidence_threshold": 0.5,
         "nms_threshold": 0.45,
-        "network": {"timeout_ms": 30000},
+        # Liveness timeout far above first-run compile time: an eviction
+        # during a cold prime purges the client's queue and cache slot and
+        # zeroes the measurement (clients don't heartbeat during the wait).
+        "network": {"timeout_ms": 600000},
         "detection": {"model_width": args.size, "model_height": args.size},
         "tpu": {
             "variant": args.variant,

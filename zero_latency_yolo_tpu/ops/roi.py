@@ -243,7 +243,9 @@ class DeviceFrameCache:
             kf = self._pending_kf
             self._pending_kf = {}
             items = sorted(kf.items())
-            k = _bucket(len(items), lo=4)
+            # lo=1: a steady-state single keyframe uploads exactly one slot
+            # frame (lo=4 cost 4x the bytes per write through slow links).
+            k = _bucket(len(items), lo=1)
             frames = np.zeros((k, self.height, self.width, 3), np.uint8)
             slots = np.zeros((k,), np.int32)
             for i, (slot, frame) in enumerate(items):
@@ -338,17 +340,19 @@ class DeviceFrameCache:
                 for count in (16, 64, self._max_pending):
                     self._probe_locked(count, min(edge, self.height),
                                        min(edge, self.width))
-            # Keyframe scatter at the single-slot bucket (k=4 padded) — the
-            # shape used by steady-state keyframe cadence. Use a FREE slot:
-            # the scatter rewrites the whole slot frame.
+            # Keyframe scatter at the single-slot bucket AND the full-slot
+            # bucket (the connect-storm shape: N clients priming at once —
+            # left cold, its first compile outlasts client liveness through
+            # a relayed TPU). Device-side zeros: no H2D; free slots only,
+            # since the scatter rewrites whole slot frames.
             if self._free:
-                saved_kf = self._pending_kf
-                self._pending_kf = {self._free[0]:
-                                    np.zeros((1, 1, 3), np.uint8)}
-                saved = self._pending
-                self._pending = []
-                self._flush_locked()
-                self._pending, self._pending_kf = saved, saved_kf
+                free_slot = jnp.full((1,), self._free[0], jnp.int32)
+                for k in {1, _bucket(self.num_slots, lo=1)}:
+                    slots = jnp.broadcast_to(free_slot, (k,))
+                    self._cache = _paste_full_many(
+                        self._cache,
+                        jnp.zeros((k, self.height, self.width, 3), jnp.uint8),
+                        slots)
             self.flushes = 0
             self.writes_flushed = 0
 
