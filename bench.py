@@ -107,7 +107,7 @@ def _live_loadtest():
     cmd = [sys.executable, os.path.join(here, "scripts", "loadtest.py"),
            "--streams", "64", "--fps", "60", "--duration", "12",
            "--variant", "yolov8n", "--size", "416",
-           "--warmup-timeout", "900"]
+           "--warmup-timeout", "900", "--max-inflight", "32"]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=1500, cwd=here)

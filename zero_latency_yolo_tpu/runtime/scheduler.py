@@ -179,11 +179,13 @@ class ContinuousBatcher:
                     log.exception("batch dispatch failed (batch=%d)", len(batch))
             # Single device lane, pipelined: the newest dispatch computes on
             # device while we convert the older ones' (async-copied) results
-            # on host. Everything beyond the inflight window drains in ONE
-            # batched readback (one link RTT for all of them).
-            excess = len(self._inflight) - (self.max_inflight - 1)
-            if excess > 0:
-                self._complete_n(excess)
+            # on host. When the window fills, drain to depth 1 in ONE
+            # batched readback — through a relayed TPU every readback costs
+            # the link RTT, so completing (max_inflight-1) batches per
+            # readback raises the served ceiling by that factor. At the
+            # default depth 2 this is exactly complete-the-previous-batch.
+            if len(self._inflight) >= self.max_inflight:
+                self._complete_n(len(self._inflight) - 1)
 
     @staticmethod
     def _ready(pending) -> bool:
