@@ -31,6 +31,7 @@ def harness():
                 "batch_buckets": [1, 2, 4]},
     })
     server = DetectionServer(cfg)
+    server.device_cache.warm()  # see test_server_e2e harness note
     loop = asyncio.new_event_loop()
     t = threading.Thread(target=loop.run_forever, daemon=True)
     t.start()

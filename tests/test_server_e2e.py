@@ -56,6 +56,10 @@ def harness():
     h = ServerHarness(cfg)
     server = h.start()
     assert server.engine.simulation
+    # Sim mode skips engine warmup, but cache-write programs are real device
+    # programs even under simulation — compile them up front so latency
+    # assertions measure the serving path, not first-shape XLA compiles.
+    server.device_cache.warm()
     yield server
     h.stop()
 

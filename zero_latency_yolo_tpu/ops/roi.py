@@ -58,6 +58,18 @@ def _count_bucket(n: int, cap: int) -> int:
     return cap
 
 
+def _kf_bucket(n: int, cap: int) -> int:
+    """Keyframe-batch count buckets: 1, 4, 16, or all slots. Bucket 1 keeps
+    the steady-state single-keyframe write exact (a whole slot frame per pad
+    entry is the costliest padding in the system); the fixed ladder keeps
+    the program count at four — an exact count minted one program per
+    distinct keyframe count, a compile storm on cold servers."""
+    for b in (1, 4, 16):
+        if n <= b and b <= cap:
+            return b
+    return cap
+
+
 def _paste_body(cache: jnp.ndarray, slot: jnp.ndarray, region: jnp.ndarray,
                 y: jnp.ndarray, x: jnp.ndarray,
                 rh: jnp.ndarray, rw: jnp.ndarray) -> jnp.ndarray:
@@ -95,10 +107,13 @@ def _paste(cache: jnp.ndarray, slot: jnp.ndarray, region: jnp.ndarray,
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def _paste_many(cache: jnp.ndarray, regions: jnp.ndarray, slots: jnp.ndarray,
-                ys: jnp.ndarray, xs: jnp.ndarray,
-                rhs: jnp.ndarray, rws: jnp.ndarray) -> jnp.ndarray:
+def _paste_many(cache: jnp.ndarray, regions: jnp.ndarray,
+                meta: jnp.ndarray) -> jnp.ndarray:
     """Apply K pastes in submission order as ONE device program.
+
+    meta is (K, 5) int32 rows [slot, y, x, rh, rw] — a single packed host
+    upload (five separate scalar-array uploads each paid link latency
+    through a relayed TPU).
 
     The live serving finding behind this (docs/BENCH_NOTES round 2): at 64
     streams x 60 FPS, per-ROI paste dispatches form a 3.8k-deep donation
@@ -106,8 +121,8 @@ def _paste_many(cache: jnp.ndarray, regions: jnp.ndarray, slots: jnp.ndarray,
     Batched, a window's writes cost one dispatch (~60/s).
     """
     def body(i, c):
-        return _paste_body(c, slots[i], regions[i], ys[i], xs[i],
-                           rhs[i], rws[i])
+        return _paste_body(c, meta[i, 0], regions[i], meta[i, 1], meta[i, 2],
+                           meta[i, 3], meta[i, 4])
     return jax.lax.fori_loop(0, regions.shape[0], body, cache)
 
 
@@ -243,9 +258,7 @@ class DeviceFrameCache:
             kf = self._pending_kf
             self._pending_kf = {}
             items = sorted(kf.items())
-            # lo=1: a steady-state single keyframe uploads exactly one slot
-            # frame (lo=4 cost 4x the bytes per write through slow links).
-            k = _bucket(len(items), lo=1)
+            k = _kf_bucket(len(items), self.num_slots)
             frames = np.zeros((k, self.height, self.width, 3), np.uint8)
             slots = np.zeros((k,), np.int32)
             for i, (slot, frame) in enumerate(items):
@@ -276,11 +289,8 @@ class DeviceFrameCache:
                 regions[i, :rh, :rw] = region
                 meta[i] = (slot, y, x, rh, rw)
             # Padding entries have rh=rw=0 => masked no-op.
-            self._cache = _paste_many(
-                self._cache, jnp.asarray(regions),
-                jnp.asarray(meta[:, 0]), jnp.asarray(meta[:, 1]),
-                jnp.asarray(meta[:, 2]), jnp.asarray(meta[:, 3]),
-                jnp.asarray(meta[:, 4]))
+            self._cache = _paste_many(self._cache, jnp.asarray(regions),
+                                      jnp.asarray(meta))
             self.flushes += 1
             self.writes_flushed += len(pend)
 
@@ -347,7 +357,8 @@ class DeviceFrameCache:
             # since the scatter rewrites whole slot frames.
             if self._free:
                 free_slot = jnp.full((1,), self._free[0], jnp.int32)
-                for k in {1, _bucket(self.num_slots, lo=1)}:
+                for k in sorted({_kf_bucket(n, self.num_slots)
+                                 for n in (1, 4, 16, self.num_slots)}):
                     slots = jnp.broadcast_to(free_slot, (k,))
                     self._cache = _paste_full_many(
                         self._cache,
@@ -360,9 +371,8 @@ class DeviceFrameCache:
         """Compile one _paste_many shape with an all-no-op write batch
         (every entry rh=rw=0 => masked out; cache content untouched)."""
         regions = jnp.zeros((k, bh, bw, 3), jnp.uint8)
-        zeros = jnp.zeros((k,), jnp.int32)
-        self._cache = _paste_many(self._cache, regions, zeros, zeros, zeros,
-                                  zeros, zeros)
+        self._cache = _paste_many(self._cache, regions,
+                                  jnp.zeros((k, 5), jnp.int32))
 
     def run_locked(self, fn):
         """Run fn(cache_array) under the cache lock. Writes donate the

@@ -266,15 +266,17 @@ class InferenceEngine:
     def get_step_cached(self, batch: int, bucket: Tuple[int, int]):
         """Fused variant: slot gather from the device frame cache + the full
         serve step in ONE program (one dispatch per batch; the cache is not
-        donated). Signature: (params, cache, slots, heights, widths, cw,
-        conf, iou)."""
+        donated). Signature: (params, cache, shw, cw, conf, iou) with
+        shw (3, B) int32 rows [slots, heights, widths] — ONE host upload per
+        dispatch instead of three (each H2D transition through a relayed
+        TPU costs link latency)."""
         key = ("cached", batch, bucket[0], bucket[1])
         fn = self._step_cache.get(key)
         if fn is None:
             inner = self._build_step(batch, bucket)
 
-            def step(params, cache, slots, heights, widths, cw, conf, iou):
-                return inner(params, cache[slots], heights, widths,
+            def step(params, cache, shw, cw, conf, iou):
+                return inner(params, cache[shw[0]], shw[1], shw[2],
                              cw, conf, iou)
 
             fn = jax.jit(step)
@@ -307,17 +309,16 @@ class InferenceEngine:
             locked = (cache.run_locked if hasattr(cache, "run_locked")
                       else (lambda fn, _c=cache: fn(_c)))
             for b in (batches or self.batch_buckets):
-                slots = jnp.zeros((b,), jnp.int32)
-
-                def launch(arr, b=b, slots=slots):
+                def launch(arr, b=b):
                     # Under the cache lock: a concurrent keyframe write
                     # donates the buffer and would leave us dispatching on
                     # a deleted array.
                     bucket = (int(arr.shape[1]), int(arr.shape[2]))
-                    hs = jnp.full((b,), bucket[0], jnp.int32)
-                    ws = jnp.full((b,), bucket[1], jnp.int32)
+                    shw = np.zeros((3, b), np.int32)
+                    shw[1] = bucket[0]
+                    shw[2] = bucket[1]
                     return self.get_step_cached(b, bucket)(
-                        self._params, arr, slots, hs, ws,
+                        self._params, arr, jnp.asarray(shw),
                         self._class_weights, self._conf, self._iou)
 
                 jax.block_until_ready(locked(launch))
@@ -417,8 +418,11 @@ class InferenceEngine:
         bucket = (cache.shape[1], cache.shape[2])
         params = self._current_params()
         step = self.get_step_cached(batch, bucket)
-        out = step(params, cache, jnp.asarray(slots, jnp.int32),
-                   jnp.asarray(heights), jnp.asarray(widths),
+        # One packed (3, B) upload: slots, heights, widths.
+        shw = np.stack([np.asarray(slots, np.int32),
+                        np.asarray(heights, np.int32),
+                        np.asarray(widths, np.int32)])
+        out = step(params, cache, jnp.asarray(shw),
                    self._class_weights, self._conf, self._iou)
         _start_host_copy(out)
         return PendingBatch(requests=requests, out=out, t0=t0, n=len(requests))
