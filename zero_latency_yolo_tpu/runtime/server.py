@@ -171,6 +171,7 @@ class DetectionServer:
         self.retransmits = Counter()
         self.send_drops = Counter()
         self.bad_packets = Counter()
+        self.results_sent = Counter()  # rate => live served fps
         self.detect_latency = RollingStats()  # frame recv -> result sent
 
     # ================================================================ lifecycle
@@ -600,6 +601,7 @@ class DetectionServer:
             EVENT_BUS.publish("inference_completed", res.client_id)
         if not burst:
             return
+        self.results_sent.inc(len(burst))
         # One sendmmsg for the whole engine batch on the native transport;
         # per-packet sendto otherwise.
         t = self._transport
@@ -737,6 +739,8 @@ class DetectionServer:
                 "bad_packets": self.bad_packets.value,
                 "rx_pps": round(self.packets_received.rate(), 1),
             },
+            "served_fps": round(self.results_sent.rate(), 1),
+            "results_sent": self.results_sent.value,
             "detect_latency": lat,
             "engine": self.engine.status(),
             "adapter": self.adapter.status(),

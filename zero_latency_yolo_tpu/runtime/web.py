@@ -62,6 +62,7 @@ async function tick(){
       ['clients', s.clients + ' / ' + s.max_clients],
       ['queue depth', s.queue_depth],
       ['rx pps', s.transport.rx_pps],
+      ['served fps', s.served_fps],
       ['detect p99 ms', s.detect_latency.p99_ms.toFixed ? s.detect_latency.p99_ms.toFixed(2) : s.detect_latency.p99_ms],
       ['device p99 ms', s.engine.device_p99_ms],
       ['inferences', s.engine.inferences],
