@@ -6,11 +6,15 @@
 //                         zl_validate_packet / zl_parse_frame_header —
 //                         must never crash or overread (ASan enforces)
 
+#include <arpa/inet.h>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <netinet/in.h>
 #include <random>
+#include <sys/socket.h>
+#include <unistd.h>
 #include <vector>
 
 extern "C" {
@@ -25,6 +29,18 @@ struct ZlFrameHeader { uint32_t frame_id; uint64_t timestamp; uint16_t width;
                        uint16_t height; uint8_t keyframe; uint32_t payload_offset;
                        uint32_t payload_size; };
 int zl_parse_frame_header(const uint8_t*, size_t, ZlFrameHeader*);
+// udp.cpp (linked into the same test binary)
+int zl_udp_open(int, int, int);
+void zl_udp_close(int);
+int zl_udp_send(int, const uint8_t*, int, uint32_t, uint16_t);
+struct ZlPacketDesc2 { uint32_t offset; uint32_t length; uint32_t ip_be;
+                       uint16_t port_be; uint8_t flags; uint8_t type;
+                       uint32_t sequence; uint32_t _pad; uint64_t timestamp; };
+int zl_udp_recv_batch2(int, uint8_t*, int, ZlPacketDesc2*, int, int,
+                       const uint64_t*, int, int);
+struct ZlSendDesc { uint32_t offset; uint32_t length; uint32_t ip_be;
+                    uint16_t port_be; uint16_t _pad; };
+int zl_udp_send_batch(int, const uint8_t*, const ZlSendDesc*, int);
 }
 
 #define CHECK(cond) do { if (!(cond)) { \
@@ -99,6 +115,96 @@ static void test_frame_header() {
     CHECK(zl_parse_frame_header(pkt.data(), pkt.size(), &fh) == 1);
 }
 
+static uint16_t local_port(int fd) {
+    sockaddr_in a{};
+    socklen_t len = sizeof(a);
+    CHECK(::getsockname(fd, reinterpret_cast<sockaddr*>(&a), &len) == 0);
+    return a.sin_port;  // network order
+}
+
+static void test_udp_transport() {
+    const uint32_t loop_be = htonl(INADDR_LOOPBACK);
+    int a = zl_udp_open(0, 1 << 20, 1 << 20);
+    int b = zl_udp_open(0, 1 << 20, 1 << 20);
+    CHECK(a >= 0 && b >= 0);
+    uint16_t pa = local_port(a), pb = local_port(b);
+
+    // b -> a: one valid heartbeat from a REGISTERED peer => validated,
+    // typed, and ACKed inline by recv_batch2.
+    uint8_t hb[26];
+    int n = zl_build_heartbeat(hb, 7, 42, 1000);
+    CHECK(zl_udp_send(b, hb, n, loop_be, pa) == n);
+    // ...plus one garbage datagram => flags 0, no ACK.
+    CHECK(zl_udp_send(b, reinterpret_cast<const uint8_t*>("garbage"), 7,
+                      loop_be, pa) == 7);
+
+    uint64_t peer_b = (static_cast<uint64_t>(loop_be) << 16) | pb;
+    std::vector<uint8_t> arena(64 * 2048);
+    ZlPacketDesc2 descs[64];
+    int got = 0, valid = 0, acked = 0;
+    for (int tries = 0; tries < 20 && got < 2; tries++) {
+        int r = zl_udp_recv_batch2(a, arena.data(), arena.size(), descs + got,
+                                   64 - got, 200, &peer_b, 1, 1);
+        CHECK(r >= 0);
+        got += r;
+    }
+    CHECK(got == 2);
+    for (int i = 0; i < got; i++) {
+        if (descs[i].flags & 1) {
+            valid++;
+            CHECK(descs[i].type == 0 && descs[i].sequence == 42);
+            CHECK(descs[i].flags & 2);
+            acked++;
+        }
+    }
+    CHECK(valid == 1 && acked == 1);
+
+    // b receives exactly one ACK carrying the heartbeat's sequence.
+    ZlPacketDesc2 bdescs[8];
+    int br = 0;
+    for (int tries = 0; tries < 20 && br < 1; tries++) {
+        br += zl_udp_recv_batch2(b, arena.data(), arena.size(), bdescs + br,
+                                 8 - br, 200, nullptr, 0, 0);
+    }
+    CHECK(br == 1);
+    CHECK((bdescs[0].flags & 1) && bdescs[0].type == 8);
+    uint32_t acked_seq;
+    std::memcpy(&acked_seq, arena.data() + bdescs[0].offset + 22, 4);
+    CHECK(acked_seq == 42);
+
+    // UNREGISTERED peer: valid packet, no ACK generated.
+    CHECK(zl_udp_send(b, hb, n, loop_be, pa) == n);
+    int r2 = 0;
+    ZlPacketDesc2 d2[8];
+    for (int tries = 0; tries < 20 && r2 < 1; tries++) {
+        r2 += zl_udp_recv_batch2(a, arena.data(), arena.size(), d2 + r2,
+                                 8 - r2, 200, nullptr, 0, 1);
+    }
+    CHECK(r2 == 1 && (d2[0].flags & 1) && !(d2[0].flags & 2));
+
+    // send_batch: 3 packets in one sendmmsg, all delivered.
+    std::vector<uint8_t> sarena(3 * 26);
+    ZlSendDesc sd[3];
+    for (int i = 0; i < 3; i++) {
+        zl_build_heartbeat(sarena.data() + i * 26, 100 + i, 50 + i, 2000);
+        sd[i] = {static_cast<uint32_t>(i * 26), 26, loop_be, pb, 0};
+    }
+    CHECK(zl_udp_send_batch(a, sarena.data(), sd, 3) == 3);
+    int br2 = 0;
+    ZlPacketDesc2 d3[8];
+    for (int tries = 0; tries < 20 && br2 < 3; tries++) {
+        br2 += zl_udp_recv_batch2(b, arena.data(), arena.size(), d3 + br2,
+                                  8 - br2, 200, nullptr, 0, 0);
+    }
+    CHECK(br2 == 3);
+    for (int i = 0; i < 3; i++) {
+        CHECK((d3[i].flags & 1) && d3[i].type == 0);
+    }
+    zl_udp_close(a);
+    zl_udp_close(b);
+    std::printf("udp transport: all checks passed\n");
+}
+
 static void fuzz(int iters) {
     std::mt19937 rng(1234);
     uint8_t base[512];
@@ -130,6 +236,7 @@ int main(int argc, char** argv) {
     test_known_answers();
     test_detection_result();
     test_frame_header();
+    test_udp_transport();
     std::printf("codec_test: all checks passed\n");
     return 0;
 }
