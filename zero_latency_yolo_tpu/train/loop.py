@@ -139,7 +139,8 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
           ckpt_every: int = 100, mesh_data: int = 1, mesh_model: int = 1,
           remat: bool = False, init_from: Optional[str] = None,
           ema: bool = False, ema_decay: float = 0.9998,
-          mosaic: float = 0.0, log_every: int = 10):
+          mosaic: float = 0.0, assigner: str = "tal",
+          log_every: int = 10):
     import jax
     import jax.numpy as jnp
     import optax
@@ -162,7 +163,7 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
     if mesh_data * mesh_model > 1:
         mesh = make_mesh(data=mesh_data, model=mesh_model)
     step_fn = make_train_step(spec, tx, (size, size), mesh=mesh, remat=remat,
-                              ema_decay=ema_decay)
+                              ema_decay=ema_decay, assigner=assigner)
     if mesh is not None:
         state = step_fn.shard_state(state)
 
@@ -221,6 +222,7 @@ def main() -> None:  # pragma: no cover
                     help="track an EMA of the weights (serve the EMA)")
     ap.add_argument("--mosaic", type=float, default=0.0,
                     help="mosaic augmentation probability (0 disables)")
+    ap.add_argument("--assigner", default="tal", choices=("tal", "center"))
     ap.add_argument("--init-from", default=None, help="warm-start .npz")
     ap.add_argument("--platform", default="",
                     help="force a JAX platform (e.g. cpu); overrides "
@@ -235,7 +237,7 @@ def main() -> None:  # pragma: no cover
           ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,
           mesh_data=args.mesh_data, mesh_model=args.mesh_model,
           remat=args.remat, init_from=args.init_from, ema=args.ema,
-          mosaic=args.mosaic)
+          mosaic=args.mosaic, assigner=args.assigner)
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -47,7 +47,8 @@ def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
                     dtype=jnp.bfloat16,
                     remat: bool = False,
-                    ema_decay: float = 0.9998) -> Callable:
+                    ema_decay: float = 0.9998,
+                    assigner: str = "tal") -> Callable:
     """Build the jitted train step.
 
     step(state, images (B,H,W,3) f32, targets (B,M,5)) -> (state, metrics)
@@ -70,7 +71,8 @@ def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
 
     def loss_fn(params, images, targets):
         outs = fwd(params, images)
-        return detection_loss(spec, outs, targets, input_hw)
+        return detection_loss(spec, outs, targets, input_hw,
+                              assigner=assigner)
 
     def train_step(state: TrainState, images, targets):
         (loss, metrics), grads = jax.value_and_grad(
