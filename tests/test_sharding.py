@@ -83,3 +83,68 @@ def test_spmd_train_step_runs_and_descends():
     assert float(metrics["num_pos"]) > 0
     assert losses[-1] < losses[0]  # same batch: loss must fall
     assert int(state.step) == 3
+
+
+def test_engine_serving_mesh_matches_single_device(tmp_path):
+    """tpu.mesh_data/mesh_model configure the live engine: the hosted
+    dispatch AND the sharded device-cache path produce the same packed
+    results as a single-device engine."""
+    from zero_latency_yolo_tpu.config import ServerConfig
+    from zero_latency_yolo_tpu.models import save_params
+    from zero_latency_yolo_tpu.ops.roi import DeviceFrameCache
+    from zero_latency_yolo_tpu.runtime.engine import (
+        InferenceEngine, InferenceRequest)
+
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(2), spec, folded=True)
+    path = str(tmp_path / "m.npz")
+    save_params(params, path)
+
+    def cfg(md, mm):
+        return ServerConfig.from_dict({
+            "model_path": path,
+            "confidence_threshold": 0.1,
+            "detection": {"model_width": SIZE, "model_height": SIZE},
+            "tpu": {"variant": "yolov8p", "num_classes": 4,
+                    "dtype": "float32", "pre_nms_topk": 64,
+                    "batch_buckets": [8], "frame_buckets": [[96, 96]],
+                    "mesh_data": md, "mesh_model": mm},
+        })
+
+    single = InferenceEngine(cfg(1, 1), params=params)
+    meshed = InferenceEngine(cfg(4, 2), params=params)
+    assert meshed.mesh is not None
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (8, 96, 96, 3), np.uint8)
+    reqs = [InferenceRequest(client_id=i + 1, frame_id=i, timestamp=0,
+                             width=96, height=96, data=frames[i])
+            for i in range(8)]
+    import copy
+    r1 = single.infer_batch(copy.deepcopy(reqs))
+    r2 = meshed.infer_batch(copy.deepcopy(reqs))
+    assert len(r1) == len(r2) == 8
+    for a, b in zip(r1, r2):
+        assert len(a.detections) == len(b.detections)
+        for da, db in zip(a.detections, b.detections):
+            assert da.x == pytest.approx(db.x, abs=1e-5)
+            assert da.class_id == db.class_id
+
+    # Sharded device-cache path: write frames into a slot-sharded cache and
+    # run the fused gather+serve step SPMD.
+    cache = DeviceFrameCache(8, 96, 96, sharding=meshed.batch_sharding(4))
+    assert cache.num_slots == 8
+    for i in range(8):
+        assert cache.acquire(i + 1) is not None
+        assert cache.write_keyframe(i + 1, frames[i])
+    reqs3 = [InferenceRequest(client_id=i + 1, frame_id=i, timestamp=0,
+                              width=96, height=96, data=None)
+             for i in range(8)]
+    pending = cache.dispatch_with(
+        lambda c, s, hs, ws: meshed.dispatch_from_cache(reqs3, c, s, hs, ws),
+        [r.client_id for r in reqs3])
+    r3 = meshed.complete(pending)
+    for a, c in zip(r1, r3):
+        assert len(a.detections) == len(c.detections)
+        for da, dc in zip(a.detections, c.detections):
+            assert da.x == pytest.approx(dc.x, abs=1e-5)

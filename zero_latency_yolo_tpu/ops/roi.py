@@ -147,13 +147,25 @@ def _gather(cache: jnp.ndarray, slots: jnp.ndarray) -> jnp.ndarray:
 
 
 class DeviceFrameCache:
-    """Fixed-slot HBM frame store for up to `num_slots` client streams."""
+    """Fixed-slot HBM frame store for up to `num_slots` client streams.
 
-    def __init__(self, num_slots: int, height: int, width: int) -> None:
+    With `sharding` (a NamedSharding whose leading axis is the mesh data
+    axis), the cache shards slot-wise across the serving mesh — each chip
+    holds its share of client frames and the fused gather+serve step runs
+    SPMD over them (num_slots rounds up to a multiple of the axis size)."""
+
+    def __init__(self, num_slots: int, height: int, width: int,
+                 sharding=None) -> None:
+        if sharding is not None:
+            axis = sharding.spec[0]
+            div = int(sharding.mesh.shape[axis]) if axis else 1
+            num_slots = ((num_slots + div - 1) // div) * div
         self.num_slots = num_slots
         self.height = height
         self.width = width
-        self._cache = jnp.zeros((num_slots, height, width, 3), jnp.uint8)
+        cache = jnp.zeros((num_slots, height, width, 3), jnp.uint8)
+        self._cache = (jax.device_put(cache, sharding)
+                       if sharding is not None else cache)
         self._free = list(range(num_slots))
         self._slot_of: Dict[int, int] = {}
         self._dims: Dict[int, Tuple[int, int]] = {}

@@ -150,6 +150,29 @@ class InferenceEngine:
             else:
                 log.warning("model %s not loadable — simulation mode active",
                             config.model_path)
+        # Serving mesh (SURVEY §5.7/§5.8): tpu.mesh_data x tpu.mesh_model > 1
+        # runs the serve step SPMD — batch over 'data', params tensor-parallel
+        # over 'model' (the inference counterpart of the train shardings).
+        self.mesh = None
+        md, mm = int(tpu.mesh_data), int(tpu.mesh_model)
+        if md * mm > 1 and not self.simulation:
+            if len(jax.devices()) >= md * mm:
+                from ..parallel.mesh import make_mesh
+                self.mesh = make_mesh(md, mm,
+                                      devices=jax.devices()[:md * mm])
+                log.info("serving mesh active: data=%d model=%d", md, mm)
+            else:
+                log.warning("tpu.mesh %dx%d needs %d devices, have %d — "
+                            "single-device serving", md, mm, md * mm,
+                            len(jax.devices()))
+        if self.mesh is not None:
+            # Batch buckets must divide evenly over the data axis.
+            kept = tuple(b for b in self.batch_buckets if b % md == 0)
+            if kept != self.batch_buckets:
+                log.warning("batch buckets %s -> %s (multiples of data=%d)",
+                            self.batch_buckets, kept or (md,), md)
+            self.batch_buckets = kept or (md,)
+
         if self.simulation:
             # Simulation never touches the device; keep params host-side so
             # the server runs even with no accelerator available.
@@ -157,7 +180,7 @@ class InferenceEngine:
         else:
             if tpu.quantize_int8:
                 params = self._quantize_and_calibrate(params)
-            self._params = jax.device_put(jax.tree.map(jnp.asarray, params))
+            self._params = self._place_params(params)
         self._params_lock = threading.Lock()
         # Host-side staged params from maybe_reload (applied on the
         # dispatch thread by _current_params).
@@ -185,6 +208,23 @@ class InferenceEngine:
         self._rng = random.Random(1337)
         # True once warmup() finished (simulation needs none).
         self.warmed = self.simulation
+
+    def _place_params(self, params):
+        """Device placement: tensor-parallel over the serving mesh when one
+        is configured, plain device_put otherwise."""
+        params = jax.tree.map(jnp.asarray, params)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_params
+            return shard_params(params, self.mesh)
+        return jax.device_put(params)
+
+    def batch_sharding(self, ndim: int = 4):
+        """Sharding for batch-leading arrays (frames, cache slots) on the
+        serving mesh; None when single-device."""
+        if self.mesh is None:
+            return None
+        from ..parallel.mesh import batch_sharding
+        return batch_sharding(self.mesh, ndim)
 
     def _quantize_and_calibrate(self, params):
         """int8 backbone: per-channel weight quant + static activation scales
@@ -384,9 +424,16 @@ class InferenceEngine:
             staging[i, :r.height, :r.width] = r.data
             heights[i] = r.height
             widths[i] = r.width
-        return self._dispatch_device(
-            jnp.asarray(staging), jnp.asarray(heights), jnp.asarray(widths),
-            requests, batch, bucket, t0)
+        if self.mesh is not None:
+            frames_d = jax.device_put(staging, self.batch_sharding(4))
+            hs_d = jax.device_put(heights, self.batch_sharding(1))
+            ws_d = jax.device_put(widths, self.batch_sharding(1))
+        else:
+            frames_d = jnp.asarray(staging)
+            hs_d = jnp.asarray(heights)
+            ws_d = jnp.asarray(widths)
+        return self._dispatch_device(frames_d, hs_d, ws_d,
+                                     requests, batch, bucket, t0)
 
     def dispatch_cached(self, requests: List[InferenceRequest],
                         frames: jnp.ndarray, heights: np.ndarray,
@@ -422,7 +469,14 @@ class InferenceEngine:
         shw = np.stack([np.asarray(slots, np.int32),
                         np.asarray(heights, np.int32),
                         np.asarray(widths, np.int32)])
-        out = step(params, cache, jnp.asarray(shw),
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import DATA_AXIS
+            shw_d = jax.device_put(shw, NamedSharding(self.mesh,
+                                                      P(None, DATA_AXIS)))
+        else:
+            shw_d = jnp.asarray(shw)
+        out = step(params, cache, shw_d,
                    self._class_weights, self._conf, self._iou)
         _start_host_copy(out)
         return PendingBatch(requests=requests, out=out, t0=t0, n=len(requests))
@@ -568,7 +622,7 @@ class InferenceEngine:
         if staged is not None:
             if self.config.tpu.quantize_int8:
                 staged = self._quantize_and_calibrate(staged)
-            self._params = jax.device_put(jax.tree.map(jnp.asarray, staged))
+            self._params = self._place_params(staged)
             self.simulation = False
             log.info("hot-reload applied on dispatch thread")
         return self._params

@@ -128,8 +128,10 @@ class DetectionServer:
 
         max_h = max(b[0] for b in config.tpu.frame_buckets)
         max_w = max(b[1] for b in config.tpu.frame_buckets)
-        self.device_cache = (DeviceFrameCache(config.max_clients, max_h, max_w)
-                             if use_device_cache else None)
+        self.device_cache = (
+            DeviceFrameCache(config.max_clients, max_h, max_w,
+                             sharding=self.engine.batch_sharding(4))
+            if use_device_cache else None)
         self.batcher = ContinuousBatcher(
             self.engine, self._on_results_threadsafe,
             max_batch=max(config.tpu.batch_buckets),
