@@ -153,7 +153,10 @@ class ContinuousBatcher:
                 oldest = min((q[0].enqueue_t for q in self._queues.values() if q),
                              default=time.perf_counter())
             if self._pending == 0 and self._inflight:
-                self._complete_oldest()
+                # Idle: nothing to dispatch — drain everything in flight
+                # with one batched readback (tail results land one link RTT
+                # sooner than popping them one per loop turn).
+                self._complete_n(len(self._inflight))
                 continue
             deadline = oldest + window_s
             # Batch-forming window: wait on the condition variable (woken by
