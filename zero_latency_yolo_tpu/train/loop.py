@@ -139,7 +139,7 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
           ckpt_every: int = 100, mesh_data: int = 1, mesh_model: int = 1,
           remat: bool = False, init_from: Optional[str] = None,
           ema: bool = False, ema_decay: float = 0.9998,
-          mosaic: float = 0.0, assigner: str = "tal",
+          mosaic: float = 0.0, assigner: str = "center",
           log_every: int = 10):
     import jax
     import jax.numpy as jnp
@@ -222,7 +222,7 @@ def main() -> None:  # pragma: no cover
                     help="track an EMA of the weights (serve the EMA)")
     ap.add_argument("--mosaic", type=float, default=0.0,
                     help="mosaic augmentation probability (0 disables)")
-    ap.add_argument("--assigner", default="tal", choices=("tal", "center"))
+    ap.add_argument("--assigner", default="center", choices=("tal", "center"))
     ap.add_argument("--init-from", default=None, help="warm-start .npz")
     ap.add_argument("--platform", default="",
                     help="force a JAX platform (e.g. cpu); overrides "

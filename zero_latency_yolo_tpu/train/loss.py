@@ -7,12 +7,12 @@ start.sh:113-149); this framework adds native fine-tuning so deployed models
 Components (following the YOLOv8 formulation):
 - **assignment** (two selectable schemes, both fully vectorized,
   shape-static, jit/pjit-friendly):
-  - `"tal"` (default): task-aligned assignment — alignment metric
+  - `"tal"`: task-aligned assignment — alignment metric
     t = p_cls^alpha * IoU^beta between each anchor's prediction and each GT,
     top-k candidates per GT among anchors whose center lies inside the box,
     conflicts to the highest-t GT, and *soft* classification targets
     t_norm = t / max_t * max_IoU (the standard YOLOv8 assigner).
-  - `"center"`: center-prior selection — anchor positive when its center is
+  - `"center"` (default): center-prior selection — anchor positive when its center is
     inside the box and within `center_radius × stride` of the GT center;
     conflicts to the smallest-area GT; hard one-hot cls targets.
 - **cls**: BCE on class logits over all anchors.
@@ -78,7 +78,7 @@ def detection_loss(spec: ModelSpec, outs: Sequence[jnp.ndarray],
                    targets: jnp.ndarray, input_hw: Tuple[int, int],
                    center_radius: float = 2.5,
                    w_box: float = 7.5, w_cls: float = 0.5, w_dfl: float = 1.5,
-                   assigner: str = "tal", tal_topk: int = 10,
+                   assigner: str = "center", tal_topk: int = 10,
                    tal_alpha: float = 0.5, tal_beta: float = 6.0
                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Detection loss over raw per-level maps.

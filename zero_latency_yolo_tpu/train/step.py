@@ -48,7 +48,7 @@ def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
                     dtype=jnp.bfloat16,
                     remat: bool = False,
                     ema_decay: float = 0.9998,
-                    assigner: str = "tal") -> Callable:
+                    assigner: str = "center") -> Callable:
     """Build the jitted train step.
 
     step(state, images (B,H,W,3) f32, targets (B,M,5)) -> (state, metrics)
