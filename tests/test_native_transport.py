@@ -128,6 +128,37 @@ def test_send_many_burst(harness):
         sock.close()
 
 
+def test_v1_fallback_drain_loop(monkeypatch):
+    """With v2 symbols unavailable (older .so), the v1 drain loop still
+    delivers (data, addr, None, False) tuples and send_many falls back to
+    per-packet sendto."""
+    import zero_latency_yolo_tpu.runtime.transport as tr
+    monkeypatch.setattr(tr, "HAVE_NATIVE_UDP_V2", False)
+    import socket as _socket
+    import queue
+
+    got = queue.Queue()
+    t = tr.NativeUdpTransport(27590, 1 << 20, 1 << 20,
+                              on_batch=lambda b: [got.put(x) for x in b])
+    sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    try:
+        sock.sendto(b"hello-v1", ("127.0.0.1", 27590))
+        data, addr, hdr, acked = got.get(timeout=3)
+        assert data == b"hello-v1" and hdr is None and not acked
+        # send_many fallback delivers all packets.
+        sock.settimeout(3.0)
+        n = t.send_many([(b"x%d" % i, sock.getsockname()) for i in range(5)])
+        assert n == 5
+        seen = set()
+        while len(seen) < 5:
+            seen.add(sock.recvfrom(64)[0])
+        assert seen == {b"x0", b"x1", b"x2", b"x3", b"x4"}
+    finally:
+        sock.close()
+        t.close()
+
+
 def test_native_transport_burst(harness):
     """A burst larger than one recvmmsg batch still all lands."""
     c = SimClient(("127.0.0.1", PORT), screen_width=96, screen_height=64)
