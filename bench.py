@@ -215,7 +215,7 @@ def _report(results, variant, size, live=None):
             "served_fps": live.get("served_fps"),
             "server_detect_p99_ms": live.get("server_detect_p99_ms"),
             "server_detect_avg_ms": live.get("server_detect_avg_ms"),
-            "engine_device_p99_ms": live.get("engine_device_p99_ms"),
+            "engine_pipeline_p99_ms": live.get("engine_pipeline_p99_ms"),
             "client_e2e_p99_ms": live.get("client_e2e_p99_ms"),
             "frames_dropped": live.get("frames_dropped"),
         }

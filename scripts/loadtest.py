@@ -262,7 +262,7 @@ def main() -> None:
             "served_fps": round(total_results / wall, 1),
             "server_detect_avg_ms": st["detect_latency"].get("avg_ms"),
             "server_detect_p99_ms": st["detect_latency"].get("p99_ms"),
-            "engine_device_p99_ms": float(st["engine"]["device_p99_ms"]),
+            "engine_pipeline_p99_ms": float(st["engine"]["pipeline_p99_ms"]),
             "engine_e2e_p99_ms": float(st["engine"]["e2e_p99_ms"]),
             "engine_avg_batch": float(st["engine"]["avg_batch"]),
             "frames_dropped": int(st["engine"]["dropped"]),

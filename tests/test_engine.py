@@ -107,6 +107,62 @@ def test_hot_reload(tmp_path):
     assert eng._model_hash != h1
 
 
+def test_hot_reload_out_of_simulation(tmp_path):
+    """A server started modelless must leave simulation mode when the model
+    file is later deployed (regression: the dispatch simulation early-return
+    used to starve _current_params, so the staged swap never applied)."""
+    spec = get_spec("yolov8p", 4)
+    path = tmp_path / "late.npz"
+    cfg = _cfg(model_path=str(path))
+    eng = InferenceEngine(cfg)
+    assert eng.simulation
+    save_params(init_params(jax.random.PRNGKey(3), spec, folded=True),
+                str(path))
+    assert eng.maybe_reload()
+    out = eng.infer_batch([_req(1, 1, seed=5)])
+    assert not eng.simulation  # flipped on the dispatch path
+    assert len(out) == 1
+    # Real compute now: deterministic across calls (simulation is random).
+    again = eng.infer_batch([_req(1, 1, seed=5)])
+    assert [d.x for d in out[0].detections] == [
+        d.x for d in again[0].detections]
+
+
+def test_staging_freelist_depth_tracks_inflight(engine):
+    """Staging buffers must not be reused while their batch is in flight
+    (regression: a fixed double-buffer corrupted inputs at max_inflight>2)."""
+    reqs = [[_req(10 + i, i, seed=30 + i)] for i in range(3)]
+    singles = [engine.infer_batch([_req(10 + i, i, seed=30 + i)])[0]
+               for i in range(3)]
+    pendings = [engine.dispatch(r) for r in reqs]  # 3 deep, none completed
+    bufs = {id(p.staging_buf) for p in pendings}
+    assert len(bufs) == 3  # distinct buffers while all are in flight
+    key = pendings[0].staging_key
+    results = engine.complete_many(pendings)
+    # Buffers recycled after readback...
+    assert len(engine._staging[key]) >= 3
+    # ...and the deep-pipelined results match the single-dispatch ones.
+    for got, want in zip(results, singles):
+        assert [d.x for d in got[0].detections] == [
+            d.x for d in want.detections]
+
+
+def test_complete_many_pads_to_fixed_rows(engine):
+    """Mixed batch buckets drain through ONE concat program keyed by drain
+    count only (regression: the per-sequence concat shapes were
+    request-driven programs)."""
+    a = engine.dispatch([_req(1, 1, seed=40)])                # bucket 1
+    b = engine.dispatch([_req(2, 2, seed=41), _req(3, 3, seed=42),
+                         _req(4, 4, seed=43)])                # bucket 4
+    res = engine.complete_many([a, b])
+    assert len(res[0]) == 1 and len(res[1]) == 3
+    assert set(engine._pad_cache) >= {(1, 4)}
+    want = engine.infer_batch([_req(2, 2, seed=41), _req(3, 3, seed=42),
+                               _req(4, 4, seed=43)])
+    for got, exp in zip(res[1], want):
+        assert [d.x for d in got.detections] == [d.x for d in exp.detections]
+
+
 def test_simulation_mode_fallback():
     eng = InferenceEngine(_cfg(model_path="/no/such/file.onnx"), params=None)
     assert eng.simulation
@@ -158,7 +214,7 @@ def test_status_map(engine):
     assert st["engine"] == "jax-tpu"
     assert st["simulation"] == "false"
     assert int(st["inferences"]) > 0
-    assert float(st["device_avg_ms"]) > 0
+    assert float(st["pipeline_avg_ms"]) > 0
 
 
 def test_oversized_frames_shed_not_compiled(engine):

@@ -164,3 +164,56 @@ def test_batched_roi_flush_order_and_noop_padding():
     assert cache.write_keyframe(1, np.full((64, 64, 3), 77, np.uint8))
     frames, _, _ = cache.gather([1])
     assert np.asarray(frames[0])[0, 0].tolist() == [77, 77, 77]
+
+
+def test_overflow_sheds_on_writer_thread_without_device_flush():
+    """Writer overflow must never dispatch device work from the writer
+    thread (single-device-lane discipline): the victim slot's pending
+    writes are shed and the slot freezes until its next keyframe."""
+    cache = DeviceFrameCache(num_slots=4, height=64, width=64)
+    cache._max_pending = 8  # shrink the bound for the test
+    kf = {cid: synthetic_frame(64, 64, seed=cid) for cid in (1, 2)}
+    for cid in (1, 2):
+        assert cache.write_keyframe(cid, kf[cid])
+    frames0, _, _ = cache.gather([1, 2])  # flush keyframes
+    flushes_before = cache.flushes
+    region = np.full((8, 8, 3), 200, np.uint8)
+    # Client 1 floods; client 2 trickles.
+    ok = [cache.write_roi(1, region, 0, 0) for _ in range(8)]
+    ok += [cache.write_roi(2, region, 8, 8)]
+    # Overflow happened: client 1 (most queued bytes) was shed and frozen...
+    assert cache.writes_shed > 0
+    shed_before = cache.writes_shed
+    # Frozen slot: deltas are discarded but the stream keeps serving
+    # (True => the server still submits the stale cached frame).
+    assert cache.write_roi(1, region, 16, 16)
+    assert cache.writes_shed == shed_before + 1
+    assert cache.write_roi(2, region, 16, 16)      # other slots unaffected
+    # ...and the writer thread dispatched NOTHING (no flush count change).
+    assert cache.flushes == flushes_before
+    # The frozen slot serves its last consistent (keyframe) content.
+    frames, _, _ = cache.gather([1, 2])
+    got1 = np.asarray(frames[0])
+    assert np.array_equal(got1, kf[1])  # client 1's sheds never applied
+    got2 = np.asarray(frames[1])
+    assert np.array_equal(got2[8:16, 8:16], region)  # client 2's paste did
+    # A new keyframe re-anchors the frozen slot.
+    kf1b = synthetic_frame(64, 64, seed=9)
+    assert cache.write_keyframe(1, kf1b)
+    assert cache.write_roi(1, region, 0, 0)
+    frames, _, _ = cache.gather([1])
+    expect = kf1b.copy()
+    expect[0:8, 0:8] = region
+    assert np.array_equal(np.asarray(frames[0]), expect)
+
+
+def test_overflow_byte_bound_sheds():
+    cache = DeviceFrameCache(num_slots=2, height=64, width=64)
+    cache._max_pending_bytes = 4096
+    assert cache.write_keyframe(1, synthetic_frame(64, 64, seed=1))
+    cache.gather([1])
+    big = np.zeros((32, 32, 3), np.uint8)  # 3 KB each
+    assert cache.write_roi(1, big, 0, 0)
+    cache.write_roi(1, big, 16, 16)  # crosses the byte bound -> shed
+    assert cache.writes_shed >= 1
+    assert cache._pending_bytes <= cache._max_pending_bytes

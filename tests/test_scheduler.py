@@ -53,6 +53,19 @@ def test_round_robin_fairness_without_keyframes():
     assert [r.client_id for r in b._collect()] == [3, 1]
 
 
+def test_max_batch_clamped_to_engine_buckets():
+    """The engine may filter configured batch buckets (mesh divisibility);
+    the batcher must never collect more than the largest REAL bucket
+    (regression: staging overrun / per-count cached programs)."""
+    eng = SimulationEngine(_cfg())
+    assert max(eng.batch_buckets) == 4
+    b = ContinuousBatcher(eng, lambda r: None, max_batch=64)
+    assert b.max_batch == 4
+    for cid in range(1, 7):
+        b.submit(_req(cid, cid))
+    assert len(b._collect()) == 4
+
+
 def test_supersede_counts_drops():
     b = _batcher(max_batch=4)
     eng = b.engine

@@ -180,8 +180,17 @@ class DeviceFrameCache:
         # the keyframe drops everything older for that slot).
         self._pending_kf: Dict[int, np.ndarray] = {}
         self._max_pending = max(2 * num_slots, 64)
+        self._pending_bytes = 0
+        self._max_pending_bytes = 64 * 1024 * 1024
+        # Slots whose pending writes were shed under overflow: their cached
+        # frame is the last *flushed* consistent state; further ROI deltas
+        # are refused until the client's next keyframe re-anchors the slot
+        # (applying deltas over a frame with holes would corrupt it
+        # patchwork-style). See _shed_locked.
+        self._needs_kf: set = set()
         self.flushes = 0
         self.writes_flushed = 0
+        self.writes_shed = 0
 
     # ------------------------------------------------------------ slot mgmt
     def acquire(self, client_id: int) -> Optional[int]:
@@ -201,7 +210,9 @@ class DeviceFrameCache:
             self._dims.pop(client_id, None)
             if slot is not None:
                 self._pending = [p for p in self._pending if p[0] != slot]
+                self._pending_bytes = sum(p[5].nbytes for p in self._pending)
                 self._pending_kf.pop(slot, None)
+                self._needs_kf.discard(slot)
                 self._free.append(slot)
 
     def slot(self, client_id: int) -> Optional[int]:
@@ -234,10 +245,14 @@ class DeviceFrameCache:
             # Pre-keyframe deltas (and older keyframes) are superseded —
             # applying them after this keyframe would corrupt it.
             self._pending = [p for p in self._pending if p[0] != slot]
+            self._pending_bytes = sum(p[5].nbytes for p in self._pending)
             self._pending_kf[slot] = frame
+            self._needs_kf.discard(slot)  # keyframe re-anchors a shed slot
             self._dims[client_id] = (h, w)
-            if len(self._pending) + len(self._pending_kf) >= self._max_pending:
-                self._flush_locked()
+            # No overflow flush here: _pending_kf is bounded at one frame
+            # per slot, and device dispatch from the decode/writer thread
+            # would break the single-device-lane discipline (the batcher
+            # flushes at every gather/dispatch).
         return True
 
     def write_roi(self, client_id: int, region: np.ndarray, x: int, y: int) -> bool:
@@ -252,13 +267,44 @@ class DeviceFrameCache:
         if y + rh > h or x + rw > w:
             return False
         with self._lock:
+            if slot in self._needs_kf:
+                # Frozen since a shed: the delta is discarded (pasting over a
+                # frame with holes would corrupt it), but the slot still
+                # serves its last consistent frame — the stream must keep
+                # flowing (stale detections until the next keyframe, bounded
+                # by the client's keyframe cadence).
+                self.writes_shed += 1
+                return True
             self._pending.append((slot, y, x, rh, rw, region))
-            # Bound host memory: a writer outpacing the batch cadence (or a
-            # hostile flood) flushes synchronously instead of growing the
-            # queue without limit.
-            if len(self._pending) >= self._max_pending:
-                self._flush_locked()
+            self._pending_bytes += region.nbytes
+            # Bound host memory under a writer outpacing the batch cadence
+            # (cold-compile stall, hostile flood): SHED a slot's writes
+            # rather than flushing from this thread — the batcher is the
+            # only thread allowed to dispatch device work (concurrent
+            # dispatch wedges relayed TPU transports).
+            while (len(self._pending) > self._max_pending
+                   or self._pending_bytes > self._max_pending_bytes):
+                self._shed_locked()
         return True
+
+    def _shed_locked(self) -> None:
+        """Overflow policy: drop ALL pending ROI writes for the slot holding
+        the most queued bytes and freeze it until its next keyframe. The
+        slot keeps serving its last consistent flushed frame (drop-oldest
+        stream semantics applied per-slot — reference concurrent_queue.h
+        push_force), and host memory stays bounded without this thread ever
+        touching the device."""
+        if not self._pending:
+            return
+        by_slot: Dict[int, int] = {}
+        for p in self._pending:
+            by_slot[p[0]] = by_slot.get(p[0], 0) + p[5].nbytes
+        victim = max(by_slot, key=lambda s: by_slot[s])
+        kept = [p for p in self._pending if p[0] != victim]
+        self.writes_shed += len(self._pending) - len(kept)
+        self._pending = kept
+        self._pending_bytes = sum(p[5].nbytes for p in kept)
+        self._needs_kf.add(victim)
 
     def _flush_locked(self) -> None:
         """Apply all pending writes (keyframes first, then ROI deltas in
@@ -305,6 +351,7 @@ class DeviceFrameCache:
                                       jnp.asarray(meta))
             self.flushes += 1
             self.writes_flushed += len(pend)
+        self._pending_bytes = 0
 
     def apply_diff(self, client_id: int, diff_region: np.ndarray, x: int, y: int) -> bool:
         """Difference-frame update: the region is the new content for that

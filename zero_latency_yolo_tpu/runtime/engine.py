@@ -66,6 +66,10 @@ class PendingBatch:
     t0: float
     n: int
     simulated: Optional[List["EngineResult"]] = None
+    # Host staging buffer (hosted path only): held until the batch's results
+    # are read back, then recycled via the engine's per-shape free-list.
+    staging_key: Optional[Tuple[int, int, int]] = None
+    staging_buf: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -195,14 +199,17 @@ class InferenceEngine:
         self._iou = jnp.float32(config.nms_threshold)
 
         self._step_cache: Dict[Tuple[int, int, int], Any] = {}
-        self._staging: Dict[Tuple[int, int, int], Any] = {}
-        self._staging_flip: Dict[Tuple[int, int, int], int] = {}
+        # Per-shape free-lists of host staging buffers (see dispatch).
+        self._staging: Dict[Tuple[int, int, int], List[np.ndarray]] = {}
+        # Jitted row-pad programs keyed by (from_rows, to_rows) — see
+        # complete_many.
+        self._pad_cache: Dict[Tuple[int, int], Any] = {}
 
         # Telemetry (reference stats fields, onnx_engine.h:261-273).
         self.inference_count = Counter()
         self.frames_dropped = Counter()
         self.error_count = Counter()
-        self.latency = RollingStats()     # device step wall time
+        self.latency = RollingStats()     # dispatch -> readback (pipeline)
         self.e2e_latency = RollingStats()  # submit -> result
         self.batch_sizes = RollingStats()
         self._rng = random.Random(1337)
@@ -368,6 +375,22 @@ class InferenceEngine:
         return dt
 
     # --------------------------------------------------------------- infer
+    def _simulating(self) -> bool:
+        """True when this dispatch should serve simulated detections.
+
+        Checked on the dispatch thread, so a hot-swap staged while in
+        simulation mode (server started modelless, model deployed later —
+        reference onnx_engine.cpp:473-515 supports this) gets applied HERE:
+        the simulation early-returns must not starve _current_params of its
+        only call site. First real batches after the flip pay their XLA
+        compiles (logged)."""
+        if self.simulation and self._staged_params is not None:
+            self._current_params()
+            if not self.simulation:
+                log.warning("hot-swap out of simulation mode: first batches "
+                            "will compile per (batch, bucket) shape")
+        return self.simulation
+
     def infer_batch(self, requests: List[InferenceRequest]) -> List[EngineResult]:
         return self.complete(self.dispatch(requests))
 
@@ -383,7 +406,7 @@ class InferenceEngine:
         next batch's H2D/compute in flight while this one's results convert."""
         if not requests:
             return PendingBatch(requests=[], out=None, t0=0.0, n=0)
-        if self.simulation:
+        if self._simulating():
             return PendingBatch(requests=requests, out=None,
                                 t0=time.perf_counter(), n=len(requests),
                                 simulated=[self._simulate(r) for r in requests])
@@ -408,16 +431,17 @@ class InferenceEngine:
             max(r.height for r in requests), max(r.width for r in requests))
         key = (batch, bucket[0], bucket[1])
 
-        # Double-buffered staging: jnp.asarray may alias host memory on some
-        # backends, and with the two-stage pipeline the previous batch can
-        # still be in flight while we fill the next one.
-        bufs = self._staging.get(key)
-        if bufs is None:
-            bufs = [np.zeros((batch, bucket[0], bucket[1], 3), np.uint8)
-                    for _ in range(2)]
-            self._staging[key] = bufs
-        self._staging_flip[key] = self._staging_flip.get(key, 0) ^ 1
-        staging = bufs[self._staging_flip[key]]
+        # Staging buffers come from a per-shape free-list sized by the true
+        # in-flight depth: jnp.asarray may alias host memory on some
+        # backends, and with tpu.max_inflight batches pipelined a fixed
+        # double-buffer would be overwritten while an older dispatch still
+        # reads it. A buffer returns to the free-list only after its batch's
+        # results are read back (_convert), which proves the H2D completed.
+        free = self._staging.setdefault(key, [])
+        staging = (free.pop() if free
+                   else np.zeros((batch, bucket[0], bucket[1], 3), np.uint8))
+        # (Stale pixels from a previous use are fine: the step only reads
+        # each frame's true (h, w) extent — runtime scalars below.)
         heights = np.ones((batch,), np.int32)
         widths = np.ones((batch,), np.int32)
         for i, r in enumerate(requests):
@@ -432,15 +456,18 @@ class InferenceEngine:
             frames_d = jnp.asarray(staging)
             hs_d = jnp.asarray(heights)
             ws_d = jnp.asarray(widths)
-        return self._dispatch_device(frames_d, hs_d, ws_d,
-                                     requests, batch, bucket, t0)
+        pending = self._dispatch_device(frames_d, hs_d, ws_d,
+                                        requests, batch, bucket, t0)
+        pending.staging_key = key
+        pending.staging_buf = staging
+        return pending
 
     def dispatch_cached(self, requests: List[InferenceRequest],
                         frames: jnp.ndarray, heights: np.ndarray,
                         widths: np.ndarray) -> "PendingBatch":
         """Launch over device-resident frames (DeviceFrameCache gather) —
         no host staging, no H2D pixel copy."""
-        if self.simulation:
+        if self._simulating():
             return PendingBatch(requests=requests, out=None,
                                 t0=time.perf_counter(), n=len(requests),
                                 simulated=[self._simulate(r) for r in requests])
@@ -456,7 +483,7 @@ class InferenceEngine:
                             heights: np.ndarray, widths: np.ndarray
                             ) -> "PendingBatch":
         """Single-dispatch path: gather + serve fused into one program."""
-        if self.simulation:
+        if self._simulating():
             return PendingBatch(requests=requests, out=None,
                                 t0=time.perf_counter(), n=len(requests),
                                 simulated=[self._simulate(r) for r in requests])
@@ -512,13 +539,23 @@ class InferenceEngine:
                 if p.requests and p.simulated is None and p.out is not None]
         host: Dict[int, np.ndarray] = {}
         if len(real) > 1:
-            packed = jnp.concatenate([p.out for p in real], axis=0)
+            # Shape discipline: pad every batch's packed output to the max
+            # batch bucket first, so the concat program is keyed ONLY by the
+            # drain count k (<= max_inflight programs), never by the ordered
+            # sequence of in-flight batch sizes — that sequence is
+            # request-driven and would mint unbounded programs. The pad
+            # programs themselves are keyed by (rows, max_rows): at most
+            # |batch_buckets|^2 tiny programs. Padding adds D2H bytes (~1 KB
+            # per padded row) — noise against the per-readback link RTT this
+            # method exists to amortize.
+            max_rows = max(max(self.batch_buckets),
+                           max(int(p.out.shape[0]) for p in real))
+            outs = [self._pad_rows(p.out, max_rows) for p in real]
+            packed = jnp.concatenate(outs, axis=0)
             flat = np.asarray(packed)  # the single D2H
-            off = 0
-            for p in real:
+            for i, p in enumerate(real):
                 n = int(p.out.shape[0])
-                host[id(p)] = flat[off:off + n]
-                off += n
+                host[id(p)] = flat[i * max_rows:i * max_rows + n]
         results = []
         for p in pendings:
             if id(p) in host:
@@ -527,13 +564,37 @@ class InferenceEngine:
                 results.append(self.complete(p))
         return results
 
+    def _pad_rows(self, out, rows: int):
+        """Zero-pad a packed output's leading axis to `rows` on device."""
+        b = int(out.shape[0])
+        if b == rows:
+            return out
+        fn = self._pad_cache.get((b, rows))
+        if fn is None:
+            pad = [(0, rows - b)] + [(0, 0)] * (out.ndim - 1)
+            fn = jax.jit(lambda o: jnp.pad(o, pad))
+            self._pad_cache[(b, rows)] = fn
+        return fn(out)
+
     def _convert(self, pending: "PendingBatch",
                  host_out: np.ndarray) -> List[EngineResult]:
+        if pending.staging_buf is not None:
+            # Results are on host => the step ran => the H2D copy of this
+            # buffer completed; safe to recycle. (Single dispatch lane: the
+            # free-list is only touched from the batcher thread.)
+            self._staging.setdefault(pending.staging_key, []).append(
+                pending.staging_buf)
+            pending.staging_buf = None
         out = nms_ops.unpack_outputs(host_out)
         boxes = out["boxes"]
         scores = out["scores"]
         classes = out["classes"]
         counts = out["count"]
+        # Dispatch -> results-on-host. With a deep inflight window this
+        # includes the time the batch sat un-drained behind the pipeline, so
+        # it is reported as *pipeline* latency, NOT device step time (the
+        # true step time is only measurable with the RTT-cancelling pipeline
+        # method — bench.py; a relayed readback can't time the device).
         infer_ms = (time.perf_counter() - pending.t0) * 1e3
         self.latency.record(infer_ms)
         self.batch_sizes.record(pending.n)
@@ -640,8 +701,10 @@ class InferenceEngine:
             "inferences": str(self.inference_count.value),
             "dropped": str(self.frames_dropped.value),
             "errors": str(self.error_count.value),
-            "device_avg_ms": f"{lat['avg_ms']:.2f}",
-            "device_p99_ms": f"{lat['p99_ms']:.2f}",
+            # dispatch -> host readback complete (includes inflight-window
+            # wait under pipelining; see _convert).
+            "pipeline_avg_ms": f"{lat['avg_ms']:.2f}",
+            "pipeline_p99_ms": f"{lat['p99_ms']:.2f}",
             "e2e_avg_ms": f"{e2e['avg_ms']:.2f}",
             "e2e_p99_ms": f"{e2e['p99_ms']:.2f}",
             "avg_batch": f"{self.batch_sizes.snapshot()['avg_ms']:.1f}",

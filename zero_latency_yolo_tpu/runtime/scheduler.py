@@ -45,7 +45,16 @@ class ContinuousBatcher:
                  max_inflight: int = 2) -> None:
         self.engine = engine
         self.on_result = on_result
-        self.max_batch = max_batch
+        # Clamp to the engine's OWN batch buckets: the engine may have
+        # filtered the configured buckets (e.g. to multiples of the serving
+        # mesh's data axis), and collecting more requests than the largest
+        # real bucket would overrun the staging batch / mint per-count
+        # cached programs.
+        engine_max = max(engine.batch_buckets) if engine.batch_buckets else max_batch
+        self.max_batch = min(max_batch, engine_max)
+        if self.max_batch != max_batch:
+            log.warning("max_batch clamped %d -> %d (engine batch buckets %s)",
+                        max_batch, self.max_batch, engine.batch_buckets)
         self.batch_window_ms = batch_window_ms
         self.max_queue = max_queue_per_client
         self.device_cache = device_cache

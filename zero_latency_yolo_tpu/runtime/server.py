@@ -321,9 +321,7 @@ class DetectionServer:
             self._send_raw(AckPacket(acked_sequence=pkt.sequence).serialize(),
                            addr)
 
-        if ptype == PacketType.CLIENT_INFO:
-            self._handle_client_info(pkt, addr)
-        elif ptype == PacketType.HEARTBEAT:
+        if ptype == PacketType.HEARTBEAT:
             if session is not None:
                 reply = HeartbeatPacket(ping=pkt.ping)
                 self._send_raw(reply.serialize(), addr)
@@ -332,12 +330,8 @@ class DetectionServer:
                 log.debug("frame data from unknown client %s", addr)
                 return
             self._handle_frame(pkt, session)
-        elif ptype == PacketType.COMMAND:
-            self._handle_command(pkt, session)
-        elif ptype == PacketType.ERROR:
-            log.debug("received error packet")
         else:
-            log.debug("unhandled packet type %d", ptype)
+            self._handle_control(pkt, addr, session)
 
     def _handle_validated(self, data: bytes, addr: Addr,
                           session: Optional[ClientSession], ntype: int,
@@ -383,6 +377,12 @@ class DetectionServer:
             self.bad_packets.inc()
             log.debug("bad packet from %s: %s", addr, e)
             return
+        self._handle_control(pkt, addr, session)
+
+    def _handle_control(self, pkt, addr: Addr,
+                        session: Optional[ClientSession]) -> None:
+        """Rare control packets — shared by the validated fast path and the
+        pure-Python codec path so dispatch/accounting can't diverge."""
         ptype = pkt.TYPE
         if ptype == PacketType.CLIENT_INFO:
             self._handle_client_info(pkt, addr)
@@ -677,7 +677,7 @@ class DetectionServer:
                      st["clients"], st["queue_depth"],
                      st["transport"]["rx_pps"],
                      st["detect_latency"]["p99_ms"],
-                     st["engine"].get("device_p99_ms"),
+                     st["engine"].get("pipeline_p99_ms"),
                      st["engine"].get("dropped"))
             now = time.monotonic()
             if (analytics.enable_analytics and analytics.save_stats_to_file

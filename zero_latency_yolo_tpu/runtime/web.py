@@ -64,7 +64,7 @@ async function tick(){
       ['rx pps', s.transport.rx_pps],
       ['served fps', s.served_fps],
       ['detect p99 ms', s.detect_latency.p99_ms.toFixed ? s.detect_latency.p99_ms.toFixed(2) : s.detect_latency.p99_ms],
-      ['device p99 ms', s.engine.device_p99_ms],
+      ['pipeline p99 ms', s.engine.pipeline_p99_ms],
       ['inferences', s.engine.inferences],
       ['dropped', s.engine.dropped],
       ['bad packets', s.transport.bad_packets],
