@@ -157,3 +157,28 @@ def test_mosaic_passthrough_prob_zero():
     for img in images:
         assert any(np.array_equal(img, p) for p in pool)
     assert targets.shape == (b, 2 * m, 5)
+
+
+def test_crowded_batches_occlusion_aware_labels():
+    from zero_latency_yolo_tpu.train.loop import crowded_batches
+    it = crowded_batches(batch=4, size=64, seed=0)
+    images, targets = next(it)
+    assert images.shape == (4, 64, 64, 3) and targets.shape == (4, 12, 5)
+    assert images.min() >= 0.0 and images.max() <= 1.0
+    valid = targets[targets[:, :, 0] >= 0]
+    assert len(valid) >= 4  # dense scenes keep several visible boxes
+    # Boxes normalized and inside the image.
+    assert (valid[:, 1:] >= 0).all() and (valid[:, 1:] <= 1).all()
+    assert (valid[:, 0] < 4).all()
+    # Scenes stay dense after occlusion dropping.
+    total_valid = 0
+    total_imgs = 0
+    for _ in range(5):
+        _, t = next(it)
+        total_valid += int((t[:, :, 0] >= 0).sum())
+        total_imgs += t.shape[0]
+    assert total_valid / total_imgs >= 2.0
+    # determinism per seed
+    a = next(crowded_batches(2, 32, seed=7))
+    b = next(crowded_batches(2, 32, seed=7))
+    assert (a[0] == b[0]).all() and (a[1] == b[1]).all()

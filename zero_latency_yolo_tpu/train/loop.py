@@ -48,6 +48,46 @@ def synthetic_batches(batch: int, size: int, max_boxes: int = 4,
         yield images, targets
 
 
+def crowded_batches(batch: int, size: int, max_boxes: int = 12,
+                    seed: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Dense synthetic scenes: 4-12 small/medium rectangles painted
+    back-to-front with overlap, per-instance color jitter, and
+    occlusion-aware labels (boxes left <30% visible are dropped — a fully
+    painted-over box is label noise). This is the regime dense assignment
+    strategies target: ambiguous anchor ownership, partial occlusion,
+    crowded centers — the scenario the blob task (synthetic_batches) lacks,
+    which is where the center-vs-TAL assigner comparison belongs."""
+    rng = np.random.default_rng(seed)
+    while True:
+        images = np.full((batch, size, size, 3), 0.35, np.float32)
+        targets = np.full((batch, max_boxes, 5), -1.0, np.float32)
+        for b in range(batch):
+            n = int(rng.integers(4, max_boxes + 1))
+            owner = np.full((size, size), -1, np.int32)
+            boxes = []
+            for m in range(n):
+                w = rng.uniform(0.08, 0.35)
+                h = rng.uniform(0.08, 0.35)
+                cx = rng.uniform(w / 2, 1 - w / 2)
+                cy = rng.uniform(h / 2, 1 - h / 2)
+                cls = int(rng.integers(0, 4))
+                color = np.zeros(3, np.float32)
+                color[cls % 3] = 0.9 if cls < 3 else 0.6
+                color = np.clip(color + rng.uniform(-0.08, 0.08, 3), 0, 1)
+                x0, x1 = int((cx - w / 2) * size), int((cx + w / 2) * size)
+                y0, y1 = int((cy - h / 2) * size), int((cy + h / 2) * size)
+                images[b, y0:y1, x0:x1] = color
+                owner[y0:y1, x0:x1] = m
+                boxes.append((cls, cx, cy, w, h,
+                              max((y1 - y0) * (x1 - x0), 1)))
+            kept = 0
+            for m, (cls, cx, cy, w, h, area) in enumerate(boxes):
+                if float((owner == m).sum()) / area >= 0.3:
+                    targets[b, kept] = (cls, cx, cy, w, h)
+                    kept += 1
+        yield images, targets
+
+
 def mosaic_batches(src: Iterator[Tuple[np.ndarray, np.ndarray]],
                    prob: float = 1.0, hflip: float = 0.5,
                    seed: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -140,7 +180,7 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
           remat: bool = False, init_from: Optional[str] = None,
           ema: bool = False, ema_decay: float = 0.9998,
           mosaic: float = 0.0, assigner: str = "center",
-          log_every: int = 10):
+          crowded: bool = False, log_every: int = 10):
     import jax
     import jax.numpy as jnp
     import optax
@@ -175,6 +215,7 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
             print(f"resumed from step {int(state.step)}")
 
     batches = (npz_batches(data, batch) if data
+               else crowded_batches(batch, size) if crowded
                else synthetic_batches(batch, size))
     if mosaic > 0:
         batches = mosaic_batches(batches, prob=mosaic)
@@ -223,6 +264,8 @@ def main() -> None:  # pragma: no cover
     ap.add_argument("--mosaic", type=float, default=0.0,
                     help="mosaic augmentation probability (0 disables)")
     ap.add_argument("--assigner", default="center", choices=("tal", "center"))
+    ap.add_argument("--crowded", action="store_true",
+                    help="use the dense occlusion-aware synthetic task")
     ap.add_argument("--init-from", default=None, help="warm-start .npz")
     ap.add_argument("--platform", default="",
                     help="force a JAX platform (e.g. cpu); overrides "
@@ -237,7 +280,7 @@ def main() -> None:  # pragma: no cover
           ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,
           mesh_data=args.mesh_data, mesh_model=args.mesh_model,
           remat=args.remat, init_from=args.init_from, ema=args.ema,
-          mosaic=args.mosaic, assigner=args.assigner)
+          mosaic=args.mosaic, assigner=args.assigner, crowded=args.crowded)
 
 
 if __name__ == "__main__":  # pragma: no cover
