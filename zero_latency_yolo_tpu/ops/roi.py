@@ -179,7 +179,14 @@ class DeviceFrameCache:
         # slot's queued ROIs always postdate its queued keyframe because
         # the keyframe drops everything older for that slot).
         self._pending_kf: Dict[int, np.ndarray] = {}
-        self._max_pending = max(2 * num_slots, 64)
+        # Flush CHUNK size: bounds each compiled _paste_many program (the
+        # count-bucket ladder caps at this). Kept at the round-1 value so
+        # the warmed program grid is unchanged.
+        self._chunk = max(2 * num_slots, 64)
+        # Shed threshold: writers may queue several chunks ahead of the
+        # batcher's flush cadence (through a relayed TPU a batch cycle is
+        # ~75 ms) before the overflow policy kicks in.
+        self._max_pending = 4 * self._chunk
         self._pending_bytes = 0
         self._max_pending_bytes = 64 * 1024 * 1024
         # Slots whose pending writes were shed under overflow: their cached
@@ -310,7 +317,7 @@ class DeviceFrameCache:
         """Apply all pending writes (keyframes first, then ROI deltas in
         submission order) as batched device programs. Caller holds
         self._lock. Regions are padded to each chunk's max power-of-two
-        bucket and counts to power-of-two buckets (chunked at _max_pending)
+        bucket and counts to power-of-two buckets (chunked at _chunk)
         so the compiled-program grid stays bounded."""
         if self._pending_kf:
             kf = self._pending_kf
@@ -331,8 +338,8 @@ class DeviceFrameCache:
             self.flushes += 1
             self.writes_flushed += len(items)
         while self._pending:
-            pend = self._pending[:self._max_pending]
-            self._pending = self._pending[self._max_pending:]
+            pend = self._pending[:self._chunk]
+            self._pending = self._pending[self._chunk:]
             # Coarse shape buckets: ROI programs are keyed by (k, bh, bw);
             # through a remote-compile relay every new shape costs tens of
             # seconds, so the grid is {16, max} x {32, 128, full} per axis.
@@ -340,7 +347,7 @@ class DeviceFrameCache:
                      self.height)
             bw = min(_roi_bucket(max(p[4] for p in pend), self.width),
                      self.width)
-            k = _count_bucket(len(pend), self._max_pending)
+            k = _count_bucket(len(pend), self._chunk)
             regions = np.zeros((k, bh, bw, 3), np.uint8)
             meta = np.zeros((k, 5), np.int32)  # slot, y, x, rh, rw
             for i, (slot, y, x, rh, rw, region) in enumerate(pend):
@@ -406,7 +413,7 @@ class DeviceFrameCache:
         is untouched."""
         with self._lock:
             for edge in (16, 32):
-                for count in (16, 64, self._max_pending):
+                for count in (16, 64, self._chunk):
                     self._probe_locked(count, min(edge, self.height),
                                        min(edge, self.width))
             # Keyframe scatter at the single-slot bucket AND the full-slot
