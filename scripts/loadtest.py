@@ -225,6 +225,12 @@ def main() -> None:
             time.sleep(2.0)
         print(f"# prime drained: {base_results} keyframe results",
               file=sys.stderr)
+        # Client-side latency samples recorded so far belong to the prime
+        # phase (keyframe results that waited through cold compiles — whole
+        # seconds/minutes); the timed window must start clean or they
+        # dominate client_e2e_p99.
+        for s in streams:
+            s.client.reset_latency_stats()
 
         start_t = time.perf_counter() + 0.5
         end_t = start_t + args.duration

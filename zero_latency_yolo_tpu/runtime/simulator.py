@@ -131,6 +131,14 @@ class SimClient:
                         self.result_latencies_ms.append((now - t0) * 1e3)
                 self._result_event.set()
 
+    def reset_latency_stats(self) -> None:
+        """Drop accumulated e2e latency samples and in-flight send stamps —
+        used by load harnesses to start a timed window clean after a warmup/
+        prime phase whose results carry cold-compile latencies."""
+        with self._lock:
+            self.result_latencies_ms.clear()
+            self._sent_at.clear()
+
     def disconnect(self) -> None:
         """Send a DISCONNECT command so the server frees the session."""
         from ..protocol import CommandPacket, CommandType
