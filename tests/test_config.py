@@ -117,3 +117,10 @@ def test_json_numeric_coercion():
     ServerInfoPacket(info=ServerInfo(
         server_id=1, model_version=1.0, max_clients=cfg.max_clients,
         max_fps=cfg.target_fps, status=0)).serialize()
+
+
+def test_malformed_game_adapter_entry_tolerated():
+    from zero_latency_yolo_tpu.config import ServerConfig
+    cfg = ServerConfig.from_dict({"game_adapters": {"cs16": True,
+                                                    "csgo": {"enabled": True}}})
+    assert cfg.game_adapters["csgo"].enabled

@@ -245,3 +245,21 @@ def test_s2d_stem_engine_matches_baseline():
     for da, db in zip(a.detections, b.detections):
         assert da.class_id == db.class_id
         assert abs(da.x - db.x) < 1e-3 and abs(da.confidence - db.confidence) < 1e-3
+
+
+def test_mixed_orientation_buckets_grouped_not_crashed():
+    """Non-nested frame buckets (portrait+landscape): no single bucket covers
+    a mixed batch — infer_batch groups by bucket; dispatch defends."""
+    cfg = _cfg()
+    cfg.tpu.frame_buckets = ((96, 64), (64, 96))
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    eng = InferenceEngine(cfg, params=params)
+    res = eng.infer_batch([_req(1, 1, h=90, w=60), _req(2, 2, h=60, w=90)])
+    assert [r.client_id for r in res] == [1, 2]  # both served, request order
+    # Direct mixed dispatch doesn't crash: keeps the larger group, sheds rest.
+    before = eng.frames_dropped.value
+    pending = eng.dispatch([_req(1, 3, h=90, w=60), _req(2, 4, h=60, w=90),
+                            _req(3, 5, h=60, w=90)])
+    out = eng.complete(pending)
+    assert len(out) == 2 and eng.frames_dropped.value == before + 1

@@ -217,3 +217,22 @@ def test_overflow_byte_bound_sheds():
     cache.write_roi(1, big, 16, 16)  # crosses the byte bound -> shed
     assert cache.writes_shed >= 1
     assert cache._pending_bytes <= cache._max_pending_bytes
+
+
+def test_dispatch_survives_mid_batch_eviction():
+    """A client evicted between collect and dispatch must not fail the
+    whole batch: its slot resolves to a placeholder, co-batched clients
+    keep their results."""
+    cache = DeviceFrameCache(num_slots=2, height=32, width=32)
+    f = synthetic_frame(32, 32, seed=1)
+    assert cache.write_keyframe(1, f)
+    assert cache.write_keyframe(2, synthetic_frame(32, 32, seed=2))
+    cache.release(2)  # evicted after the batcher collected it
+    frames, hs, ws = cache.gather([1, 2])
+    assert frames.shape[0] == 2
+    assert (hs[0], ws[0]) == (32, 32)
+    assert (hs[1], ws[1]) == (1, 1)  # placeholder dims for the dead client
+    import numpy as np
+    assert np.array_equal(np.asarray(frames[0]), f)
+    got = cache.dispatch_with(lambda c, s, h, w: (c.shape, list(s)), [1, 2])
+    assert got[0][0] == 2 and len(got[1]) == 2  # no KeyError

@@ -82,3 +82,13 @@ def test_device_host_split_runs():
     assert out["total_ms"] >= out["host_dispatch_ms"] - 1e-6
     with annotate("unit-test"):
         pass
+
+
+def test_counter_rate_not_capped_by_event_count():
+    """The rate window must not cap at deque length (was ~4096/s ceiling)."""
+    from zero_latency_yolo_tpu.utils.stats import Counter
+    c = Counter()
+    for _ in range(100):
+        c.inc(100)  # 10k events, far above the old per-event cap
+    assert c.value == 10000
+    assert c.rate(window_s=1.0) >= 9999

@@ -199,6 +199,8 @@ class ServerConfig:
         _merge(cfg.analytics, j.get("analytics"))
         if isinstance(j.get("game_adapters"), dict):
             for name, game_j in j["game_adapters"].items():
+                if not isinstance(game_j, dict):
+                    continue  # tolerate malformed entries (every key optional)
                 game = cfg.game_adapters.get(name, GameConfig())
                 _merge(game, game_j, skip=("weapons",))
                 if isinstance(game_j.get("weapons"), dict):

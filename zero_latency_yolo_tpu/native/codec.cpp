@@ -122,12 +122,14 @@ int zl_build_heartbeat(uint8_t* out, uint32_t ping, uint32_t seq, uint64_t ts) {
 // Detections arrive as a flat f32 array [n][6]: x, y, w, h, conf, class_id,
 // plus parallel u32 track_ids and one u64 det_timestamp for all entries
 // (matching how the engine emits them). out must hold
-// 22 + 14 + 40*n bytes. Returns packet size, or -1 if n > 65535.
+// 22 + 14 + 40*n bytes. Returns packet size, or -1 if n > 1638 (u16 body).
 int zl_build_detection_result(uint8_t* out, uint32_t frame_id,
                               uint64_t frame_ts, const float* dets,
                               const uint32_t* track_ids, uint64_t det_ts,
                               int n, uint32_t seq, uint64_t ts) {
-    if (n < 0 || n > 0xFFFF) return -1;
+    // body_len is a u16: 14 + 40*n must fit, so n caps at 1638 (not 65535 —
+    // a larger n silently truncated body_len and emitted a corrupt packet).
+    if (n < 0 || n > (0xFFFF - 14) / ZL_DETECTION_SIZE) return -1;
     uint16_t count = static_cast<uint16_t>(n);
     uint16_t body_len = static_cast<uint16_t>(14 + ZL_DETECTION_SIZE * n);
     zl_write_header(out, 4 /*DETECTION_RESULT*/, body_len, seq, ts);

@@ -202,14 +202,17 @@ class DeviceFrameCache:
     # ------------------------------------------------------------ slot mgmt
     def acquire(self, client_id: int) -> Optional[int]:
         with self._lock:
-            if client_id in self._slot_of:
-                return self._slot_of[client_id]
-            if not self._free:
-                return None
-            slot = self._free.pop()
-            self._slot_of[client_id] = slot
-            self._dims[client_id] = (0, 0)
-            return slot
+            return self._acquire_locked(client_id)
+
+    def _acquire_locked(self, client_id: int) -> Optional[int]:
+        if client_id in self._slot_of:
+            return self._slot_of[client_id]
+        if not self._free:
+            return None
+        slot = self._free.pop()
+        self._slot_of[client_id] = slot
+        self._dims[client_id] = (0, 0)
+        return slot
 
     def release(self, client_id: int) -> None:
         with self._lock:
@@ -242,13 +245,17 @@ class DeviceFrameCache:
         relayed TPU transports, and one batched write program per window is
         the efficient form anyway. A keyframe supersedes everything queued
         for its slot."""
-        slot = self.acquire(client_id)
-        if slot is None:
-            return False
         h, w = frame.shape[:2]
         if h > self.height or w > self.width:
             return False
         with self._lock:
+            # Slot resolution and mutation under ONE lock hold: resolving
+            # first and re-locking would let an eviction + reconnect reuse
+            # the slot in between, pasting this client's pixels into another
+            # client's frame (cross-client leakage).
+            slot = self._acquire_locked(client_id)
+            if slot is None:
+                return False
             # Pre-keyframe deltas (and older keyframes) are superseded —
             # applying them after this keyframe would corrupt it.
             self._pending = [p for p in self._pending if p[0] != slot]
@@ -266,14 +273,17 @@ class DeviceFrameCache:
         """Queue a decoded (rh, rw, 3) region paste at (x, y) for the
         client's cached frame. Applied (in order) by one batched device
         program at the next flush — no per-write device dispatch."""
-        slot = self.slot(client_id)
-        if slot is None or not self.has_frame(client_id):
-            return False  # need a keyframe first
         rh, rw = region.shape[:2]
-        h, w = self.dims(client_id)
-        if y + rh > h or x + rw > w:
-            return False
         with self._lock:
+            # Slot resolved under the same lock hold as the append (see
+            # write_keyframe: the check-then-relock gap let a stale paste
+            # land in a slot reassigned to a different client).
+            slot = self._slot_of.get(client_id)
+            h, w = self._dims.get(client_id, (0, 0))
+            if slot is None or (h, w) == (0, 0):
+                return False  # need a keyframe first
+            if y + rh > h or x + rw > w:
+                return False
             if slot in self._needs_kf:
                 # Frozen since a shed: the delta is discarded (pasting over a
                 # frame with holes would corrupt it), but the slot still
@@ -367,22 +377,34 @@ class DeviceFrameCache:
         return self.write_roi(client_id, diff_region, x, y)
 
     # -------------------------------------------------------------- readout
+    def _resolve_locked(self, client_ids):
+        """Slot/dims for a batch. A client evicted between the batcher's
+        collect and this dispatch resolves to slot 0 with 1x1 dims instead
+        of raising — one stale client must not cost every co-batched client
+        its result (the dead client's own result is dropped at send time
+        when its session no longer exists)."""
+        slots, hs, ws = [], [], []
+        for cid in client_ids:
+            slot = self._slot_of.get(cid)
+            if slot is None:
+                slots.append(0)
+                hs.append(1)
+                ws.append(1)
+                continue
+            h, w = self._dims.get(cid, (0, 0))
+            slots.append(slot)
+            hs.append(max(h, 1))
+            ws.append(max(w, 1))
+        return (np.asarray(slots, np.int32), np.asarray(hs, np.int32),
+                np.asarray(ws, np.int32))
+
     def gather(self, client_ids) -> Tuple[jnp.ndarray, np.ndarray, np.ndarray]:
         """Batch device gather: returns (frames (B,H,W,3) device, heights, widths)."""
-        slots = []
-        hs, ws = [], []
-        for cid in client_ids:
-            slot = self.slot(cid)
-            if slot is None:
-                raise KeyError(f"client {cid} has no cache slot")
-            h, w = self.dims(cid)
-            slots.append(slot)
-            hs.append(h)
-            ws.append(w)
         with self._lock:
+            slots, hs, ws = self._resolve_locked(client_ids)
             self._flush_locked()
-            frames = _gather(self._cache, jnp.asarray(slots, jnp.int32))
-        return frames, np.asarray(hs, np.int32), np.asarray(ws, np.int32)
+            frames = _gather(self._cache, jnp.asarray(slots))
+        return frames, hs, ws
 
     def dispatch_with(self, fn, client_ids):
         """Run fn(cache, slots, heights, widths) under the cache lock.
@@ -391,19 +413,10 @@ class DeviceFrameCache:
         over the buffer must be serialized against them; fn should only
         *launch* device work (fast), not block on results.
         """
-        slots, hs, ws = [], [], []
-        for cid in client_ids:
-            slot = self.slot(cid)
-            if slot is None:
-                raise KeyError(f"client {cid} has no cache slot")
-            h, w = self.dims(cid)
-            slots.append(slot)
-            hs.append(h)
-            ws.append(w)
         with self._lock:
+            slots, hs, ws = self._resolve_locked(client_ids)
             self._flush_locked()
-            return fn(self._cache, np.asarray(slots, np.int32),
-                      np.asarray(hs, np.int32), np.asarray(ws, np.int32))
+            return fn(self._cache, slots, hs, ws)
 
     def warm(self) -> None:
         """Pre-compile the common write programs (small-ROI paste over the

@@ -100,7 +100,10 @@ class GameAdapter:
             tracked = state.tracker.update(
                 np.zeros((0, 4), np.float32), np.zeros(0, np.int64),
                 np.zeros(0, np.float32), now_ms=now_ms)
-            ts = int(now_ms)
+            # Wire timestamps are epoch ms everywhere (packets.now_ms, frame
+            # stamps); now_ms here is the tracker's monotonic clock — using
+            # it on the wire would mix time bases within one stream.
+            ts = int(time.time() * 1000.0)
             detections = [
                 Detection(x=float(b[0]), y=float(b[1]), width=float(b[2]),
                           height=float(b[3]), confidence=c, class_id=k,

@@ -143,6 +143,8 @@ class InferenceEngine:
 
         self.simulation = False
         self._model_hash: Optional[str] = None
+        self._failed_hash: Optional[str] = None  # last unloadable file hash
+        self._file_sig: Optional[Tuple[int, int]] = None  # (mtime_ns, size)
         if params is None:
             params, self.spec, self.simulation = load_model(
                 config.model_path, tpu.variant, tpu.num_classes)
@@ -392,7 +394,21 @@ class InferenceEngine:
         return self.simulation
 
     def infer_batch(self, requests: List[InferenceRequest]) -> List[EngineResult]:
-        return self.complete(self.dispatch(requests))
+        """Convenience synchronous path. Requests are grouped by frame
+        bucket first (dispatch() requires one covering bucket per call —
+        mixed portrait/landscape with non-nested buckets has none)."""
+        groups: Dict[Optional[Tuple[int, int]], List[Tuple[int, InferenceRequest]]] = {}
+        for i, r in enumerate(requests):
+            bk = _pick_bucket(self.frame_buckets, r.height, r.width)
+            groups.setdefault(bk, []).append((i, r))
+        out: List[Optional[EngineResult]] = [None] * len(requests)
+        for items in groups.values():
+            rs = [r for _, r in items]
+            res = self.complete(self.dispatch(rs))
+            if len(res) == len(items):  # oversized group: res == [] (shed)
+                for (i, _), e in zip(items, res):
+                    out[i] = e
+        return [e for e in out if e is not None]
 
     def infer_batch_cached(self, requests: List[InferenceRequest],
                            frames: jnp.ndarray, heights: np.ndarray,
@@ -424,11 +440,30 @@ class InferenceEngine:
             requests = [r for r in requests if id(r) not in bad]
             if not requests:
                 return PendingBatch(requests=[], out=None, t0=0.0, n=0)
-        n = len(requests)
-        batch = _pick_batch(self.batch_buckets, n)
         bucket = _pick_bucket(
             self.frame_buckets,
             max(r.height for r in requests), max(r.width for r in requests))
+        if bucket is None:
+            # Mixed orientations under non-nested buckets: no single bucket
+            # covers the batch. Callers (scheduler, infer_batch) group by
+            # bucket before dispatching; defend here by keeping the largest
+            # same-bucket subset rather than crashing the whole batch.
+            by_bucket: Dict[Tuple[int, int], List[InferenceRequest]] = {}
+            for r in requests:
+                by_bucket.setdefault(
+                    _pick_bucket(self.frame_buckets, r.height, r.width),
+                    []).append(r)
+            keep = max(by_bucket.values(), key=len)
+            dropped = len(requests) - len(keep)
+            self.frames_dropped.inc(dropped)
+            log.warning("mixed-bucket dispatch: kept %d, dropped %d "
+                        "(group requests by bucket)", len(keep), dropped)
+            requests = keep
+            bucket = _pick_bucket(self.frame_buckets,
+                                  max(r.height for r in requests),
+                                  max(r.width for r in requests))
+        n = len(requests)
+        batch = _pick_batch(self.batch_buckets, n)
         key = (batch, bucket[0], bucket[1])
 
         # Staging buffers come from a per-shape free-list sized by the true
@@ -657,16 +692,29 @@ class InferenceEngine:
         dispatch thread at the next batch — the watcher thread must not
         touch the device (single-device-lane discipline; concurrent
         dispatch wedges relayed transports). Reference onnx_engine.cpp:473-515."""
+        import os
         path = self.config.model_path
+        try:
+            st = os.stat(path)
+        except OSError:
+            return False
+        sig = (st.st_mtime_ns, st.st_size)
+        if sig == self._file_sig:
+            return False  # unchanged since last check: skip the full hash
         try:
             new_hash = file_sha256(path)
         except OSError:
             return False
-        if new_hash == self._model_hash:
+        self._file_sig = sig
+        if new_hash == self._model_hash or new_hash == self._failed_hash:
             return False
         params, spec, sim = load_model(path, self.config.tpu.variant,
                                        self.config.tpu.num_classes)
         if sim:
+            # Remember the bad file's hash: without it the 10 s watcher
+            # re-hashes AND fully re-parses the unloadable file every tick
+            # for the process lifetime.
+            self._failed_hash = new_hash
             return False
         with self._params_lock:
             self._staged_params = params

@@ -252,5 +252,14 @@ class ContinuousBatcher:
                 lambda c, s, hs, ws: self.engine.dispatch_from_cache(
                     cached, c, s, hs, ws), cids))
         if hosted:
-            out.append(self.engine.dispatch(hosted))
+            # Group by frame bucket first: with non-nested buckets (e.g.
+            # mixed portrait/landscape) no single bucket may cover the whole
+            # batch, and one dispatch would fail for everyone.
+            from .engine import _pick_bucket
+            hgroups: Dict = {}
+            for r in hosted:
+                bk = _pick_bucket(self.engine.frame_buckets, r.height, r.width)
+                hgroups.setdefault(bk, []).append(r)
+            for rs in hgroups.values():
+                out.append(self.engine.dispatch(rs))
         return out

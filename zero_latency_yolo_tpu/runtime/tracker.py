@@ -205,11 +205,14 @@ class MultiObjectTracker:
                 self._add(boxes[c_i], int(classes[c_i]), float(confidences[c_i]), now_ms)
                 matched_det[c_i] = len(self.meta) - 1
 
-        # Age out: silent > max_age/2 (reference expiry rule,
-        # kalman_tracker.cpp:167-171).
+        # Age out: silent > max_age/2 OR absolute age > max_age (reference
+        # expiry rule, kalman_tracker.cpp:167-171 — the absolute bound means
+        # max_tracking_age_ms also caps a continuously-matched track's
+        # lifetime/id, after which it re-confirms under a fresh id).
         keep = np.ones(len(self.meta), bool)
         for i, t in enumerate(self.meta):
-            if now_ms - t.last_update_ms > self.max_age_ms / 2:
+            if (now_ms - t.last_update_ms > self.max_age_ms / 2
+                    or now_ms - t.created_ms > self.max_age_ms):
                 keep[i] = False
 
         out: List[Tuple[np.ndarray, float, int, int]] = []

@@ -92,6 +92,12 @@ class ManagementApi:
 
     # ------------------------------------------------------------- routing
     async def handle(self, method: str, path: str, body: bytes) -> Tuple[int, Dict]:
+        """Status routes answer inline (live in-process state, no I/O); file
+        routes (model/log upload, log view) run in a worker thread — a
+        256 MB model upload written synchronously would stall the SAME event
+        loop that handles UDP datagrams and result sends, spiking the
+        latency p99 the server exists to hold down."""
+        import asyncio
         url = urllib.parse.urlsplit(path)
         route = url.path.rstrip("/") or "/"
         query = dict(urllib.parse.parse_qsl(url.query))
@@ -101,23 +107,29 @@ class ManagementApi:
                     return 200, {"__html__": DASHBOARD_HTML}
                 if route in ("/", "/statusz", "/api/server/status"):
                     return 200, self.status_fn()
-                if route == "/api/models":
-                    return 200, self._list_models()
-                if route == "/api/logs":
-                    return 200, self._list_logs()
-                if route.startswith("/api/logs/"):
-                    return self._view_log(route[len("/api/logs/"):])
                 if route == "/api/client/version":
                     return 200, CLIENT_VERSION
-            elif method == "POST":
-                if route == "/api/models/upload":
-                    return self._upload_model(query.get("name", ""), body)
-                if route == "/api/logs/upload":
-                    return self._upload_log(query.get("name", ""), body)
-            return 404, {"error": "not found"}
+            return await asyncio.to_thread(self._handle_file_route, method,
+                                           route, query, body)
         except Exception as e:  # noqa: BLE001
             log.exception("management api error on %s %s", method, route)
             return 500, {"error": str(e)}
+
+    def _handle_file_route(self, method: str, route: str, query: Dict,
+                           body: bytes) -> Tuple[int, Dict]:
+        if method == "GET":
+            if route == "/api/models":
+                return 200, self._list_models()
+            if route == "/api/logs":
+                return 200, self._list_logs()
+            if route.startswith("/api/logs/"):
+                return self._view_log(route[len("/api/logs/"):])
+        elif method == "POST":
+            if route == "/api/models/upload":
+                return self._upload_model(query.get("name", ""), body)
+            if route == "/api/logs/upload":
+                return self._upload_log(query.get("name", ""), body)
+        return 404, {"error": "not found"}
 
     # -------------------------------------------------------------- models
     def _list_models(self) -> Dict:
@@ -162,8 +174,9 @@ class ManagementApi:
         path = os.path.join(self.logs_dir, name)
         if not os.path.isfile(path):
             return 404, {"error": "log not found"}
-        with open(path, "r", errors="replace") as f:
-            content = f.read()[-1_000_000:]
+        with open(path, "rb") as f:  # read only the tail, not the whole file
+            f.seek(max(os.path.getsize(path) - 1_000_000, 0))
+            content = f.read().decode(errors="replace")
         return 200, {"name": name, "content": content}
 
     def _upload_log(self, name: str, body: bytes) -> Tuple[int, Dict]:
