@@ -501,22 +501,35 @@ def decode_outputs(spec: ModelSpec, outs: Sequence[jnp.ndarray],
     """
     reg_max, nc = spec.reg_max, spec.num_classes
     b = outs[0].shape[0]
-    flat = jnp.concatenate(
-        [o.reshape(b, -1, 4 * reg_max + nc) for o in outs], axis=1)
-    box_bins = flat[..., :4 * reg_max].reshape(b, -1, 4, reg_max)
-    dist = jnp.sum(jax.nn.softmax(box_bins, axis=-1) *
-                   jnp.arange(reg_max, dtype=jnp.float32), axis=-1)  # (B, A, 4) ltrb
-    anchors, strides = anchors_for(spec, *input_hw)
-    anchors = jnp.asarray(anchors)[None]
-    strides = jnp.asarray(strides)[None]
-    lt, rb = dist[..., :2], dist[..., 2:]
-    x1y1 = anchors - lt
-    x2y2 = anchors + rb
-    cxy = (x1y1 + x2y2) / 2.0
-    wh = x2y2 - x1y1
-    boxes = jnp.concatenate([cxy, wh], axis=-1) * strides
-    probs = jax.nn.sigmoid(flat[..., 4 * reg_max:])
-    return jnp.concatenate([boxes, probs], axis=-1)
+    # Decode PER LEVEL in the conv output layout, then flatten: the (B, A, C)
+    # flatten forces a layout transpose, and doing it on the raw 4*reg_max+nc
+    # (=68) channel maps cost ~0.5 ms/step of pure copy at batch 64 (XPlane:
+    # copy.200/201). Decoding first shrinks the transposed tensor to 4+nc
+    # channels (~8.5x fewer bytes). Anchor order (level-major raster) and
+    # math are identical to the flatten-first form.
+    bin_idx = jnp.arange(reg_max, dtype=jnp.float32)
+    boxes_l, probs_l = [], []
+    for o, s in zip(outs, spec.strides):
+        gh, gw = o.shape[1], o.shape[2]
+        bins = o[..., :4 * reg_max].reshape(b, gh, gw, 4, reg_max)
+        dist = jnp.sum(jax.nn.softmax(bins, axis=-1) * bin_idx,
+                       axis=-1)  # (B, gh, gw, 4) ltrb in grid units
+        xs = (jnp.arange(gw, dtype=jnp.float32) + 0.5)[None, None, :]
+        ys = (jnp.arange(gh, dtype=jnp.float32) + 0.5)[None, :, None]
+        ax = jnp.broadcast_to(xs, (b, gh, gw))
+        ay = jnp.broadcast_to(ys, (b, gh, gw))
+        lt, rb = dist[..., :2], dist[..., 2:]
+        anc = jnp.stack([ax, ay], axis=-1)
+        x1y1 = anc - lt
+        x2y2 = anc + rb
+        cxy = (x1y1 + x2y2) / 2.0
+        wh = x2y2 - x1y1
+        boxes_l.append((jnp.concatenate([cxy, wh], axis=-1) * float(s))
+                       .reshape(b, gh * gw, 4))
+        probs_l.append(jax.nn.sigmoid(o[..., 4 * reg_max:])
+                       .reshape(b, gh * gw, nc))
+    return jnp.concatenate([jnp.concatenate(boxes_l, axis=1),
+                            jnp.concatenate(probs_l, axis=1)], axis=-1)
 
 
 def forward_decoded(params: Params, spec: ModelSpec, x: jnp.ndarray,
