@@ -263,3 +263,24 @@ def test_mixed_orientation_buckets_grouped_not_crashed():
                             _req(3, 5, h=60, w=90)])
     out = eng.complete(pending)
     assert len(out) == 2 and eng.frames_dropped.value == before + 1
+
+
+def test_model_watcher_skips_unchanged_and_failed_files(tmp_path):
+    """The 10s watcher must not re-hash (mtime+size sig) or re-parse (failed
+    hash memo) a file that hasn't changed."""
+    spec = get_spec("yolov8p", 4)
+    path = tmp_path / "m.npz"
+    save_params(init_params(jax.random.PRNGKey(0), spec, folded=True),
+                str(path))
+    eng = InferenceEngine(_cfg(model_path=str(path)))
+    assert not eng.maybe_reload()
+    sig = eng._file_sig
+    assert sig is not None
+    assert not eng.maybe_reload()  # second call: sig short-circuit
+    # A bad file is parsed once, then skipped until it changes.
+    path.write_bytes(b"NOT A MODEL")
+    assert not eng.maybe_reload()
+    assert eng._failed_hash is not None
+    failed = eng._failed_hash
+    assert not eng.maybe_reload()
+    assert eng._failed_hash == failed
