@@ -38,7 +38,6 @@ def main() -> None:
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    import numpy as np
 
     from zero_latency_yolo_tpu.models import get_spec
     from zero_latency_yolo_tpu.models.yolov8 import fold_batchnorm

@@ -219,11 +219,20 @@ class DeviceFrameCache:
             slot = self._slot_of.pop(client_id, None)
             self._dims.pop(client_id, None)
             if slot is not None:
-                self._pending = [p for p in self._pending if p[0] != slot]
-                self._pending_bytes = sum(p[5].nbytes for p in self._pending)
+                self._drop_slot_writes_locked(slot)
                 self._pending_kf.pop(slot, None)
-                self._needs_kf.discard(slot)
                 self._free.append(slot)
+
+    def _drop_slot_writes_locked(self, slot: int) -> int:
+        """Remove all pending ROI writes for `slot` (and its shed-freeze
+        mark), keeping the byte count in sync. Returns how many were
+        dropped."""
+        kept = [p for p in self._pending if p[0] != slot]
+        dropped = len(self._pending) - len(kept)
+        self._pending = kept
+        self._pending_bytes = sum(p[5].nbytes for p in kept)
+        self._needs_kf.discard(slot)
+        return dropped
 
     def slot(self, client_id: int) -> Optional[int]:
         with self._lock:
@@ -257,11 +266,10 @@ class DeviceFrameCache:
             if slot is None:
                 return False
             # Pre-keyframe deltas (and older keyframes) are superseded —
-            # applying them after this keyframe would corrupt it.
-            self._pending = [p for p in self._pending if p[0] != slot]
-            self._pending_bytes = sum(p[5].nbytes for p in self._pending)
+            # applying them after this keyframe would corrupt it; a keyframe
+            # also re-anchors a shed-frozen slot.
+            self._drop_slot_writes_locked(slot)
             self._pending_kf[slot] = frame
-            self._needs_kf.discard(slot)  # keyframe re-anchors a shed slot
             self._dims[client_id] = (h, w)
             # No overflow flush here: _pending_kf is bounded at one frame
             # per slot, and device dispatch from the decode/writer thread
@@ -317,10 +325,7 @@ class DeviceFrameCache:
         for p in self._pending:
             by_slot[p[0]] = by_slot.get(p[0], 0) + p[5].nbytes
         victim = max(by_slot, key=lambda s: by_slot[s])
-        kept = [p for p in self._pending if p[0] != victim]
-        self.writes_shed += len(self._pending) - len(kept)
-        self._pending = kept
-        self._pending_bytes = sum(p[5].nbytes for p in kept)
+        self.writes_shed += self._drop_slot_writes_locked(victim)
         self._needs_kf.add(victim)
 
     def _flush_locked(self) -> None:

@@ -114,6 +114,19 @@ def _pick_batch(buckets: Sequence[int], n: int) -> int:
     return max(buckets)
 
 
+def group_by_bucket(frame_buckets: Sequence[Tuple[int, int]],
+                    requests: Sequence["InferenceRequest"]
+                    ) -> Dict[Optional[Tuple[int, int]], List["InferenceRequest"]]:
+    """Group requests by the frame bucket that covers them (None = none
+    does). dispatch() serves one bucket per call, so every multi-bucket
+    caller (scheduler, infer_batch) groups with this first."""
+    groups: Dict[Optional[Tuple[int, int]], List[InferenceRequest]] = {}
+    for r in requests:
+        groups.setdefault(_pick_bucket(frame_buckets, r.height, r.width),
+                          []).append(r)
+    return groups
+
+
 class InferenceEngine:
     """Synchronous batched compute wrapper; the scheduler owns queues/threads."""
 
@@ -397,17 +410,13 @@ class InferenceEngine:
         """Convenience synchronous path. Requests are grouped by frame
         bucket first (dispatch() requires one covering bucket per call —
         mixed portrait/landscape with non-nested buckets has none)."""
-        groups: Dict[Optional[Tuple[int, int]], List[Tuple[int, InferenceRequest]]] = {}
-        for i, r in enumerate(requests):
-            bk = _pick_bucket(self.frame_buckets, r.height, r.width)
-            groups.setdefault(bk, []).append((i, r))
+        index = {id(r): i for i, r in enumerate(requests)}
         out: List[Optional[EngineResult]] = [None] * len(requests)
-        for items in groups.values():
-            rs = [r for _, r in items]
+        for rs in group_by_bucket(self.frame_buckets, requests).values():
             res = self.complete(self.dispatch(rs))
-            if len(res) == len(items):  # oversized group: res == [] (shed)
-                for (i, _), e in zip(items, res):
-                    out[i] = e
+            if len(res) == len(rs):  # oversized group: res == [] (shed)
+                for r, e in zip(rs, res):
+                    out[index[id(r)]] = e
         return [e for e in out if e is not None]
 
     def infer_batch_cached(self, requests: List[InferenceRequest],
@@ -448,20 +457,14 @@ class InferenceEngine:
             # covers the batch. Callers (scheduler, infer_batch) group by
             # bucket before dispatching; defend here by keeping the largest
             # same-bucket subset rather than crashing the whole batch.
-            by_bucket: Dict[Tuple[int, int], List[InferenceRequest]] = {}
-            for r in requests:
-                by_bucket.setdefault(
-                    _pick_bucket(self.frame_buckets, r.height, r.width),
-                    []).append(r)
-            keep = max(by_bucket.values(), key=len)
-            dropped = len(requests) - len(keep)
+            total = len(requests)
+            bucket, requests = max(
+                group_by_bucket(self.frame_buckets, requests).items(),
+                key=lambda kv: len(kv[1]))
+            dropped = total - len(requests)
             self.frames_dropped.inc(dropped)
             log.warning("mixed-bucket dispatch: kept %d, dropped %d "
-                        "(group requests by bucket)", len(keep), dropped)
-            requests = keep
-            bucket = _pick_bucket(self.frame_buckets,
-                                  max(r.height for r in requests),
-                                  max(r.width for r in requests))
+                        "(group requests by bucket)", len(requests), dropped)
         n = len(requests)
         batch = _pick_batch(self.batch_buckets, n)
         key = (batch, bucket[0], bucket[1])

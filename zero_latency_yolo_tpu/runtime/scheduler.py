@@ -255,11 +255,8 @@ class ContinuousBatcher:
             # Group by frame bucket first: with non-nested buckets (e.g.
             # mixed portrait/landscape) no single bucket may cover the whole
             # batch, and one dispatch would fail for everyone.
-            from .engine import _pick_bucket
-            hgroups: Dict = {}
-            for r in hosted:
-                bk = _pick_bucket(self.engine.frame_buckets, r.height, r.width)
-                hgroups.setdefault(bk, []).append(r)
-            for rs in hgroups.values():
+            from .engine import group_by_bucket
+            for rs in group_by_bucket(self.engine.frame_buckets,
+                                      hosted).values():
                 out.append(self.engine.dispatch(rs))
         return out
