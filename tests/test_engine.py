@@ -284,3 +284,19 @@ def test_model_watcher_skips_unchanged_and_failed_files(tmp_path):
     failed = eng._failed_hash
     assert not eng.maybe_reload()
     assert eng._failed_hash == failed
+
+
+def test_warmup_precompiles_drain_programs():
+    """With a deep inflight window, warmup must pre-compile the pad/concat
+    drain programs so the first live drain doesn't stall the batcher."""
+    cfg = _cfg()
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    eng = InferenceEngine(cfg, params=params)
+    eng.warmup(batches=[1, 4], inflight=8)
+    assert (1, 4) in eng._pad_cache  # pad program warmed
+    # The concat for the steady drain count compiles without a live batch;
+    # a drain of 7 (inflight-1) now hits the warmed program path.
+    pendings = [eng.dispatch([_req(50 + i, i, seed=i)]) for i in range(3)]
+    res = eng.complete_many(pendings)
+    assert [len(r) for r in res] == [1, 1, 1]

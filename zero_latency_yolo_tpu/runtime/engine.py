@@ -347,15 +347,19 @@ class InferenceEngine:
 
     def warmup(self, batches: Optional[Sequence[int]] = None,
                buckets: Optional[Sequence[Tuple[int, int]]] = None,
-               cache=None) -> float:
+               cache=None, inflight: int = 0) -> float:
         """Pre-compile the hot (batch, bucket) grid; returns seconds spent.
 
         When `cache` (a DeviceFrameCache or its device array) is given, the
         fused cached-gather programs — the ones the live ROI path actually
         runs — are compiled too; otherwise the first live batch per shape
         pays a full XLA compile (tens of seconds through a relayed TPU).
+        With `inflight` > 2, the complete_many drain programs for the
+        steady-state drain counts are pre-compiled as well (they otherwise
+        stall the batcher lane at the FIRST live drain).
         """
         t0 = time.perf_counter()
+        last_out: Dict[int, Any] = {}
         for b in (batches or self.batch_buckets):
             for bk in (buckets or self.frame_buckets):
                 frames = np.zeros((b, bk[0], bk[1], 3), np.uint8)
@@ -365,6 +369,21 @@ class InferenceEngine:
                     jnp.asarray(hw[0]), jnp.asarray(hw[1]),
                     self._class_weights, self._conf, self._iou)
                 jax.block_until_ready(out)
+                last_out[b] = out
+        if inflight > 2 and last_out:
+            # Drain-path programs: pad-to-max-rows per batch bucket, plus the
+            # concat at the hot drain counts (the steady drain-to-one count
+            # and a couple of small idle-drain counts; the rest compile
+            # lazily, bounded by max_inflight).
+            max_rows = max(max(self.batch_buckets),
+                           max(int(o.shape[0]) for o in last_out.values()))
+            padded = {b: self._pad_rows(o, max_rows)
+                      for b, o in last_out.items()}
+            probe = next(iter(padded.values()))
+            for k in sorted({2, 3, inflight - 1, inflight}):
+                if 2 <= k <= inflight:
+                    jax.block_until_ready(
+                        jnp.concatenate([probe] * k, axis=0))
         if cache is not None:
             if hasattr(cache, "warm"):
                 cache.warm()  # pre-compile write programs too

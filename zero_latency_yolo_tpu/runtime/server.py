@@ -224,7 +224,8 @@ class DetectionServer:
                             self.config.network.web_port)
         if warmup and not self.engine.simulation:
             await asyncio.to_thread(self.engine.warmup,
-                                    None, None, self.device_cache)
+                                    None, None, self.device_cache,
+                                    self.config.tpu.max_inflight)
         self.batcher.start()
         self._mgmt_task = asyncio.create_task(self._management_loop())
         self._watch_task = asyncio.create_task(self._model_watch_loop())
