@@ -163,3 +163,58 @@ def test_roi_header_roundtrip():
     hdr = parse_roi_header(raw + b"jpegdata")
     assert hdr == RoiHeader(x=10, y=20, width=320, height=240, full_width=800)
     assert parse_roi_header(b"\xff\xd8jpeg-soi" + bytes(20)) is None
+
+
+def test_parser_fuzz_random_and_mutated():
+    """Host-side codec fuzz (the C++ twin has its own 200k ASan fuzz):
+    random garbage and bit-flipped valid packets must raise ProtocolError
+    at worst — never any other exception."""
+    import numpy as np
+    from zero_latency_yolo_tpu.protocol import (
+        HeartbeatPacket, FrameDataPacket, ProtocolError, parse_packet)
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 21, 22, 23, 64, 1500):
+        for _ in range(200):
+            blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            try:
+                parse_packet(blob)
+            except ProtocolError:
+                pass
+    valid = [HeartbeatPacket(ping=7).serialize(),
+             FrameDataPacket(frame_id=1, frame_timestamp=2, width=4, height=4,
+                             data=b"x" * 48).serialize()]
+    for raw in valid:
+        arr = np.frombuffer(raw, np.uint8).copy()
+        for _ in range(500):
+            mut = arr.copy()
+            for _ in range(int(rng.integers(1, 4))):
+                mut[int(rng.integers(len(mut)))] ^= 1 << int(rng.integers(8))
+            try:
+                parse_packet(mut.tobytes())
+            except ProtocolError:
+                pass
+
+
+def test_frame_decoder_fuzz():
+    import numpy as np
+    from zero_latency_yolo_tpu.protocol import build_roi_header
+    from zero_latency_yolo_tpu.runtime.frames import (
+        FrameDecodeError, decode_frame_payload, encode_jpeg)
+    rng = np.random.default_rng(1)
+    samples = [rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+               for n in (0, 3, 16, 100, 4096) for _ in range(50)]
+    # Mutated JPEG + ROI payloads.
+    frame = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    jpeg = encode_jpeg(frame, 80)
+    roi = build_roi_header(0, 0, 16, 16, 32) + jpeg
+    for raw in (jpeg, roi):
+        arr = np.frombuffer(raw, np.uint8).copy()
+        for _ in range(200):
+            mut = arr.copy()
+            mut[int(rng.integers(len(mut)))] ^= 0xFF
+            samples.append(mut.tobytes())
+    for blob in samples:
+        try:
+            decode_frame_payload(blob, 16, 16)
+        except FrameDecodeError:
+            pass
