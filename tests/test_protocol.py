@@ -218,3 +218,27 @@ def test_frame_decoder_fuzz():
             decode_frame_payload(blob, 16, 16)
         except FrameDecodeError:
             pass
+
+
+def test_config_update_packet_roundtrip():
+    from zero_latency_yolo_tpu.protocol import (
+        ConfigUpdatePacket, ProtocolError, parse_packet)
+    pkt = ConfigUpdatePacket(settings={"confidence_threshold": 0.6,
+                                       "nms_threshold": 0.4})
+    back = parse_packet(pkt.serialize())
+    assert isinstance(back, ConfigUpdatePacket)
+    assert back.settings == {"confidence_threshold": 0.6,
+                             "nms_threshold": 0.4}
+    # Malformed JSON body is a typed protocol error, not a crash.
+    broken = _golden(7, b"\x05\x00{oops")  # u16 len + invalid json
+    with pytest.raises(ProtocolError, match="json"):
+        parse_packet(broken)
+    # Non-object JSON rejected too.
+    with pytest.raises(ProtocolError, match="object"):
+        parse_packet(_golden(7, b"\x02\x00[]"))
+
+
+def test_sequence_space_partitioned_from_native_acks():
+    from zero_latency_yolo_tpu.protocol.packets import next_sequence
+    for _ in range(1000):
+        assert 1 <= next_sequence() < 0x80000000

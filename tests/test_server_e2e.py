@@ -226,3 +226,31 @@ def test_status_snapshot(harness):
     assert st["server"] == "zero_latency_yolo_tpu"
     assert st["transport"]["packets_received"] > 0
     assert "engine" in st and st["engine"]["simulation"] == "true"
+
+
+def test_config_update_applies_thresholds(harness):
+    """CONFIG_UPDATE (type 7 — declared but dead in the reference) applies
+    runtime thresholds live from a registered session; unknown peers and
+    bad values are ignored."""
+    from zero_latency_yolo_tpu.protocol import ConfigUpdatePacket
+    c = _client(harness.port)
+    c.connect()
+    try:
+        before_conf = harness.config.confidence_threshold
+        pkt = ConfigUpdatePacket(settings={"confidence_threshold": 0.61,
+                                           "nms_threshold": 0.37,
+                                           "bogus_key": 1})
+        c._send(pkt.serialize())
+        deadline = time.monotonic() + 5
+        while (harness.config.confidence_threshold != 0.61
+               and time.monotonic() < deadline):
+            time.sleep(0.05)
+        assert harness.config.confidence_threshold == 0.61
+        assert harness.config.nms_threshold == 0.37
+        # Non-numeric update is ignored, no crash, thresholds unchanged.
+        c._send(ConfigUpdatePacket(
+            settings={"confidence_threshold": "nope"}).serialize())
+        time.sleep(0.3)
+        assert harness.config.confidence_threshold == 0.61
+    finally:
+        c.stop()

@@ -182,3 +182,15 @@ def test_crowded_batches_occlusion_aware_labels():
     a = next(crowded_batches(2, 32, seed=7))
     b = next(crowded_batches(2, 32, seed=7))
     assert (a[0] == b[0]).all() and (a[1] == b[1]).all()
+
+
+def test_npz_batches_undersized_shards_raise(tmp_path):
+    import numpy as np
+    from zero_latency_yolo_tpu.train.loop import npz_batches
+    np.savez(tmp_path / "small.npz",
+             images=np.zeros((2, 8, 8, 3), np.uint8),
+             targets=np.full((2, 4, 5), -1.0, np.float32))
+    it = npz_batches(str(tmp_path / "*.npz"), batch=64)
+    import pytest
+    with pytest.raises(ValueError, match="fewer than batch"):
+        next(it)

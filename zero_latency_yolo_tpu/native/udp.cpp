@@ -57,8 +57,9 @@ struct ZlPacketDesc {
 int zl_udp_open(int port, int rcvbuf, int sndbuf) {
     int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
     if (fd < 0) return -errno;
-    int one = 1;
-    ::setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    // NOTE: no SO_REUSEADDR — on UDP it lets a second instance bind the
+    // same port and silently steal all traffic; the server's port-busy
+    // handling wants a clean EADDRINUSE so it can fall back to port+1.
     if (rcvbuf > 0) ::setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
     if (sndbuf > 0) ::setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &sndbuf, sizeof(sndbuf));
     sockaddr_in addr{};
@@ -135,7 +136,10 @@ static const uint8_t ZL_F_VALID = 1;
 static const uint8_t ZL_F_ACKED = 2;
 static const int ZL_ACK_SIZE = 26;
 
-static std::atomic<uint32_t> g_ack_seq{1u << 20};  // disjoint from Python's
+// Inline ACK sequences live in [2^31, 2^32): Python's next_sequence mints
+// in [1, 2^31) (packets.py), so the two spaces never collide even on
+// long-running servers.
+static std::atomic<uint32_t> g_ack_seq{0x80000000u};
 
 static uint64_t zl_now_ms() {
     timespec ts;
@@ -214,8 +218,12 @@ int zl_udp_recv_batch2(int fd, uint8_t* arena, int arena_cap,
             (static_cast<uint64_t>(d.ip_be) << 16) | d.port_be;
         if (!zl_peer_known(peers, n_peers, key)) continue;
         uint8_t* ab = ack_buf + n_acks * ZL_ACK_SIZE;
+        // OR the top bit so the sequence stays in the reserved ACK space
+        // even after the counter wraps.
         zl_build_ack(ab, hdr.sequence,
-                     g_ack_seq.fetch_add(1, std::memory_order_relaxed), now);
+                     0x80000000u |
+                         g_ack_seq.fetch_add(1, std::memory_order_relaxed),
+                     now);
         ack_iovs[n_acks].iov_base = ab;
         ack_iovs[n_acks].iov_len = ZL_ACK_SIZE;
         ack_addrs[n_acks] = addrs[i];

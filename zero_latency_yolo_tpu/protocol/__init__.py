@@ -27,6 +27,7 @@ from .packets import (  # noqa: F401
     DetectionResultPacket,
     ErrorPacket,
     CommandPacket,
+    ConfigUpdatePacket,
     AckPacket,
     ProtocolError,
     crc16,

@@ -37,11 +37,12 @@ from __future__ import annotations
 
 import binascii
 import itertools
+import json
 import struct
 import time
 from dataclasses import dataclass, field
 from enum import IntEnum
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 MAGIC = 0x59544C5A
 VERSION = 1
@@ -56,6 +57,7 @@ _FRAME_HDR = struct.Struct("<IQHHB")
 _RESULT_HDR = struct.Struct("<IQH")
 _U32 = struct.Struct("<I")
 _CMD_HDR = struct.Struct("<BH")
+_CFG_HDR = struct.Struct("<H")
 
 DETECTION_SIZE = _DETECTION.size  # 40
 assert DETECTION_SIZE == 40
@@ -115,10 +117,12 @@ _seq_iter = itertools.count(1)
 
 
 def next_sequence() -> int:
-    """Monotonic sequence numbers starting at 1 (reference protocol.h:28-34).
+    """Monotonic sequence numbers in [1, 2^31) (reference protocol.h:28-34).
     itertools.count.__next__ is atomic under the GIL, so concurrent senders
-    (event loop + completion thread) never mint duplicates."""
-    return (next(_seq_iter) - 1) % 0xFFFFFFFF + 1
+    (event loop + completion thread) never mint duplicates. The top half of
+    the u32 space [2^31, 2^32) is reserved for the native transport's inline
+    ACK sequences (native/udp.cpp) so the two spaces never collide."""
+    return (next(_seq_iter) - 1) % 0x7FFFFFFF + 1
 
 
 @dataclass
@@ -357,7 +361,7 @@ class FrameDataPacket(_Packet):
         if w == 0 or h == 0:
             raise ProtocolError(f"invalid frame dimensions: {w}x{h}")
         return cls(frame_id=fid, frame_timestamp=fts, width=w, height=h,
-                   keyframe=(kf == 1), data=body[_FRAME_HDR.size:],
+                   keyframe=(kf != 0), data=body[_FRAME_HDR.size:],
                    sequence=1, timestamp=1)
 
 
@@ -416,6 +420,41 @@ class CommandPacket(_Packet):
                    sequence=1, timestamp=1)
 
 
+class ConfigUpdatePacket(_Packet):
+    """CONFIG_UPDATE (type 7): u16 len + UTF-8 JSON settings.
+
+    The reference declared the enum value (types.h:81) but defined no body
+    and no handler — a CRC-valid type-7 packet was effectively invalid
+    traffic. Here it carries a JSON object of runtime settings; the server
+    applies the recognized keys (confidence_threshold, nms_threshold) live —
+    thresholds are traced scalars, so updates cost zero recompiles."""
+    TYPE = PacketType.CONFIG_UPDATE
+
+    def __init__(self, settings: Optional[Dict] = None, **kw):
+        super().__init__(**kw)
+        self.settings: Dict = settings or {}
+
+    def body(self) -> bytes:
+        blob = json.dumps(self.settings).encode()
+        return _CFG_HDR.pack(len(blob)) + blob
+
+    @classmethod
+    def _from_body(cls, body: bytes) -> "ConfigUpdatePacket":
+        if len(body) < _CFG_HDR.size:
+            raise ProtocolError("invalid config update body length")
+        (dlen,) = _CFG_HDR.unpack_from(body)
+        if _CFG_HDR.size + dlen > len(body):
+            raise ProtocolError("invalid config update data length")
+        try:
+            settings = json.loads(body[_CFG_HDR.size:_CFG_HDR.size + dlen]
+                                  or b"{}")
+        except ValueError as e:
+            raise ProtocolError(f"invalid config update json: {e}") from None
+        if not isinstance(settings, dict):
+            raise ProtocolError("config update must be a JSON object")
+        return cls(settings=settings, sequence=1, timestamp=1)
+
+
 class ErrorPacket(_Packet):
     TYPE = PacketType.ERROR
 
@@ -447,6 +486,7 @@ _PACKET_CLASSES = {
     PacketType.FRAME_DATA: FrameDataPacket,
     PacketType.DETECTION_RESULT: DetectionResultPacket,
     PacketType.COMMAND: CommandPacket,
+    PacketType.CONFIG_UPDATE: ConfigUpdatePacket,
     PacketType.ERROR: ErrorPacket,
     PacketType.ACK: AckPacket,
 }

@@ -389,10 +389,40 @@ class DetectionServer:
             self._handle_client_info(pkt, addr)
         elif ptype == PacketType.COMMAND:
             self._handle_command(pkt, session)
+        elif ptype == PacketType.CONFIG_UPDATE:
+            self._handle_config_update(pkt, session)
         elif ptype == PacketType.ERROR:
             log.debug("received error packet")
         else:
             log.debug("unhandled packet type %d", ptype)
+
+    def _handle_config_update(self, pkt, session: Optional[ClientSession]) -> None:
+        """CONFIG_UPDATE: apply recognized runtime settings live. The
+        reference declared type 7 but never defined a body or handler
+        (types.h:81); here thresholds are traced scalars, so the update
+        takes effect on the next batch with zero recompiles. Registered
+        sessions only."""
+        if session is None:
+            log.debug("config update from unknown peer; ignored")
+            return
+        s = getattr(pkt, "settings", {}) or {}
+        conf = s.get("confidence_threshold")
+        nms = s.get("nms_threshold")
+        try:
+            self.engine.update_thresholds(
+                confidence=float(conf) if conf is not None else None,
+                nms=float(nms) if nms is not None else None)
+        except (TypeError, ValueError):
+            log.debug("config update with non-numeric thresholds ignored")
+            return
+        applied = {k: v for k, v in (("confidence_threshold", conf),
+                                     ("nms_threshold", nms))
+                   if v is not None}
+        ignored = sorted(set(s) - set(applied))
+        if applied:
+            log.info("config update from client #%d applied: %s%s",
+                     session.client_id, applied,
+                     f" (ignored: {ignored})" if ignored else "")
 
     def _handle_ack(self, pkt: AckPacket, session: Optional[ClientSession]) -> None:
         if session is None:
@@ -609,8 +639,10 @@ class DetectionServer:
         # per-packet sendto otherwise.
         t = self._transport
         if t is not None and hasattr(t, "send_many"):
-            t.send_many(burst)
-            self.packets_sent.inc(len(burst))
+            sent = t.send_many(burst)
+            self.packets_sent.inc(sent)
+            if sent < len(burst):
+                self.send_drops.inc(len(burst) - sent)
             self.bytes_sent.inc(sum(len(d) for d, _ in burst))
         else:
             for data, addr in burst:

@@ -141,6 +141,7 @@ class NativeUdpTransport:
         # set_peers (loop thread); the drain thread reads the current
         # reference each iteration — assignment is atomic under the GIL.
         self._peers = (ctypes.c_uint64 * 0)()
+        self.dropped = 0  # packets skipped by send_many on send errors
         self._running = True
         self._thread = threading.Thread(target=self._drain_loop,
                                         name="zlt-native-udp", daemon=True)
@@ -190,8 +191,28 @@ class NativeUdpTransport:
                 continue
             r = self._lib.zl_udp_send_batch(self.fd, self._send_arena,
                                             self._send_descs, n)
-            sent_total += max(r, 0)
-            i += n
+            if r == n:
+                sent_total += r
+                i += n
+                continue
+            # Partial/failed burst: the message at index max(r, 0) hit a
+            # synchronous error or backpressure. Give that ONE message a
+            # single-send retry, then move on — one unreachable client must
+            # not drop results for healthy clients sharing the burst (the
+            # old code advanced past the whole chunk, silently dropping the
+            # unsent tail).
+            r = max(r, 0)
+            sent_total += r
+            data, addr = items[i + r]
+            rc = self._lib.zl_udp_send(
+                self.fd, data, len(data),
+                struct.unpack("=I", socket.inet_aton(addr[0]))[0],
+                socket.htons(addr[1]))
+            if rc >= 0:
+                sent_total += 1
+            else:
+                self.dropped += 1
+            i += r + 1
         return sent_total
 
     def close(self) -> None:
@@ -218,6 +239,10 @@ class NativeUdpTransport:
                 peers, len(peers), 1)
             if n < 0:
                 log.warning("native recv error: errno=%d", -n)
+                # A persistent error (closed/errored fd) would otherwise
+                # busy-spin this thread at 100% CPU and flood the log.
+                import time as _time
+                _time.sleep(0.01)
                 continue
             if n == 0:
                 continue
@@ -246,6 +271,8 @@ class NativeUdpTransport:
                 self.fd, arena, ARENA_CAP, descs, MAX_PKTS, 100)
             if n < 0:
                 log.warning("native recv error: errno=%d", -n)
+                import time as _time
+                _time.sleep(0.01)  # no busy-spin on persistent fd errors
                 continue
             if n == 0:
                 continue

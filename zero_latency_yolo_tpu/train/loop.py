@@ -130,8 +130,12 @@ def mosaic_batches(src: Iterator[Tuple[np.ndarray, np.ndarray]],
                         if cls < 0:
                             continue
                         boxes.append((cls, cx + qx, cy + qy, w, h))
-                oy = rng.uniform(0, 1)
-                ox = rng.uniform(0, 1)
+                # Quantize the crop origin to whole pixels FIRST and reuse
+                # the quantized value for the box remap below — a continuous
+                # offset paired with a truncated pixel crop displaced every
+                # box by up to 1/size systematically.
+                oy = int(rng.uniform(0, 1) * size) / size
+                ox = int(rng.uniform(0, 1) * size) / size
                 out_i[i] = canvas[int(oy * size):int(oy * size) + size,
                                   int(ox * size):int(ox * size) + size]
                 kept = 0
@@ -162,6 +166,7 @@ def npz_batches(pattern: str, batch: int) -> Iterator[Tuple[np.ndarray, np.ndarr
     files = sorted(glob.glob(pattern))
     if not files:
         raise FileNotFoundError(f"no data shards match {pattern}")
+    yielded = False
     while True:
         for path in files:
             with np.load(path) as z:
@@ -170,7 +175,12 @@ def npz_batches(pattern: str, batch: int) -> Iterator[Tuple[np.ndarray, np.ndarr
                     images = images / 255.0
                 targets = z["targets"].astype(np.float32)
             for i in range(0, len(images) - batch + 1, batch):
+                yielded = True
                 yield images[i:i + batch], targets[i:i + batch]
+        if not yielded:
+            raise ValueError(
+                f"every shard matching {pattern} has fewer than batch="
+                f"{batch} samples; nothing to train on")
 
 
 def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
@@ -184,9 +194,8 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
     import jax
     import jax.numpy as jnp
     import optax
-    from ..models import get_spec, init_params, save_params
+    from ..models import get_spec, init_params
     from ..models.weights import load_params
-    from ..models.yolov8 import fold_batchnorm
     from ..parallel.mesh import DATA_AXIS, make_mesh
     from .checkpoint import CheckpointManager
     from .step import init_train_state, make_train_step
@@ -212,6 +221,11 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
         restored = mgr.restore(state)
         if restored is not None:
             state = restored
+            if mesh is not None:
+                # The npz restore path rebuilds plain (unsharded) arrays;
+                # re-apply the mesh shardings or the next step compiles
+                # with replicated params/optimizer state.
+                state = step_fn.shard_state(state)
             print(f"resumed from step {int(state.step)}")
 
     batches = (npz_batches(data, batch) if data
