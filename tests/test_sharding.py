@@ -148,3 +148,24 @@ def test_engine_serving_mesh_matches_single_device(tmp_path):
         assert len(a.detections) == len(c.detections)
         for da, dc in zip(a.detections, c.detections):
             assert da.x == pytest.approx(dc.x, abs=1e-5)
+
+
+def test_detect_head_tips_replicated():
+    """The final conv of each detect-head branch must stay replicated under
+    tensor parallelism (its full channel dim feeds the DFL/class decode);
+    the O=64 box tip used to slip past the size filter."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from zero_latency_yolo_tpu.models import get_spec, init_params
+    from zero_latency_yolo_tpu.parallel.mesh import make_mesh, param_shardings
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    mesh = make_mesh(data=2, model=4, devices=jax.devices()[:8])
+    sh = param_shardings(params, mesh)
+    head = sh["m22"]
+    for branch in ("cv2", "cv3"):
+        for lvl in range(3):
+            assert head[branch][lvl][2]["w"].spec == P(), (branch, lvl)
+            assert head[branch][lvl][2]["b"].spec == P(), (branch, lvl)
+    # Backbone convs with large O still shard.
+    assert sh["m1"]["w"].spec == P(None, None, None, "model")

@@ -491,8 +491,8 @@ def anchors_for(spec: ModelSpec, h: int, w: int, offset: float = 0.5
     return np.concatenate(pts, 0), np.concatenate(strides, 0)
 
 
-def decode_outputs(spec: ModelSpec, outs: Sequence[jnp.ndarray],
-                   input_hw: Tuple[int, int]) -> jnp.ndarray:
+def decode_outputs(spec: ModelSpec,
+                   outs: Sequence[jnp.ndarray]) -> jnp.ndarray:
     """Decode raw level maps to (B, A, 4 + nc): xywh in input pixels + class probs.
 
     Matches the ONNX-exported YOLOv8 head: DFL softmax expectation over reg_max
@@ -538,6 +538,4 @@ def forward_decoded(params: Params, spec: ModelSpec, x: jnp.ndarray,
     """(B, A, 4+nc) decoded output — the ONNX `output0` equivalent (transposed)."""
     outs = forward_raw(params, spec, x, dtype=dtype, accum_f32=accum_f32,
                        stem=stem, dot1x1=dot1x1)
-    hw = ((x.shape[1] * 2, x.shape[2] * 2) if stem == "s2d"
-          else (x.shape[1], x.shape[2]))
-    return decode_outputs(spec, outs, hw)
+    return decode_outputs(spec, outs)

@@ -30,13 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _bucket(n: int, lo: int = 64) -> int:
-    b = lo
-    while b < n:
-        b *= 2
-    return b
-
-
 def _roi_bucket(n: int, full: int) -> int:
     """Coarse ROI edge buckets: 16, 32, 128, or the full cache extent.
 
@@ -100,13 +93,6 @@ def _paste_body(cache: jnp.ndarray, slot: jnp.ndarray, region: jnp.ndarray,
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def _paste(cache: jnp.ndarray, slot: jnp.ndarray, region: jnp.ndarray,
-           y: jnp.ndarray, x: jnp.ndarray,
-           rh: jnp.ndarray, rw: jnp.ndarray) -> jnp.ndarray:
-    return _paste_body(cache, slot, region, y, x, rh, rw)
-
-
-@partial(jax.jit, donate_argnums=(0,))
 def _paste_many(cache: jnp.ndarray, regions: jnp.ndarray,
                 meta: jnp.ndarray) -> jnp.ndarray:
     """Apply K pastes in submission order as ONE device program.
@@ -124,13 +110,6 @@ def _paste_many(cache: jnp.ndarray, regions: jnp.ndarray,
         return _paste_body(c, meta[i, 0], regions[i], meta[i, 1], meta[i, 2],
                            meta[i, 3], meta[i, 4])
     return jax.lax.fori_loop(0, regions.shape[0], body, cache)
-
-
-@partial(jax.jit, donate_argnums=(0,))
-def _paste_full(cache: jnp.ndarray, slot: jnp.ndarray,
-                frame: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.dynamic_update_slice(
-        cache, frame[None], (slot, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
 
 
 @partial(jax.jit, donate_argnums=(0,))

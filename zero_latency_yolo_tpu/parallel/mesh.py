@@ -19,6 +19,8 @@ every collective on ICI.
 
 from __future__ import annotations
 
+import re
+
 from typing import Any, Dict, Optional, Sequence
 
 import jax
@@ -49,6 +51,9 @@ def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+_HEAD_TIP = re.compile(r"/cv[23]/\d+/2/[wb]$")
+
+
 def _leaf_spec(path: str, leaf, model_size: int) -> P:
     """Tensor-parallel spec for one parameter leaf.
 
@@ -61,8 +66,16 @@ def _leaf_spec(path: str, leaf, model_size: int) -> P:
     shape = getattr(leaf, "shape", ())
     if model_size <= 1:
         return P()
+    # Detect-head TIP convs (the final conv of each cv2/cv3 branch,
+    # path .../cv{2,3}/<level>/2/{w,b}) stay replicated regardless of size:
+    # their outputs feed the DFL/class decode, which needs the full channel
+    # dim — sharding them would force an all-gather on the hot path. (The
+    # size filter below caught the class tip only by accident; the box tip
+    # is O=4*reg_max=64 and slipped through.)
+    if _HEAD_TIP.search(path):
+        return P()
     if path.endswith("/w") and len(shape) == 4 and shape[3] % model_size == 0:
-        if shape[3] >= 4 * model_size:  # skip tiny head tips
+        if shape[3] >= 4 * model_size:  # skip tiny channel counts
             return P(None, None, None, MODEL_AXIS)
         return P()
     if path.endswith("/b") and len(shape) == 1 and shape[0] % model_size == 0:

@@ -38,6 +38,11 @@ class ClientState:
     tracker: Optional[MultiObjectTracker] = None
     last_detections: List[Detection] = field(default_factory=list)
     last_update_ms: float = 0.0
+    # Serializes tracker mutation (process_detections on the batcher path)
+    # against tracker state reads (predict_motion on the query path) — the
+    # tracker's meta/X arrays shrink in update() and an unsynchronized
+    # reader can index a dropped row.
+    tracker_lock: threading.Lock = field(default_factory=threading.Lock)
 
 
 class GameAdapter:
@@ -90,16 +95,19 @@ class GameAdapter:
             classes = np.array([d.class_id for d in detections], np.int64)
             confs = np.array([d.confidence for d in detections], np.float32)
             ts = max((d.timestamp for d in detections), default=0)
-            tracked = state.tracker.update(boxes, classes, confs, now_ms=now_ms)
+            with state.tracker_lock:
+                tracked = state.tracker.update(boxes, classes, confs,
+                                               now_ms=now_ms)
             detections = [
                 Detection(x=float(b[0]), y=float(b[1]), width=float(b[2]),
                           height=float(b[3]), confidence=c, class_id=k,
                           track_id=tid, timestamp=ts)
                 for b, c, k, tid in tracked]
         elif state.tracker is not None and not detections:
-            tracked = state.tracker.update(
-                np.zeros((0, 4), np.float32), np.zeros(0, np.int64),
-                np.zeros(0, np.float32), now_ms=now_ms)
+            with state.tracker_lock:
+                tracked = state.tracker.update(
+                    np.zeros((0, 4), np.float32), np.zeros(0, np.int64),
+                    np.zeros(0, np.float32), now_ms=now_ms)
             # Wire timestamps are epoch ms everywhere (packets.now_ms, frame
             # stamps); now_ms here is the tracker's monotonic clock — using
             # it on the wire would mix time bases within one stream.
@@ -155,13 +163,16 @@ class GameAdapter:
             state = self._clients.get(client_id)
         if state is None or state.tracker is None:
             return None
-        for i, t in enumerate(state.tracker.meta):
-            if t.track_id == track_id:
-                x, y, vx, vy = (state.tracker.X[i, 0], state.tracker.X[i, 1],
-                                state.tracker.X[i, 4], state.tracker.X[i, 5])
-                h = min(horizon_ms, 200.0) / 1000.0
-                return (float(np.clip(x + vx * h, 0, 1)),
-                        float(np.clip(y + vy * h, 0, 1)))
+        with state.tracker_lock:  # update() shrinks meta/X concurrently
+            for i, t in enumerate(state.tracker.meta):
+                if t.track_id == track_id:
+                    x, y, vx, vy = (state.tracker.X[i, 0],
+                                    state.tracker.X[i, 1],
+                                    state.tracker.X[i, 4],
+                                    state.tracker.X[i, 5])
+                    h = min(horizon_ms, 200.0) / 1000.0
+                    return (float(np.clip(x + vx * h, 0, 1)),
+                            float(np.clip(y + vy * h, 0, 1)))
         return None
 
     def status(self) -> Dict[str, str]:

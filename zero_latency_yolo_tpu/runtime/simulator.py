@@ -276,8 +276,10 @@ class StreamDriver:
             region = compute_diff_region(frame, self._prev,
                                          padding=self.roi_padding)
             if region is None:
+                # Keep _prev at the last SENT frame: advancing it here let
+                # slow sub-threshold changes accumulate invisibly, drifting
+                # the server's cached frame until the next keyframe.
                 self.skipped += 1
-                self._prev = frame
                 return None
             x, y, rw, rh = region
             fid = self.client.send_roi_update(

@@ -29,6 +29,8 @@ def init_logging(level: str = "info", log_file: Optional[str] = None,
                  console: bool = True) -> logging.Logger:
     logger = logging.getLogger(_ROOT)
     logger.setLevel(_LEVELS.get(level.lower(), logging.INFO))
+    for h in logger.handlers:
+        h.close()  # re-init must not leak the old file handler's fd
     logger.handlers.clear()
     fmt = logging.Formatter(
         "%(asctime)s.%(msecs)03d [%(levelname)s] %(name)s: %(message)s",

@@ -73,9 +73,14 @@ class Counter:
             return self._value
 
     def rate(self, window_s: float = 1.0) -> float:
-        cutoff = int((time.monotonic() - window_s) / self._BIN_S)
+        now = time.monotonic()
+        cutoff = int((now - window_s) / self._BIN_S)
+        # Divide by the span the included bins actually cover (the window
+        # minus the excluded partial bin), not the nominal window — dividing
+        # by window_s undercounted by up to one bin width.
+        span = max(now - (cutoff + 1) * self._BIN_S, self._BIN_S)
         with self._lock:
-            return sum(n for b, n in self._bins if b > cutoff) / window_s
+            return sum(n for b, n in self._bins if b > cutoff) / span
 
 
 class Stopwatch:
