@@ -124,3 +124,18 @@ def test_malformed_game_adapter_entry_tolerated():
     cfg = ServerConfig.from_dict({"game_adapters": {"cs16": True,
                                                     "csgo": {"enabled": True}}})
     assert cfg.game_adapters["csgo"].enabled
+
+
+def test_bool_string_coercion():
+    """bool('false') is True — string booleans must parse by meaning
+    (use_cpu_affinity defaults True, so 'false' flipping it proves it)."""
+    from zero_latency_yolo_tpu.config import ServerConfig
+    cfg = ServerConfig.from_dict({
+        "use_cpu_affinity": "false",
+        "tpu": {"dot1x1": "true"},
+    })
+    assert cfg.use_cpu_affinity is False
+    assert cfg.tpu.dot1x1 is True
+    # Garbage strings keep the default rather than truthy-ing to True.
+    cfg2 = ServerConfig.from_dict({"tpu": {"dot1x1": "maybe"}})
+    assert cfg2.tpu.dot1x1 is False  # default preserved

@@ -254,3 +254,26 @@ def test_config_update_applies_thresholds(harness):
         assert harness.config.confidence_threshold == 0.61
     finally:
         c.stop()
+
+
+def test_eviction_does_not_leak_cache_slots(harness):
+    """Client churn with frames still in the decode queue must not leak
+    device-cache slots (cleanup is ordered through the decode worker): after
+    max_clients churn cycles, a new client still connects and serves."""
+    for i in range(6):  # > max_clients=4 churn rounds
+        c = _client(harness.port)
+        c.connect()
+        c.start_receiver()
+        c.send_jpeg_keyframe(synthetic_frame(96, 64, seed=i))
+        c.stop()  # DISCONNECT with the keyframe possibly still queued
+        time.sleep(0.05)
+    deadline = time.monotonic() + 5
+    while harness.device_cache._free == [] and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert len(harness.device_cache._free) == harness.device_cache.num_slots
+    c = _client(harness.port)
+    c.connect()
+    c.start_receiver()
+    c.send_jpeg_keyframe(synthetic_frame(96, 64, seed=99))
+    assert len(c.wait_results(1, timeout=5)) == 1
+    c.stop()

@@ -335,6 +335,15 @@ def _coerce(val: Any, cur: Any) -> Any:
     not distinguish 60 from 60.0 — an int field fed a float (or a float fed
     an int) must not leak a mistyped value into struct packing."""
     if isinstance(cur, bool):
+        if isinstance(val, str):
+            # bool("false") is True — a hand-edited "false"/"true" string
+            # must parse by meaning, and anything else keeps the default.
+            low = val.strip().lower()
+            if low in ("true", "1", "yes", "on"):
+                return True
+            if low in ("false", "0", "no", "off"):
+                return False
+            return cur
         return bool(val)
     if isinstance(cur, int) and isinstance(val, (int, float)):
         return int(val)

@@ -84,8 +84,18 @@ _LIB = _load()
 HAVE_NATIVE = _LIB is not None
 
 
+def _require_lib():
+    """Builders need the .so; raise a CLEAR error when it's absent instead
+    of an AttributeError on None (callers that can fall back should gate on
+    HAVE_NATIVE like the server does)."""
+    if _LIB is None:
+        raise RuntimeError("native codec unavailable (libzlcodec.so not "
+                           "built); gate on native.HAVE_NATIVE")
+    return _LIB
+
+
 def crc16_native(data: bytes) -> int:
-    return _LIB.zl_crc16(data, len(data))
+    return _require_lib().zl_crc16(data, len(data))
 
 
 def validate_packet(data: bytes) -> Optional[Tuple[int, int, int, int]]:
@@ -101,13 +111,13 @@ def validate_packet(data: bytes) -> Optional[Tuple[int, int, int, int]]:
 
 def build_ack(acked_seq: int, seq: int, ts_ms: int) -> bytes:
     buf = ctypes.create_string_buffer(26)
-    n = _LIB.zl_build_ack(buf, acked_seq, seq, ts_ms)
+    n = _require_lib().zl_build_ack(buf, acked_seq, seq, ts_ms)
     return buf.raw[:n]
 
 
 def build_heartbeat(ping: int, seq: int, ts_ms: int) -> bytes:
     buf = ctypes.create_string_buffer(26)
-    n = _LIB.zl_build_heartbeat(buf, ping, seq, ts_ms)
+    n = _require_lib().zl_build_heartbeat(buf, ping, seq, ts_ms)
     return buf.raw[:n]
 
 
@@ -119,7 +129,7 @@ def build_detection_result(frame_id: int, frame_ts: int,
     buf = ctypes.create_string_buffer(22 + 14 + 40 * max(n, 1))
     dets = np.ascontiguousarray(dets, np.float32)
     tids = np.ascontiguousarray(track_ids, np.uint32)
-    size = _LIB.zl_build_detection_result(
+    size = _require_lib().zl_build_detection_result(
         buf, frame_id, frame_ts,
         dets.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         tids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),

@@ -41,9 +41,10 @@ from ..protocol import (
 )
 from ..utils.events import (
     CLIENT_CONNECTED, CLIENT_DISCONNECTED, CLIENT_TIMEOUT, EVENT_BUS,
-    MODEL_UPDATED, SERVER_STARTED, SERVER_STOPPING,
+    INFERENCE_COMPLETED, MODEL_UPDATED, SERVER_STARTED, SERVER_STOPPING,
 )
 from ..protocol import native
+from ..protocol.packets import next_sequence, now_ms
 from ..utils.logging import get_logger
 from ..utils.stats import Counter, RollingStats
 from ..ops.roi import DeviceFrameCache
@@ -268,18 +269,25 @@ class DetectionServer:
             return
         def deliver():
             for data, addr, hdr, pre_acked in batch:
-                if hdr is None:
-                    self._on_datagram(data, addr)
-                    continue
-                self.packets_received.inc()
-                self.bytes_received.inc(len(data))
-                if pre_acked:  # the drain thread already sent a 26B ACK
-                    self.packets_sent.inc()
-                    self.bytes_sent.inc(26)
-                ntype, sequence, _ts = hdr
-                self._handle_validated(data, addr,
-                                       self._session_by_addr(addr),
-                                       ntype, sequence, pre_acked)
+                # Per-datagram isolation: one handler fault must not shed
+                # the rest of the recvmmsg batch (other clients' frames and
+                # ACKs share it).
+                try:
+                    if hdr is None:
+                        self._on_datagram(data, addr)
+                        continue
+                    self.packets_received.inc()
+                    self.bytes_received.inc(len(data))
+                    if pre_acked:  # the drain thread already sent a 26B ACK
+                        self.packets_sent.inc()
+                        self.bytes_sent.inc(26)
+                    ntype, sequence, _ts = hdr
+                    self._handle_validated(data, addr,
+                                           self._session_by_addr(addr),
+                                           ntype, sequence, pre_acked)
+                except Exception:  # noqa: BLE001
+                    self.bad_packets.inc()
+                    log.exception("datagram handler failed (%s)", addr)
         self._loop.call_soon_threadsafe(deliver)
 
     def _on_datagram(self, data: bytes, addr: Addr) -> None:
@@ -316,9 +324,10 @@ class DetectionServer:
         if ptype == PacketType.ACK:
             self._handle_ack(pkt, session)
             return
-        # ACK every valid non-ACK packet from a known peer (already ACKed
-        # above when the native codec handled it).
-        if session is not None and not native.HAVE_NATIVE:
+        # ACK every valid non-ACK packet from a known peer. (The native
+        # codec path returned above, so this is always the pure-Python
+        # fallback here.)
+        if session is not None:
             self._send_raw(AckPacket(acked_sequence=pkt.sequence).serialize(),
                            addr)
 
@@ -340,7 +349,6 @@ class DetectionServer:
         """Dispatch a header-validated datagram. The dominant packet types
         (FRAME_DATA, ACK, HEARTBEAT) never construct Python packet objects;
         rare control packets fall through to the object codec."""
-        from ..protocol.packets import next_sequence, now_ms
         if session is not None:
             session.last_active = time.monotonic()
         if ntype == PacketType.ACK:
@@ -405,24 +413,33 @@ class DetectionServer:
         if session is None:
             log.debug("config update from unknown peer; ignored")
             return
-        s = getattr(pkt, "settings", {}) or {}
+        self._apply_runtime_settings(getattr(pkt, "settings", {}) or {},
+                                     session)
+
+    def _apply_runtime_settings(self, s: Dict,
+                                session: ClientSession) -> bool:
+        """Validate-then-apply runtime thresholds (shared by SET_CONFIG and
+        CONFIG_UPDATE). Both values parse BEFORE either applies — one
+        malformed field must not leave a partial state change."""
         conf = s.get("confidence_threshold")
         nms = s.get("nms_threshold")
         try:
-            self.engine.update_thresholds(
-                confidence=float(conf) if conf is not None else None,
-                nms=float(nms) if nms is not None else None)
+            conf_f = float(conf) if conf is not None else None
+            nms_f = float(nms) if nms is not None else None
         except (TypeError, ValueError):
-            log.debug("config update with non-numeric thresholds ignored")
-            return
-        applied = {k: v for k, v in (("confidence_threshold", conf),
-                                     ("nms_threshold", nms))
+            log.debug("non-numeric threshold update from client #%d ignored",
+                      session.client_id)
+            return False
+        self.engine.update_thresholds(confidence=conf_f, nms=nms_f)
+        applied = {k: v for k, v in (("confidence_threshold", conf_f),
+                                     ("nms_threshold", nms_f))
                    if v is not None}
-        ignored = sorted(set(s) - set(applied))
         if applied:
-            log.info("config update from client #%d applied: %s%s",
+            ignored = sorted(set(s) - set(applied))
+            log.info("client #%d applied runtime settings: %s%s",
                      session.client_id, applied,
                      f" (ignored: {ignored})" if ignored else "")
+        return True
 
     def _handle_ack(self, pkt: AckPacket, session: Optional[ClientSession]) -> None:
         if session is None:
@@ -483,21 +500,25 @@ class DetectionServer:
             # update costs no recompiles.
             try:
                 payload = json.loads(pkt.command_data.decode("utf-8"))
+                if not isinstance(payload, dict):
+                    raise ValueError("not an object")
             except (ValueError, UnicodeDecodeError):
                 self._send_raw(ErrorPacket(
                     error_code=ErrorCode.INVALID_REQUEST,
                     message="SET_CONFIG expects JSON").serialize(), session.addr)
                 return
-            self.engine.update_thresholds(
-                confidence=payload.get("confidence_threshold"),
-                nms=payload.get("nms_threshold"))
-            log.info("client #%d updated thresholds: %s",
-                     session.client_id, payload)
+            if not self._apply_runtime_settings(payload, session):
+                self._send_raw(ErrorPacket(
+                    error_code=ErrorCode.INVALID_REQUEST,
+                    message="non-numeric threshold").serialize(), session.addr)
         elif pkt.command_type == CommandType.GET_CONFIG:
             from ..protocol import CommandPacket
+            # Read the ENGINE's config — the object update_thresholds
+            # actually mutates (the simulation engine works on a copy of
+            # the server config).
             body = json.dumps({
-                "confidence_threshold": self.config.confidence_threshold,
-                "nms_threshold": self.config.nms_threshold,
+                "confidence_threshold": self.engine.config.confidence_threshold,
+                "nms_threshold": self.engine.config.nms_threshold,
                 "target_fps": self.config.target_fps,
             }).encode()
             self._send_raw(CommandPacket(
@@ -528,13 +549,21 @@ class DetectionServer:
         self._decode_frame(session, frame_id, frame_ts, width, height,
                            keyframe, payload, recv_t)
 
+    def _cleanup_client(self, client_id: int) -> None:
+        self.batcher.remove_client(client_id)
+        if self.device_cache is not None:
+            self.device_cache.release(client_id)
+
     def _decode_loop(self) -> None:
         while True:
             item = self._decode_queue.get()
             if item is None:
                 return
             try:
-                self._decode_frame(*item)
+                if item[0] == "__cleanup__":
+                    self._cleanup_client(item[1])
+                else:
+                    self._decode_frame(*item)
             except Exception:  # noqa: BLE001
                 log.exception("frame decode worker failed")
 
@@ -542,6 +571,8 @@ class DetectionServer:
                       frame_ts: int, width: int, height: int,
                       keyframe: bool, payload: bytes,
                       recv_t: Optional[float] = None) -> None:
+        if self._sessions.get(session.client_id) is not session:
+            return  # evicted while queued; don't waste the decode
         try:
             decoded = decode_frame_payload(payload, width, height)
         except FrameDecodeError as e:
@@ -604,7 +635,6 @@ class DetectionServer:
 
     def _send_results(self, results: List[EngineResult]) -> None:
         import numpy as np
-        from ..protocol.packets import next_sequence, now_ms
         burst: List[Tuple[bytes, Addr]] = []
         recvs: List[Optional[float]] = []
         fallback_lat: List[float] = []
@@ -631,7 +661,7 @@ class DetectionServer:
             recvs.append(res.recv_t)
             fallback_lat.append(res.infer_ms + res.queue_ms)
             session.results_sent += 1
-            EVENT_BUS.publish("inference_completed", res.client_id)
+            EVENT_BUS.publish(INFERENCE_COMPLETED, res.client_id)
         if not burst:
             return
         self.results_sent.inc(len(burst))
@@ -688,9 +718,20 @@ class DetectionServer:
         self._by_addr.pop(session.addr, None)
         self._sync_peers()
         self.adapter.unregister_client(client_id)
-        self.batcher.remove_client(client_id)
-        if self.device_cache is not None:
-            self.device_cache.release(client_id)
+        if self._decode_queue is not None:
+            # Order the queue/slot cleanup BEHIND any frames already queued
+            # for this client: a frame decoded after release() would
+            # re-acquire a cache slot under the dead id (client ids are
+            # never reused, so that slot would leak until the free list
+            # drained and the server stopped admitting ANY client). The
+            # single FIFO decode worker guarantees the ordering; no frame
+            # can enqueue after this point because the session is gone.
+            try:
+                self._decode_queue.put_nowait(("__cleanup__", client_id))
+            except Exception:  # noqa: BLE001 — queue full (pathological)
+                self._cleanup_client(client_id)
+        else:
+            self._cleanup_client(client_id)
         EVENT_BUS.publish(
             CLIENT_TIMEOUT if reason == "timeout" else CLIENT_DISCONNECTED,
             client_id)
