@@ -174,3 +174,48 @@ def test_native_transport_burst(harness):
         assert harness.packets_received.value - before >= 300
     finally:
         c.stop()
+
+
+def test_send_many_partial_send_skips_only_failed():
+    """A partial sendmmsg return must not drop the burst tail: the failing
+    message gets one single-send retry, then only IT is skipped."""
+    from zero_latency_yolo_tpu.runtime import transport as tr
+    t = tr.NativeUdpTransport(27591, 1 << 20, 1 << 20, lambda b: None)
+    try:
+        items = [(b"pkt-a" * 10, ("127.0.0.1", 9001)),
+                 (b"pkt-b" * 10, ("127.0.0.1", 9002)),
+                 (b"pkt-c" * 10, ("127.0.0.1", 9003))]
+
+        class FakeLib:
+            def __init__(self, retry_rc):
+                self.batch_calls = []
+                self.single_calls = []
+                self.retry_rc = retry_rc
+
+            def zl_udp_send_batch(self, fd, arena, descs, n):
+                self.batch_calls.append(n)
+                if len(self.batch_calls) == 1:
+                    return 1  # sent 1 of n; message at index 1 failed
+                return n
+
+            def zl_udp_send(self, fd, data, ln, ip, port):
+                self.single_calls.append(bytes(data[:5]))
+                return self.retry_rc
+
+        # Retry succeeds: every message delivered, nothing dropped.
+        fake = FakeLib(retry_rc=50)
+        t._lib = fake
+        assert t.send_many(items) == 3
+        assert t.dropped == 0
+        assert fake.single_calls == [b"pkt-b"]  # only the failed head retried
+        assert fake.batch_calls == [3, 1]       # tail resent as its own burst
+
+        # Retry fails too: only that one message is dropped, tail still goes.
+        fake2 = FakeLib(retry_rc=-1)
+        t._lib = fake2
+        assert t.send_many(items) == 2
+        assert t.dropped == 1
+        assert fake2.batch_calls == [3, 1]
+    finally:
+        t._lib = tr._codec._LIB  # restore before close()
+        t.close()
