@@ -155,3 +155,58 @@ def test_client_timeout_eviction(harness):
     while time.monotonic() < deadline and harness.client_count() >= cid_count:
         time.sleep(0.2)
     assert harness.client_count() < cid_count
+
+
+def test_faulty_churn_soak(harness):
+    """Concurrent connect/stream/disconnect churn under 5% loss/dup/corrupt:
+    every handler fault is isolated, sessions and cache slots all free up,
+    and the server keeps serving (stresses the decode-queue-ordered
+    eviction cleanup)."""
+    import random
+
+    from zero_latency_yolo_tpu.runtime.simulator import FaultInjector
+
+    results_total = [0]
+    errors: list = []
+    lock = threading.Lock()
+
+    def churn(tid):
+        for cycle in range(4):
+            try:
+                faults = FaultInjector(drop=0.05, duplicate=0.05,
+                                       corrupt=0.05,
+                                       rng=random.Random(tid * 100 + cycle))
+                c = SimClient(("127.0.0.1", PORT), screen_width=320,
+                              screen_height=240, faults=faults)
+                try:
+                    c.connect()
+                except (TimeoutError, ConnectionRefusedError):
+                    continue  # handshake lost to faults / server full
+                c.start_receiver()
+                c.send_jpeg_keyframe(synthetic_frame(320, 240, seed=cycle))
+                for i in range(4):
+                    c.send_roi_update(synthetic_frame(32, 32, seed=i),
+                                      (i * 16) % 280, (i * 8) % 200)
+                    time.sleep(0.01)
+                got = len(c.wait_results(2, timeout=3))
+                with lock:
+                    results_total[0] += got
+                c.stop()
+            except Exception as e:  # noqa: BLE001
+                errors.append((tid, cycle, repr(e)))
+                return
+
+    threads = [threading.Thread(target=churn, args=(t,)) for t in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
+    assert results_total[0] >= 10, results_total
+    # All sessions and slots reclaimed after churn.
+    deadline = time.monotonic() + 8
+    cache = harness.device_cache
+    while (len(cache._free) < cache.num_slots
+           and time.monotonic() < deadline):
+        time.sleep(0.1)
+    assert len(cache._free) == cache.num_slots
