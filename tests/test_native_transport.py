@@ -116,7 +116,7 @@ def test_send_many_burst(harness):
     try:
         pkts = [(HeartbeatPacket(ping=i).serialize(), addr)
                 for i in range(100)]  # > one sendmmsg chunk (64)
-        sent = harness._transport.send_many(pkts)
+        sent, _bytes = harness._transport.send_many(pkts)
         assert sent == 100
         got = set()
         deadline = time.monotonic() + 3.0
@@ -148,8 +148,9 @@ def test_v1_fallback_drain_loop(monkeypatch):
         assert data == b"hello-v1" and hdr is None and not acked
         # send_many fallback delivers all packets.
         sock.settimeout(3.0)
-        n = t.send_many([(b"x%d" % i, sock.getsockname()) for i in range(5)])
-        assert n == 5
+        n, nbytes = t.send_many(
+            [(b"x%d" % i, sock.getsockname()) for i in range(5)])
+        assert n == 5 and nbytes == 10
         seen = set()
         while len(seen) < 5:
             seen.add(sock.recvfrom(64)[0])
@@ -205,7 +206,8 @@ def test_send_many_partial_send_skips_only_failed():
         # Retry succeeds: every message delivered, nothing dropped.
         fake = FakeLib(retry_rc=50)
         t._lib = fake
-        assert t.send_many(items) == 3
+        sent, nbytes = t.send_many(items)
+        assert sent == 3 and nbytes == sum(len(d) for d, _ in items)
         assert t.dropped == 0
         assert fake.single_calls == [b"pkt-b"]  # only the failed head retried
         assert fake.batch_calls == [3, 1]       # tail resent as its own burst
@@ -213,7 +215,8 @@ def test_send_many_partial_send_skips_only_failed():
         # Retry fails too: only that one message is dropped, tail still goes.
         fake2 = FakeLib(retry_rc=-1)
         t._lib = fake2
-        assert t.send_many(items) == 2
+        sent, nbytes = t.send_many(items)
+        assert sent == 2 and nbytes == len(items[0][0]) + len(items[2][0])
         assert t.dropped == 1
         assert fake2.batch_calls == [3, 1]
     finally:

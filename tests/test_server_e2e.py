@@ -247,10 +247,13 @@ def test_config_update_applies_thresholds(harness):
             time.sleep(0.05)
         assert harness.config.confidence_threshold == 0.61
         assert harness.config.nms_threshold == 0.37
-        # Non-numeric update is ignored, no crash, thresholds unchanged.
-        c._send(ConfigUpdatePacket(
-            settings={"confidence_threshold": "nope"}).serialize())
-        time.sleep(0.3)
+        # Non-numeric, NaN, and out-of-range updates are all ignored —
+        # json accepts the NaN token and a NaN threshold would blank every
+        # detection for every client.
+        for bad in ("nope", float("nan"), float("inf"), 2.5, -0.1):
+            c._send(ConfigUpdatePacket(
+                settings={"confidence_threshold": bad}).serialize())
+        time.sleep(0.5)
         assert harness.config.confidence_threshold == 0.61
     finally:
         c.stop()

@@ -429,13 +429,20 @@ class InferenceEngine:
         """Convenience synchronous path. Requests are grouped by frame
         bucket first (dispatch() requires one covering bucket per call —
         mixed portrait/landscape with non-nested buckets has none)."""
-        index = {id(r): i for i, r in enumerate(requests)}
+        # Group by POSITION, not object identity — the same request object
+        # may legally appear more than once in the list.
+        groups: Dict[Optional[Tuple[int, int]], List[int]] = {}
+        for i, r in enumerate(requests):
+            groups.setdefault(
+                _pick_bucket(self.frame_buckets, r.height, r.width),
+                []).append(i)
         out: List[Optional[EngineResult]] = [None] * len(requests)
-        for rs in group_by_bucket(self.frame_buckets, requests).values():
+        for idxs in groups.values():
+            rs = [requests[i] for i in idxs]
             res = self.complete(self.dispatch(rs))
-            if len(res) == len(rs):  # oversized group: res == [] (shed)
-                for r, e in zip(rs, res):
-                    out[index[id(r)]] = e
+            if len(res) == len(idxs):  # oversized group: res == [] (shed)
+                for i, e in zip(idxs, res):
+                    out[i] = e
         return [e for e in out if e is not None]
 
     def infer_batch_cached(self, requests: List[InferenceRequest],

@@ -430,6 +430,15 @@ class DetectionServer:
             log.debug("non-numeric threshold update from client #%d ignored",
                       session.client_id)
             return False
+        import math
+        # Range gate, not just parseability: json.loads accepts NaN/Infinity
+        # tokens, and a NaN confidence makes every NMS comparison False —
+        # one client could silently blank detections for everyone.
+        for v in (conf_f, nms_f):
+            if v is not None and not (math.isfinite(v) and 0.0 <= v <= 1.0):
+                log.debug("out-of-range threshold update from client #%d "
+                          "ignored", session.client_id)
+                return False
         self.engine.update_thresholds(confidence=conf_f, nms=nms_f)
         applied = {k: v for k, v in (("confidence_threshold", conf_f),
                                      ("nms_threshold", nms_f))
@@ -669,11 +678,11 @@ class DetectionServer:
         # per-packet sendto otherwise.
         t = self._transport
         if t is not None and hasattr(t, "send_many"):
-            sent = t.send_many(burst)
+            sent, sent_bytes = t.send_many(burst)
             self.packets_sent.inc(sent)
             if sent < len(burst):
                 self.send_drops.inc(len(burst) - sent)
-            self.bytes_sent.inc(sum(len(d) for d, _ in burst))
+            self.bytes_sent.inc(sent_bytes)
         else:
             for data, addr in burst:
                 self._send_raw(data, addr)

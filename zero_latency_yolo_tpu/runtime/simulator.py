@@ -285,6 +285,14 @@ class StreamDriver:
             fid = self.client.send_roi_update(
                 frame[y:y + rh, x:x + rw], x, y, quality=self.quality)
             self.roi_sent += 1
+            # _prev tracks what the SERVER has: the old frame with only the
+            # sent region replaced. Adopting the whole captured frame would
+            # hide sub-threshold residue outside the region from future
+            # diffs, drifting the server cache until the next keyframe.
+            prev = self._prev.copy()
+            prev[y:y + rh, x:x + rw] = frame[y:y + rh, x:x + rw]
+            self._prev = prev
+            return fid
         self._prev = frame
         return fid
 

@@ -24,6 +24,7 @@ import ctypes
 import socket
 import struct
 import threading
+import time
 from typing import Callable, Iterable, List, Optional, Sequence, Tuple
 
 from ..protocol import native as _codec
@@ -159,14 +160,18 @@ class NativeUdpTransport:
         port_be = socket.htons(addr[1])
         self._lib.zl_udp_send(self.fd, data, len(data), ip_be, port_be)
 
-    def send_many(self, items: Sequence[Tuple[bytes, Addr]]) -> int:
+    def send_many(self, items: Sequence[Tuple[bytes, Addr]]
+                  ) -> Tuple[int, int]:
         """Burst-send result packets: one sendmmsg per call (falls back to
-        per-packet sendto when v2 symbols are absent). Returns packets sent."""
+        per-packet sendto when v2 symbols are absent). Returns
+        (packets_sent, bytes_sent) — only what actually left the socket, so
+        the caller's tx counters stay honest under partial sends."""
         if not HAVE_NATIVE_UDP_V2:
             for data, addr in items:
                 self.sendto(data, addr)
-            return len(items)
+            return len(items), sum(len(d) for d, _ in items)
         sent_total = 0
+        bytes_total = 0
         i = 0
         while i < len(items):
             chunk = items[i:i + MAX_PKTS]
@@ -188,11 +193,13 @@ class NativeUdpTransport:
                 self.sendto(*chunk[0])
                 i += 1
                 sent_total += 1
+                bytes_total += len(chunk[0][0])
                 continue
             r = self._lib.zl_udp_send_batch(self.fd, self._send_arena,
                                             self._send_descs, n)
             if r == n:
                 sent_total += r
+                bytes_total += sum(len(d) for d, _ in chunk[:n])
                 i += n
                 continue
             # Partial/failed burst: the message at index max(r, 0) hit a
@@ -203,6 +210,7 @@ class NativeUdpTransport:
             # unsent tail).
             r = max(r, 0)
             sent_total += r
+            bytes_total += sum(len(d) for d, _ in chunk[:r])
             data, addr = items[i + r]
             rc = self._lib.zl_udp_send(
                 self.fd, data, len(data),
@@ -210,10 +218,11 @@ class NativeUdpTransport:
                 socket.htons(addr[1]))
             if rc >= 0:
                 sent_total += 1
+                bytes_total += len(data)
             else:
                 self.dropped += 1
             i += r + 1
-        return sent_total
+        return sent_total, bytes_total
 
     def close(self) -> None:
         self._running = False
@@ -241,8 +250,7 @@ class NativeUdpTransport:
                 log.warning("native recv error: errno=%d", -n)
                 # A persistent error (closed/errored fd) would otherwise
                 # busy-spin this thread at 100% CPU and flood the log.
-                import time as _time
-                _time.sleep(0.01)
+                time.sleep(0.01)
                 continue
             if n == 0:
                 continue
@@ -271,8 +279,7 @@ class NativeUdpTransport:
                 self.fd, arena, ARENA_CAP, descs, MAX_PKTS, 100)
             if n < 0:
                 log.warning("native recv error: errno=%d", -n)
-                import time as _time
-                _time.sleep(0.01)  # no busy-spin on persistent fd errors
+                time.sleep(0.01)  # no busy-spin on persistent fd errors
                 continue
             if n == 0:
                 continue

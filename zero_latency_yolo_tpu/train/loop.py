@@ -130,14 +130,17 @@ def mosaic_batches(src: Iterator[Tuple[np.ndarray, np.ndarray]],
                         if cls < 0:
                             continue
                         boxes.append((cls, cx + qx, cy + qy, w, h))
-                # Quantize the crop origin to whole pixels FIRST and reuse
-                # the quantized value for the box remap below — a continuous
-                # offset paired with a truncated pixel crop displaced every
-                # box by up to 1/size systematically.
-                oy = int(rng.uniform(0, 1) * size) / size
-                ox = int(rng.uniform(0, 1) * size) / size
-                out_i[i] = canvas[int(oy * size):int(oy * size) + size,
-                                  int(ox * size):int(ox * size) + size]
+                # Quantize the crop origin to whole pixels FIRST, keep the
+                # INTEGER for indexing, and derive the box-remap offset from
+                # it — a continuous offset paired with a truncated pixel
+                # crop displaced every box by up to 1/size systematically
+                # (and re-deriving the int from m/size truncates to m-1 for
+                # some sizes, re-introducing the same off-by-one).
+                ky = int(rng.uniform(0, 1) * size)
+                kx = int(rng.uniform(0, 1) * size)
+                oy = ky / size
+                ox = kx / size
+                out_i[i] = canvas[ky:ky + size, kx:kx + size]
                 kept = 0
                 for cls, cx, cy, w, h in boxes:
                     if kept >= m_out:
