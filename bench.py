@@ -207,6 +207,15 @@ def _report(results, variant, size, live=None):
         "avg_step_ms": round(best["step_ms"], 2),
         "device": str(jax.devices()[0]),
     }
+    # The latency-optimal configuration (batch 32 + short window) alongside
+    # the throughput headline — the two ends of the BASELINE trade-off.
+    p99_key = next((k for k in results if k[0] == 32), None)
+    if p99_key is not None and p99_key != best_key:
+        out["p99_config"] = {
+            "batch": 32,
+            "fps": round(results[p99_key]["fps"], 1),
+            "step_ms": round(results[p99_key]["step_ms"], 2),
+        }
     if live is not None:
         # MEASURED under live load (64 SimClient streams at 60 FPS against a
         # real server process; the server's own rolling counters).

@@ -827,6 +827,14 @@ class DetectionServer:
             "served_fps": round(self.results_sent.rate(), 1),
             "results_sent": self.results_sent.value,
             "detect_latency": lat,
+            "frame_cache": ({
+                "slots_used": (self.device_cache.num_slots
+                               - len(self.device_cache._free)),
+                "slots_total": self.device_cache.num_slots,
+                "flushes": self.device_cache.flushes,
+                "writes_flushed": self.device_cache.writes_flushed,
+                "writes_shed": self.device_cache.writes_shed,
+            } if self.device_cache is not None else None),
             "engine": self.engine.status(),
             "adapter": self.adapter.status(),
             "sessions": {
