@@ -77,3 +77,57 @@ def test_supersede_counts_drops():
     assert [r.frame_id for r in batch] == [3]  # newest wins
     assert eng.frames_dropped.value == before + 2
     assert b.queue_depth() == 0
+
+
+def test_deep_inflight_pipeline_real_compute():
+    """End-to-end batcher pipeline at max_inflight=8 with REAL device
+    compute over the cached path: drain-to-one completion, staging/free-list
+    reuse, and the warmed pad/concat drain programs all under load.
+    (The other scheduler tests run simulation or default depth 2.)"""
+    import time
+
+    import jax
+    from zero_latency_yolo_tpu.models import get_spec, init_params
+    from zero_latency_yolo_tpu.ops.roi import DeviceFrameCache
+
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent.npz",
+        "detection": {"model_width": 64, "model_height": 64},
+        "tpu": {"variant": "yolov8p", "num_classes": 4, "dtype": "float32",
+                "batch_buckets": [1, 2, 4], "frame_buckets": [[96, 96]],
+                "pre_nms_topk": 64, "max_inflight": 8},
+    })
+    from zero_latency_yolo_tpu.runtime.engine import InferenceEngine
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    eng = InferenceEngine(cfg, params=params)
+    eng.warmup(inflight=8)
+    cache = DeviceFrameCache(num_slots=4, height=96, width=96)
+    cache.warm()
+    got = []
+    b = ContinuousBatcher(eng, lambda rs: got.extend(rs), max_batch=4,
+                          batch_window_ms=2.0, device_cache=cache,
+                          max_inflight=8)
+    b.start()
+    rng = np.random.default_rng(0)
+    try:
+        for cid in range(1, 5):
+            cache.write_keyframe(cid, rng.integers(0, 256, (64, 96, 3),
+                                                   np.uint8))
+        deadline = time.time() + 8
+        i = 0
+        while time.time() < deadline:
+            for cid in range(1, 5):
+                b.submit(InferenceRequest(client_id=cid, frame_id=i,
+                                          timestamp=i, width=96, height=64,
+                                          data=None))
+            i += 1
+            time.sleep(0.01)
+        time.sleep(1.0)
+    finally:
+        b.stop()
+    assert len(got) > 50, len(got)
+    assert len(b._inflight) == 0          # everything drained at stop
+    assert eng.error_count.value == 0
+    # Every result carries sane detections from real compute.
+    assert all(0 <= d.x <= 1 for r in got[:50] for d in r.detections)
