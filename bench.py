@@ -25,10 +25,37 @@ import numpy as np
 SMOKE = os.environ.get("ZLT_BENCH_SMOKE") == "1"
 
 
+def _wait_for_device(max_wait_s: float = 900.0) -> None:
+    """The axon TPU relay wedges for minutes at a time, and a wedged first
+    device op hangs the WHOLE process — so probe from a subprocess (with a
+    timeout) and only touch the device here once a probe succeeds. Gives up
+    after max_wait_s and proceeds (per-combo try/except still applies)."""
+    import subprocess
+    probe = ("import jax, numpy as np, jax.numpy as jnp;"
+             "np.asarray(jnp.arange(3.).sum())")
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=90)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print("# device probe never succeeded; proceeding anyway",
+                  file=sys.stderr)
+            return
+        print("# device relay wedged; retrying probe", file=sys.stderr)
+        time.sleep(120)
+
+
 def main() -> None:
     import jax
     if SMOKE:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        _wait_for_device()
     # Persistent compile cache: rebench/restart skips the (slow, relayed)
     # XLA compiles entirely.
     try:
