@@ -154,10 +154,15 @@ def postprocess_batch(pred: jnp.ndarray, class_weights: jnp.ndarray,
             lambda i, s, v: _greedy_nms_mask(i, s, v, iou_thresh)
         )(iou, same_class, top_valid)
 
-    return jax.vmap(
+    out = jax.vmap(
         lambda b, sc, c, k, s, pxy, wh: _compact_one(
             b, sc, c, k, s, pxy[0], pxy[1], wh[0], wh[1])
     )(top_boxes, top_scores, top_class, keep, scale, pad, src_wh)
+    # Class weights (> 1) boost scores for ranking/threshold, but the score
+    # reported on the wire is a confidence — clip so reference-compatible
+    # clients never see confidence > 1.
+    out["scores"] = jnp.clip(out["scores"], 0.0, 1.0)
+    return out
 
 
 def pack_outputs(out: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -209,7 +214,9 @@ def nms_reference(pred: np.ndarray, class_weights: np.ndarray,
     for i in range(len(scores)):
         if suppressed[i]:
             continue
-        kept.append((boxes[i], float(scores[i]), int(classes[i])))
+        # Weighted scores rank/threshold; the REPORTED score clips to 1.0
+        # (it goes on the wire as a confidence) — matching postprocess_batch.
+        kept.append((boxes[i], float(min(scores[i], 1.0)), int(classes[i])))
         for j in range(i + 1, len(scores)):
             if suppressed[j] or classes[j] != classes[i]:
                 continue

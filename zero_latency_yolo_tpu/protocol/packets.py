@@ -147,6 +147,13 @@ def parse_header(data: bytes) -> PacketHeader:
 
 
 def _frame_packet(ptype: int, body: bytes, sequence: int, timestamp: int) -> bytes:
+    if len(body) > 0xFFFF:
+        # u16 length field: oversized bodies must fail with a typed error
+        # (raw struct.error from deep inside serialize() is opaque; e.g. a
+        # raw RGB frame beyond ~147x147 px can never fit one datagram —
+        # send JPEG keyframes instead).
+        raise ProtocolError(
+            f"packet body {len(body)} exceeds the u16 wire limit (65535)")
     buf = bytearray(HEADER_SIZE + len(body))
     _HEADER.pack_into(buf, 0, MAGIC, VERSION, ptype, len(body), sequence, timestamp, 0)
     buf[HEADER_SIZE:] = body

@@ -212,6 +212,7 @@ class InferenceEngine:
         self._class_weights = jnp.asarray(weights, jnp.float32)
         self._conf = jnp.float32(config.confidence_threshold)
         self._iou = jnp.float32(config.nms_threshold)
+        self._thresholds_dirty = False
 
         self._step_cache: Dict[Tuple[int, int, int], Any] = {}
         # Per-shape free-lists of host staging buffers (see dispatch).
@@ -364,9 +365,20 @@ class InferenceEngine:
             for bk in (buckets or self.frame_buckets):
                 frames = np.zeros((b, bk[0], bk[1], 3), np.uint8)
                 hw = np.full((b,), bk[0], np.int32), np.full((b,), bk[1], np.int32)
+                # Input placement must MATCH the live dispatch path —
+                # committed shardings are part of the jit cache key, so a
+                # warmup with uncommitted arrays under a serving mesh would
+                # compile executables the live path never hits.
+                if self.mesh is not None:
+                    frames_d = jax.device_put(frames, self.batch_sharding(4))
+                    hs_d = jax.device_put(hw[0], self.batch_sharding(1))
+                    ws_d = jax.device_put(hw[1], self.batch_sharding(1))
+                else:
+                    frames_d = jnp.asarray(frames)
+                    hs_d = jnp.asarray(hw[0])
+                    ws_d = jnp.asarray(hw[1])
                 out = self.get_step(b, bk)(
-                    self._params, jnp.asarray(frames),
-                    jnp.asarray(hw[0]), jnp.asarray(hw[1]),
+                    self._params, frames_d, hs_d, ws_d,
                     self._class_weights, self._conf, self._iou)
                 jax.block_until_ready(out)
                 last_out[b] = out
@@ -398,8 +410,15 @@ class InferenceEngine:
                     shw = np.zeros((3, b), np.int32)
                     shw[1] = bucket[0]
                     shw[2] = bucket[1]
+                    if self.mesh is not None:  # match dispatch_from_cache
+                        from jax.sharding import NamedSharding, PartitionSpec as P
+                        from ..parallel.mesh import DATA_AXIS
+                        shw_d = jax.device_put(
+                            shw, NamedSharding(self.mesh, P(None, DATA_AXIS)))
+                    else:
+                        shw_d = jnp.asarray(shw)
                     return self.get_step_cached(b, bucket)(
-                        self._params, arr, jnp.asarray(shw),
+                        self._params, arr, shw_d,
                         self._class_weights, self._conf, self._iou)
 
                 jax.block_until_ready(locked(launch))
@@ -437,12 +456,17 @@ class InferenceEngine:
                 _pick_bucket(self.frame_buckets, r.height, r.width),
                 []).append(i)
         out: List[Optional[EngineResult]] = [None] * len(requests)
+        cap = max(self.batch_buckets)
         for idxs in groups.values():
-            rs = [requests[i] for i in idxs]
-            res = self.complete(self.dispatch(rs))
-            if len(res) == len(idxs):  # oversized group: res == [] (shed)
-                for i, e in zip(idxs, res):
-                    out[i] = e
+            # Chunk at the largest batch bucket: dispatch() serves at most
+            # one bucket's worth of rows per call.
+            for j in range(0, len(idxs), cap):
+                part = idxs[j:j + cap]
+                rs = [requests[i] for i in part]
+                res = self.complete(self.dispatch(rs))
+                if len(res) == len(part):  # oversized group: res == [] (shed)
+                    for i, e in zip(part, res):
+                        out[i] = e
         return [e for e in out if e is not None]
 
     def infer_batch_cached(self, requests: List[InferenceRequest],
@@ -493,6 +517,15 @@ class InferenceEngine:
                         "(group requests by bucket)", len(requests), dropped)
         n = len(requests)
         batch = _pick_batch(self.batch_buckets, n)
+        if n > batch:
+            # More requests than the largest bucket holds: callers chunk
+            # (infer_batch) or clamp (scheduler); defend by shedding the
+            # overflow instead of overrunning the staging rows.
+            self.frames_dropped.inc(n - batch)
+            log.warning("dispatch overflow: %d requests > max bucket %d; "
+                        "shed %d (chunk at the caller)", n, batch, n - batch)
+            requests = requests[:batch]
+            n = batch
         key = (batch, bucket[0], bucket[1])
 
         # Staging buffers come from a per-shape free-list sized by the true
@@ -706,13 +739,23 @@ class InferenceEngine:
     def update_thresholds(self, confidence: Optional[float] = None,
                           nms: Optional[float] = None) -> None:
         """Runtime threshold update — thresholds are traced scalars, so this
-        changes behavior on the next batch with zero recompiles."""
+        changes behavior on the next batch with zero recompiles. Safe from
+        ANY thread: only host floats are written here; the device scalars
+        are refreshed on the dispatch thread (creating device arrays from
+        the event-loop thread would break the single-device-lane rule)."""
         if confidence is not None:
             self.config.confidence_threshold = float(confidence)
-            self._conf = jnp.float32(confidence)
         if nms is not None:
             self.config.nms_threshold = float(nms)
-            self._iou = jnp.float32(nms)
+        if confidence is not None or nms is not None:
+            self._thresholds_dirty = True
+
+    def _refresh_thresholds(self) -> None:
+        """Dispatch-thread-only: commit any pending threshold change."""
+        if self._thresholds_dirty:
+            self._thresholds_dirty = False
+            self._conf = jnp.float32(self.config.confidence_threshold)
+            self._iou = jnp.float32(self.config.nms_threshold)
 
     # ------------------------------------------------------------ hot swap
     def maybe_reload(self) -> bool:
@@ -753,7 +796,9 @@ class InferenceEngine:
 
     def _current_params(self):
         """Called on the dispatch thread: applies any staged hot-swap
-        (quantize + device_put happen HERE, on the device lane)."""
+        (quantize + device_put happen HERE, on the device lane) and any
+        pending threshold change."""
+        self._refresh_thresholds()
         with self._params_lock:
             staged = self._staged_params
             self._staged_params = None

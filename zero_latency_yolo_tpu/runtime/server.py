@@ -146,7 +146,8 @@ class DetectionServer:
         self.management = ManagementApi(
             status_fn=self.status,
             models_dir=_os.path.dirname(config.model_path) or "models",
-            logs_dir=_os.path.dirname(config.logging.log_file) or "logs")
+            logs_dir=_os.path.dirname(config.logging.log_file) or "logs",
+            active_model=_os.path.basename(config.model_path))
         # Frame decode offload (config worker_threads, reference
         # server/config.h:316): JPEG/ROI decode runs off the packet thread;
         # one worker preserves per-client ordering.
@@ -735,10 +736,11 @@ class DetectionServer:
             # drained and the server stopped admitting ANY client). The
             # single FIFO decode worker guarantees the ordering; no frame
             # can enqueue after this point because the session is gone.
-            try:
-                self._decode_queue.put_nowait(("__cleanup__", client_id))
-            except Exception:  # noqa: BLE001 — queue full (pathological)
-                self._cleanup_client(client_id)
+            # BLOCKING put: the worker drains continuously and never waits
+            # on this thread, so this is bounded by one decode (~ms). A
+            # drop-on-full fallback would run the cleanup ahead of an
+            # in-flight decode and reintroduce the slot leak.
+            self._decode_queue.put(("__cleanup__", client_id))
         else:
             self._cleanup_client(client_id)
         EVENT_BUS.publish(

@@ -85,10 +85,15 @@ tick(); setInterval(tick, 2000);
 
 class ManagementApi:
     def __init__(self, status_fn: Callable[[], Dict],
-                 models_dir: str = "models", logs_dir: str = "logs") -> None:
+                 models_dir: str = "models", logs_dir: str = "logs",
+                 active_model: Optional[str] = None) -> None:
         self.status_fn = status_fn
         self.models_dir = models_dir
         self.logs_dir = logs_dir
+        # Basename of the file the SHA-256 watcher actually monitors
+        # (config.model_path): uploads under any other name land on disk
+        # but are NOT hot-swapped — the response must say so.
+        self.active_model = active_model
 
     # ------------------------------------------------------------- routing
     async def handle(self, method: str, path: str, body: bytes) -> Tuple[int, Dict]:
@@ -154,8 +159,17 @@ class ManagementApi:
         with open(tmp, "wb") as f:
             f.write(body)
         os.replace(tmp, os.path.join(self.models_dir, name))
+        hot_swap = (self.active_model is None or name == self.active_model)
+        if not hot_swap:
+            log.warning("model uploaded as %r but the watcher monitors %r — "
+                        "it will NOT be hot-swapped", name, self.active_model)
         log.info("model uploaded: %s (%d bytes)", name, len(body))
-        return 200, {"ok": True, "name": name, "size": len(body)}
+        resp = {"ok": True, "name": name, "size": len(body),
+                "hot_swap": hot_swap}
+        if not hot_swap:
+            resp["note"] = (f"active model file is {self.active_model!r}; "
+                            "upload under that name to hot-swap")
+        return 200, resp
 
     # ---------------------------------------------------------------- logs
     def _list_logs(self) -> Dict:
