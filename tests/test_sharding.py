@@ -169,3 +169,40 @@ def test_detect_head_tips_replicated():
             assert head[branch][lvl][2]["b"].spec == P(), (branch, lvl)
     # Backbone convs with large O still shard.
     assert sh["m1"]["w"].spec == P(None, None, None, "model")
+
+
+def test_warmup_executable_matches_live_dispatch_under_mesh():
+    """Committed input shardings are part of the jit cache key: warmup must
+    place inputs exactly like live dispatch or the first live batch pays a
+    fresh XLA compile on the serving mesh (regression: warmup used
+    uncommitted jnp.asarray, live used device_put + NamedSharding)."""
+    import jax
+    import numpy as np
+    from zero_latency_yolo_tpu.config import ServerConfig
+    from zero_latency_yolo_tpu.models import get_spec, init_params
+    from zero_latency_yolo_tpu.runtime.engine import (
+        InferenceEngine, InferenceRequest)
+
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent.npz",
+        "detection": {"model_width": 64, "model_height": 64},
+        "tpu": {"variant": "yolov8p", "num_classes": 4, "dtype": "float32",
+                "batch_buckets": [2], "frame_buckets": [[96, 96]],
+                "pre_nms_topk": 64, "mesh_data": 2, "mesh_model": 1},
+    })
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    eng = InferenceEngine(cfg, params=params)
+    assert eng.mesh is not None
+    eng.warmup(batches=[2])
+    step = eng.get_step(2, (96, 96))
+    n_warm = step._cache_size()
+    rng = np.random.default_rng(0)
+    reqs = [InferenceRequest(client_id=i + 1, frame_id=i, timestamp=0,
+                             width=96, height=64,
+                             data=rng.integers(0, 256, (64, 96, 3),
+                                               dtype=np.uint8))
+            for i in range(2)]
+    res = eng.infer_batch(reqs)
+    assert len(res) == 2
+    assert step._cache_size() == n_warm == 1  # ONE shared executable
