@@ -23,6 +23,12 @@
 #include <cstdint>
 #include <cstring>
 
+// The wire format is byte-frozen LITTLE-ENDIAN (protocol/packets.py '<'
+// layouts); this codec serializes via host-endian memcpy, so a LE host is a
+// hard precondition, enforced at compile time.
+static_assert(__BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__,
+              "ZLTY codec requires a little-endian host");
+
 extern "C" {
 
 static const uint32_t ZL_MAGIC = 0x59544C5AU;  // "ZLTY"
@@ -31,8 +37,7 @@ static const int ZL_HEADER_SIZE = 22;
 static const int ZL_CRC_OFFSET = 20;
 static const int ZL_DETECTION_SIZE = 40;
 
-uint16_t zl_crc16(const uint8_t* data, size_t size) {
-    uint16_t crc = 0xFFFF;
+static uint16_t crc16_update(uint16_t crc, const uint8_t* data, size_t size) {
     for (size_t i = 0; i < size; i++) {
         crc ^= static_cast<uint16_t>(data[i]) << 8;
         for (int j = 0; j < 8; j++) {
@@ -41,6 +46,10 @@ uint16_t zl_crc16(const uint8_t* data, size_t size) {
         }
     }
     return crc;
+}
+
+uint16_t zl_crc16(const uint8_t* data, size_t size) {
+    return crc16_update(0xFFFF, data, size);
 }
 
 struct ZlHeader {
@@ -63,20 +72,10 @@ int zl_validate_packet(const uint8_t* data, size_t size, ZlHeader* out) {
     std::memcpy(&wire_crc, data + ZL_CRC_OFFSET, 2);
     // CRC over [2..size) with the crc field zeroed: compute in three spans
     // to avoid copying the datagram.
-    uint16_t crc = 0xFFFF;
-    auto feed = [&crc](const uint8_t* p, size_t n) {
-        for (size_t i = 0; i < n; i++) {
-            crc ^= static_cast<uint16_t>(p[i]) << 8;
-            for (int j = 0; j < 8; j++) {
-                crc = (crc & 0x8000) ? static_cast<uint16_t>((crc << 1) ^ 0x1021)
-                                     : static_cast<uint16_t>(crc << 1);
-            }
-        }
-    };
     static const uint8_t zeros[2] = {0, 0};
-    feed(data + 2, ZL_CRC_OFFSET - 2);
-    feed(zeros, 2);
-    feed(data + ZL_HEADER_SIZE, size - ZL_HEADER_SIZE);
+    uint16_t crc = crc16_update(0xFFFF, data + 2, ZL_CRC_OFFSET - 2);
+    crc = crc16_update(crc, zeros, 2);
+    crc = crc16_update(crc, data + ZL_HEADER_SIZE, size - ZL_HEADER_SIZE);
     if (crc != wire_crc) return 4;
     if (out) {
         out->type = data[5];
@@ -142,7 +141,12 @@ int zl_build_detection_result(uint8_t* out, uint32_t frame_id,
         const float* d = dets + i * 6;
         std::memcpy(p, d, 16);                        // box
         std::memcpy(p + 16, d + 4, 4);                // confidence
-        int32_t cls = static_cast<int32_t>(d[5]);
+        // Saturating float->int: NaN/inf/out-of-range class values are
+        // UB under a plain static_cast (and real data bugs shouldn't emit
+        // unspecified bytes on the wire) — clamp to 0 instead.
+        float cf = d[5];
+        int32_t cls = (cf >= -2.0e9f && cf <= 2.0e9f)
+                          ? static_cast<int32_t>(cf) : 0;
         std::memcpy(p + 20, &cls, 4);
         std::memcpy(p + 24, &track_ids[i], 4);
         std::memset(p + 28, 0, 4);                    // struct padding

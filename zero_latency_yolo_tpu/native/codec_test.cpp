@@ -11,6 +11,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <netinet/in.h>
 #include <random>
 #include <sys/socket.h>
@@ -113,6 +114,34 @@ static void test_frame_header() {
     // Zero dimensions rejected.
     std::memset(pkt.data() + 34, 0, 2);
     CHECK(zl_parse_frame_header(pkt.data(), pkt.size(), &fh) == 1);
+
+    // Detection-count cap: 14 + 40*n must fit the u16 body length. 1638 is
+    // the largest legal n; 1639 must be REJECTED, not silently truncated
+    // (regression: the old 0xFFFF guard shipped corrupt packets).
+    {
+        const int kMax = (0xFFFF - 14) / 40;  // 1638
+        std::vector<float> dets(static_cast<size_t>(kMax + 1) * 6, 0.25f);
+        std::vector<uint32_t> tids(kMax + 1, 1);
+        std::vector<uint8_t> big(22 + 14 + 40 * (kMax + 1));
+        CHECK(zl_build_detection_result(big.data(), 1, 2, dets.data(),
+                                        tids.data(), 3, kMax + 1, 4, 5) == -1);
+        int sz = zl_build_detection_result(big.data(), 1, 2, dets.data(),
+                                           tids.data(), 3, kMax, 4, 5);
+        CHECK(sz == 22 + 14 + 40 * kMax);
+        ZlHeader big_hdr;
+        CHECK(zl_validate_packet(big.data(), sz, &big_hdr) == 0);
+        CHECK(big_hdr.length == 14 + 40 * kMax);
+        // NaN class_id must serialize as a defined value (0), not UB.
+        float bad[6] = {0.1f, 0.2f, 0.05f, 0.05f, 0.9f,
+                        std::numeric_limits<float>::quiet_NaN()};
+        uint32_t tid = 7;
+        uint8_t small[22 + 14 + 40];
+        CHECK(zl_build_detection_result(small, 1, 2, bad, &tid, 3, 1, 4, 5)
+              == 22 + 14 + 40);
+        int32_t cls;
+        std::memcpy(&cls, small + 22 + 14 + 20, 4);
+        CHECK(cls == 0);
+    }
 }
 
 static uint16_t local_port(int fd) {
@@ -163,8 +192,10 @@ static void test_udp_transport() {
     ZlPacketDesc2 bdescs[8];
     int br = 0;
     for (int tries = 0; tries < 20 && br < 1; tries++) {
-        br += zl_udp_recv_batch2(b, arena.data(), arena.size(), bdescs + br,
-                                 8 - br, 200, nullptr, 0, 0);
+        int r = zl_udp_recv_batch2(b, arena.data(), arena.size(), bdescs + br,
+                                   8 - br, 200, nullptr, 0, 0);
+        CHECK(r >= 0);  // a negative errno must not walk the pointer back
+        br += r;
     }
     CHECK(br == 1);
     CHECK((bdescs[0].flags & 1) && bdescs[0].type == 8);
@@ -177,8 +208,10 @@ static void test_udp_transport() {
     int r2 = 0;
     ZlPacketDesc2 d2[8];
     for (int tries = 0; tries < 20 && r2 < 1; tries++) {
-        r2 += zl_udp_recv_batch2(a, arena.data(), arena.size(), d2 + r2,
-                                 8 - r2, 200, nullptr, 0, 1);
+        int r = zl_udp_recv_batch2(a, arena.data(), arena.size(), d2 + r2,
+                                   8 - r2, 200, nullptr, 0, 1);
+        CHECK(r >= 0);
+        r2 += r;
     }
     CHECK(r2 == 1 && (d2[0].flags & 1) && !(d2[0].flags & 2));
 
@@ -193,8 +226,10 @@ static void test_udp_transport() {
     int br2 = 0;
     ZlPacketDesc2 d3[8];
     for (int tries = 0; tries < 20 && br2 < 3; tries++) {
-        br2 += zl_udp_recv_batch2(b, arena.data(), arena.size(), d3 + br2,
-                                  8 - br2, 200, nullptr, 0, 0);
+        int r = zl_udp_recv_batch2(b, arena.data(), arena.size(), d3 + br2,
+                                   8 - br2, 200, nullptr, 0, 0);
+        CHECK(r >= 0);
+        br2 += r;
     }
     CHECK(br2 == 3);
     for (int i = 0; i < 3; i++) {
