@@ -300,3 +300,19 @@ def test_warmup_precompiles_drain_programs():
     pendings = [eng.dispatch([_req(50 + i, i, seed=i)]) for i in range(3)]
     res = eng.complete_many(pendings)
     assert [len(r) for r in res] == [1, 1, 1]
+
+
+def test_recycle_staging_on_failed_completion(engine):
+    """A batch whose completion fails must still return its staging buffer
+    to the free-list (one full-size host buffer leaked per failure
+    otherwise — unbounded growth under a wedged device link)."""
+    p = engine.dispatch([_req(1, 1, seed=50)])
+    key = p.staging_key
+    depth = len(engine._staging.get(key, []))
+    assert p.staging_buf is not None
+    engine.recycle_staging([p])
+    assert p.staging_buf is None
+    assert len(engine._staging[key]) == depth + 1
+    # Idempotent: an already-recycled batch doesn't double-insert.
+    engine.recycle_staging([p])
+    assert len(engine._staging[key]) == depth + 1

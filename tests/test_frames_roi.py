@@ -236,3 +236,73 @@ def test_dispatch_survives_mid_batch_eviction():
     assert np.array_equal(np.asarray(frames[0]), f)
     got = cache.dispatch_with(lambda c, s, h, w: (c.shape, list(s)), [1, 2])
     assert got[0][0] == 2 and len(got[1]) == 2  # no KeyError
+
+
+def test_flush_groups_by_bucket_class(monkeypatch):
+    """One full-frame ROI co-pending with small diffs must NOT inflate the
+    small writes' program to full extent (128x padded upload bytes through
+    a bandwidth-bound host link); writes to different slots flush as
+    separate bucket-class programs."""
+    import zero_latency_yolo_tpu.ops.roi as roi_mod
+    shapes = []
+    real = roi_mod._paste_many
+
+    def recording(cache, regions, meta):
+        shapes.append(tuple(int(d) for d in regions.shape))
+        return real(cache, regions, meta)
+
+    monkeypatch.setattr(roi_mod, "_paste_many", recording)
+    cache = DeviceFrameCache(num_slots=4, height=256, width=256)
+    for cid in (1, 2):
+        assert cache.write_keyframe(cid, np.zeros((256, 256, 3), np.uint8))
+    cache.gather([1, 2])
+    shapes.clear()
+    big = np.full((200, 200, 3), 50, np.uint8)   # bucket -> full extent
+    small = np.full((8, 8, 3), 10, np.uint8)     # bucket -> 16px
+    assert cache.write_roi(1, big, 0, 0)
+    for i in range(5):
+        assert cache.write_roi(2, small, 16 * i, 0)
+    frames, _, _ = cache.gather([1, 2])
+    assert sorted(s[1:3] for s in shapes) == [(16, 16), (256, 256)]
+    img1, img2 = np.asarray(frames[0]), np.asarray(frames[1])
+    assert img1[100, 100].tolist() == [50] * 3
+    assert img2[0, 16].tolist() == [10] * 3
+    assert img2[100, 100].tolist() == [0] * 3
+
+    # A slot with writes in TWO classes: ALL its writes are promoted to the
+    # slot's largest class so overlap ordering (last wins) survives the
+    # grouping.
+    shapes.clear()
+    a = np.full((100, 100, 3), 60, np.uint8)     # bucket 128
+    b = np.full((8, 8, 3), 70, np.uint8)         # bucket 16, overlaps a
+    assert cache.write_roi(1, a, 0, 0)
+    assert cache.write_roi(1, b, 0, 0)
+    frames, _, _ = cache.gather([1])
+    assert len(shapes) == 1 and shapes[0][1:3] == (128, 128)
+    img = np.asarray(frames[0])
+    assert img[0, 0].tolist() == [70] * 3        # later small write wins
+    assert img[50, 50].tolist() == [60] * 3
+
+
+def test_warm_covers_full_roi_bucket_ladder(monkeypatch):
+    """warm() must pre-compile EVERY (count, edge) shape the flush
+    bucketing can mint — the >32px buckets used to stay cold, and the
+    first large ROI stalled tens of seconds on a relayed first-shape
+    compile under the cache lock."""
+    import zero_latency_yolo_tpu.ops.roi as roi_mod
+    from zero_latency_yolo_tpu.ops.roi import _count_bucket, _roi_bucket
+    shapes = set()
+    real = roi_mod._paste_many
+
+    def recording(cache, regions, meta):
+        shapes.add(tuple(int(d) for d in regions.shape[:3]))
+        return real(cache, regions, meta)
+
+    monkeypatch.setattr(roi_mod, "_paste_many", recording)
+    cache = DeviceFrameCache(num_slots=2, height=96, width=96)
+    cache.warm()
+    for n in (1, 20, 40, 96):           # region edges across the ladder
+        for k in (1, 30, cache._chunk):  # write counts across the ladder
+            edge = min(_roi_bucket(n, 96), 96)
+            want = (_count_bucket(k, cache._chunk), edge, edge)
+            assert want in shapes, f"warm() left {want} cold"

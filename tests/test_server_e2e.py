@@ -280,3 +280,78 @@ def test_eviction_does_not_leak_cache_slots(harness):
     c.send_jpeg_keyframe(synthetic_frame(96, 64, seed=99))
     assert len(c.wait_results(1, timeout=5)) == 1
     c.stop()
+
+
+def test_cleanup_enqueue_nonblocking_when_queue_full():
+    """Eviction's cleanup sentinel must never block the event-loop thread
+    on a full decode queue (the worker can stall tens of seconds mid-item
+    behind a cold-shape compile under the cache lock; a blocking put froze
+    datagrams, heartbeats, ACKs and result sends for the whole compile).
+    On Full it reschedules via call_later and still lands FIFO-ordered
+    behind the queued frames."""
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent/model.npz",
+        "port": PORT + 7, "web_port": 0, "worker_threads": 1,
+        "tpu": {"frame_buckets": [[64, 64]], "batch_buckets": [1]},
+    })
+    server = DetectionServer(cfg)   # not started: no decode worker draining
+    q = server._decode_queue
+    assert q is not None
+    while not q.full():
+        q.put_nowait(("__cleanup__", 0))
+
+    calls = []
+
+    class FakeLoop:
+        def call_later(self, delay, fn, *args):
+            calls.append((delay, fn, args))
+
+    server._loop = FakeLoop()
+    server._running = True
+    t0 = time.perf_counter()
+    server._enqueue_cleanup(42)
+    assert time.perf_counter() - t0 < 0.5   # returned immediately, no block
+    assert calls and calls[0][2] == (42,)
+    q.get_nowait()                          # worker frees one slot
+    calls[0][1](*calls[0][2])               # the scheduled retry fires
+    items = []
+    while not q.empty():
+        items.append(q.get_nowait())
+    assert items[-1] == ("__cleanup__", 42)  # sentinel landed, FIFO-last
+
+
+def test_monitor_survives_poisoned_status(monkeypatch):
+    """One malformed status() (e.g. a hot-swapped engine missing a stats
+    key) must not kill the monitor loop for the process lifetime."""
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent/model.npz",
+        "port": PORT + 8, "web_port": 0,
+        "tpu": {"frame_buckets": [[64, 64]], "batch_buckets": [1]},
+    })
+    server = DetectionServer(cfg)
+    calls = {"n": 0}
+
+    def poisoned():
+        calls["n"] += 1
+        raise KeyError("pipeline_p99_ms")
+
+    server.engine.status = poisoned
+
+    async def run():
+        orig_sleep = asyncio.sleep
+        ticks = {"n": 0}
+
+        async def fast_sleep(_t):
+            ticks["n"] += 1
+            if ticks["n"] > 3:
+                raise asyncio.CancelledError
+            await orig_sleep(0)
+
+        monkeypatch.setattr(asyncio, "sleep", fast_sleep)
+        try:
+            await server._monitor_loop()
+        except asyncio.CancelledError:
+            pass
+
+    asyncio.run(run())
+    assert calls["n"] == 3  # kept iterating through the failures

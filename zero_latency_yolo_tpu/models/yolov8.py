@@ -11,7 +11,8 @@ native JAX implementation:
 - Parameters are a plain nested-dict pytree keyed by the ultralytics layer
   indices ("m0".."m22") so checkpoints convert mechanically.
 - `forward_raw` returns per-level (B, H, W, 4*reg_max + nc) maps; the
-  DFL decode + sigmoid live in ops/decode.py so they can fuse with NMS.
+  DFL decode + sigmoid live in `decode_outputs` below so they can fuse
+  with NMS in one jitted program (ops/nms.py consumes the decoded form).
 - All shapes static; compute dtype selectable (bfloat16 on TPU, float32 for
   parity tests) with float32 MXU accumulation.
 
@@ -473,8 +474,8 @@ def forward_raw(params: Params, spec: ModelSpec, x: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# Decode (DFL + anchor-free box recovery) — kept here for parity tests;
-# the serving path uses the fused version in ops/decode.py.
+# Decode (DFL + anchor-free box recovery). The serving path jits
+# decode_outputs together with the backbone and NMS into one program.
 # ---------------------------------------------------------------------------
 
 def anchors_for(spec: ModelSpec, h: int, w: int, offset: float = 0.5

@@ -191,6 +191,7 @@ int zl_udp_recv_batch2(int fd, uint8_t* arena, int arena_cap,
     static thread_local mmsghdr ack_msgs[ZL_RECV_BATCH_MAX];
     static thread_local iovec ack_iovs[ZL_RECV_BATCH_MAX];
     static thread_local sockaddr_in ack_addrs[ZL_RECV_BATCH_MAX];
+    static thread_local int ack_pkt_idx[ZL_RECV_BATCH_MAX];
     int n_acks = 0;
     const uint64_t now = zl_now_ms();
 
@@ -233,6 +234,7 @@ int zl_udp_recv_batch2(int fd, uint8_t* arena, int arena_cap,
         ack_msgs[n_acks].msg_hdr.msg_name = &ack_addrs[n_acks];
         ack_msgs[n_acks].msg_hdr.msg_namelen = sizeof(sockaddr_in);
         d.flags |= ZL_F_ACKED;
+        ack_pkt_idx[n_acks] = i;
         n_acks++;
     }
     if (n_acks > 0) {
@@ -242,6 +244,12 @@ int zl_udp_recv_batch2(int fd, uint8_t* arena, int arena_cap,
             if (r <= 0) break;  // best-effort: retransmit covers losses
             sent += r;
         }
+        // ZL_F_ACKED was set when the ACK was QUEUED; clear it on any
+        // unsent tail so Python falls back to a per-packet ACK (and its
+        // packets_sent/bytes_sent counters only ever count ACKs that
+        // actually left the socket).
+        for (int j = sent; j < n_acks; j++)
+            pkts[ack_pkt_idx[j]].flags &= static_cast<uint8_t>(~ZL_F_ACKED);
     }
     return n;
 }

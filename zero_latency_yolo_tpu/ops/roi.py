@@ -309,10 +309,10 @@ class DeviceFrameCache:
 
     def _flush_locked(self) -> None:
         """Apply all pending writes (keyframes first, then ROI deltas in
-        submission order) as batched device programs. Caller holds
-        self._lock. Regions are padded to each chunk's max power-of-two
-        bucket and counts to power-of-two buckets (chunked at _chunk)
-        so the compiled-program grid stays bounded."""
+        per-slot submission order) as batched device programs. Caller holds
+        self._lock. Writes are grouped by ROI bucket class, regions padded
+        to the class bucket and counts to power-of-two buckets (chunked at
+        _chunk) so the compiled-program grid stays bounded."""
         if self._pending_kf:
             kf = self._pending_kf
             self._pending_kf = {}
@@ -331,27 +331,45 @@ class DeviceFrameCache:
                                            jnp.asarray(slots))
             self.flushes += 1
             self.writes_flushed += len(items)
-        while self._pending:
-            pend = self._pending[:self._chunk]
-            self._pending = self._pending[self._chunk:]
-            # Coarse shape buckets: ROI programs are keyed by (k, bh, bw);
-            # through a remote-compile relay every new shape costs tens of
-            # seconds, so the grid is {16, max} x {32, 128, full} per axis.
-            bh = min(_roi_bucket(max(p[3] for p in pend), self.height),
-                     self.height)
-            bw = min(_roi_bucket(max(p[4] for p in pend), self.width),
-                     self.width)
-            k = _count_bucket(len(pend), self._chunk)
-            regions = np.zeros((k, bh, bw, 3), np.uint8)
-            meta = np.zeros((k, 5), np.int32)  # slot, y, x, rh, rw
-            for i, (slot, y, x, rh, rw, region) in enumerate(pend):
-                regions[i, :rh, :rw] = region
-                meta[i] = (slot, y, x, rh, rw)
-            # Padding entries have rh=rw=0 => masked no-op.
-            self._cache = _paste_many(self._cache, jnp.asarray(regions),
-                                      jnp.asarray(meta))
-            self.flushes += 1
-            self.writes_flushed += len(pend)
+        # Group pending writes by ROI bucket class BEFORE chunking: one
+        # full-frame region co-pending with 127 16px diffs used to inflate
+        # the whole chunk to full extent (128x padded upload bytes — ~3s of
+        # link time through a 20 MB/s relay for what is one region's worth
+        # of pixels). Writes to different slots commute (each paste touches
+        # only its own slot), so classes can flush in any order; per-slot
+        # ordering is preserved by forcing ALL of a slot's writes into that
+        # slot's LARGEST class (within a class the submission order stays).
+        if self._pending:
+            slot_cls: Dict[int, Tuple[int, int]] = {}
+            for p in self._pending:
+                c = (min(_roi_bucket(p[3], self.height), self.height),
+                     min(_roi_bucket(p[4], self.width), self.width))
+                prev = slot_cls.get(p[0], (0, 0))
+                slot_cls[p[0]] = (max(prev[0], c[0]), max(prev[1], c[1]))
+            groups: Dict[Tuple[int, int], list] = {}
+            for p in self._pending:
+                groups.setdefault(slot_cls[p[0]], []).append(p)
+            self._pending = []
+        else:
+            groups = {}
+        for (bh, bw), pending in sorted(groups.items()):
+            while pending:
+                pend = pending[:self._chunk]
+                pending = pending[self._chunk:]
+                # Coarse shape buckets: ROI programs are keyed by (k, bh, bw);
+                # through a remote-compile relay every new shape costs tens of
+                # seconds, so the grid is {16, 64, cap} x {16, 32, 128, full}.
+                k = _count_bucket(len(pend), self._chunk)
+                regions = np.zeros((k, bh, bw, 3), np.uint8)
+                meta = np.zeros((k, 5), np.int32)  # slot, y, x, rh, rw
+                for i, (slot, y, x, rh, rw, region) in enumerate(pend):
+                    regions[i, :rh, :rw] = region
+                    meta[i] = (slot, y, x, rh, rw)
+                # Padding entries have rh=rw=0 => masked no-op.
+                self._cache = _paste_many(self._cache, jnp.asarray(regions),
+                                          jnp.asarray(meta))
+                self.flushes += 1
+                self.writes_flushed += len(pend)
         self._pending_bytes = 0
 
     def apply_diff(self, client_id: int, diff_region: np.ndarray, x: int, y: int) -> bool:
@@ -403,16 +421,23 @@ class DeviceFrameCache:
             return fn(self._cache, slots, hs, ws)
 
     def warm(self) -> None:
-        """Pre-compile the common write programs (small-ROI paste over the
-        {16,32}px x {16,64,cap}-count grid, keyframe scatter) so live
-        traffic doesn't stall on first-shape compiles — tens of seconds each
-        through a relayed TPU. Zero-extent writes are masked no-ops; content
-        is untouched."""
+        """Pre-compile the write-program grid (ROI paste over every
+        {16,32,128,full}px x {16,64,cap}-count bucket combination the
+        _roi_bucket/_count_bucket ladders can mint, keyframe scatter) so
+        live traffic doesn't stall on first-shape compiles — tens of
+        seconds each through a relayed TPU. The first >32px ROI used to hit
+        exactly that stall under the cache lock (the 128/full buckets were
+        left cold); warming the FULL ladder closes it. Zero-extent writes
+        are masked no-ops; content is untouched."""
         with self._lock:
-            for edge in (16, 32):
+            probed = set()
+            for edge in (16, 32, 128, max(self.height, self.width)):
+                bh = min(edge, self.height)
+                bw = min(edge, self.width)
                 for count in (16, 64, self._chunk):
-                    self._probe_locked(count, min(edge, self.height),
-                                       min(edge, self.width))
+                    if (count, bh, bw) not in probed:
+                        probed.add((count, bh, bw))
+                        self._probe_locked(count, bh, bw)
             # Keyframe scatter at the single-slot bucket AND the full-slot
             # bucket (the connect-storm shape: N clients priming at once —
             # left cold, its first compile outlasts client liveness through

@@ -661,6 +661,22 @@ class InferenceEngine:
                 results.append(self.complete(p))
         return results
 
+    def recycle_staging(self, pendings: List["PendingBatch"]) -> None:
+        """Return staging buffers of batches whose completion FAILED to the
+        per-shape free-list (normal recycling happens in _convert; a batch
+        dropped by an exception path would otherwise leak one full-size host
+        buffer per failure — unbounded growth under a wedged relay).
+
+        The failed batch's H2D may still be streaming from the buffer; a
+        later dispatch overwriting it can only garble the *failed* batch's
+        pixels, whose results are already abandoned. Batcher thread only
+        (same discipline as _convert)."""
+        for p in pendings:
+            if p.staging_buf is not None:
+                self._staging.setdefault(p.staging_key, []).append(
+                    p.staging_buf)
+                p.staging_buf = None
+
     def _pad_rows(self, out, rows: int):
         """Zero-pad a packed output's leading axis to `rows` on device."""
         b = int(out.shape[0])

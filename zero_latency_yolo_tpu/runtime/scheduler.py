@@ -219,6 +219,10 @@ class ContinuousBatcher:
             all_results = self.engine.complete_many(batch)
         except Exception:  # noqa: BLE001
             self.engine.error_count.inc()
+            # The dropped batches' staging buffers never reached _convert;
+            # recycle them here or every failed completion leaks one
+            # full-size host buffer (unbounded under a wedged relay).
+            self.engine.recycle_staging(batch)
             log.exception("batch completion failed")
             return
         for results in all_results:

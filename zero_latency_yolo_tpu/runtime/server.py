@@ -736,17 +736,34 @@ class DetectionServer:
             # drained and the server stopped admitting ANY client). The
             # single FIFO decode worker guarantees the ordering; no frame
             # can enqueue after this point because the session is gone.
-            # BLOCKING put: the worker drains continuously and never waits
-            # on this thread, so this is bounded by one decode (~ms). A
-            # drop-on-full fallback would run the cleanup ahead of an
-            # in-flight decode and reintroduce the slot leak.
-            self._decode_queue.put(("__cleanup__", client_id))
+            self._enqueue_cleanup(client_id)
         else:
             self._cleanup_client(client_id)
         EVENT_BUS.publish(
             CLIENT_TIMEOUT if reason == "timeout" else CLIENT_DISCONNECTED,
             client_id)
         log.info("client #%d evicted (%s)", client_id, reason)
+
+    def _enqueue_cleanup(self, client_id: int) -> None:
+        """Enqueue a cleanup sentinel WITHOUT blocking the event-loop thread.
+
+        The decode queue is bounded; the worker can stall for tens of
+        seconds mid-item when a cold ROI shape compiles under the cache
+        lock through a relayed TPU. A blocking put here would freeze the
+        loop (no datagrams, heartbeats, ACKs, result sends) for the whole
+        compile and cascade more timeout evictions into the same stall —
+        so on Full we retry shortly via call_later instead. FIFO ordering
+        vs already-queued frames still holds: the sentinel only ever lands
+        behind them, and no new frame can enqueue for a dead session."""
+        try:
+            self._decode_queue.put_nowait(("__cleanup__", client_id))
+        except Exception:  # noqa: BLE001 — queue.Full
+            if self._loop is not None and self._running:
+                self._loop.call_later(0.05, self._enqueue_cleanup, client_id)
+            else:
+                # Shutdown path: the loop may not run again — fall back to
+                # direct cleanup (worker is stopping; ordering moot).
+                self._cleanup_client(client_id)
 
     async def _monitor_loop(self) -> None:
         """Periodic status block (reference server/main.cpp:84-136, every 5s)
@@ -756,14 +773,25 @@ class DetectionServer:
         last_stats = 0.0
         while True:
             await asyncio.sleep(5.0)
-            st = self.status()
-            log.info("status: clients=%s queue=%s rx_pps=%s detect_p99=%.2fms "
-                     "engine_p99=%sms drops=%s",
-                     st["clients"], st["queue_depth"],
-                     st["transport"]["rx_pps"],
-                     st["detect_latency"]["p99_ms"],
-                     st["engine"].get("pipeline_p99_ms"),
-                     st["engine"].get("dropped"))
+            # Per-iteration isolation (like _model_watch_loop): one malformed
+            # status() — e.g. an engine swapped in mid-flight missing a stats
+            # key — must not silently kill monitoring + analytics for the
+            # process lifetime.
+            try:
+                st = self.status()
+                log.info(
+                    "status: clients=%s queue=%s rx_pps=%s detect_p99=%.2fms "
+                    "engine_p99=%sms drops=%s",
+                    st["clients"], st["queue_depth"],
+                    st["transport"]["rx_pps"],
+                    st["detect_latency"]["p99_ms"],
+                    st["engine"].get("pipeline_p99_ms"),
+                    st["engine"].get("dropped"))
+            except asyncio.CancelledError:
+                raise
+            except Exception:  # noqa: BLE001
+                log.exception("status block failed")
+                continue
             now = time.monotonic()
             if (analytics.enable_analytics and analytics.save_stats_to_file
                     and now - last_stats >= analytics.stats_interval_sec):
