@@ -63,6 +63,12 @@ def build_config(args, model_path: str) -> dict:
             # Deeper inflight window amortizes per-readback link RTT when
             # the TPU sits behind a relay; local deployments keep 2.
             "max_inflight": args.max_inflight,
+            # > 0: fixed-duration fake device step — measures the ENTIRE
+            # host path under load where the real device is relay-bound.
+            "synthetic_step_ms": args.synthetic_step_ms,
+            # Measured per-bucket ladder (scripts/step_ladder.py output).
+            "synthetic_step_profile": json.loads(args.synthetic_profile)
+            if args.synthetic_profile else {},
         },
     }
 
@@ -167,13 +173,27 @@ def main() -> None:
                     help="host:port of an already-running server (skip spawn)")
     ap.add_argument("--warmup-timeout", type=float, default=900.0)
     ap.add_argument("--max-inflight", type=int, default=4)
+    ap.add_argument("--synthetic-step-ms", type=float, default=0.0,
+                    help="replace device compute with a fixed fake step of "
+                         "this duration: isolates the host path (use the "
+                         "measured chip step, e.g. 6.44 for batch 32)")
+    ap.add_argument("--synthetic-profile", default="",
+                    help='measured per-bucket step ladder as JSON, e.g. '
+                         '\'{"8": 3.1, "32": 6.44}\' (step_ladder.py output);'
+                         ' implies synthetic mode')
     args = ap.parse_args()
+    if args.synthetic_profile and args.synthetic_step_ms <= 0:
+        args.synthetic_step_ms = max(
+            float(v) for v in json.loads(args.synthetic_profile).values())
 
     tmp = tempfile.mkdtemp(prefix="zlt-loadtest-")
     proc = None
     if not args.external:
         model_path = os.path.join(tmp, "model.npz")
-        make_model(args, model_path)
+        if args.synthetic_step_ms > 0:
+            model_path = os.path.join(tmp, "no-model-synthetic.npz")
+        else:
+            make_model(args, model_path)
         cfg_path = os.path.join(tmp, "server.json")
         with open(cfg_path, "w") as f:
             json.dump(build_config(args, model_path), f)
@@ -256,7 +276,9 @@ def main() -> None:
             s.client.stop()
 
         report = {
-            "metric": "live_load_p99",
+            "metric": ("host_path_p99" if args.synthetic_step_ms > 0
+                       else "live_load_p99"),
+            "synthetic_step_ms": args.synthetic_step_ms or None,
             "streams": args.streams,
             "fps_per_stream": args.fps,
             "duration_s": round(wall, 2),
@@ -278,6 +300,16 @@ def main() -> None:
             if lat.size else None,
             "client_samples": int(lat.size),
         }
+        if args.synthetic_step_ms > 0:
+            # Everything the HOST adds around each batch's (fake) step:
+            # decode wait + batch window + lane queueing + completion —
+            # measured per-request by the engine (e2e minus that batch's
+            # own step; correct under a per-bucket step profile too).
+            eng = st["engine"]
+            report["host_overhead_avg_ms"] = float(
+                eng.get("synthetic_host_avg_ms", "nan"))
+            report["host_overhead_p99_ms"] = float(
+                eng.get("synthetic_host_p99_ms", "nan"))
         print(json.dumps(report))
     finally:
         if proc is not None:

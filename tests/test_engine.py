@@ -316,3 +316,28 @@ def test_recycle_staging_on_failed_completion(engine):
     # Idempotent: an already-recycled batch doesn't double-insert.
     engine.recycle_staging([p])
     assert len(engine._staging[key]) == depth + 1
+
+
+def test_synthetic_step_mode_serializes_fake_steps():
+    """tpu.synthetic_step_ms replaces device compute with a fixed-duration
+    fake step so loadtests can measure the host path. Steps must serialize
+    like the single real device lane (back-to-back dispatches queue), and
+    complete() must block until the fake step 'finishes'."""
+    import time as _time
+    cfg = _cfg(tpu={"variant": "yolov8p", "num_classes": 4,
+                    "batch_buckets": [1, 2, 4], "frame_buckets": [[96, 96]],
+                    "synthetic_step_ms": 20.0})
+    eng = InferenceEngine(cfg)
+    assert eng.simulation and eng.warmed  # fake path, no device warmup
+    t0 = _time.perf_counter()
+    pendings = [eng.dispatch([_req(1, i)]) for i in range(3)]
+    # Dispatch returns immediately; the three fake steps queue one after
+    # the other on the fake device lane.
+    assert _time.perf_counter() - t0 < 0.015
+    gaps = [pendings[i + 1].ready_at - pendings[i].ready_at for i in range(2)]
+    assert all(abs(g - 0.020) < 0.002 for g in gaps)
+    res = eng.complete_many(pendings)
+    elapsed = _time.perf_counter() - t0
+    assert elapsed >= 0.058  # 3 serialized 20 ms steps
+    assert [len(r) for r in res] == [1, 1, 1]
+    assert eng.latency.snapshot()["p99_ms"] >= 20.0

@@ -163,3 +163,74 @@ def test_file_sha256(tmp_path):
     p.write_bytes(b"abc")
     assert file_sha256(str(p)) == (
         "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+
+
+# ---------------------------------------------------------------------------
+# REAL-artifact compatibility (VERDICT r2 #3): artifacts produced by actual
+# torch machinery (state_dict / torch.onnx.export of an exact ultralytics
+# module tree), not hand-built bytes — a naming or fusion convention drift
+# fails HERE, before it fails on a customer's exported model.
+# ---------------------------------------------------------------------------
+
+def _ultra_twin(size=64):
+    from ultra_export import UltralyticsTwin
+    spec = get_spec("yolov8p", 4)
+    return UltralyticsTwin(spec).randomize(7).eval(), spec
+
+
+def test_real_torch_state_dict_loads_and_matches(tmp_path):
+    """A genuine nn.Module state_dict (real key set: num_batches_tracked,
+    dfl.conv.weight, bare Conv2d tips) must convert, BN-fold, and match the
+    torch model's own decoded output within 1e-3."""
+    import torch
+    from ultra_export import decoded_reference
+    from zero_latency_yolo_tpu.models.yolov8 import forward_decoded
+
+    model, spec = _ultra_twin()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    assert any("num_batches_tracked" in k for k in sd)  # real-key noise
+    assert any(".dfl." in k for k in sd)                # must be skipped
+    params = from_ultralytics_state_dict(sd)
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0.0, 1.0, (1, 64, 64, 3)).astype(np.float32)
+    want = decoded_reference(model, x)
+    got = np.asarray(forward_decoded(params, spec, x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+def test_real_torch_checkpoint_file_loads(tmp_path):
+    """torch.save'd checkpoint (the .pt drop-in flow) loads end-to-end."""
+    import torch
+    model, spec = _ultra_twin()
+    path = tmp_path / "real.pt"
+    torch.save(model.state_dict(), str(path))
+    params, spec2, simulation = load_model(str(path), "yolov8p", 4)
+    assert not simulation
+    assert np.asarray(params["m0"]["w"]).shape[3] == spec.ch(64)
+
+
+def test_real_onnx_export_loads_and_matches(tmp_path):
+    """A REAL torch.onnx.export artifact of the fused model (the reference's
+    deployment format, start.sh:113-149) must parse via the dependency-free
+    protobuf walker and match the torch model within 1e-3."""
+    from ultra_export import decoded_reference, export_onnx
+    from zero_latency_yolo_tpu.models.yolov8 import forward_decoded
+
+    model, spec = _ultra_twin()
+    want_x = np.random.default_rng(5).uniform(
+        0.0, 1.0, (1, 64, 64, 3)).astype(np.float32)
+    want = decoded_reference(model, want_x)  # BEFORE fuse (fuse is exact)
+
+    model.fuse()
+    path = tmp_path / "real_export.onnx"
+    export_onnx(model, str(path), 64)
+
+    tensors = read_onnx_initializers(str(path))
+    assert any(k.startswith("model.0.conv.") for k in tensors), (
+        "exporter initializer naming drifted", sorted(tensors)[:5])
+    params, _, simulation = load_model(str(path), "yolov8p", 4)
+    assert not simulation
+    got = np.asarray(forward_decoded(params, spec, want_x))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)

@@ -156,6 +156,19 @@ class TpuConfig:
     # higher values amortize per-readback link RTT through relayed
     # transports (completions drain in one batched D2H).
     max_inflight: int = 2
+    # Host-path measurement harness: > 0 replaces the device step with a
+    # fixed-duration fake step of this many ms (simulated detections,
+    # serialized like a single device lane). Lets loadtests measure the
+    # ENTIRE host path (recv -> decode -> batch window -> step -> adapter ->
+    # send) on hardware where the real device sits behind a high-RTT relay
+    # that would drown the number. Never set in production.
+    synthetic_step_ms: float = 0.0
+    # Per-batch-bucket fake-step durations (ms), e.g. {"4": 3.1, "32": 6.44}
+    # from scripts/step_ladder.py measurements on the real chip — makes the
+    # fake device lane replay the measured step-vs-batch ladder so the
+    # loadtest's queueing behavior matches hardware. Buckets not listed fall
+    # back to synthetic_step_ms. Non-empty enables synthetic mode.
+    synthetic_step_profile: Dict[str, float] = field(default_factory=dict)
 
 
 @dataclass

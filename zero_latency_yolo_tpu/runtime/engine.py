@@ -70,6 +70,11 @@ class PendingBatch:
     # are read back, then recycled via the engine's per-shape free-list.
     staging_key: Optional[Tuple[int, int, int]] = None
     staging_buf: Optional[np.ndarray] = None
+    # Synthetic-step mode only: perf_counter time the fake device step
+    # "finishes" (complete() blocks until then, _ready() polls against it)
+    # and the step duration charged to this batch.
+    ready_at: Optional[float] = None
+    step_ms: float = 0.0
 
 
 @dataclass
@@ -169,6 +174,29 @@ class InferenceEngine:
             else:
                 log.warning("model %s not loadable — simulation mode active",
                             config.model_path)
+        # Host-path measurement harness (docs/BENCH_NOTES): a fixed-duration
+        # fake device step stands in for real compute so a loadtest can
+        # measure everything AROUND the step on hosts whose device sits
+        # behind a high-RTT relay. Forces simulation detections.
+        self.synthetic_step_ms = float(getattr(tpu, "synthetic_step_ms", 0.0))
+        # Optional per-batch-bucket step ladder (scripts/step_ladder.py
+        # measurements): the fake lane then replays the chip's real
+        # step-vs-batch curve, so loadtest queueing matches hardware.
+        self.synthetic_profile = {
+            int(k): float(v)
+            for k, v in (getattr(tpu, "synthetic_step_profile", None)
+                         or {}).items()}
+        if self.synthetic_profile and self.synthetic_step_ms <= 0:
+            self.synthetic_step_ms = max(self.synthetic_profile.values())
+        if self.synthetic_step_ms > 0:
+            if not self.simulation:
+                log.warning("synthetic_step_ms=%.2f: device compute DISABLED "
+                            "(measurement harness)", self.synthetic_step_ms)
+            self.simulation = True
+        # perf_counter stamp the previous synthetic step finishes: fake
+        # steps serialize like the single real device lane (throughput is
+        # bounded at one step per batch, as on hardware).
+        self._synthetic_last_ready = 0.0
         # Serving mesh (SURVEY §5.7/§5.8): tpu.mesh_data x tpu.mesh_model > 1
         # runs the serve step SPMD — batch over 'data', params tensor-parallel
         # over 'model' (the inference counterpart of the train shardings).
@@ -227,6 +255,7 @@ class InferenceEngine:
         self.error_count = Counter()
         self.latency = RollingStats()     # dispatch -> readback (pipeline)
         self.e2e_latency = RollingStats()  # submit -> result
+        self.synthetic_host = RollingStats()  # e2e minus the fake step
         self.batch_sizes = RollingStats()
         self._rng = random.Random(1337)
         # True once warmup() finished (simulation needs none).
@@ -437,7 +466,8 @@ class InferenceEngine:
         the simulation early-returns must not starve _current_params of its
         only call site. First real batches after the flip pay their XLA
         compiles (logged)."""
-        if self.simulation and self._staged_params is not None:
+        if (self.simulation and self._staged_params is not None
+                and self.synthetic_step_ms <= 0):
             self._current_params()
             if not self.simulation:
                 log.warning("hot-swap out of simulation mode: first batches "
@@ -482,9 +512,7 @@ class InferenceEngine:
         if not requests:
             return PendingBatch(requests=[], out=None, t0=0.0, n=0)
         if self._simulating():
-            return PendingBatch(requests=requests, out=None,
-                                t0=time.perf_counter(), n=len(requests),
-                                simulated=[self._simulate(r) for r in requests])
+            return self._sim_pending(requests)
         t0 = time.perf_counter()
         # Shed frames larger than every configured bucket (reject, never
         # compile on request-controlled shapes).
@@ -565,9 +593,7 @@ class InferenceEngine:
         """Launch over device-resident frames (DeviceFrameCache gather) —
         no host staging, no H2D pixel copy."""
         if self._simulating():
-            return PendingBatch(requests=requests, out=None,
-                                t0=time.perf_counter(), n=len(requests),
-                                simulated=[self._simulate(r) for r in requests])
+            return self._sim_pending(requests)
         t0 = time.perf_counter()
         batch = frames.shape[0]
         bucket = (frames.shape[1], frames.shape[2])
@@ -581,9 +607,7 @@ class InferenceEngine:
                             ) -> "PendingBatch":
         """Single-dispatch path: gather + serve fused into one program."""
         if self._simulating():
-            return PendingBatch(requests=requests, out=None,
-                                t0=time.perf_counter(), n=len(requests),
-                                simulated=[self._simulate(r) for r in requests])
+            return self._sim_pending(requests)
         t0 = time.perf_counter()
         batch = len(slots)
         bucket = (cache.shape[1], cache.shape[2])
@@ -616,11 +640,55 @@ class InferenceEngine:
         _start_host_copy(out)
         return PendingBatch(requests=requests, out=out, t0=t0, n=len(requests))
 
+    def _sim_pending(self, requests: List[InferenceRequest]) -> "PendingBatch":
+        """Simulated dispatch. In synthetic-step mode the batch also gets a
+        ready_at stamp modelling a serialized device lane (back-to-back
+        dispatches queue, one fake step each)."""
+        t0 = time.perf_counter()
+        pb = PendingBatch(requests=requests, out=None, t0=t0, n=len(requests),
+                          simulated=[self._simulate(r) for r in requests])
+        if self.synthetic_step_ms > 0:
+            pb.step_ms = self._synthetic_step(len(requests))
+            start = max(t0, self._synthetic_last_ready)
+            self._synthetic_last_ready = start + pb.step_ms / 1e3
+            pb.ready_at = self._synthetic_last_ready
+        return pb
+
+    def _synthetic_step(self, n: int) -> float:
+        """Fake-step duration (ms) for an n-request batch: the measured
+        ladder entry for the padded batch bucket when a profile is
+        configured (next bucket up if the exact one is unlisted), else the
+        flat synthetic_step_ms."""
+        if not self.synthetic_profile:
+            return self.synthetic_step_ms
+        bucket = _pick_batch(self.batch_buckets, n)
+        for b in sorted(self.synthetic_profile):
+            if bucket <= b:
+                return self.synthetic_profile[b]
+        return self.synthetic_profile[max(self.synthetic_profile)]
+
     def complete(self, pending: "PendingBatch") -> List[EngineResult]:
         """Block on the device step, convert fixed-shape outputs to results."""
         if not pending.requests:
             return []
         if pending.simulated is not None:
+            if pending.ready_at is not None:
+                # Synthetic step: block like a real device readback would,
+                # and feed the same pipeline stats the real path records.
+                delay = pending.ready_at - time.perf_counter()
+                if delay > 0:
+                    time.sleep(delay)
+                now = time.perf_counter()
+                self.latency.record((now - pending.t0) * 1e3)
+                self.batch_sizes.record(pending.n)
+                for r in pending.requests:
+                    e2e = (now - r.enqueue_t) * 1e3
+                    self.e2e_latency.record(e2e)
+                    # Everything that is NOT the (fake) device step: decode
+                    # wait + batch window + lane queueing + completion — the
+                    # host-path overhead the synthetic harness measures.
+                    self.synthetic_host.record(max(e2e - pending.step_ms,
+                                                   0.0))
             return pending.simulated
         return self._convert(pending, np.asarray(pending.out))  # one D2H
 
@@ -848,6 +916,12 @@ class InferenceEngine:
             "avg_batch": f"{self.batch_sizes.snapshot()['avg_ms']:.1f}",
             "compiled_programs": str(len(self._step_cache)),
             "warmed": str(self.warmed).lower(),
+            **({"synthetic_step_ms": f"{self.synthetic_step_ms:.2f}",
+                "synthetic_host_avg_ms":
+                    f"{self.synthetic_host.snapshot()['avg_ms']:.2f}",
+                "synthetic_host_p99_ms":
+                    f"{self.synthetic_host.snapshot()['p99_ms']:.2f}"}
+               if self.synthetic_step_ms > 0 else {}),
         }
 
 

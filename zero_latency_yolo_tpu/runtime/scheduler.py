@@ -162,10 +162,33 @@ class ContinuousBatcher:
                 oldest = min((q[0].enqueue_t for q in self._queues.values() if q),
                              default=time.perf_counter())
             if self._pending == 0 and self._inflight:
-                # Idle: nothing to dispatch — drain everything in flight
-                # with one batched readback (tail results land one link RTT
-                # sooner than popping them one per loop turn).
-                self._complete_n(len(self._inflight))
+                if self._inflight[0].ready_at is None:
+                    # Idle: nothing to dispatch — drain everything in flight
+                    # with one batched readback (tail results land one link
+                    # RTT sooner than popping them one per loop turn).
+                    self._complete_n(len(self._inflight))
+                else:
+                    # Synthetic lane: ready times are exact — complete only
+                    # the finished prefix and sleep until the next step ends
+                    # or a submit arrives. Blocking on the NEWEST batch here
+                    # (the relay policy above) would hold arrivals hostage
+                    # for a whole step and inflate the measured host path.
+                    n_ready = 0
+                    for p in self._inflight:
+                        if self._ready(p):
+                            n_ready += 1
+                        else:
+                            break
+                    if n_ready:
+                        self._complete_n(n_ready)
+                    else:
+                        delay = max(
+                            self._inflight[0].ready_at - time.perf_counter(),
+                            0.0)
+                        with self._cv:
+                            if self._running and self._pending == 0:
+                                self._cv.wait(
+                                    timeout=min(delay + 0.0002, 0.1))
                 continue
             deadline = oldest + window_s
             # Batch-forming window: wait on the condition variable (woken by
@@ -177,11 +200,19 @@ class ContinuousBatcher:
                 if self._inflight and self._ready(self._inflight[0]):
                     self._complete_oldest()
                 remaining = deadline - time.perf_counter()
+                # Completion readiness granularity: 2 ms polling for real
+                # device handles; EXACT for synthetic batches (ready time
+                # known) so completion adds no poll quantization to the
+                # measured host path.
+                poll = 0.002
+                if self._inflight and self._inflight[0].ready_at is not None:
+                    poll = max(self._inflight[0].ready_at
+                               - time.perf_counter(), 0.0) + 0.0002
                 with self._cv:
                     if self._pending >= self.max_batch or remaining <= 0:
                         break
                     self._cv.wait(timeout=(remaining if not self._inflight
-                                           else min(remaining, 0.002)))
+                                           else min(remaining, poll)))
             batch = self._collect()
             if batch:
                 try:
@@ -201,6 +232,8 @@ class ContinuousBatcher:
 
     @staticmethod
     def _ready(pending) -> bool:
+        if pending.ready_at is not None:  # synthetic fake device step
+            return time.perf_counter() >= pending.ready_at
         if pending.simulated is not None or pending.out is None:
             return True
         try:

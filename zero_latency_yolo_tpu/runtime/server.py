@@ -228,6 +228,13 @@ class DetectionServer:
             await asyncio.to_thread(self.engine.warmup,
                                     None, None, self.device_cache,
                                     self.config.tpu.max_inflight)
+        elif warmup and self.device_cache is not None:
+            # Simulation/synthetic modes skip engine warmup, but cache-WRITE
+            # programs are real device programs regardless of engine mode —
+            # left cold, the first ROI/keyframe flush stalls on XLA compiles
+            # mid-traffic (host-path loadtests would time the compile, not
+            # the path).
+            await asyncio.to_thread(self.device_cache.warm)
         self.batcher.start()
         self._mgmt_task = asyncio.create_task(self._management_loop())
         self._watch_task = asyncio.create_task(self._model_watch_loop())
