@@ -306,3 +306,24 @@ def test_warm_covers_full_roi_bucket_ladder(monkeypatch):
             edge = min(_roi_bucket(n, 96), 96)
             want = (_count_bucket(k, cache._chunk), edge, edge)
             assert want in shapes, f"warm() left {want} cold"
+
+
+def test_frozen_slot_notification_mechanics():
+    """_shed_locked records frozen slots; drain_frozen maps them to client
+    ids ONCE (and skips already-re-anchored slots); frozen_clients reports
+    the live frozen set until a keyframe clears it."""
+    cache = DeviceFrameCache(num_slots=4, height=64, width=64)
+    cache._max_pending = 0  # any pending ROI write immediately sheds
+    for cid in (1, 2):
+        assert cache.write_keyframe(cid, synthetic_frame(64, 64, seed=cid))
+    cache.gather([1, 2])
+    region = np.full((8, 8, 3), 9, np.uint8)
+    assert cache.write_roi(1, region, 0, 0)       # sheds + freezes slot
+    assert cache.frozen_clients() == [1]
+    assert cache.drain_frozen() == [1]
+    assert cache.drain_frozen() == []             # one-shot
+    # Keyframe re-anchors; a drain of a stale event reports nothing.
+    assert cache.write_roi(2, region, 0, 0)
+    assert cache.write_keyframe(2, synthetic_frame(64, 64, seed=5))
+    assert 2 not in cache.drain_frozen()
+    assert cache.frozen_clients() == [1]

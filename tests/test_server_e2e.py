@@ -355,3 +355,52 @@ def test_monitor_survives_poisoned_status(monkeypatch):
 
     asyncio.run(run())
     assert calls["n"] == 3  # kept iterating through the failures
+
+
+def test_request_keyframe_recovery():
+    """Shed-frozen cache slot => server sends COMMAND(REQUEST_KEYFRAME)
+    (reference declared the type, types.h:94-103, never sent it); the
+    client re-anchors with an immediate keyframe instead of waiting out
+    its keyframe cadence, and the slot unfreezes."""
+    from zero_latency_yolo_tpu.runtime.simulator import StreamDriver
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent/model.npz",
+        "port": PORT + 9, "web_port": 0, "max_clients": 4,
+        "network": {"timeout_ms": 5000},
+        "tpu": {"batch_window_ms": 1.0, "frame_buckets": [[128, 128]],
+                "batch_buckets": [1, 2]},
+    })
+    h = ServerHarness(cfg)
+    server = h.start()
+    server.device_cache.warm()
+    server.device_cache._max_pending = 0  # every pending ROI write sheds
+    c = _client(server.port)
+    driver = StreamDriver(c, keyframe_interval=1000)  # cadence never fires
+    try:
+        c.connect()
+        c.start_receiver()
+        frame = synthetic_frame(96, 64, seed=1)
+        assert driver.push(frame) is not None      # keyframe primes the slot
+        assert c.wait_results(1, timeout=5)
+        frame2 = frame.copy()
+        frame2[8:24, 8:24] = 255                   # small change => ROI path
+        driver.push(frame2)
+        assert driver.roi_sent == 1
+        # The shed freezes the slot; the server must command a keyframe.
+        deadline = time.monotonic() + 5.0
+        while time.monotonic() < deadline and not c.keyframe_requested:
+            time.sleep(0.02)
+        assert c.keyframe_requests_seen >= 1
+        assert server.keyframe_requests.value >= 1
+        # Next capture re-anchors as a keyframe (flag consumed by push).
+        kf_before = driver.keyframes_sent
+        assert driver.push(frame2) is not None
+        assert driver.keyframes_sent == kf_before + 1
+        deadline = time.monotonic() + 5.0
+        while (time.monotonic() < deadline
+               and server.device_cache.frozen_clients()):
+            time.sleep(0.02)
+        assert server.device_cache.frozen_clients() == []  # re-anchored
+    finally:
+        c.stop()
+        h.stop()

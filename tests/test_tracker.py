@@ -86,3 +86,22 @@ def test_confidence_ema():
                np.array([0]), np.array([0.0]), now_ms=16.0)
     # EMA: 0.7*1.0 + 0.3*0.0 = 0.7
     assert abs(trk.meta[0].confidence - 0.7) < 1e-6
+
+
+def test_continuous_track_id_stable_past_max_age():
+    """A continuously-matched target must KEEP its track id past
+    max_tracking_age_ms. (Deliberate deviation from the reference's
+    absolute-age expiry, kalman_tracker.cpp:167-171, which recycled a live
+    target's id every 500 ms — dead code there, id churn here.)"""
+    import numpy as np
+    from zero_latency_yolo_tpu.runtime.tracker import MultiObjectTracker
+    trk = MultiObjectTracker(max_age_ms=100, min_hits=1)
+    box = np.array([0.5, 0.5, 0.1, 0.2], np.float32)
+    ids = set()
+    # 40 matched updates spanning 8x max_age.
+    for i in range(40):
+        out = trk.update(box[None] + i * 0.001, np.array([0]),
+                         np.array([0.9]), now_ms=i * 20.0)
+        assert len(out) == 1
+        ids.add(out[0][3])
+    assert len(ids) == 1, f"id churned across continuous matches: {ids}"

@@ -174,6 +174,12 @@ class DeviceFrameCache:
         # (applying deltas over a frame with holes would corrupt it
         # patchwork-style). See _shed_locked.
         self._needs_kf: set = set()
+        # Slots frozen since the last drain_frozen() call: the server turns
+        # these into COMMAND(REQUEST_KEYFRAME) sends so the client
+        # re-anchors in one RTT instead of one keyframe period
+        # (reference declared the command type, src/common/types.h:94-103,
+        # but never sent it).
+        self._newly_frozen: list = []
         self.flushes = 0
         self.writes_flushed = 0
         self.writes_shed = 0
@@ -306,6 +312,7 @@ class DeviceFrameCache:
         victim = max(by_slot, key=lambda s: by_slot[s])
         self.writes_shed += self._drop_slot_writes_locked(victim)
         self._needs_kf.add(victim)
+        self._newly_frozen.append(victim)
 
     def _flush_locked(self) -> None:
         """Apply all pending writes (keyframes first, then ROI deltas in
@@ -371,6 +378,28 @@ class DeviceFrameCache:
                 self.flushes += 1
                 self.writes_flushed += len(pend)
         self._pending_bytes = 0
+
+    def _clients_for_slots_locked(self, slots) -> list:
+        rev = {s: c for c, s in self._slot_of.items()}
+        return [rev[s] for s in slots if s in rev]
+
+    def drain_frozen(self) -> list:
+        """One-shot: client ids whose slots froze (shed) since the last
+        drain. The server sends each a REQUEST_KEYFRAME command. Slots
+        released in the meantime resolve to nothing."""
+        with self._lock:
+            slots, self._newly_frozen = self._newly_frozen, []
+            # A keyframe that already re-anchored (or a released slot)
+            # needs no request anymore.
+            slots = [s for s in dict.fromkeys(slots) if s in self._needs_kf]
+            return self._clients_for_slots_locked(slots)
+
+    def frozen_clients(self) -> list:
+        """Client ids currently serving a frozen (shed, pre-keyframe) slot —
+        the management loop re-requests keyframes for these in case the
+        first command was lost."""
+        with self._lock:
+            return self._clients_for_slots_locked(list(self._needs_kf))
 
     def apply_diff(self, client_id: int, diff_region: np.ndarray, x: int, y: int) -> bool:
         """Difference-frame update: the region is the new content for that

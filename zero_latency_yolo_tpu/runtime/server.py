@@ -82,6 +82,9 @@ class ClientSession:
     pending: Dict[int, PendingPacket] = field(default_factory=dict)
     frames_received: int = 0
     results_sent: int = 0
+    # Last REQUEST_KEYFRAME command time (rate limit: the freeze event and
+    # the periodic re-request must not double-send within the same window).
+    last_kf_request: float = 0.0
 
     def observe_rtt(self, rtt: float) -> None:
         if self.srtt is None:
@@ -176,6 +179,7 @@ class DetectionServer:
         self.send_drops = Counter()
         self.bad_packets = Counter()
         self.results_sent = Counter()  # rate => live served fps
+        self.keyframe_requests = Counter()  # REQUEST_KEYFRAME commands sent
         self.detect_latency = RollingStats()  # frame recv -> result sent
 
     # ================================================================ lifecycle
@@ -604,8 +608,10 @@ class DetectionServer:
         cache = self.device_cache
         if cache is not None:
             if decoded.roi is not None:
-                if not cache.write_roi(session.client_id, decoded.pixels,
-                                       decoded.roi.x, decoded.roi.y):
+                ok = cache.write_roi(session.client_id, decoded.pixels,
+                                     decoded.roi.x, decoded.roi.y)
+                self._notify_frozen()
+                if not ok:
                     log.debug("ROI before keyframe (client %d); dropped",
                               session.client_id)
                     return
@@ -703,12 +709,48 @@ class DetectionServer:
             else:
                 self.detect_latency.record(fb)
 
+    def _notify_frozen(self) -> None:
+        """Called on the decode worker after a cache write: any slot the
+        overflow policy froze gets a server-initiated REQUEST_KEYFRAME so
+        the stream re-anchors in one RTT instead of waiting out the
+        client's own keyframe cadence (ops/roi.py _shed_locked; the
+        reference declared the command, types.h:94-103, but never sent it)."""
+        cache = self.device_cache
+        if cache is None or self._loop is None:
+            return
+        cids = cache.drain_frozen()
+        if cids:
+            self._loop.call_soon_threadsafe(self._send_keyframe_requests, cids)
+
+    def _send_keyframe_requests(self, cids: List[int]) -> None:
+        from ..protocol import CommandPacket, CommandType
+        now = time.monotonic()
+        for cid in cids:
+            session = self._sessions.get(cid)
+            if session is None or now - session.last_kf_request < 0.5:
+                continue
+            session.last_kf_request = now
+            self._send_reliable(CommandPacket(
+                command_type=CommandType.REQUEST_KEYFRAME).serialize(),
+                session)
+            self.keyframe_requests.inc()
+            log.debug("REQUEST_KEYFRAME -> client #%d (slot frozen)", cid)
+
     # ========================================================== maintenance
     async def _management_loop(self) -> None:
         timeout_s = self.config.network.timeout_ms / 1000.0
         max_retries = self.config.network.max_retries
+        tick = 0
         while True:
             await asyncio.sleep(0.1)
+            tick += 1
+            if tick % 10 == 0 and self.device_cache is not None:
+                # Re-request keyframes for slots still frozen ~1s later
+                # (first command lost, or the client ignored it) — the
+                # per-session rate limit dedupes against the event path.
+                frozen = self.device_cache.frozen_clients()
+                if frozen:
+                    self._send_keyframe_requests(frozen)
             now = time.monotonic()
             for client_id in list(self._sessions.keys()):
                 session = self._sessions[client_id]
@@ -871,6 +913,8 @@ class DetectionServer:
                 "flushes": self.device_cache.flushes,
                 "writes_flushed": self.device_cache.writes_flushed,
                 "writes_shed": self.device_cache.writes_shed,
+                "frozen_slots": len(self.device_cache.frozen_clients()),
+                "keyframe_requests": self.keyframe_requests.value,
             } if self.device_cache is not None else None),
             "engine": self.engine.status(),
             "adapter": self.adapter.status(),

@@ -67,6 +67,10 @@ class SimClient:
         self.server_info = None
         self.results: List[DetectionResultPacket] = []
         self.result_latencies_ms: List[float] = []
+        # Server-initiated stream control (REQUEST_KEYFRAME after a shed
+        # froze our cache slot): the next capture must be a keyframe.
+        self.keyframe_requested = False
+        self.keyframe_requests_seen = 0
         self._sent_at: Dict[int, float] = {}
         self._frame_id = 0
         self._rx_thread: Optional[threading.Thread] = None
@@ -130,6 +134,17 @@ class SimClient:
                     if t0 is not None:
                         self.result_latencies_ms.append((now - t0) * 1e3)
                 self._result_event.set()
+            elif pkt.TYPE == PacketType.COMMAND:
+                from ..protocol import CommandType
+                # Server commands arrive reliable: ACK so retransmits stop.
+                try:
+                    self._send(AckPacket(
+                        acked_sequence=pkt.sequence).serialize())
+                except OSError:
+                    pass
+                if pkt.command_type == CommandType.REQUEST_KEYFRAME:
+                    self.keyframe_requested = True
+                    self.keyframe_requests_seen += 1
 
     def reset_latency_stats(self) -> None:
         """Drop accumulated e2e latency samples and in-flight send stamps —
@@ -265,8 +280,14 @@ class StreamDriver:
 
     def push(self, frame: np.ndarray) -> Optional[int]:
         """Encode + send one captured frame; returns the frame id or None
-        when the frame was skipped (no change)."""
-        is_key = (self._count % self.keyframe_interval == 0) or self._prev is None
+        when the frame was skipped (no change). A server REQUEST_KEYFRAME
+        (shed-frozen cache slot) forces the next push to re-anchor
+        immediately instead of waiting out the keyframe cadence."""
+        forced = getattr(self.client, "keyframe_requested", False)
+        if forced:
+            self.client.keyframe_requested = False
+        is_key = (forced or self._count % self.keyframe_interval == 0
+                  or self._prev is None)
         self._count += 1
         fid: Optional[int]
         if is_key:

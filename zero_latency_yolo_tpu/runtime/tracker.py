@@ -205,14 +205,17 @@ class MultiObjectTracker:
                 self._add(boxes[c_i], int(classes[c_i]), float(confidences[c_i]), now_ms)
                 matched_det[c_i] = len(self.meta) - 1
 
-        # Age out: silent > max_age/2 OR absolute age > max_age (reference
-        # expiry rule, kalman_tracker.cpp:167-171 — the absolute bound means
-        # max_tracking_age_ms also caps a continuously-matched track's
-        # lifetime/id, after which it re-confirms under a fresh id).
+        # Age out on SILENCE only (no match for > max_age/2). The reference
+        # additionally expired on absolute age (kalman_tracker.cpp:167-171),
+        # which forces a continuously-matched target onto a fresh id + a
+        # 3-frame re-confirmation every max_age (500 ms default) — id churn
+        # no wire client can want, in code the reference never actually ran
+        # (its tracker was an orphan, SURVEY §2.3). Deliberate deviation:
+        # matched tracks keep their id indefinitely; the silent-gap rule
+        # alone bounds stale-track lifetime (docs/PARITY.md #17).
         keep = np.ones(len(self.meta), bool)
         for i, t in enumerate(self.meta):
-            if (now_ms - t.last_update_ms > self.max_age_ms / 2
-                    or now_ms - t.created_ms > self.max_age_ms):
+            if now_ms - t.last_update_ms > self.max_age_ms / 2:
                 keep[i] = False
 
         out: List[Tuple[np.ndarray, float, int, int]] = []
