@@ -181,10 +181,25 @@ def main() -> None:
                     help='measured per-bucket step ladder as JSON, e.g. '
                          '\'{"8": 3.1, "32": 6.44}\' (step_ladder.py output);'
                          ' implies synthetic mode')
+    ap.add_argument("--client-nice", type=int, default=10,
+                    help="niceness ADDED to this (client) process so the "
+                         "server wins the CPU on small co-located hosts; "
+                         "the spawned server re-nices itself -10 on top "
+                         "(0 disables)")
     args = ap.parse_args()
     if args.synthetic_profile and args.synthetic_step_ms <= 0:
         args.synthetic_step_ms = max(
             float(v) for v in json.loads(args.synthetic_profile).values())
+    if args.client_nice > 0:
+        # The pacing/receiver threads otherwise steal scheduler slots from
+        # the server under test on a small host — the measurement should
+        # show the SERVER's path, not contention from its own harness.
+        # (The server child inherits this niceness but use_high_priority
+        # re-nices it back down.)
+        try:
+            os.nice(args.client_nice)
+        except OSError:
+            pass
 
     tmp = tempfile.mkdtemp(prefix="zlt-loadtest-")
     proc = None
