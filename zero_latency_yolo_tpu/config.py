@@ -144,6 +144,11 @@ class TpuConfig:
     # NMS suppression scan: "auto" (currently the XLA scan — the axon
     # remote-compile relay cannot build Pallas programs), "xla", "pallas".
     nms: str = "auto"
+    # Conv bias+SiLU epilogue: "auto" (XLA fusions), "pallas" (flat
+    # full-lane Pallas kernel, ops/act_pallas.py — the SiLU-tail lever,
+    # 29% of the batch-64 step; needs a host that can compile Pallas),
+    # "pallas_interpret" (CI correctness mode).
+    act: str = "auto"
     # Serving-layout experiments (exact-equivalent rewrites, measured on
     # hardware before promotion — see docs/BENCH_NOTES.md):
     # stem="s2d": letterbox emits space-to-depth (S/2, S/2, 12) directly and

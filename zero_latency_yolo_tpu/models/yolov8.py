@@ -535,8 +535,9 @@ def decode_outputs(spec: ModelSpec,
 
 def forward_decoded(params: Params, spec: ModelSpec, x: jnp.ndarray,
                     dtype=jnp.float32, accum_f32: bool = True,
-                    stem: str = "conv", dot1x1: bool = False) -> jnp.ndarray:
+                    stem: str = "conv", dot1x1: bool = False,
+                    conv_fn=None) -> jnp.ndarray:
     """(B, A, 4+nc) decoded output — the ONNX `output0` equivalent (transposed)."""
     outs = forward_raw(params, spec, x, dtype=dtype, accum_f32=accum_f32,
-                       stem=stem, dot1x1=dot1x1)
+                       stem=stem, dot1x1=dot1x1, conv_fn=conv_fn)
     return decode_outputs(spec, outs)

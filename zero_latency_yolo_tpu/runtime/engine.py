@@ -305,6 +305,15 @@ class InferenceEngine:
         mode = self.preprocess_mode
         stem = getattr(self.config.tpu, "stem", "conv")
         dot1x1 = bool(getattr(self.config.tpu, "dot1x1", False))
+        act_impl = getattr(self.config.tpu, "act", "auto")
+        conv_fn = None
+        if act_impl in ("pallas", "pallas_interpret"):
+            # Flat full-lane bias+SiLU epilogues (ops/act_pallas.py) — the
+            # SiLU-tail lever. "auto" stays XLA: the dev relay's
+            # remote-compile can't build Pallas (same blocker as tpu.nms).
+            from ..ops.act_pallas import make_flat_act_conv
+            conv_fn = make_flat_act_conv(
+                interpret=(act_impl == "pallas_interpret"))
         if stem == "s2d":
             if not mode.startswith("letterbox"):
                 raise ValueError("stem='s2d' requires a letterbox preprocess")
@@ -323,7 +332,7 @@ class InferenceEngine:
         def step(params, frames, heights, widths, class_w, conf, iou):
             x = resize(frames, heights, widths, size)
             pred = forward_decoded(params, spec, x, dtype=dtype, stem=stem,
-                                   dot1x1=dot1x1)
+                                   dot1x1=dot1x1, conv_fn=conv_fn)
             hf = heights.astype(jnp.float32)
             wf = widths.astype(jnp.float32)
             if mode.startswith("letterbox"):
