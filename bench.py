@@ -209,48 +209,38 @@ def _run_combo(cfg, params, batch, mode, source, bh, bw, h, w, rng, results):
         frames = rng.integers(0, 256, (batch, bh, bw, 3), dtype=np.uint8)
         heights = jnp.full((batch,), h, jnp.int32)
         widths = jnp.full((batch,), w, jnp.int32)
-        step = engine.get_step(batch, (bh, bw))
         cw, conf, iou = engine._class_weights, engine._conf, engine._iou
         p = engine._params
 
         if source.startswith("cached"):
-            # Steady-state serving: frames live in the HBM frame cache, the
-            # step gathers slots on device (no per-step pixel H2D).
+            # Steady-state serving: frames live in the HBM frame cache —
+            # measured as the EXACT fused gather+serve executable the
+            # ContinuousBatcher dispatches (get_step_cached, packed shw
+            # upload), so the headline is the serving program, not a twin.
+            step = engine.get_step_cached(batch, (bh, bw))
             cache = jnp.asarray(frames)  # one upload, acts as the slot cache
-            slots = jnp.arange(batch, dtype=jnp.int32)
+            shw = jnp.asarray(np.stack([
+                np.arange(batch, dtype=np.int32),
+                np.full((batch,), h, np.int32),
+                np.full((batch,), w, np.int32)]))
 
-            @jax.jit
-            def run_once(c=cache, s=slots):
-                return step(p, c[s], heights, widths, cw, conf, iou)
+            def run_once(st=step, c=cache, s=shw):
+                return st(p, c, s, cw, conf, iou)
         else:
+            step = engine.get_step(batch, (bh, bw))
+
             def run_once():
                 # Fresh H2D per step (full-frame upload serving mode; through
                 # the axon relay this measures tunnel bandwidth).
                 return step(p, jnp.asarray(frames), heights, widths, cw,
                             conf, iou)
 
-        # Warmup / compile. NOTE: neither block_until_ready nor per-step
-        # readbacks work for timing through the axon TPU relay (a single
-        # host readback costs ~1s RTT). Method: dispatch N steps
-        # back-to-back (device executes in stream order), read back only the
-        # LAST output, and difference two pipeline lengths so the constant
-        # relay RTT cancels:  step_ms = (T(N2) - T(N1)) / (N2 - N1).
-        np.asarray(run_once())  # engine steps return ONE packed output array
-
-        def pipeline(n):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(n):
-                out = run_once()
-            np.asarray(out)
-            return time.perf_counter() - t0
-
-        pipeline(3)  # settle
-        n1, n2 = 10, 50
-        t1 = min(pipeline(n1) for _ in range(2))
-        t2 = min(pipeline(n2) for _ in range(2))
-        step_s = max((t2 - t1) / (n2 - n1), 1e-6)
-        rtt_s = max(t1 - n1 * step_s, 0.0)
+        # Timing method: the shared RTT-cancelling pipeline harness
+        # (utils/bench_util.py — see its docstring for why readback-based
+        # timing is impossible through the relay).
+        from zero_latency_yolo_tpu.utils.bench_util import (
+            pipeline_step_seconds)
+        step_s, rtt_s = pipeline_step_seconds(run_once)
         fps = batch / step_s
         results[(batch, mode, source)] = {
             "fps": fps,

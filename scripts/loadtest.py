@@ -50,7 +50,9 @@ def build_config(args, model_path: str) -> dict:
         # Liveness timeout far above first-run compile time: an eviction
         # during a cold prime purges the client's queue and cache slot and
         # zeroes the measurement (clients don't heartbeat during the wait).
-        "network": {"timeout_ms": 600000},
+        # Native recvmmsg/sendmmsg transport: the production tier for
+        # 64-stream rates (CRC+ACK in C++, one sendmmsg per result batch).
+        "network": {"timeout_ms": 600000, "use_native_transport": True},
         "detection": {"model_width": args.size, "model_height": args.size},
         "tpu": {
             "variant": args.variant,
@@ -190,16 +192,6 @@ def main() -> None:
     if args.synthetic_profile and args.synthetic_step_ms <= 0:
         args.synthetic_step_ms = max(
             float(v) for v in json.loads(args.synthetic_profile).values())
-    if args.client_nice > 0:
-        # The pacing/receiver threads otherwise steal scheduler slots from
-        # the server under test on a small host — the measurement should
-        # show the SERVER's path, not contention from its own harness.
-        # (The server child inherits this niceness but use_high_priority
-        # re-nices it back down.)
-        try:
-            os.nice(args.client_nice)
-        except OSError:
-            pass
 
     tmp = tempfile.mkdtemp(prefix="zlt-loadtest-")
     proc = None
@@ -225,6 +217,16 @@ def main() -> None:
     else:
         host, port = args.external.rsplit(":", 1)
         args.port = int(port)
+    if args.client_nice > 0:
+        # The pacing/receiver threads otherwise steal scheduler slots from
+        # the server under test on a small host — the measurement should
+        # show the SERVER's path, not contention from its own harness.
+        # AFTER the spawn: the server child must not inherit this niceness
+        # (an unprivileged server can't re-nice itself back down).
+        try:
+            os.nice(args.client_nice)
+        except OSError:
+            pass
 
     statusz = f"http://127.0.0.1:{args.web_port}/statusz"
     try:

@@ -79,3 +79,31 @@ def test_native_frame_header_parse():
     fid, ts, w, h, kf, off = out
     assert (fid, ts, w, h, kf) == (9, 100, 10, 20, True)
     assert pkt[off:] == payload
+
+
+def test_build_frame_data_byte_identity():
+    """zl_build_frame_data must emit byte-identical packets to the Python
+    FrameDataPacket serializer (client-side hot-path twin of the parse)."""
+    import numpy as np
+    from zero_latency_yolo_tpu.protocol import FrameDataPacket, parse_packet
+    from zero_latency_yolo_tpu.protocol import native
+    if not native.HAVE_FRAME_BUILDER:
+        import pytest
+        pytest.skip("native codec without zl_build_frame_data")
+    payload = bytes(np.random.default_rng(0).integers(
+        0, 256, 333, dtype=np.uint8))
+    want = FrameDataPacket(frame_id=7, frame_timestamp=123456789,
+                           width=800, height=600, keyframe=True,
+                           data=payload, sequence=42,
+                           timestamp=987654321).serialize()
+    got = native.build_frame_data(7, 123456789, 800, 600, True, payload,
+                                  42, 987654321)
+    assert got == want
+    pkt = parse_packet(got)  # and the Python parser accepts it
+    assert pkt.frame_id == 7 and pkt.keyframe and pkt.data == payload
+    # Empty payload edge
+    got0 = native.build_frame_data(1, 2, 4, 4, False, b"", 3, 4)
+    want0 = FrameDataPacket(frame_id=1, frame_timestamp=2, width=4, height=4,
+                            keyframe=False, data=b"", sequence=3,
+                            timestamp=4).serialize()
+    assert got0 == want0

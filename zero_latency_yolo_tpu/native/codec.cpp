@@ -157,6 +157,31 @@ int zl_build_detection_result(uint8_t* out, uint32_t frame_id,
     return ZL_HEADER_SIZE + body_len;
 }
 
+// FRAME_DATA from a pre-encoded payload: u32 frame_id, u64 frame_ts,
+// u16 w, u16 h, u8 keyframe, payload (protocol.h:490-497 layout — the
+// client-side encode twin of zl_parse_frame_header; a Python client at
+// 60 FPS otherwise pays a pure-Python CRC over every payload).
+// out must hold 22 + 17 + payload_len. Returns packet size, or -1 when
+// the body exceeds the u16 length field.
+int zl_build_frame_data(uint8_t* out, uint32_t frame_id, uint64_t frame_ts,
+                        uint16_t w, uint16_t h, uint8_t keyframe,
+                        const uint8_t* payload, int payload_len,
+                        uint32_t seq, uint64_t ts) {
+    const size_t body = 17 + static_cast<size_t>(payload_len);
+    if (payload_len < 0 || body > 0xFFFF) return -1;
+    zl_write_header(out, 3 /*FRAME_DATA*/, static_cast<uint16_t>(body),
+                    seq, ts);
+    uint8_t* b = out + ZL_HEADER_SIZE;
+    std::memcpy(b, &frame_id, 4);
+    std::memcpy(b + 4, &frame_ts, 8);
+    std::memcpy(b + 12, &w, 2);
+    std::memcpy(b + 14, &h, 2);
+    b[16] = keyframe;
+    if (payload_len > 0) std::memcpy(b + 17, payload, payload_len);
+    zl_finalize(out, ZL_HEADER_SIZE + body);
+    return static_cast<int>(ZL_HEADER_SIZE + body);
+}
+
 struct ZlFrameHeader {
     uint32_t frame_id;
     uint64_t timestamp;

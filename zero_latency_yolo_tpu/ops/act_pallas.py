@@ -83,7 +83,11 @@ def make_flat_act_conv(interpret: bool = False):
 
     def cv(p, x, stride=1, act=True, dtype=jnp.float32, accum_f32=True,
            dot1x1=False):
-        if not act or "w_q" in p or "bn" in p or "b" not in p:
+        # Serving fast path only: accum_f32=False is the training/autodiff
+        # form whose tail must stay f32 (CLAUDE.md invariant) and whose
+        # grad can't flow through a pallas_call with no AD rule.
+        if (not act or not accum_f32 or "w_q" in p or "bn" in p
+                or "b" not in p):
             return _conv(p, x, stride=stride, act=act, dtype=dtype,
                          accum_f32=accum_f32, dot1x1=dot1x1)
         bare = {k: v for k, v in p.items() if k != "b"}

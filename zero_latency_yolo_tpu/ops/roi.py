@@ -387,11 +387,15 @@ class DeviceFrameCache:
         """One-shot: client ids whose slots froze (shed) since the last
         drain. The server sends each a REQUEST_KEYFRAME command. Slots
         released in the meantime resolve to nothing."""
+        if not self._newly_frozen:
+            return []  # hot path: called per ROI packet; freezes are rare
         with self._lock:
             slots, self._newly_frozen = self._newly_frozen, []
             # A keyframe that already re-anchored (or a released slot)
             # needs no request anymore.
             slots = [s for s in dict.fromkeys(slots) if s in self._needs_kf]
+            if not slots:
+                return []
             return self._clients_for_slots_locked(slots)
 
     def frozen_clients(self) -> list:
@@ -460,13 +464,26 @@ class DeviceFrameCache:
         are masked no-ops; content is untouched."""
         with self._lock:
             probed = set()
-            for edge in (16, 32, 128, max(self.height, self.width)):
-                bh = min(edge, self.height)
-                bw = min(edge, self.width)
-                for count in (16, 64, self._chunk):
-                    if (count, bh, bw) not in probed:
-                        probed.add((count, bh, bw))
-                        self._probe_locked(count, bh, bw)
+            edges_h = sorted({min(e, self.height)
+                              for e in (16, 32, 128, self.height)})
+            edges_w = sorted({min(e, self.width)
+                              for e in (16, 32, 128, self.width)})
+            for bh in edges_h:
+                for bw in edges_w:
+                    # Height and width bucket INDEPENDENTLY in
+                    # _flush_locked, so mixed-aspect classes like
+                    # (32, full-width) strips are mintable and must be
+                    # warm too. The count ladder is warmed fully for
+                    # square classes (the dominant traffic); mixed-aspect
+                    # classes warm at the first-hit count bucket (16) —
+                    # their larger counts only mint once >16 same-class
+                    # writes pend in one window, by which point the
+                    # persistent compile cache usually has them.
+                    counts = ((16, 64, self._chunk) if bh == bw else (16,))
+                    for count in counts:
+                        if (count, bh, bw) not in probed:
+                            probed.add((count, bh, bw))
+                            self._probe_locked(count, bh, bw)
             # Keyframe scatter at the single-slot bucket AND the full-slot
             # bucket (the connect-storm shape: N clients priming at once —
             # left cold, its first compile outlasts client liveness through

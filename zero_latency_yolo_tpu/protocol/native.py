@@ -77,6 +77,14 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.zl_parse_frame_header.restype = ctypes.c_int
     lib.zl_parse_frame_header.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(_ZlFrameHeader)]
+    try:
+        lib.zl_build_frame_data.restype = ctypes.c_int
+        lib.zl_build_frame_data.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint64,
+            ctypes.c_uint16, ctypes.c_uint16, ctypes.c_uint8,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_uint32, ctypes.c_uint64]
+    except AttributeError:
+        pass  # stale .so without the symbol: clients fall back to Python
     return lib
 
 
@@ -118,6 +126,24 @@ def build_ack(acked_seq: int, seq: int, ts_ms: int) -> bytes:
 def build_heartbeat(ping: int, seq: int, ts_ms: int) -> bytes:
     buf = ctypes.create_string_buffer(26)
     n = _require_lib().zl_build_heartbeat(buf, ping, seq, ts_ms)
+    return buf.raw[:n]
+
+
+HAVE_FRAME_BUILDER = (HAVE_NATIVE
+                      and hasattr(_LIB, "zl_build_frame_data"))
+
+
+def build_frame_data(frame_id: int, frame_ts: int, w: int, h: int,
+                     keyframe: bool, payload: bytes, seq: int,
+                     ts_ms: int) -> bytes:
+    """FRAME_DATA with the CRC computed in C++ — the client-side hot path
+    (a pure-Python CRC over every 60 FPS payload dominates client CPU)."""
+    buf = ctypes.create_string_buffer(22 + 17 + len(payload))
+    n = _require_lib().zl_build_frame_data(
+        buf, frame_id, frame_ts, w, h, 1 if keyframe else 0,
+        payload, len(payload), seq, ts_ms)
+    if n < 0:
+        raise ValueError("frame payload exceeds the u16 body length")
     return buf.raw[:n]
 
 

@@ -907,6 +907,8 @@ class InferenceEngine:
     def status(self) -> Dict[str, str]:
         lat = self.latency.snapshot()
         e2e = self.e2e_latency.snapshot()
+        host = (self.synthetic_host.snapshot()
+                if self.synthetic_step_ms > 0 else None)
         return {
             "engine": "jax-tpu",
             "model": self.config.tpu.variant,
@@ -926,11 +928,9 @@ class InferenceEngine:
             "compiled_programs": str(len(self._step_cache)),
             "warmed": str(self.warmed).lower(),
             **({"synthetic_step_ms": f"{self.synthetic_step_ms:.2f}",
-                "synthetic_host_avg_ms":
-                    f"{self.synthetic_host.snapshot()['avg_ms']:.2f}",
-                "synthetic_host_p99_ms":
-                    f"{self.synthetic_host.snapshot()['p99_ms']:.2f}"}
-               if self.synthetic_step_ms > 0 else {}),
+                "synthetic_host_avg_ms": f"{host['avg_ms']:.2f}",
+                "synthetic_host_p99_ms": f"{host['p99_ms']:.2f}"}
+               if host is not None else {}),
         }
 
 

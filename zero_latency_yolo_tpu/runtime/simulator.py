@@ -24,6 +24,7 @@ from ..protocol import (
     FrameDataPacket, HeartbeatPacket, PacketType, ProtocolError,
     ServerInfoPacket, build_roi_header, parse_header, parse_packet,
 )
+from ..protocol import native
 from .frames import encode_jpeg
 
 
@@ -194,12 +195,21 @@ class SimClient:
                     timestamp: Optional[int] = None) -> int:
         self._frame_id += 1
         fid = self._frame_id
-        pkt = FrameDataPacket(
-            frame_id=fid, frame_timestamp=timestamp or int(time.time() * 1000),
-            width=w, height=h, keyframe=keyframe, data=payload)
+        ts = timestamp or int(time.time() * 1000)
+        # Native frame builder when available: the pure-Python CRC over
+        # every payload dominates client CPU at 60 FPS (the reference
+        # client computed its CRC in C++ too, protocol.h:441-466).
+        if native.HAVE_FRAME_BUILDER:
+            from ..protocol.packets import next_sequence, now_ms
+            raw = native.build_frame_data(fid, ts, w, h, keyframe, payload,
+                                          next_sequence(), now_ms())
+        else:
+            raw = FrameDataPacket(
+                frame_id=fid, frame_timestamp=ts, width=w, height=h,
+                keyframe=keyframe, data=payload).serialize()
         with self._lock:
             self._sent_at[fid] = time.perf_counter()
-        self._send(pkt.serialize())
+        self._send(raw)
         return fid
 
     def heartbeat(self, ping: int = 0) -> None:
