@@ -60,13 +60,19 @@ def fused_bias_silu(y: jnp.ndarray, b: jnp.ndarray,
         return jax.nn.silu(z)
     m = total // 128
     rows = _pick_rows(m)
-    btile = jnp.tile(b.astype(y.dtype), 128 // c).reshape(1, 128)
+    # Bias pre-broadcast to the FULL block shape on the host side: a
+    # (1, 128) bias block needs a sublane broadcast inside the kernel,
+    # which Mosaic rejects for packed dtypes on TPU ('vector.broadcast'
+    # verification error for bf16). Equal-shape elementwise lowers clean;
+    # the block is at most 512x128 (128 KB bf16) in VMEM.
+    btile = jnp.broadcast_to(jnp.tile(b.astype(y.dtype), 128 // c),
+                             (rows, 128))
     flat = y.reshape(m, 128)
     out = pl.pallas_call(
         _bias_silu_kernel,
         grid=(m // rows,),
         in_specs=[pl.BlockSpec((rows, 128), lambda i: (i, 0)),
-                  pl.BlockSpec((1, 128), lambda i: (0, 0))],
+                  pl.BlockSpec((rows, 128), lambda i: (0, 0))],
         out_specs=pl.BlockSpec((rows, 128), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m, 128), y.dtype),
         interpret=interpret,
