@@ -295,8 +295,7 @@ def test_cleanup_enqueue_nonblocking_when_queue_full():
         "tpu": {"frame_buckets": [[64, 64]], "batch_buckets": [1]},
     })
     server = DetectionServer(cfg)   # not started: no decode worker draining
-    q = server._decode_queue
-    assert q is not None
+    q = server._decode_queues[0]  # cid 42 % 1 worker == queue 0
     while not q.full():
         q.put_nowait(("__cleanup__", 0))
 
@@ -403,4 +402,52 @@ def test_request_keyframe_recovery():
         assert server.device_cache.frozen_clients() == []  # re-anchored
     finally:
         c.stop()
+        h.stop()
+
+
+def test_sharded_decode_workers_preserve_per_client_order():
+    """worker_threads=3 shards decode by client id: independent clients'
+    frames decode in parallel while each client's keyframe->ROI ordering
+    (and eviction cleanup) stays FIFO on its own worker."""
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent/model.npz",
+        "port": PORT + 15, "web_port": 0, "max_clients": 6,
+        "worker_threads": 3,
+        "tpu": {"batch_window_ms": 1.0, "frame_buckets": [[128, 128]],
+                "batch_buckets": [1, 2, 4]},
+    })
+    h = ServerHarness(cfg)
+    server = h.start()
+    server.device_cache.warm()
+    assert len(server._decode_queues) == 3
+    clients = []
+    try:
+        for i in range(3):
+            c = _client(server.port)
+            c.connect()
+            c.start_receiver()
+            clients.append(c)
+        for i, c in enumerate(clients):
+            c.send_jpeg_keyframe(synthetic_frame(96, 64, seed=10 + i))
+        for c in clients:
+            assert c.wait_results(1, timeout=10)
+        for i, c in enumerate(clients):
+            c.send_roi_update(synthetic_frame(32, 16, seed=20 + i), 8, 8)
+        for c in clients:
+            assert len(c.wait_results(2, timeout=10)) >= 2
+        # Each client's slot holds ITS OWN keyframe content (no
+        # cross-worker mix-up): gather and compare a corner pixel far from
+        # the pasted ROI.
+        import numpy as np
+        cids = sorted(server._sessions)
+        frames, _, _ = server.device_cache.gather(cids)
+        for i, cid in enumerate(cids):
+            want = synthetic_frame(96, 64, seed=10 + i)
+            got = np.asarray(frames[i])[:64, :96]
+            # JPEG is lossy: compare means, not bytes.
+            assert abs(float(got[50:, 60:].mean())
+                       - float(want[50:, 60:].mean())) < 8.0
+    finally:
+        for c in clients:
+            c.stop()
         h.stop()

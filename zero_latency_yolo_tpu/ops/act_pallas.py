@@ -31,8 +31,12 @@ from jax.experimental import pallas as pl
 
 
 def _bias_silu_kernel(y_ref, b_ref, o_ref):
-    z = y_ref[...] + b_ref[...]
-    o_ref[...] = z * jax.nn.sigmoid(z)
+    # f32 register math regardless of the storage dtype: Mosaic's bf16
+    # sigmoid lowering emits an f32->bf16 'vector.broadcast' it then
+    # rejects (element-type verification), and f32 tails are also the
+    # numerically safer form. Loads/stores stay in the storage dtype.
+    z = y_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    o_ref[...] = (z * (1.0 / (1.0 + jnp.exp(-z)))).astype(o_ref.dtype)
 
 
 def _pick_rows(m: int) -> int:

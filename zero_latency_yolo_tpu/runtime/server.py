@@ -152,12 +152,18 @@ class DetectionServer:
             logs_dir=_os.path.dirname(config.logging.log_file) or "logs",
             active_model=_os.path.basename(config.model_path))
         # Frame decode offload (config worker_threads, reference
-        # server/config.h:316): JPEG/ROI decode runs off the packet thread;
-        # one worker preserves per-client ordering.
+        # server/config.h:316): JPEG/ROI decode runs off the packet thread.
+        # N workers shard by client id (cid % N -> one FIFO queue each):
+        # per-client frame ordering — and the eviction-cleanup-behind-
+        # frames invariant — hold per worker, while independent clients'
+        # decodes parallelize on multicore hosts. Cache writes are
+        # host-side deferred appends (lock-protected); no worker ever
+        # touches the device.
         import queue as _queue
-        self._decode_queue = (_queue.Queue(maxsize=256)
-                              if config.worker_threads > 0 else None)
-        self._decode_thread = None
+        n_workers = max(int(config.worker_threads), 0)
+        self._decode_queues = [_queue.Queue(maxsize=256)
+                               for _ in range(n_workers)]
+        self._decode_threads: List = []
 
         self._sessions: Dict[int, ClientSession] = {}
         self._by_addr: Dict[Addr, int] = {}
@@ -216,11 +222,13 @@ class DetectionServer:
                 log.warning("port %d busy, trying %d", p, p + 1)
         if use_native:
             log.info("native recvmmsg transport active on udp/%d", self.port)
-        if self._decode_queue is not None:
+        if self._decode_queues:
             import threading as _threading
-            self._decode_thread = _threading.Thread(
-                target=self._decode_loop, name="zlt-decode", daemon=True)
-            self._decode_thread.start()
+            for i, q in enumerate(self._decode_queues):
+                t = _threading.Thread(target=self._decode_loop, args=(q,),
+                                      name=f"zlt-decode-{i}", daemon=True)
+                t.start()
+                self._decode_threads.append(t)
         if self.config.network.web_port:
             try:
                 self._http_server = await asyncio.start_server(
@@ -260,10 +268,12 @@ class DetectionServer:
                 except (asyncio.CancelledError, Exception):  # noqa: BLE001
                     pass
         self.batcher.stop()
-        if self._decode_queue is not None and self._decode_thread is not None:
-            self._decode_queue.put(None)
-            self._decode_thread.join(timeout=2.0)
-            self._decode_thread = None
+        if self._decode_threads:
+            for q in self._decode_queues:
+                q.put(None)
+            for t in self._decode_threads:
+                t.join(timeout=2.0)
+            self._decode_threads = []
         if self._http_server:
             self._http_server.close()
             await self._http_server.wait_closed()
@@ -557,11 +567,12 @@ class DetectionServer:
         # + JPEG/ROI decode time must show up in the reported p99, not be
         # silently excluded by stamping after decode.
         recv_t = time.perf_counter()
-        if self._decode_queue is not None:
+        if self._decode_queues:
             # Offload JPEG/ROI decode + cache writes off the packet thread
-            # (single worker preserves per-client keyframe->ROI ordering).
+            # (the client's sharded worker preserves its keyframe->ROI
+            # ordering).
             try:
-                self._decode_queue.put_nowait(
+                self._queue_for(session.client_id).put_nowait(
                     (session, frame_id, frame_ts, width, height, keyframe,
                      payload, recv_t))
             except Exception:  # noqa: BLE001 — queue full: shed the frame
@@ -575,9 +586,13 @@ class DetectionServer:
         if self.device_cache is not None:
             self.device_cache.release(client_id)
 
-    def _decode_loop(self) -> None:
+    def _queue_for(self, client_id: int):
+        qs = self._decode_queues
+        return qs[client_id % len(qs)]
+
+    def _decode_loop(self, q) -> None:
         while True:
-            item = self._decode_queue.get()
+            item = q.get()
             if item is None:
                 return
             try:
@@ -777,7 +792,7 @@ class DetectionServer:
         self._by_addr.pop(session.addr, None)
         self._sync_peers()
         self.adapter.unregister_client(client_id)
-        if self._decode_queue is not None:
+        if self._decode_queues:
             # Order the queue/slot cleanup BEHIND any frames already queued
             # for this client: a frame decoded after release() would
             # re-acquire a cache slot under the dead id (client ids are
@@ -805,7 +820,7 @@ class DetectionServer:
         vs already-queued frames still holds: the sentinel only ever lands
         behind them, and no new frame can enqueue for a dead session."""
         try:
-            self._decode_queue.put_nowait(("__cleanup__", client_id))
+            self._queue_for(client_id).put_nowait(("__cleanup__", client_id))
         except Exception:  # noqa: BLE001 — queue.Full
             if self._loop is not None and self._running:
                 self._loop.call_later(0.05, self._enqueue_cleanup, client_id)
