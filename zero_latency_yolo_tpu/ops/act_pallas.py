@@ -14,10 +14,17 @@ divides 128 — so each vector op uses all 128 lanes regardless of C. The
 bias is pre-tiled to the 128-lane pattern (128/C whole channel vectors per
 row). One HBM read + one write, compute-dense.
 
-Opt-in via tpu.act="pallas" (the axon dev relay's remote-compile service
-cannot build Pallas programs — tpu_compile_helper 500 — so "auto" resolves
-to the XLA tails; flip the flag on hosts that compile Pallas).
-Correctness is exercised in interpreter mode on CPU CI
+MEASURED NEGATIVE RESULT on v5e (round 3, docs/BENCH_NOTES): the kernel
+itself compiles and is correct on-chip (the simple-kernel Pallas path now
+works through the relay; only larger programs like the NMS kernel still
+hit the remote-compile 500), but the full model REGRESSES 2-4x with it
+(batch 32 step 6.44 -> 13.5 ms): ~60 standalone custom calls defeat XLA's
+cross-op fusion and pay an extra HBM round trip per conv that the inlined
+(lane-starved but fused) XLA tails do not. Beating the SiLU tails needs
+the epilogue fused INTO the conv's output write, which Pallas cannot
+express without reimplementing the convolution. Kept opt-in
+(tpu.act="pallas") as the documented negative result; "auto" stays the
+XLA tails. Correctness exercised in interpreter mode on CPU CI
 (tests/test_act_pallas.py).
 """
 
@@ -40,12 +47,13 @@ def _bias_silu_kernel(y_ref, b_ref, o_ref):
 
 
 def _pick_rows(m: int) -> int:
-    """Largest power-of-two block height <= 512 dividing m (8-sublane
-    aligned when possible)."""
-    for r in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+    """Largest power-of-two block height <= 512 dividing m. TPU lowering
+    requires the second-minor block dim to be a multiple of 8 (sublanes);
+    returns 0 when none fits (caller falls back to the XLA tail)."""
+    for r in (512, 256, 128, 64, 32, 16, 8):
         if m % r == 0:
             return r
-    return 1
+    return 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -64,6 +72,9 @@ def fused_bias_silu(y: jnp.ndarray, b: jnp.ndarray,
         return jax.nn.silu(z)
     m = total // 128
     rows = _pick_rows(m)
+    if rows == 0:
+        z = y + b.astype(y.dtype)
+        return jax.nn.silu(z)
     # Bias pre-broadcast to the FULL block shape on the host side: a
     # (1, 128) bias block needs a sublane broadcast inside the kernel,
     # which Mosaic rejects for packed dtypes on TPU ('vector.broadcast'
