@@ -283,13 +283,55 @@ class DetectionServer:
 
     # ============================================================== rx path
     def _on_native_batch(self, batch) -> None:
-        """Called on the native drain thread: hop to the loop once per batch.
-        v2 batches carry pre-validated headers (CRC already checked in C++)
-        and an already-ACKed flag (the ACK left via sendmmsg on the drain
-        thread); v1 batches carry hdr=None and take the validating path."""
+        """Called on the native drain thread. v2 batches carry pre-validated
+        headers (CRC checked in C++) and an already-ACKed flag (the ACK left
+        via sendmmsg on the drain thread); v1 batches carry hdr=None and
+        take the validating loop path.
+
+        FRAME_DATA from a known, already-ACKed session is handed to its
+        sharded decode worker DIRECTLY from this thread: at 64x60 the event
+        loop was the host bottleneck, and the dominant packet type needs
+        nothing from it (counters are lock-backed, the queue is
+        thread-safe, last_active is a benign monotonic float store, and
+        the decode worker re-checks session identity before any cache
+        write). Control packets and not-yet-registered peers still hop to
+        the loop. Transition window: a client's frames land on the loop
+        path until set_peers installs it, so one early keyframe can be
+        overtaken by a drain-path ROI — which the decode path heals by
+        requesting a fresh keyframe (see _decode_frame)."""
         if self._loop is None:
             return
-        def deliver():
+        rest = batch
+        if self._decode_queues:
+            rest = []
+            for item in batch:
+                data, addr, hdr, pre_acked = item
+                try:
+                    if (hdr is not None and pre_acked
+                            and hdr[0] == PacketType.FRAME_DATA):
+                        session = self._session_by_addr(addr)
+                        if session is not None:
+                            self.packets_received.inc()
+                            self.bytes_received.inc(len(data))
+                            self.packets_sent.inc()  # the C-side 26B ACK
+                            self.bytes_sent.inc(26)
+                            session.last_active = time.monotonic()
+                            parsed = native.parse_frame_header(data)
+                            if parsed is None:
+                                self.bad_packets.inc()
+                                continue
+                            fid, fts, w, h, keyframe, off = parsed
+                            self._handle_frame_fast(session, fid, fts, w, h,
+                                                    keyframe, data[off:])
+                            continue
+                except Exception:  # noqa: BLE001
+                    self.bad_packets.inc()
+                    log.exception("drain-path frame failed (%s)", addr)
+                    continue
+                rest.append(item)
+            if not rest:
+                return
+        def deliver(batch=rest):
             for data, addr, hdr, pre_acked in batch:
                 # Per-datagram isolation: one handler fault must not shed
                 # the rest of the recvmmsg batch (other clients' frames and
@@ -627,8 +669,16 @@ class DetectionServer:
                                      decoded.roi.x, decoded.roi.y)
                 self._notify_frozen()
                 if not ok:
+                    # No anchoring keyframe (lost in transit, or overtaken
+                    # during the drain-path transition window): ask for one
+                    # now instead of serving nothing until the client's own
+                    # cadence — rate-limited like the shed path.
                     log.debug("ROI before keyframe (client %d); dropped",
                               session.client_id)
+                    if self._loop is not None:
+                        self._loop.call_soon_threadsafe(
+                            self._send_keyframe_requests,
+                            [session.client_id])
                     return
             else:
                 if not cache.write_keyframe(session.client_id, decoded.pixels):
