@@ -292,6 +292,7 @@ def _report(results, variant, size, live=None, host_path=None):
         # (see _host_path_loadtest; the BASELINE p99<8ms condition).
         out["host_path"] = {
             label: {
+                "synthetic_ladder": True,
                 "streams": rep.get("streams"),
                 "offered_fps": rep.get("offered_fps"),
                 "served_fps": rep.get("served_fps"),
@@ -302,7 +303,6 @@ def _report(results, variant, size, live=None, host_path=None):
                 "frames_dropped": rep.get("frames_dropped"),
             } for label, rep in host_path.items()
         }
-        out["host_path"]["synthetic_ladder"] = True
     if live is not None:
         # MEASURED under live load (64 SimClient streams at 60 FPS against a
         # real server process; the server's own rolling counters).

@@ -440,6 +440,9 @@ def test_sharded_decode_workers_preserve_per_client_order():
         # the pasted ROI.
         import numpy as np
         cids = sorted(server._sessions)
+        # Single-dispatcher invariant: stop the batcher before gathering
+        # from the test thread (concurrent dispatch wedges relayed TPUs).
+        server.batcher.stop()
         frames, _, _ = server.device_cache.gather(cids)
         for i, cid in enumerate(cids):
             want = synthetic_frame(96, 64, seed=10 + i)

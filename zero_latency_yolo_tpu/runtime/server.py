@@ -304,6 +304,11 @@ class DetectionServer:
         rest = batch
         if self._decode_queues:
             rest = []
+            # Counters accumulate across the recvmmsg batch and commit as
+            # ONE lock acquisition each: recv is blocked while this runs,
+            # so per-packet inc()s directly delay the next drain.
+            fast_n = 0
+            fast_bytes = 0
             for item in batch:
                 data, addr, hdr, pre_acked = item
                 try:
@@ -311,10 +316,8 @@ class DetectionServer:
                             and hdr[0] == PacketType.FRAME_DATA):
                         session = self._session_by_addr(addr)
                         if session is not None:
-                            self.packets_received.inc()
-                            self.bytes_received.inc(len(data))
-                            self.packets_sent.inc()  # the C-side 26B ACK
-                            self.bytes_sent.inc(26)
+                            fast_n += 1
+                            fast_bytes += len(data)
                             session.last_active = time.monotonic()
                             parsed = native.parse_frame_header(data)
                             if parsed is None:
@@ -329,6 +332,11 @@ class DetectionServer:
                     log.exception("drain-path frame failed (%s)", addr)
                     continue
                 rest.append(item)
+            if fast_n:
+                self.packets_received.inc(fast_n)
+                self.bytes_received.inc(fast_bytes)
+                self.packets_sent.inc(fast_n)   # the C-side 26B ACKs
+                self.bytes_sent.inc(26 * fast_n)
             if not rest:
                 return
         def deliver(batch=rest):
@@ -848,8 +856,11 @@ class DetectionServer:
             # re-acquire a cache slot under the dead id (client ids are
             # never reused, so that slot would leak until the free list
             # drained and the server stopped admitting ANY client). The
-            # single FIFO decode worker guarantees the ordering; no frame
-            # can enqueue after this point because the session is gone.
+            # client's sharded FIFO worker orders sentinel-after-frames;
+            # the drain-thread fast path CAN still enqueue a frame after
+            # this point (it read the session ref pre-pop), so the LOAD-
+            # BEARING guard is _decode_frame's session-identity re-check —
+            # do not remove it.
             self._enqueue_cleanup(client_id)
         else:
             self._cleanup_client(client_id)
