@@ -247,6 +247,28 @@ def test_s2d_stem_engine_matches_baseline():
         assert abs(da.x - db.x) < 1e-3 and abs(da.confidence - db.confidence) < 1e-3
 
 
+def test_perlevel_select_engine_matches_baseline():
+    """tpu.select="perlevel" + tpu.c2f="split" (the serving-layout pair that
+    kills the full-anchor concat and the C2f slice/concat) must serve the
+    same detections as the default concat path."""
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    base = InferenceEngine(_cfg(), params=params,
+                           preprocess_mode="letterbox_mxu")
+    cfg = _cfg()
+    cfg.tpu.select = "perlevel"
+    cfg.tpu.c2f = "split"
+    pl = InferenceEngine(cfg, params=params, preprocess_mode="letterbox_mxu")
+    for seed in (21, 22):
+        a = base.infer_batch([_req(1, 1, seed=seed)])[0]
+        b = pl.infer_batch([_req(1, 1, seed=seed)])[0]
+        assert len(a.detections) == len(b.detections)
+        for da, db in zip(a.detections, b.detections):
+            assert da.class_id == db.class_id
+            assert abs(da.x - db.x) < 1e-3
+            assert abs(da.confidence - db.confidence) < 1e-3
+
+
 def test_mixed_orientation_buckets_grouped_not_crashed():
     """Non-nested frame buckets (portrait+landscape): no single bucket covers
     a mixed batch — infer_batch groups by bucket; dispatch defends."""

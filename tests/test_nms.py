@@ -91,6 +91,33 @@ def test_empty_when_nothing_passes():
     assert got["scores"].sum() == 0
 
 
+def test_perlevel_selection_matches_concat():
+    """postprocess_batch_levels (tpu.select="perlevel") keeps the same set
+    as the global top-k over the concatenated anchors: the global top-k of a
+    union is contained in the union of per-level top-ks."""
+    from zero_latency_yolo_tpu.ops.nms import postprocess_batch_levels
+
+    rng = np.random.default_rng(11)
+    parts = [_rand_pred(rng, a=a) for a in (64, 16, 4)]
+    boxes_l = [jnp.asarray(p[None, :, :4]) for p in parts]
+    probs_l = [jnp.asarray(p[None, :, 4:]) for p in parts]
+    weights = np.array([1.0, 1.0, 1.2, 0.8], np.float32)
+    base = _run_device(np.concatenate(parts, axis=0), weights, 0.4, 0.45)
+    out = postprocess_batch_levels(
+        boxes_l, probs_l, jnp.asarray(weights),
+        jnp.float32(0.4), jnp.float32(0.45),
+        jnp.asarray([1.0], jnp.float32),
+        jnp.asarray([(0.0, 0.0)], jnp.float32),
+        jnp.asarray([(416.0, 416.0)], jnp.float32))
+    got = {k: np.asarray(v)[0] for k, v in out.items()}
+    n = int(base["count"])
+    assert int(got["count"]) == n
+    np.testing.assert_allclose(got["scores"][:n], base["scores"][:n],
+                               atol=1e-6)
+    np.testing.assert_allclose(got["boxes"][:n], base["boxes"][:n], atol=1e-5)
+    np.testing.assert_array_equal(got["classes"][:n], base["classes"][:n])
+
+
 def test_cap_at_max_det():
     # 100 well-separated confident boxes -> clipped to MAX_DET.
     rng = np.random.default_rng(7)

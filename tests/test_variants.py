@@ -82,6 +82,55 @@ def test_concurrent_traces_are_isolated():
         np.testing.assert_array_equal(got[flag], ref[flag])
 
 
+def test_c2f_split_matches_baseline():
+    """tpu.c2f="split" is an exact rewrite: cv1 as two half-width convs and
+    cv2 as a sum of per-piece 1x1 contractions on weight slices — same math
+    as the slice/concat form up to partial-sum rounding."""
+    import jax.numpy as jnp
+    from zero_latency_yolo_tpu.models import forward_decoded
+
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(3), spec, folded=True)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+
+    base = np.asarray(jax.jit(
+        lambda p, xx: forward_decoded(p, spec, xx, dtype=jnp.float32)
+    )(params, x))
+    split = np.asarray(jax.jit(
+        lambda p, xx: forward_decoded(p, spec, xx, dtype=jnp.float32,
+                                      c2f="split"))(params, x))
+    np.testing.assert_allclose(split, base, rtol=1e-4, atol=1e-4)
+
+    # bf16 serving path engages the split form too; detection-level closeness.
+    b16 = np.asarray(jax.jit(
+        lambda p, xx: forward_decoded(p, spec, xx, dtype=jnp.bfloat16)
+    )(params, x))
+    b16_split = np.asarray(jax.jit(
+        lambda p, xx: forward_decoded(p, spec, xx, dtype=jnp.bfloat16,
+                                      c2f="split"))(params, x))
+    np.testing.assert_allclose(b16_split, b16, rtol=3e-2, atol=3e-2)
+
+
+def test_c2f_split_falls_back_on_unfolded_params():
+    """Unfolded (BN) checkpoints can't slice fused weights — the split form
+    must fall back to the slice/concat path, bit-identically."""
+    import jax.numpy as jnp
+    from zero_latency_yolo_tpu.models import forward_decoded
+
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(4), spec, folded=False)
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    base = np.asarray(jax.jit(
+        lambda p, xx: forward_decoded(p, spec, xx, dtype=jnp.float32)
+    )(params, x))
+    split = np.asarray(jax.jit(
+        lambda p, xx: forward_decoded(p, spec, xx, dtype=jnp.float32,
+                                      c2f="split"))(params, x))
+    np.testing.assert_array_equal(split, base)
+
+
 def test_s2d_stem_and_dot1x1_match_baseline():
     """The serving-layout experiments are exact rewrites: s2d stem over s2d
     input and dot_general 1x1 convs must reproduce the baseline forward."""

@@ -156,6 +156,13 @@ class TpuConfig:
     stem: str = "conv"
     # dot1x1=True: k1 s1 convs via dot_general (probes TPU output fusion).
     dot1x1: bool = False
+    # select="perlevel": pre-NMS candidate top-k per FPN level before the
+    # cross-level concat (same kept set as the global top-k; kills the
+    # full-anchor concat/gather layout copies). "concat" = original form.
+    select: str = "concat"
+    # c2f="split": C2f without the channel slice/concat (cv1 split into two
+    # convs, cv2 as a sum of per-piece 1x1 convs — same math).
+    c2f: str = "slice"
     # Dispatched-but-unread batch depth the scheduler keeps in flight.
     # 2 = one computing while the previous converts (the local optimum);
     # higher values amortize per-readback link RTT through relayed

@@ -315,13 +315,38 @@ def _bottleneck(p: Params, x: jnp.ndarray, shortcut: bool, cv) -> jnp.ndarray:
     return x + y if shortcut else y
 
 
-def _c2f(p: Params, x: jnp.ndarray, shortcut: bool, cv) -> jnp.ndarray:
-    y = cv(p["cv1"], x)
-    c = y.shape[-1] // 2
-    ys = [y[..., :c], y[..., c:]]
+def _c2f(p: Params, x: jnp.ndarray, shortcut: bool, cv,
+         split: bool = False) -> jnp.ndarray:
+    """C2f block. split=True (tpu.c2f="split", serving-layout experiment)
+    avoids the channel slice and concat: cv1 runs as two half-width convs and
+    cv2 as a sum of per-piece 1x1 convs — identical contractions on weight
+    slices, so the math matches up to bf16 partial-sum rounding. Falls back
+    to the slice/concat form for unfolded (bn) or int8 (w_q) params."""
+    cv1, cv2 = p["cv1"], p["cv2"]
+
+    def plain(q):
+        return "bn" not in q and "w_q" not in q and "b" in q
+
+    if split and plain(cv1):
+        w, b = cv1["w"], cv1["b"]
+        c = w.shape[-1] // 2
+        ys = [cv({"w": w[..., :c], "b": b[:c]}, x),
+              cv({"w": w[..., c:], "b": b[c:]}, x)]
+    else:
+        y = cv(cv1, x)
+        c = y.shape[-1] // 2
+        ys = [y[..., :c], y[..., c:]]
     for mp in p["m"]:
         ys.append(_bottleneck(mp, ys[-1], shortcut, cv))
-    return cv(p["cv2"], jnp.concatenate(ys, axis=-1))
+    if split and plain(cv2) and cv2["w"].shape[0] == 1:
+        w2 = cv2["w"]
+        acc = None
+        for i, yi in enumerate(ys):
+            part = cv({"w": w2[:, :, i * c:(i + 1) * c]}, yi, act=False)
+            acc = part if acc is None else acc + part
+        acc = acc + cv2["b"].astype(acc.dtype)
+        return jax.nn.silu(acc)
+    return cv(cv2, jnp.concatenate(ys, axis=-1))
 
 
 def _maxpool5(x: jnp.ndarray) -> jnp.ndarray:
@@ -401,7 +426,8 @@ def _stem_s2d(p: Params, x: jnp.ndarray, dtype, accum_f32: bool) -> jnp.ndarray:
 
 def apply_backbone(params: Params, x: jnp.ndarray, dtype=jnp.float32,
                    accum_f32: bool = True, conv_fn=None,
-                   stem: str = "conv", dot1x1: bool = False
+                   stem: str = "conv", dot1x1: bool = False,
+                   c2f: str = "slice"
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Backbone + neck. x: (B, H, W, 3) float in [0,1] — or, with
     stem="s2d", the space-to-depth form (B, H/2, W/2, 12) produced by
@@ -413,6 +439,7 @@ def apply_backbone(params: Params, x: jnp.ndarray, dtype=jnp.float32,
     """
     cv = partial(conv_fn or _conv, dtype=dtype, accum_f32=accum_f32,
                  dot1x1=dot1x1)
+    c2 = partial(_c2f, split=(c2f == "split"))
     x = x.astype(dtype)
     if stem == "s2d":
         if "w_q" in params["m0"]:
@@ -421,44 +448,45 @@ def apply_backbone(params: Params, x: jnp.ndarray, dtype=jnp.float32,
     else:
         x = cv(params["m0"], x, stride=2)
     x = cv(params["m1"], x, stride=2)
-    x = _c2f(params["m2"], x, True, cv)
+    x = c2(params["m2"], x, True, cv)
     x = cv(params["m3"], x, stride=2)
-    p3_in = _c2f(params["m4"], x, True, cv)               # idx 4
+    p3_in = c2(params["m4"], x, True, cv)                 # idx 4
     x = cv(params["m5"], p3_in, stride=2)
-    p4_in = _c2f(params["m6"], x, True, cv)               # idx 6
+    p4_in = c2(params["m6"], x, True, cv)                 # idx 6
     x = cv(params["m7"], p4_in, stride=2)
-    x = _c2f(params["m8"], x, True, cv)
+    x = c2(params["m8"], x, True, cv)
     p5_in = _sppf(params["m9"], x, cv)                    # idx 9
 
     # Top-down
     x = jnp.concatenate([_upsample2x(p5_in), p4_in], axis=-1)   # 10, 11
-    n12 = _c2f(params["m12"], x, False, cv)
+    n12 = c2(params["m12"], x, False, cv)
     x = jnp.concatenate([_upsample2x(n12), p3_in], axis=-1)     # 13, 14
-    p3 = _c2f(params["m15"], x, False, cv)
+    p3 = c2(params["m15"], x, False, cv)
     # Bottom-up
     x = jnp.concatenate([cv(params["m16"], p3, stride=2), n12], axis=-1)  # 16, 17
-    p4 = _c2f(params["m18"], x, False, cv)
+    p4 = c2(params["m18"], x, False, cv)
     x = jnp.concatenate([cv(params["m19"], p4, stride=2), p5_in], axis=-1)  # 19, 20
-    p5 = _c2f(params["m21"], x, False, cv)
+    p5 = c2(params["m21"], x, False, cv)
     return p3, p4, p5
 
 
 def forward_raw(params: Params, spec: ModelSpec, x: jnp.ndarray,
                 dtype=jnp.float32, accum_f32: bool = True,
                 conv_fn=None, stem: str = "conv",
-                dot1x1: bool = False) -> List[jnp.ndarray]:
+                dot1x1: bool = False, c2f: str = "slice") -> List[jnp.ndarray]:
     """Full forward. Returns per-level (B, Hi, Wi, 4*reg_max + nc) maps in f32.
 
     accum_f32: True for serving (fused f32 MXU accumulation, ~1.75x),
     False for training (autodiff-safe). Threaded explicitly — concurrent
     traces with different settings are safe (no module-global state).
     conv_fn: optional _conv replacement (see apply_backbone).
-    stem/dot1x1: serving-layout experiments (see _stem_s2d / _conv).
+    stem/dot1x1/c2f: serving-layout experiments (see _stem_s2d/_conv/_c2f).
     """
     cv = partial(conv_fn or _conv, dtype=dtype, accum_f32=accum_f32,
                  dot1x1=dot1x1)
     feats = apply_backbone(params, x, dtype=dtype, accum_f32=accum_f32,
-                           conv_fn=conv_fn, stem=stem, dot1x1=dot1x1)
+                           conv_fn=conv_fn, stem=stem, dot1x1=dot1x1,
+                           c2f=c2f)
     det = params["m22"]
     outs = []
     for level, f in enumerate(feats):
@@ -492,13 +520,14 @@ def anchors_for(spec: ModelSpec, h: int, w: int, offset: float = 0.5
     return np.concatenate(pts, 0), np.concatenate(strides, 0)
 
 
-def decode_outputs(spec: ModelSpec,
-                   outs: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """Decode raw level maps to (B, A, 4 + nc): xywh in input pixels + class probs.
+def decode_output_levels(spec: ModelSpec, outs: Sequence[jnp.ndarray]
+                         ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """Per-level decode: lists of boxes (B, A_l, 4) and probs (B, A_l, nc).
 
-    Matches the ONNX-exported YOLOv8 head: DFL softmax expectation over reg_max
-    bins -> ltrb distances, dist2bbox around anchor centers, × stride; class
-    scores are sigmoid probabilities.
+    The level-separated form feeds ops/nms.postprocess_batch_levels, which
+    selects pre-NMS candidates per level BEFORE any cross-level concat —
+    the full-anchor (B, 3549, ...) concats in `decode_outputs` cost ~0.3
+    ms/step of pure layout copies at batch 16 (XPlane, v5e).
     """
     reg_max, nc = spec.reg_max, spec.num_classes
     b = outs[0].shape[0]
@@ -529,6 +558,18 @@ def decode_outputs(spec: ModelSpec,
                        .reshape(b, gh * gw, 4))
         probs_l.append(jax.nn.sigmoid(o[..., 4 * reg_max:])
                        .reshape(b, gh * gw, nc))
+    return boxes_l, probs_l
+
+
+def decode_outputs(spec: ModelSpec,
+                   outs: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Decode raw level maps to (B, A, 4 + nc): xywh in input pixels + class probs.
+
+    Matches the ONNX-exported YOLOv8 head: DFL softmax expectation over reg_max
+    bins -> ltrb distances, dist2bbox around anchor centers, × stride; class
+    scores are sigmoid probabilities.
+    """
+    boxes_l, probs_l = decode_output_levels(spec, outs)
     return jnp.concatenate([jnp.concatenate(boxes_l, axis=1),
                             jnp.concatenate(probs_l, axis=1)], axis=-1)
 
@@ -536,8 +577,20 @@ def decode_outputs(spec: ModelSpec,
 def forward_decoded(params: Params, spec: ModelSpec, x: jnp.ndarray,
                     dtype=jnp.float32, accum_f32: bool = True,
                     stem: str = "conv", dot1x1: bool = False,
-                    conv_fn=None) -> jnp.ndarray:
+                    conv_fn=None, c2f: str = "slice") -> jnp.ndarray:
     """(B, A, 4+nc) decoded output — the ONNX `output0` equivalent (transposed)."""
     outs = forward_raw(params, spec, x, dtype=dtype, accum_f32=accum_f32,
-                       stem=stem, dot1x1=dot1x1, conv_fn=conv_fn)
+                       stem=stem, dot1x1=dot1x1, conv_fn=conv_fn, c2f=c2f)
     return decode_outputs(spec, outs)
+
+
+def forward_decoded_levels(params: Params, spec: ModelSpec, x: jnp.ndarray,
+                           dtype=jnp.float32, accum_f32: bool = True,
+                           stem: str = "conv", dot1x1: bool = False,
+                           conv_fn=None, c2f: str = "slice"
+                           ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """Level-separated decoded output (boxes_l, probs_l) — feeds the
+    per-level candidate selection (ops/nms.postprocess_batch_levels)."""
+    outs = forward_raw(params, spec, x, dtype=dtype, accum_f32=accum_f32,
+                       stem=stem, dot1x1=dot1x1, conv_fn=conv_fn, c2f=c2f)
+    return decode_output_levels(spec, outs)

@@ -122,26 +122,11 @@ def _compact_one(top_boxes, top_scores, top_class, keep,
     }
 
 
-@partial(jax.jit, static_argnums=(7, 8))
-def postprocess_batch(pred: jnp.ndarray, class_weights: jnp.ndarray,
-                      conf_thresh: jnp.ndarray, iou_thresh: jnp.ndarray,
-                      scale: jnp.ndarray, pad: jnp.ndarray,
-                      src_wh: jnp.ndarray, topk: int = PRE_NMS_TOPK,
-                      nms_impl: str = "xla") -> Dict[str, jnp.ndarray]:
-    """Batched postprocess.
-
-    pred:    (B, A, 4+nc) decoded model output (model-input pixel boxes)
-    class_weights: (nc,) score multipliers
-    conf_thresh / iou_thresh: scalars (runtime values — no recompiles on change)
-    scale:   (B,) letterbox scale; pad: (B, 2) = (pad_x, pad_y)
-    src_wh:  (B, 2) source frame (w, h) as float
-    nms_impl: "xla" (fori_loop scan), "pallas" (VMEM-resident kernel),
-              "pallas_interpret" (kernel in interpreter mode, CPU CI)
-    """
-    topk = min(topk, pred.shape[1])
-    top_boxes, top_scores, top_class, top_valid = jax.vmap(
-        lambda p: _select_one(p, class_weights, conf_thresh, topk))(pred)
-
+def _nms_and_compact(top_boxes, top_scores, top_class, top_valid,
+                     iou_thresh, scale, pad, src_wh,
+                     nms_impl: str) -> Dict[str, jnp.ndarray]:
+    """Stages 2+3, shared by both selection forms: pairwise IoU, greedy
+    suppression, compact + un-letterbox."""
     iou = jax.vmap(_iou_matrix_center)(top_boxes)
     same_class = top_class[:, :, None] == top_class[:, None, :]
     if nms_impl.startswith("pallas"):
@@ -163,6 +148,68 @@ def postprocess_batch(pred: jnp.ndarray, class_weights: jnp.ndarray,
     # clients never see confidence > 1.
     out["scores"] = jnp.clip(out["scores"], 0.0, 1.0)
     return out
+
+
+@partial(jax.jit, static_argnums=(7, 8))
+def postprocess_batch(pred: jnp.ndarray, class_weights: jnp.ndarray,
+                      conf_thresh: jnp.ndarray, iou_thresh: jnp.ndarray,
+                      scale: jnp.ndarray, pad: jnp.ndarray,
+                      src_wh: jnp.ndarray, topk: int = PRE_NMS_TOPK,
+                      nms_impl: str = "xla") -> Dict[str, jnp.ndarray]:
+    """Batched postprocess.
+
+    pred:    (B, A, 4+nc) decoded model output (model-input pixel boxes)
+    class_weights: (nc,) score multipliers
+    conf_thresh / iou_thresh: scalars (runtime values — no recompiles on change)
+    scale:   (B,) letterbox scale; pad: (B, 2) = (pad_x, pad_y)
+    src_wh:  (B, 2) source frame (w, h) as float
+    nms_impl: "xla" (fori_loop scan), "pallas" (VMEM-resident kernel),
+              "pallas_interpret" (kernel in interpreter mode, CPU CI)
+    """
+    topk = min(topk, pred.shape[1])
+    top_boxes, top_scores, top_class, top_valid = jax.vmap(
+        lambda p: _select_one(p, class_weights, conf_thresh, topk))(pred)
+    return _nms_and_compact(top_boxes, top_scores, top_class, top_valid,
+                            iou_thresh, scale, pad, src_wh, nms_impl)
+
+
+@partial(jax.jit, static_argnums=(8, 9))
+def postprocess_batch_levels(boxes_l, probs_l, class_weights: jnp.ndarray,
+                             conf_thresh: jnp.ndarray, iou_thresh: jnp.ndarray,
+                             scale: jnp.ndarray, pad: jnp.ndarray,
+                             src_wh: jnp.ndarray, topk: int = PRE_NMS_TOPK,
+                             nms_impl: str = "xla") -> Dict[str, jnp.ndarray]:
+    """postprocess_batch over level-separated decode (tpu.select="perlevel").
+
+    Candidate selection runs per FPN level BEFORE any cross-level concat:
+    top-k(min(topk, A_l)) within each level, then a global top-k over the
+    per-level survivors. The kept set is mathematically identical to the
+    global top-k over all anchors (the global top-k of a union is contained
+    in the union of per-level top-ks); only tie order among equal scores can
+    differ. What it buys on TPU: the (B, 3549, 4+nc) concat + full-anchor
+    gather — ~0.3 ms/step of layout copies at batch 16 (XPlane, v5e) — is
+    replaced by per-level gathers and a (B, ~681) score concat.
+    """
+    cs, cb, cc = [], [], []
+    for bx, pr in zip(boxes_l, probs_l):
+        w = pr * class_weights[None, None, :]
+        best = jnp.max(w, axis=-1)
+        cls = jnp.argmax(w, axis=-1).astype(jnp.int32)
+        ranked = jnp.where(best >= conf_thresh, best, -1.0)
+        k = min(topk, ranked.shape[1])
+        s, idx = jax.lax.top_k(ranked, k)
+        cs.append(s)
+        cb.append(jnp.take_along_axis(bx, idx[..., None], axis=1))
+        cc.append(jnp.take_along_axis(cls, idx, axis=1))
+    scores = jnp.concatenate(cs, axis=1)
+    boxes = jnp.concatenate(cb, axis=1)
+    classes = jnp.concatenate(cc, axis=1)
+    k = min(topk, scores.shape[1])
+    top_scores, ti = jax.lax.top_k(scores, k)
+    top_boxes = jnp.take_along_axis(boxes, ti[..., None], axis=1)
+    top_class = jnp.take_along_axis(classes, ti, axis=1)
+    return _nms_and_compact(top_boxes, top_scores, top_class, top_scores > 0,
+                            iou_thresh, scale, pad, src_wh, nms_impl)
 
 
 def pack_outputs(out: Dict[str, jnp.ndarray]) -> jnp.ndarray:

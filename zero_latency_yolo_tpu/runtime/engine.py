@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ServerConfig, CS16_CLASS_NAMES
-from ..models.yolov8 import ModelSpec, forward_decoded, get_spec
+from ..models.yolov8 import (ModelSpec, forward_decoded,
+                             forward_decoded_levels, get_spec)
 from ..models.weights import file_sha256, load_model
 from ..ops.preprocess import letterbox_params
 from ..ops import preprocess as pre_ops
@@ -305,6 +306,8 @@ class InferenceEngine:
         mode = self.preprocess_mode
         stem = getattr(self.config.tpu, "stem", "conv")
         dot1x1 = bool(getattr(self.config.tpu, "dot1x1", False))
+        select = getattr(self.config.tpu, "select", "concat")
+        c2f_impl = getattr(self.config.tpu, "c2f", "slice")
         act_impl = getattr(self.config.tpu, "act", "auto")
         conv_fn = None
         if act_impl in ("pallas", "pallas_interpret"):
@@ -331,26 +334,41 @@ class InferenceEngine:
 
         def step(params, frames, heights, widths, class_w, conf, iou):
             x = resize(frames, heights, widths, size)
-            pred = forward_decoded(params, spec, x, dtype=dtype, stem=stem,
-                                   dot1x1=dot1x1, conv_fn=conv_fn)
             hf = heights.astype(jnp.float32)
             wf = widths.astype(jnp.float32)
             if mode.startswith("letterbox"):
                 scale, pad_x, pad_y = jax.vmap(
                     lambda h, w: letterbox_params(h, w, size))(hf, wf)
                 pad = jnp.stack([pad_x, pad_y], axis=-1)
+                sy = None
             else:
                 # Stretch: independent x/y scales; fold into (scale, pad) form
                 # by giving postprocess x-scale and rescaling y coords.
                 scale = size / wf
                 pad = jnp.zeros((batch, 2), jnp.float32)
                 sy = (size / hf) / scale
-                pred = pred.at[..., 1].set(pred[..., 1] / sy[:, None])
-                pred = pred.at[..., 3].set(pred[..., 3] / sy[:, None])
             src_wh = jnp.stack([wf, hf], axis=-1)
-            out = nms_ops.postprocess_batch(
-                pred, class_w, conf, iou, scale, pad, src_wh, topk,
-                self.nms_impl)
+            if select == "perlevel":
+                boxes_l, probs_l = forward_decoded_levels(
+                    params, spec, x, dtype=dtype, stem=stem,
+                    dot1x1=dot1x1, conv_fn=conv_fn, c2f=c2f_impl)
+                if sy is not None:
+                    boxes_l = [b.at[..., 1].set(b[..., 1] / sy[:, None])
+                                .at[..., 3].set(b[..., 3] / sy[:, None])
+                               for b in boxes_l]
+                out = nms_ops.postprocess_batch_levels(
+                    boxes_l, probs_l, class_w, conf, iou, scale, pad,
+                    src_wh, topk, self.nms_impl)
+            else:
+                pred = forward_decoded(params, spec, x, dtype=dtype,
+                                       stem=stem, dot1x1=dot1x1,
+                                       conv_fn=conv_fn, c2f=c2f_impl)
+                if sy is not None:
+                    pred = pred.at[..., 1].set(pred[..., 1] / sy[:, None])
+                    pred = pred.at[..., 3].set(pred[..., 3] / sy[:, None])
+                out = nms_ops.postprocess_batch(
+                    pred, class_w, conf, iou, scale, pad, src_wh, topk,
+                    self.nms_impl)
             # ONE packed output array => ONE small D2H per batch (not four).
             return nms_ops.pack_outputs(out)
 
