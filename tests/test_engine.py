@@ -269,6 +269,42 @@ def test_perlevel_select_engine_matches_baseline():
             assert abs(da.confidence - db.confidence) < 1e-3
 
 
+def test_c2f_auto_resolution():
+    """tpu.c2f="auto" maps each batch bucket to its measured winner (split at
+    32 only — scripts/layout_compare.py); explicit values pass through."""
+    from zero_latency_yolo_tpu.runtime.engine import resolve_c2f
+    assert resolve_c2f("auto", 32) == "split"
+    for b in (1, 2, 4, 8, 16, 64, 128):
+        assert resolve_c2f("auto", b) == "slice"
+    assert resolve_c2f("slice", 32) == "slice"
+    assert resolve_c2f("split", 64) == "split"
+
+
+def test_c2f_auto_engine_matches_forced_slice(monkeypatch):
+    """An auto engine serving from a split-resolved bucket must produce the
+    same detections as the forced-slice engine (the split rewrite is exact;
+    this gates the auto WIRING, bucket→impl, not the math again)."""
+    import zero_latency_yolo_tpu.runtime.engine as eng_mod
+    monkeypatch.setattr(eng_mod, "C2F_AUTO_SPLIT_BATCHES", frozenset({1}))
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    cfg_s = _cfg()
+    cfg_s.tpu.c2f = "slice"
+    base = InferenceEngine(cfg_s, params=params,
+                           preprocess_mode="letterbox_mxu")
+    cfg_a = _cfg()
+    cfg_a.tpu.c2f = "auto"
+    auto = InferenceEngine(cfg_a, params=params,
+                           preprocess_mode="letterbox_mxu")
+    a = base.infer_batch([_req(1, 1, seed=31)])[0]
+    b = auto.infer_batch([_req(1, 1, seed=31)])[0]
+    assert len(a.detections) == len(b.detections)
+    for da, db in zip(a.detections, b.detections):
+        assert da.class_id == db.class_id
+        assert abs(da.x - db.x) < 1e-3
+        assert abs(da.confidence - db.confidence) < 1e-3
+
+
 def test_mixed_orientation_buckets_grouped_not_crashed():
     """Non-nested frame buckets (portrait+landscape): no single bucket covers
     a mixed batch — infer_batch groups by bucket; dispatch defends."""

@@ -161,8 +161,12 @@ class TpuConfig:
     # full-anchor concat/gather layout copies). "concat" = original form.
     select: str = "concat"
     # c2f="split": C2f without the channel slice/concat (cv1 split into two
-    # convs, cv2 as a sum of per-piece 1x1 convs — same math).
-    c2f: str = "slice"
+    # convs, cv2 as a sum of per-piece 1x1 convs — same math). "auto"
+    # (default) picks per batch bucket from the measured table in
+    # runtime/engine.py (scripts/layout_compare.py, v5e: split wins only at
+    # batch 32, −12…14%; slice everywhere else). "slice"/"split" force one
+    # form for every bucket.
+    c2f: str = "auto"
     # Dispatched-but-unread batch depth the scheduler keeps in flight.
     # 2 = one computing while the previous converts (the local optimum);
     # higher values amortize per-readback link RTT through relayed
