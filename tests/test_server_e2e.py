@@ -310,7 +310,7 @@ def test_cleanup_enqueue_nonblocking_when_queue_full():
     t0 = time.perf_counter()
     server._enqueue_cleanup(42)
     assert time.perf_counter() - t0 < 0.5   # returned immediately, no block
-    assert calls and calls[0][2] == (42,)
+    assert calls and calls[0][2] == ("__cleanup__", 42)
     q.get_nowait()                          # worker frees one slot
     calls[0][1](*calls[0][2])               # the scheduled retry fires
     items = []
@@ -454,3 +454,66 @@ def test_sharded_decode_workers_preserve_per_client_order():
         for c in clients:
             c.stop()
         h.stop()
+
+
+def test_stream_control_pause_resume_stop(harness):
+    """COMMAND stream control (reference declared START/STOP/PAUSE/
+    RESUME_STREAM, types.h:94-103, and ignored them all): PAUSE sheds
+    frames at ingest with the session kept alive, RESUME re-anchors via a
+    server REQUEST_KEYFRAME, STOP additionally releases the device-cache
+    slot and tracker state, START revives a stopped stream."""
+    def _poll(cond, timeout=5.0):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if cond():
+                return True
+            time.sleep(0.02)
+        return cond()
+
+    c = _client(harness.port)
+    try:
+        c.connect()
+        c.start_receiver()
+        fid = c.send_raw_frame(synthetic_frame(96, 64, seed=11))
+        assert c.wait_results(1, timeout=5.0)
+        cid = max(harness._sessions.keys())
+
+        # --- PAUSE: frames shed before decode/device work
+        c.pause_stream()
+        assert _poll(lambda: harness._sessions[cid].paused)
+        base_paused = harness.frames_paused.value
+        n_results = len(c.wait_results(0, timeout=0))
+        c.send_raw_frame(synthetic_frame(96, 64, seed=12))
+        c.send_raw_frame(synthetic_frame(96, 64, seed=13))
+        assert _poll(lambda: harness.frames_paused.value >= base_paused + 2)
+        time.sleep(0.25)
+        assert len(c.wait_results(0, timeout=0)) == n_results, \
+            "paused stream produced results"
+        assert cid in harness._sessions  # session alive, not evicted
+
+        # --- RESUME: unpause + server-initiated keyframe re-anchor
+        kf_seen = c.keyframe_requests_seen
+        c.resume_stream()
+        assert _poll(lambda: not harness._sessions[cid].paused)
+        assert _poll(lambda: c.keyframe_requests_seen > kf_seen), \
+            "no REQUEST_KEYFRAME after resume"
+        c.send_jpeg_keyframe(synthetic_frame(96, 64, seed=14))
+        assert _poll(lambda: len(c.wait_results(0, timeout=0)) > n_results)
+        assert _poll(lambda: harness.device_cache.has_frame(cid))
+
+        # --- STOP: slot + tracker state released, session still registered
+        c.stop_stream()
+        assert _poll(lambda: not harness.device_cache.has_frame(cid)), \
+            "STOP_STREAM did not release the cache slot"
+        assert harness._sessions[cid].paused
+
+        # --- START: revive; re-anchor requested; stream serves again
+        kf_seen = c.keyframe_requests_seen
+        c.start_stream()
+        assert _poll(lambda: c.keyframe_requests_seen > kf_seen)
+        n_results = len(c.wait_results(0, timeout=0))
+        c.send_jpeg_keyframe(synthetic_frame(96, 64, seed=15))
+        assert _poll(lambda: len(c.wait_results(0, timeout=0)) > n_results)
+        assert harness.status()["frames_paused"] >= 2
+    finally:
+        c.stop()

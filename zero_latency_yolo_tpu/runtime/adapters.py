@@ -75,6 +75,20 @@ class GameAdapter:
         with self._lock:
             self._clients.pop(client_id, None)
 
+    def reset_client(self, client_id: int) -> None:
+        """Drop a live client's tracker/detection state (STOP_STREAM) while
+        keeping its registration — the next processed frame starts from a
+        clean track table instead of associating against stale boxes."""
+        with self._lock:
+            st = self._clients.get(client_id)
+            if st is None:
+                return
+            self._clients[client_id] = ClientState(
+                client_id=client_id, screen_width=st.screen_width,
+                screen_height=st.screen_height, game_id=st.game_id,
+                tracker=MultiObjectTracker(max_age_ms=self.max_tracking_age_ms)
+                if self.enable_tracking else None)
+
     def client_count(self) -> int:
         with self._lock:
             return len(self._clients)

@@ -85,6 +85,10 @@ class ClientSession:
     # Last REQUEST_KEYFRAME command time (rate limit: the freeze event and
     # the periodic re-request must not double-send within the same window).
     last_kf_request: float = 0.0
+    # Stream control (COMMAND PAUSE/STOP_STREAM): frames from a paused
+    # session are shed at ingest before any decode/device work; the session
+    # itself stays registered and heartbeats keep it alive.
+    paused: bool = False
 
     def observe_rtt(self, rtt: float) -> None:
         if self.srtt is None:
@@ -186,6 +190,7 @@ class DetectionServer:
         self.bad_packets = Counter()
         self.results_sent = Counter()  # rate => live served fps
         self.keyframe_requests = Counter()  # REQUEST_KEYFRAME commands sent
+        self.frames_paused = Counter()  # frames shed at ingest while paused
         self.detect_latency = RollingStats()  # frame recv -> result sent
 
     # ================================================================ lifecycle
@@ -592,6 +597,36 @@ class DetectionServer:
                 self._send_raw(ErrorPacket(
                     error_code=ErrorCode.INVALID_REQUEST,
                     message="non-numeric threshold").serialize(), session.addr)
+        elif pkt.command_type == CommandType.PAUSE_STREAM:
+            # Shed this client's frames at ingest; its device-cache slot and
+            # tracker state stay warm for a cheap resume. (The reference
+            # declared these stream-control commands, types.h:94-103, but
+            # never handled any of them.)
+            session.paused = True
+            log.info("client #%d stream paused", session.client_id)
+        elif pkt.command_type == CommandType.STOP_STREAM:
+            # Stronger than pause: release the client's device-cache slot
+            # (HBM is the contended serving resource) and its tracker
+            # state. Ordered through the client's decode FIFO so frames
+            # already queued decode before the slot goes away.
+            session.paused = True
+            if self._decode_queues:
+                self._enqueue_sentinel("__release__", session.client_id)
+            else:
+                self._release_stream(session.client_id)
+            log.info("client #%d stream stopped (slot released)",
+                     session.client_id)
+        elif pkt.command_type in (CommandType.START_STREAM,
+                                  CommandType.RESUME_STREAM):
+            was_paused = session.paused
+            session.paused = False
+            if was_paused:
+                # Content continuity broke while frames were shed (and STOP
+                # released the keyframe slot) — re-anchor in one RTT instead
+                # of waiting out the client's keyframe cadence.
+                session.last_kf_request = 0.0
+                self._send_keyframe_requests([session.client_id])
+                log.info("client #%d stream resumed", session.client_id)
         elif pkt.command_type == CommandType.GET_CONFIG:
             from ..protocol import CommandPacket
             # Read the ENGINE's config — the object update_thresholds
@@ -613,6 +648,13 @@ class DetectionServer:
     def _handle_frame_fast(self, session: ClientSession, frame_id: int,
                            frame_ts: int, width: int, height: int,
                            keyframe: bool, payload: bytes) -> None:
+        if session.paused:
+            # PAUSE/STOP_STREAM: shed before decode/device work. All three
+            # FRAME_DATA ingest paths (drain-thread fast path, validated
+            # loop path, Python codec fallback) converge here, so this one
+            # gate covers them; a bool read is drain-thread-safe.
+            self.frames_paused.inc()
+            return
         # detect_latency starts HERE, at datagram arrival — decode-queue wait
         # + JPEG/ROI decode time must show up in the reported p99, not be
         # silently excluded by stamping after decode.
@@ -636,6 +678,18 @@ class DetectionServer:
         if self.device_cache is not None:
             self.device_cache.release(client_id)
 
+    def _release_stream(self, client_id: int) -> None:
+        """STOP_STREAM: free the serving resources (queued frames, device
+        cache slot, tracker state) while KEEPING the session registered —
+        unlike _cleanup_client this runs for a live client that will
+        START/RESUME later. A drain-path frame that raced the pause flag
+        can re-acquire a slot right after this; that is benign (the client
+        is live and the slot frees normally on eviction)."""
+        self.batcher.remove_client(client_id)
+        if self.device_cache is not None:
+            self.device_cache.release(client_id)
+        self.adapter.reset_client(client_id)
+
     def _queue_for(self, client_id: int):
         qs = self._decode_queues
         return qs[client_id % len(qs)]
@@ -648,6 +702,8 @@ class DetectionServer:
             try:
                 if item[0] == "__cleanup__":
                     self._cleanup_client(item[1])
+                elif item[0] == "__release__":
+                    self._release_stream(item[1])
                 else:
                     self._decode_frame(*item)
             except Exception:  # noqa: BLE001
@@ -880,15 +936,22 @@ class DetectionServer:
         so on Full we retry shortly via call_later instead. FIFO ordering
         vs already-queued frames still holds: the sentinel only ever lands
         behind them, and no new frame can enqueue for a dead session."""
+        self._enqueue_sentinel("__cleanup__", client_id)
+
+    def _enqueue_sentinel(self, tag: str, client_id: int) -> None:
         try:
-            self._queue_for(client_id).put_nowait(("__cleanup__", client_id))
+            self._queue_for(client_id).put_nowait((tag, client_id))
         except Exception:  # noqa: BLE001 — queue.Full
             if self._loop is not None and self._running:
-                self._loop.call_later(0.05, self._enqueue_cleanup, client_id)
+                self._loop.call_later(0.05, self._enqueue_sentinel, tag,
+                                      client_id)
             else:
                 # Shutdown path: the loop may not run again — fall back to
                 # direct cleanup (worker is stopping; ordering moot).
-                self._cleanup_client(client_id)
+                if tag == "__release__":
+                    self._release_stream(client_id)
+                else:
+                    self._cleanup_client(client_id)
 
     async def _monitor_loop(self) -> None:
         """Periodic status block (reference server/main.cpp:84-136, every 5s)
@@ -981,6 +1044,7 @@ class DetectionServer:
             },
             "served_fps": round(self.results_sent.rate(), 1),
             "results_sent": self.results_sent.value,
+            "frames_paused": self.frames_paused.value,
             "detect_latency": lat,
             "frame_cache": ({
                 "slots_used": (self.device_cache.num_slots
@@ -1000,6 +1064,7 @@ class DetectionServer:
                     "frames": s.frames_received,
                     "results": s.results_sent,
                     "srtt_ms": round((s.srtt or 0) * 1e3, 2),
+                    "paused": s.paused,
                 } for cid, s in self._sessions.items()
             },
         }

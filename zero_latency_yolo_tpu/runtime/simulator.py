@@ -157,12 +157,34 @@ class SimClient:
 
     def disconnect(self) -> None:
         """Send a DISCONNECT command so the server frees the session."""
-        from ..protocol import CommandPacket, CommandType
+        from ..protocol import CommandType
+        self.send_command(CommandType.DISCONNECT)
+
+    def send_command(self, command_type: int, data: bytes = b"") -> None:
+        from ..protocol import CommandPacket
         try:
-            self._send(CommandPacket(
-                command_type=CommandType.DISCONNECT).serialize())
+            self._send(CommandPacket(command_type=command_type,
+                                     command_data=data).serialize())
         except OSError:
             pass
+
+    # Stream control (COMMAND types the reference declared but never
+    # handled, types.h:94-103 — the rebuild's server implements them).
+    def pause_stream(self) -> None:
+        from ..protocol import CommandType
+        self.send_command(CommandType.PAUSE_STREAM)
+
+    def resume_stream(self) -> None:
+        from ..protocol import CommandType
+        self.send_command(CommandType.RESUME_STREAM)
+
+    def start_stream(self) -> None:
+        from ..protocol import CommandType
+        self.send_command(CommandType.START_STREAM)
+
+    def stop_stream(self) -> None:
+        from ..protocol import CommandType
+        self.send_command(CommandType.STOP_STREAM)
 
     def stop(self) -> None:
         if self.server_info is not None:
