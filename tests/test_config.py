@@ -139,3 +139,23 @@ def test_bool_string_coercion():
     # Garbage strings keep the default rather than truthy-ing to True.
     cfg2 = ServerConfig.from_dict({"tpu": {"dot1x1": "maybe"}})
     assert cfg2.tpu.dot1x1 is False  # default preserved
+
+
+def test_tpu_enum_values_validated():
+    """Layout/impl enum typos must fail at load, not silently serve the
+    default layout (tpu.c2f="Split" would otherwise quietly disable the
+    measured batch-32 win with no error)."""
+    import pytest
+    from zero_latency_yolo_tpu.config import ServerConfig
+    for field, bad in [("c2f", "Split"), ("c2f", "splt"),
+                       ("select", "perLevel"), ("nms", "cuda"),
+                       ("act", "fused"), ("stem", "space2depth"),
+                       ("preprocess", "resize"), ("dtype", "fp16")]:
+        with pytest.raises(ValueError, match=f"tpu.{field}"):
+            ServerConfig.from_dict({"tpu": {field: bad}})
+    # All legal values load.
+    cfg = ServerConfig.from_dict({"tpu": {
+        "c2f": "split", "select": "perlevel", "nms": "xla",
+        "act": "pallas_interpret", "stem": "s2d",
+        "preprocess": "stretch", "dtype": "float32"}})
+    assert cfg.tpu.c2f == "split" and cfg.tpu.select == "perlevel"

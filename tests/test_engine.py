@@ -271,13 +271,20 @@ def test_perlevel_select_engine_matches_baseline():
 
 def test_c2f_auto_resolution():
     """tpu.c2f="auto" maps each batch bucket to its measured winner (split at
-    32 only — scripts/layout_compare.py); explicit values pass through."""
+    32 only — scripts/layout_compare.py); explicit values pass through. The
+    table is keyed by the full measured serving config: unmeasured variants/
+    sizes/dtypes never inherit the yolov8n@416/bf16 measurement."""
     from zero_latency_yolo_tpu.runtime.engine import resolve_c2f
     assert resolve_c2f("auto", 32) == "split"
     for b in (1, 2, 4, 8, 16, 64, 128):
         assert resolve_c2f("auto", b) == "slice"
     assert resolve_c2f("slice", 32) == "slice"
     assert resolve_c2f("split", 64) == "split"
+    # Outside the measured config, auto stays on the default form everywhere.
+    assert resolve_c2f("auto", 32, variant="yolov8s") == "slice"
+    assert resolve_c2f("auto", 32, size=640) == "slice"
+    assert resolve_c2f("auto", 32, dtype="float32") == "slice"
+    assert resolve_c2f("split", 32, variant="yolov8s") == "split"  # explicit
 
 
 def test_c2f_auto_engine_matches_forced_slice(monkeypatch):
@@ -285,7 +292,8 @@ def test_c2f_auto_engine_matches_forced_slice(monkeypatch):
     same detections as the forced-slice engine (the split rewrite is exact;
     this gates the auto WIRING, bucket→impl, not the math again)."""
     import zero_latency_yolo_tpu.runtime.engine as eng_mod
-    monkeypatch.setattr(eng_mod, "C2F_AUTO_SPLIT_BATCHES", frozenset({1}))
+    monkeypatch.setattr(eng_mod, "C2F_AUTO_SPLIT",
+                        {("yolov8p", 64, "float32"): frozenset({1})})
     spec = get_spec("yolov8p", 4)
     params = init_params(jax.random.PRNGKey(0), spec, folded=True)
     cfg_s = _cfg()

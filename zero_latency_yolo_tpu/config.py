@@ -187,6 +187,20 @@ class TpuConfig:
     synthetic_step_profile: Dict[str, float] = field(default_factory=dict)
 
 
+# Closed value sets for TpuConfig's layout/impl enums (validated in
+# ServerConfig.from_dict). Keep in sync with the consumers cited per field
+# in TpuConfig; models/yolov8.py get_spec() validates `variant` itself.
+_TPU_ENUMS = {
+    "dtype": {"bfloat16", "float32"},
+    "preprocess": {"letterbox_mxu", "letterbox", "stretch"},
+    "nms": {"auto", "xla", "pallas", "pallas_interpret"},
+    "act": {"auto", "pallas", "pallas_interpret"},
+    "stem": {"conv", "s2d"},
+    "select": {"concat", "perlevel"},
+    "c2f": {"auto", "slice", "split"},
+}
+
+
 @dataclass
 class ServerConfig:
     model_path: str = DEFAULT_MODEL_PATH
@@ -246,6 +260,15 @@ class ServerConfig:
                         tuple(v) if isinstance(v, (list, tuple)) else v
                         for v in tj[tuple_key])
             _merge(cfg.tpu, tj)
+            # Layout/impl enums fail FAST at load: a typo ("Split", "splt",
+            # "perLevel") would otherwise silently serve the default layout
+            # and the operator's intended measured win never happens. Same
+            # rationale as the [0,1] range gates on runtime thresholds.
+            for fname, allowed in _TPU_ENUMS.items():
+                val = getattr(cfg.tpu, fname)
+                if val not in allowed:
+                    raise ValueError(
+                        f"tpu.{fname}={val!r} is not one of {sorted(allowed)}")
         return cfg
 
     @classmethod

@@ -73,17 +73,27 @@ def _greedy_nms_mask(iou: jnp.ndarray, same_class: jnp.ndarray,
     return jax.lax.fori_loop(0, k, body, valid, unroll=8)
 
 
+def _rank_candidates(boxes: jnp.ndarray, probs: jnp.ndarray,
+                     class_weights: jnp.ndarray, conf_thresh, topk: int):
+    """Stage-1 core (per frame): weight, threshold, top-k ranking over one
+    anchor set — (A, 4) boxes + (A, nc) probs. The SINGLE definition of the
+    candidate semantics (class_weights multiply, >= threshold, sentinel
+    -1.0, score > 0 = valid); both the concat and perlevel selection paths
+    call this so their documented same-kept-set equivalence can't drift."""
+    w = probs * class_weights[None, :]
+    best_score = jnp.max(w, axis=-1)
+    best_class = jnp.argmax(w, axis=-1).astype(jnp.int32)
+    ranked = jnp.where(best_score >= conf_thresh, best_score, -1.0)
+    top_scores, top_idx = jax.lax.top_k(ranked, topk)
+    return boxes[top_idx], top_scores, best_class[top_idx]
+
+
 def _select_one(pred: jnp.ndarray, class_weights: jnp.ndarray,
                 conf_thresh, topk: int):
     """Stage 1 (per frame): weight, threshold, top-k candidate selection."""
-    boxes = pred[:, :4]
-    probs = pred[:, 4:] * class_weights[None, :]
-    best_score = jnp.max(probs, axis=-1)
-    best_class = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-    passed = best_score >= conf_thresh
-    ranked = jnp.where(passed, best_score, -1.0)
-    top_scores, top_idx = jax.lax.top_k(ranked, topk)
-    return boxes[top_idx], top_scores, best_class[top_idx], top_scores > 0
+    top_boxes, top_scores, top_class = _rank_candidates(
+        pred[:, :4], pred[:, 4:], class_weights, conf_thresh, topk)
+    return top_boxes, top_scores, top_class, top_scores > 0
 
 
 def _compact_one(top_boxes, top_scores, top_class, keep,
@@ -192,15 +202,13 @@ def postprocess_batch_levels(boxes_l, probs_l, class_weights: jnp.ndarray,
     """
     cs, cb, cc = [], [], []
     for bx, pr in zip(boxes_l, probs_l):
-        w = pr * class_weights[None, None, :]
-        best = jnp.max(w, axis=-1)
-        cls = jnp.argmax(w, axis=-1).astype(jnp.int32)
-        ranked = jnp.where(best >= conf_thresh, best, -1.0)
-        k = min(topk, ranked.shape[1])
-        s, idx = jax.lax.top_k(ranked, k)
+        k = min(topk, pr.shape[1])
+        b, s, c = jax.vmap(
+            lambda bb, pp: _rank_candidates(
+                bb, pp, class_weights, conf_thresh, k))(bx, pr)
         cs.append(s)
-        cb.append(jnp.take_along_axis(bx, idx[..., None], axis=1))
-        cc.append(jnp.take_along_axis(cls, idx, axis=1))
+        cb.append(b)
+        cc.append(c)
     scores = jnp.concatenate(cs, axis=1)
     boxes = jnp.concatenate(cb, axis=1)
     classes = jnp.concatenate(cc, axis=1)

@@ -50,15 +50,21 @@ log = get_logger("engine")
 # @416 bf16 on v5e, three relay sessions): the slice-free C2f ("split") wins
 # only at batch 32 (6.3-6.5 -> 5.6-5.7 ms, −12…14%); it LOSES at 16 (+6.5%)
 # and 64/128 (+7-8%) and is a wash at ≤8. tpu.c2f="auto" picks split exactly
-# where it measured faster; unmeasured buckets stay on the default slice form.
-C2F_AUTO_SPLIT_BATCHES = frozenset({32})
+# where it measured faster, keyed by the FULL measured serving config
+# (variant, model size, dtype) — the win is layout-tiling-specific, so
+# unmeasured variants/sizes/dtypes (and all their buckets) stay on the
+# default slice form rather than inheriting a yolov8n@416 measurement.
+C2F_AUTO_SPLIT = {("yolov8n", 416, "bfloat16"): frozenset({32})}
 
 
-def resolve_c2f(flag: str, batch: int) -> str:
-    """Per-(batch-bucket) C2f implementation for tpu.c2f="auto"; explicit
-    "slice"/"split" values pass through unchanged for every bucket."""
+def resolve_c2f(flag: str, batch: int, variant: str = "yolov8n",
+                size: int = 416, dtype: str = "bfloat16") -> str:
+    """Per-(serving config, batch-bucket) C2f implementation for
+    tpu.c2f="auto"; explicit "slice"/"split" values pass through unchanged
+    for every bucket."""
     if flag == "auto":
-        return "split" if batch in C2F_AUTO_SPLIT_BATCHES else "slice"
+        split = C2F_AUTO_SPLIT.get((variant, size, dtype), frozenset())
+        return "split" if batch in split else "slice"
     return flag
 
 
@@ -322,7 +328,12 @@ class InferenceEngine:
         stem = getattr(self.config.tpu, "stem", "conv")
         dot1x1 = bool(getattr(self.config.tpu, "dot1x1", False))
         select = getattr(self.config.tpu, "select", "concat")
-        c2f_impl = resolve_c2f(getattr(self.config.tpu, "c2f", "auto"), batch)
+        c2f_impl = resolve_c2f(getattr(self.config.tpu, "c2f", "auto"), batch,
+                               variant=getattr(self.config.tpu, "variant",
+                                               "yolov8n"),
+                               size=size,
+                               dtype=getattr(self.config.tpu, "dtype",
+                                             "bfloat16"))
         act_impl = getattr(self.config.tpu, "act", "auto")
         conv_fn = None
         if act_impl in ("pallas", "pallas_interpret"):

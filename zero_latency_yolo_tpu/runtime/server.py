@@ -542,6 +542,10 @@ class DetectionServer:
             session.screen_width = info.screen_width or session.screen_width
             session.screen_height = info.screen_height or session.screen_height
             session.game_id = info.game_id
+            # A re-handshake means the client (re)started and will stream:
+            # clear any PAUSE/STOP_STREAM shed state, or a restarted client
+            # reusing the addr:port would be ACKed but never served.
+            session.paused = False
             client_id = existing
         elif len(self._sessions) >= self.config.max_clients:
             self._send_raw(ErrorPacket(
@@ -685,6 +689,13 @@ class DetectionServer:
         START/RESUME later. A drain-path frame that raced the pause flag
         can re-acquire a slot right after this; that is benign (the client
         is live and the slot frees normally on eviction)."""
+        session = self._sessions.get(client_id)
+        if session is None or not session.paused:
+            # Evicted (cleanup owns teardown), or START/RESUME already
+            # revived the stream — a delayed release (queue-full retry via
+            # call_later breaks FIFO ordering) must not free the resumed
+            # stream's fresh keyframe slot or reset its tracker.
+            return
         self.batcher.remove_client(client_id)
         if self.device_cache is not None:
             self.device_cache.release(client_id)
