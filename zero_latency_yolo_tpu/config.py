@@ -160,6 +160,11 @@ class TpuConfig:
     # cross-level concat (same kept set as the global top-k; kills the
     # full-anchor concat/gather layout copies). "concat" = original form.
     select: str = "concat"
+    # conv1x1="pallas": k=1 s=1 convs as Pallas matmuls with the bias+SiLU
+    # epilogue fused in the SAME kernel (ops/conv1x1_pallas.py) — the
+    # conv+epilogue form of the SiLU-tail lever; "pallas_interpret" is the
+    # CPU CI correctness mode. "xla" (default) keeps the stock conv path.
+    conv1x1: str = "xla"
     # c2f="split": C2f without the channel slice/concat (cv1 split into two
     # convs, cv2 as a sum of per-piece 1x1 convs — same math). "auto"
     # (default) picks per batch bucket from the measured table in
@@ -196,6 +201,7 @@ _TPU_ENUMS = {
     "nms": {"auto", "xla", "pallas", "pallas_interpret"},
     "act": {"auto", "pallas", "pallas_interpret"},
     "stem": {"conv", "s2d"},
+    "conv1x1": {"xla", "pallas", "pallas_interpret"},
     "select": {"concat", "perlevel"},
     "c2f": {"auto", "slice", "split"},
 }

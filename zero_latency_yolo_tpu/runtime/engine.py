@@ -180,6 +180,13 @@ class InferenceEngine:
             # Pallas kernel stays opt-in via tpu.nms="pallas".
             nms_cfg = "xla"
         self.nms_impl = nms_cfg
+        if (getattr(tpu, "act", "auto") in ("pallas", "pallas_interpret")
+                and getattr(tpu, "conv1x1", "xla") != "xla"):
+            # Fail at boot, not at the first (lazy) step build: both flags
+            # replace the model's conv_fn and cannot compose.
+            raise ValueError(
+                "tpu.act=pallas and tpu.conv1x1=pallas are mutually exclusive "
+                "conv_fn experiments — enable one at a time")
 
         self.simulation = False
         self._model_hash: Optional[str] = None
@@ -335,7 +342,12 @@ class InferenceEngine:
                                dtype=getattr(self.config.tpu, "dtype",
                                              "bfloat16"))
         act_impl = getattr(self.config.tpu, "act", "auto")
+        conv1x1_impl = getattr(self.config.tpu, "conv1x1", "xla")
         conv_fn = None
+        if act_impl in ("pallas", "pallas_interpret") and conv1x1_impl != "xla":
+            raise ValueError(
+                "tpu.act=pallas and tpu.conv1x1=pallas are mutually exclusive "
+                "conv_fn experiments — enable one at a time")
         if act_impl in ("pallas", "pallas_interpret"):
             # Flat full-lane bias+SiLU epilogues (ops/act_pallas.py) — the
             # SiLU-tail lever. "auto" stays XLA: the dev relay's
@@ -343,6 +355,14 @@ class InferenceEngine:
             from ..ops.act_pallas import make_flat_act_conv
             conv_fn = make_flat_act_conv(
                 interpret=(act_impl == "pallas_interpret"))
+        elif conv1x1_impl in ("pallas", "pallas_interpret"):
+            # 1x1 convs as Pallas matmuls with the bias+SiLU epilogue fused
+            # IN the kernel (ops/conv1x1_pallas.py) — the conv+epilogue form
+            # of the SiLU-tail lever (the epilogue-only kernel measured
+            # 2-4x slower; see act_pallas.py header).
+            from ..ops.conv1x1_pallas import make_mm1x1_conv
+            conv_fn = make_mm1x1_conv(
+                interpret=(conv1x1_impl == "pallas_interpret"))
         if stem == "s2d":
             if not mode.startswith("letterbox"):
                 raise ValueError("stem='s2d' requires a letterbox preprocess")
