@@ -20,6 +20,21 @@ SiLU is genuinely free of memory traffic. Non-1x1 convs, quantized
 blocks, unfolded BN, and training (autodiff needs the XLA form) all fall
 through to the stock path.
 
+MEASURED NEGATIVE RESULT on v5e (round 3, docs/BENCH_NOTES "conv1x1"
+section): the kernel compiles through the relay, runs on-chip, and is
+exact — and the full serving step REGRESSES with it: batch 16
+4.69->5.61 ms (+19%), batch 32 5.66->8.33 ms (+47%), batch 64
+7.68->13.7 ms (+79%), drift sentinels within 3%. With the epilogue
+genuinely fused, the remaining loss is structural: (a) YOLOv8's 1x1
+contractions are small (Cin 16-64 for most C2f blocks), so the (bm, Cin)
+operand blocks fill at most half the 128-lane dim the MXU feeds from,
+where XLA's conv emitter packs spatial into the tiles; and (b) ~25
+custom calls still fence XLA's fusion with their NEIGHBORS (the C2f
+concats and adds that previously input-fused into the convs). This
+closes the round-3 handoff question — conv+epilogue in ONE kernel was
+the last untested form of the SiLU-tail lever, and the XLA tails win.
+Kept opt-in (tpu.conv1x1="pallas") as the documented negative result.
+
 Mosaic notes (same constraints as ops/act_pallas.py, learned on v5e):
 f32 register math (bf16 sigmoid lowering is rejected), bias pre-broadcast
 to the full block shape host-side ((1, N) blocks need an in-kernel
