@@ -166,3 +166,50 @@ def test_s2d_stem_and_dot1x1_match_baseline():
         lambda p, xx: forward_decoded(p, spec, xx, dtype=jnp.bfloat16,
                                       dot1x1=True))(params, x))
     np.testing.assert_allclose(b16_dot, b16, rtol=2e-2, atol=2e-2)
+
+
+def test_parametric_variant_spec():
+    """Custom (depth, width) scaling: "yolov8-d<D>-w<W>[-mc<C>]" — the same
+    surface the named sizes are points on."""
+    spec = get_spec("yolov8-d0.33-w0.25", 4)
+    named = get_spec("yolov8n", 4)
+    assert spec.backbone_channels == named.backbone_channels
+    assert spec.depth == named.depth
+    narrow = get_spec("yolov8-d0.33-w0.20", 4)
+    assert narrow.backbone_channels[0] < named.backbone_channels[0]
+    custom_mc = get_spec("yolov8-d0.33-w0.50-mc512", 4)
+    assert custom_mc.max_channels == 512
+    for bad in ("yolov8-w0.25", "yolov8-d0.33-w0", "yolov8-d3.0-w0.25",
+                "yolov8q", "yolov8-d0.33-w0.25-mcx"):
+        with pytest.raises(ValueError):
+            get_spec(bad, 4)
+
+
+def test_parametric_variant_forward_and_engine():
+    """A custom-width pico-class variant inits, forwards, and serves through
+    the engine exactly like a named one."""
+    import jax.numpy as jnp
+    from zero_latency_yolo_tpu.config import ServerConfig
+    from zero_latency_yolo_tpu.models.yolov8 import forward_decoded
+    from zero_latency_yolo_tpu.runtime.engine import (
+        InferenceEngine, InferenceRequest)
+    variant = "yolov8-d0.33-w0.125-mc256"  # pico widths, custom route
+    spec = get_spec(variant, 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, 64, 64, 3)).astype(np.float32))
+    pred = forward_decoded(params, spec, x)
+    assert pred.shape == (1, spec.num_anchors(64, 64), 4 + 4)
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent.npz",
+        "detection": {"model_width": 64, "model_height": 64},
+        "tpu": {"variant": variant, "num_classes": 4, "dtype": "float32",
+                "batch_buckets": [1], "frame_buckets": [[96, 96]],
+                "pre_nms_topk": 64},
+    })
+    eng = InferenceEngine(cfg, params=params)
+    res = eng.infer_batch([InferenceRequest(
+        client_id=1, frame_id=0, timestamp=0, width=96, height=64,
+        data=np.random.default_rng(1).integers(0, 256, (64, 96, 3),
+                                               dtype=np.uint8))])
+    assert len(res) == 1

@@ -24,6 +24,7 @@ strides (8, 16, 32).
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -87,10 +88,33 @@ class ModelSpec:
         return sum((h // s) * (w // s) for s in self.strides)
 
 
+# Parametric scaling: "yolov8-d{depth}-w{width}[-mc{max_channels}]", e.g.
+# "yolov8-d0.33-w0.20". The named sizes are points on this same (d, w, mc)
+# surface (ultralytics scales models the same way via yaml 'scales'); custom
+# widths are the serving-cost lever the measured step ladder points at —
+# compute AND elementwise tails shrink together with channel count. The
+# reference deploys whatever export is dropped into models/
+# (/root/reference/start.sh:113-149); this is the rebuild's equivalent
+# freedom for model sizing.
+_CUSTOM_VARIANT_RE = re.compile(
+    r"^yolov8-d(\d*\.?\d+)-w(\d*\.?\d+)(?:-mc(\d+))?$")
+
+
 def get_spec(variant: str = "yolov8n", num_classes: int = 4) -> ModelSpec:
-    if variant not in VARIANTS:
-        raise ValueError(f"unknown variant {variant!r}; choose from {sorted(VARIANTS)}")
-    d, w, mc = VARIANTS[variant]
+    if variant in VARIANTS:
+        d, w, mc = VARIANTS[variant]
+    else:
+        m = _CUSTOM_VARIANT_RE.match(variant)
+        if m is None:
+            raise ValueError(
+                f"unknown variant {variant!r}; choose from {sorted(VARIANTS)} "
+                "or a parametric 'yolov8-d<depth>-w<width>[-mc<max_channels>]'")
+        d, w = float(m.group(1)), float(m.group(2))
+        mc = int(m.group(3)) if m.group(3) else 1024
+        if not (0.0 < d <= 2.0 and 0.0 < w <= 2.0):
+            raise ValueError(
+                f"parametric variant {variant!r}: depth/width multiples must "
+                "be in (0, 2]")
     return ModelSpec(variant=variant, num_classes=num_classes,
                      depth=d, width=w, max_channels=mc)
 
