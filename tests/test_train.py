@@ -194,3 +194,26 @@ def test_npz_batches_undersized_shards_raise(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="fewer than batch"):
         next(it)
+
+
+def test_train_step_on_parametric_variant():
+    """Custom-scaled variants train through the same stack (the width lever
+    the serving ladder points at needs a trainable model behind it)."""
+    spec = get_spec("yolov8-d0.33-w0.125-mc256", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=False)
+    tx = optax.adam(1e-3)
+    state = init_train_state(params, tx)
+    step = make_train_step(spec, tx, (SIZE, SIZE), dtype=jnp.float32)
+    images = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (2, SIZE, SIZE, 3)),
+        jnp.float32)
+    targets = np.full((2, 4, 5), -1, np.float32)
+    targets[:, 0] = [1, 0.5, 0.5, 0.3, 0.3]
+    # The step donates its input state; snapshot params on host first.
+    before = jax.tree.map(np.asarray, state.params)
+    state2, metrics = step(state, images, jnp.asarray(targets))
+    assert np.isfinite(float(metrics["loss"]))
+    # Params actually moved.
+    moved = jax.tree.map(lambda a, b: float(np.max(np.abs(a - np.asarray(b)))),
+                         before, state2.params)
+    assert max(jax.tree.leaves(moved)) > 0
