@@ -204,6 +204,13 @@ def _live_loadtest():
                               timeout=1500, cwd=here)
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         rep = json.loads(line)
+        if not rep.get("served_fps"):
+            # The prime phase never completed (relay wedge mid-run): a
+            # served=0 row reads as "the server can't serve", which is the
+            # wrong claim — omit the live section instead.
+            print("# live loadtest served nothing (relay wedge?); omitting",
+                  file=sys.stderr)
+            return None
         print(f"# live loadtest: served {rep.get('served_fps')} fps, "
               f"server p99 {rep.get('server_detect_p99_ms')} ms",
               file=sys.stderr)
