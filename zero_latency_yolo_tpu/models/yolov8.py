@@ -89,13 +89,15 @@ class ModelSpec:
 
 
 # Parametric scaling: "yolov8-d{depth}-w{width}[-mc{max_channels}]", e.g.
-# "yolov8-d0.33-w0.20". The named sizes are points on this same (d, w, mc)
-# surface (ultralytics scales models the same way via yaml 'scales'); custom
-# widths are the serving-cost lever the measured step ladder points at —
-# compute AND elementwise tails shrink together with channel count. The
+# "yolov8-d0.33-w0.125". The named sizes are points on this same (d, w, mc)
+# surface (ultralytics scales models the same way via yaml 'scales'). The
 # reference deploys whatever export is dropped into models/
 # (/root/reference/start.sh:113-149); this is the rebuild's equivalent
-# freedom for model sizing.
+# freedom for model sizing. MEASURED on v5e (BENCH_NOTES "width ladder"):
+# keep widths on the power-of-two fractions (0.125, 0.25, 0.5...) — those
+# keep every channel count lane-aligned; intermediate widths (0.15, 0.20)
+# produce 8-multiple-but-unaligned channels that tile so badly the step
+# gets SLOWER than the wider baseline despite 36-64% fewer MACs.
 _CUSTOM_VARIANT_RE = re.compile(
     r"^yolov8-d(\d*\.?\d+)-w(\d*\.?\d+)(?:-mc(\d+))?$")
 
