@@ -63,16 +63,20 @@ def main() -> None:
     # to catch, and a hung bench records nothing — not even the CPU-side
     # host-path gate rows. The child streams one row per finished combo
     # (flushed), so a timeout still salvages every completed measurement.
-    results, device = _device_sweep_watchdogged()
+    results, device, fail = _device_sweep_watchdogged()
 
     if not results:
         # Device unreachable all round: still measure the host path (it
         # replays the committed artifacts/step_ladder.json on CPU) so the
-        # round records the p99-gate rows; throughput honestly reports 0.
+        # round records the p99-gate rows; throughput honestly reports 0,
+        # and `error` distinguishes a sweep that never ran (timeout /
+        # startup crash) from one that ran and lost every combo.
         host_path = _host_path_loadtest({})
         out = {"metric": f"{variant}_{size}_serve_throughput",
                "value": 0.0, "unit": "frames/sec/chip",
-               "vs_baseline": 0.0, "error": "all combos failed"}
+               "vs_baseline": 0.0,
+               "error": fail or "all combos failed",
+               "device": device}
         if host_path is not None:
             out["host_path"] = _host_path_summary(host_path)
         print(json.dumps(out))
@@ -88,24 +92,26 @@ def _device_sweep_watchdogged():
     import subprocess
     timeout_s = float(os.environ.get("ZLT_BENCH_DEVICE_TIMEOUT", "2700"))
     env = dict(os.environ, ZLT_BENCH_CHILD="1")
-    stdout = ""
+    stdout, fail = "", None
     try:
+        # stderr passes through live (only stdout carries the parsed rows):
+        # the per-combo progress lines are the only external sign a long
+        # relayed sweep is healthy rather than wedged.
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, timeout=timeout_s,
+            stdout=subprocess.PIPE, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         stdout = proc.stdout or ""
-        sys.stderr.write(proc.stderr or "")
+        if proc.returncode != 0:
+            fail = f"device sweep child exited {proc.returncode}"
     except subprocess.TimeoutExpired as e:
-        def _text(s):
-            return s.decode(errors="replace") if isinstance(s, bytes) else (s or "")
-        stdout = _text(e.stdout)
-        sys.stderr.write(_text(e.stderr))
-        print(f"# device sweep timed out after {timeout_s:.0f}s; "
-              "salvaging completed rows", file=sys.stderr)
+        s = e.stdout
+        stdout = s.decode(errors="replace") if isinstance(s, bytes) else (s or "")
+        fail = f"device sweep timed out after {timeout_s:.0f}s"
+        print(f"# {fail}; salvaging completed rows", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
-        print(f"# device sweep child failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
+        fail = f"device sweep child failed: {type(e).__name__}: {e}"
+        print(f"# {fail}", file=sys.stderr)
     results, device = {}, "unknown"
     for line in stdout.splitlines():
         if line.startswith("ROW "):
@@ -117,7 +123,10 @@ def _device_sweep_watchdogged():
                 pass
         elif line.startswith("DEV "):
             device = line[4:].strip()
-    return results, device
+    if not results and device == "unknown" and fail is None:
+        # Child ran to completion but produced nothing device-side.
+        fail = "device sweep produced no rows"
+    return results, device, fail
 
 
 def _device_sweep_child() -> None:
@@ -289,20 +298,18 @@ def _run_combo(cfg, params, batch, mode, source, bh, bw, h, w, rng, results):
         cw, conf, iou = engine._class_weights, engine._conf, engine._iou
         p = engine._params
 
+        # Timing method: the shared RTT-cancelling pipeline harness
+        # (utils/bench_util.py — see its docstring for why readback-based
+        # timing is impossible through the relay).
+        from zero_latency_yolo_tpu.utils.bench_util import (
+            measure_cached_step, pipeline_step_seconds)
         if source.startswith("cached"):
             # Steady-state serving: frames live in the HBM frame cache —
             # measured as the EXACT fused gather+serve executable the
-            # ContinuousBatcher dispatches (get_step_cached, packed shw
-            # upload), so the headline is the serving program, not a twin.
-            step = engine.get_step_cached(batch, (bh, bw))
-            cache = jnp.asarray(frames)  # one upload, acts as the slot cache
-            shw = jnp.asarray(np.stack([
-                np.arange(batch, dtype=np.int32),
-                np.full((batch,), h, np.int32),
-                np.full((batch,), w, np.int32)]))
-
-            def run_once(st=step, c=cache, s=shw):
-                return st(p, c, s, cw, conf, iou)
+            # ContinuousBatcher dispatches (the ONE shared harness, so the
+            # headline is the serving program, not a twin).
+            step_s, rtt_s = measure_cached_step(engine, batch, (bh, bw),
+                                                h, w, frames=frames)
         else:
             step = engine.get_step(batch, (bh, bw))
 
@@ -312,12 +319,7 @@ def _run_combo(cfg, params, batch, mode, source, bh, bw, h, w, rng, results):
                 return step(p, jnp.asarray(frames), heights, widths, cw,
                             conf, iou)
 
-        # Timing method: the shared RTT-cancelling pipeline harness
-        # (utils/bench_util.py — see its docstring for why readback-based
-        # timing is impossible through the relay).
-        from zero_latency_yolo_tpu.utils.bench_util import (
-            pipeline_step_seconds)
-        step_s, rtt_s = pipeline_step_seconds(run_once)
+            step_s, rtt_s = pipeline_step_seconds(run_once)
         fps = batch / step_s
         results[(batch, mode, source)] = {
             "fps": fps,

@@ -26,7 +26,6 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001
         pass
-    import jax.numpy as jnp
     from zero_latency_yolo_tpu.config import ServerConfig
     from zero_latency_yolo_tpu.models.yolov8 import get_spec, init_params
     from zero_latency_yolo_tpu.runtime.engine import InferenceEngine
@@ -51,7 +50,7 @@ def main():
     params = init_params(jax.random.PRNGKey(0), spec, folded=True)
     rng = np.random.default_rng(0)
 
-    from zero_latency_yolo_tpu.utils.bench_util import pipeline_step_seconds
+    from zero_latency_yolo_tpu.utils.bench_util import measure_cached_step
 
     ladder = {}
     for batch in batches:
@@ -59,24 +58,12 @@ def main():
             engine = InferenceEngine(cfg, params=params,
                                      preprocess_mode="letterbox_mxu")
             frames = rng.integers(0, 256, (batch, bh, bw, 3), dtype=np.uint8)
-            # The EXACT serving program: the fused cache-gather step the
-            # ContinuousBatcher dispatches in steady state (get_step_cached
-            # with the packed shw upload), not a hand-rolled near-twin —
-            # the ladder feeds synthetic_step_profile, which claims to
-            # replay the real serving-step durations.
-            step = engine.get_step_cached(batch, (bh, bw))
-            cw, conf, iou = (engine._class_weights, engine._conf, engine._iou)
-            p = engine._params
-            cache = jnp.asarray(frames)
-            shw = jnp.asarray(np.stack([
-                np.arange(batch, dtype=np.int32),
-                np.full((batch,), h, np.int32),
-                np.full((batch,), w, np.int32)]))
-
-            def run_once(st=step, pp=p, c=cache, s=shw):
-                return st(pp, c, s, cw, conf, iou)
-
-            step_s, _rtt = pipeline_step_seconds(run_once)
+            # The EXACT serving program (get_step_cached + packed shw — the
+            # shared harness, not a hand-rolled near-twin): the ladder
+            # feeds synthetic_step_profile, which claims to replay the
+            # real serving-step durations.
+            step_s, _rtt = measure_cached_step(engine, batch, (bh, bw),
+                                               h, w, frames=frames)
             step_ms = step_s * 1e3
             ladder[str(batch)] = round(step_ms, 3)
             print(f"# batch={batch}: step={step_ms:.2f} ms "

@@ -47,11 +47,10 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001 — older jax without these flags
         pass
-    import jax.numpy as jnp
     from zero_latency_yolo_tpu.config import ServerConfig
     from zero_latency_yolo_tpu.models.yolov8 import get_spec, init_params
     from zero_latency_yolo_tpu.runtime.engine import InferenceEngine
-    from zero_latency_yolo_tpu.utils.bench_util import pipeline_step_seconds
+    from zero_latency_yolo_tpu.utils.bench_util import measure_cached_step
 
     size = 64 if SMOKE else 416
     bh, bw = (96, 96) if SMOKE else (608, 800)
@@ -89,21 +88,8 @@ def main() -> None:
         for width, tag in [(wd, f"w{wd}") for wd in widths] + [
                 (base_w, f"w{base_w}-repeat")]:
             try:
-                eng = engines[width]
-                step = eng.get_step_cached(batch, (bh, bw))
-                cache = jnp.asarray(frames)
-                shw = jnp.asarray(np.stack([
-                    np.arange(batch, dtype=np.int32),
-                    np.full((batch,), h, np.int32),
-                    np.full((batch,), w, np.int32)]))
-                p, cw = eng._params, eng._class_weights
-                conf, iou = eng._conf, eng._iou
-
-                def run_once(st=step, c=cache, s=shw, p=p, cw=cw,
-                             conf=conf, iou=iou):
-                    return st(p, c, s, cw, conf, iou)
-
-                step_s, rtt_s = pipeline_step_seconds(run_once)
+                step_s, rtt_s = measure_cached_step(
+                    engines[width], batch, (bh, bw), h, w, frames=frames)
                 row = {"batch": batch, "width": width, "tag": tag,
                        "step_ms": round(step_s * 1e3, 3),
                        "fps": round(batch / step_s, 1),

@@ -180,7 +180,7 @@ def test_parametric_variant_spec():
     custom_mc = get_spec("yolov8-d0.33-w0.50-mc512", 4)
     assert custom_mc.max_channels == 512
     for bad in ("yolov8-w0.25", "yolov8-d0.33-w0", "yolov8-d3.0-w0.25",
-                "yolov8q", "yolov8-d0.33-w0.25-mcx"):
+                "yolov8q", "yolov8-d0.33-w0.25-mcx", "yolov8-d0.33-w0.25-mc0"):
         with pytest.raises(ValueError):
             get_spec(bad, 4)
 

@@ -117,6 +117,11 @@ def get_spec(variant: str = "yolov8n", num_classes: int = 4) -> ModelSpec:
             raise ValueError(
                 f"parametric variant {variant!r}: depth/width multiples must "
                 "be in (0, 2]")
+        if mc < 8:
+            # A degenerate cap (e.g. mc0) would zero channel widths and
+            # crash deep in parameter init instead of here.
+            raise ValueError(
+                f"parametric variant {variant!r}: max_channels must be >= 8")
     return ModelSpec(variant=variant, num_classes=num_classes,
                      depth=d, width=w, max_channels=mc)
 

@@ -342,12 +342,9 @@ class InferenceEngine:
                                dtype=getattr(self.config.tpu, "dtype",
                                              "bfloat16"))
         act_impl = getattr(self.config.tpu, "act", "auto")
+        # act/conv1x1 mutual exclusion is enforced at engine boot (__init__).
         conv1x1_impl = getattr(self.config.tpu, "conv1x1", "xla")
         conv_fn = None
-        if act_impl in ("pallas", "pallas_interpret") and conv1x1_impl != "xla":
-            raise ValueError(
-                "tpu.act=pallas and tpu.conv1x1=pallas are mutually exclusive "
-                "conv_fn experiments — enable one at a time")
         if act_impl in ("pallas", "pallas_interpret"):
             # Flat full-lane bias+SiLU epilogues (ops/act_pallas.py) — the
             # SiLU-tail lever. "auto" stays XLA: the dev relay's

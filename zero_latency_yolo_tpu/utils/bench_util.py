@@ -20,6 +20,37 @@ from typing import Callable, Tuple
 import numpy as np
 
 
+def measure_cached_step(engine, batch: int, bucket_hw: Tuple[int, int],
+                        frame_h: int, frame_w: int,
+                        frames: "np.ndarray | None" = None,
+                        ) -> Tuple[float, float]:
+    """Measure the EXACT cached-serving executable the ContinuousBatcher
+    dispatches — get_step_cached over a device-resident frame cache with
+    the packed shw upload — via the pipeline method below. The ONE
+    definition of this harness: bench.py and every scripts/*_compare
+    sweep call it, so a change to the cached-step signature cannot leave
+    one sweep silently timing a different executable (CLAUDE.md:
+    hand-rolled near-twins drift). Returns (step_seconds, rtt_seconds)."""
+    import jax.numpy as jnp
+    bh, bw = bucket_hw
+    if frames is None:
+        frames = np.random.default_rng(0).integers(
+            0, 256, (batch, bh, bw, 3), dtype=np.uint8)
+    step = engine.get_step_cached(batch, (bh, bw))
+    cache = jnp.asarray(frames)
+    shw = jnp.asarray(np.stack([
+        np.arange(batch, dtype=np.int32),
+        np.full((batch,), frame_h, np.int32),
+        np.full((batch,), frame_w, np.int32)]))
+    p, cw = engine._params, engine._class_weights
+    conf, iou = engine._conf, engine._iou
+
+    def run_once():
+        return step(p, cache, shw, cw, conf, iou)
+
+    return pipeline_step_seconds(run_once)
+
+
 def pipeline_step_seconds(run_once: Callable[[], object],
                           n1: int = 10, n2: int = 50,
                           repeats: int = 2) -> Tuple[float, float]:
