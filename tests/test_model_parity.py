@@ -221,3 +221,19 @@ def test_variant_specs():
     assert get_spec("yolov8m").backbone_channels == (192, 384, 576)
     with pytest.raises(ValueError):
         get_spec("yolov9z")
+
+
+def test_parametric_variant_torch_parity():
+    """Parametric scaling holds cross-framework: a custom-width spec runs
+    through BOTH independent implementations within the same 1e-3 gate
+    (guards the scaling math — _make_divisible/ch() — not just one stack)."""
+    spec = get_spec("yolov8-d0.33-w0.125-mc256", num_classes=4)
+    params_raw = init_params(jax.random.PRNGKey(2), spec, folded=False)
+    params_np = jax.tree.map(np.asarray, params_raw)
+    x = np.asarray(jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3)),
+                   dtype=np.float32)
+    folded = fold_batchnorm(params_raw)
+    out_jax = np.asarray(forward_decoded(folded, spec, jnp.asarray(x)))
+    out_torch = forward_decoded_torch(params_np, spec, x)
+    assert (np.abs(out_jax[..., :4] - out_torch[..., :4]) / 64).max() < 1e-3
+    assert np.abs(out_jax[..., 4:] - out_torch[..., 4:]).max() < 1e-3
