@@ -31,7 +31,8 @@ def main():
     from zero_latency_yolo_tpu.runtime.engine import InferenceEngine
 
     smoke = os.environ.get("ZLT_BENCH_SMOKE") == "1"
-    variant = "yolov8p" if smoke else "yolov8n"
+    variant = os.environ.get("ZLT_LADDER_VARIANT",
+                             "yolov8p" if smoke else "yolov8n")
     size = 64 if smoke else 416
     bh, bw = (96, 96) if smoke else (608, 800)
     h, w = (64, 96) if smoke else (600, 800)
