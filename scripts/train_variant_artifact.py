@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--eval-images", type=int, default=8)
+    ap.add_argument("--data", default=None,
+                    help="YOLO-convention train directory (images/ + "
+                         "labels/*.txt); default is the synthetic task")
+    ap.add_argument("--val-data", default=None,
+                    help="YOLO-convention eval directory (defaults to "
+                         "--data when given)")
     ap.add_argument("--platform", default="cpu")
     args = ap.parse_args()
 
@@ -55,21 +61,29 @@ def main() -> None:
     t0 = time.perf_counter()
     state = train(variant=args.variant, num_classes=args.classes,
                   size=args.stage1_size, batch=args.batch,
-                  steps=args.stage1_steps, lr=args.stage1_lr,
+                  steps=args.stage1_steps, lr=args.stage1_lr, data=args.data,
                   log_every=max(args.stage1_steps // 10, 1))
     with tempfile.TemporaryDirectory() as td:
         warm = os.path.join(td, "stage1.npz")
         save_params(jax.device_get(state.params), warm)
         state = train(variant=args.variant, num_classes=args.classes,
                       size=args.size, batch=args.batch, steps=args.steps,
-                      lr=args.lr, init_from=warm,
+                      lr=args.lr, init_from=warm, data=args.data,
                       log_every=max(args.steps // 10, 1))
 
     folded = fold_batchnorm(jax.device_get(state.params))
-    # Held-out eval at deployment size: seed 777 matches the committed
-    # artifact gates (tests/test_model_parity.py).
-    images, targets = next(synthetic_batches(args.eval_images, args.size,
-                                             seed=777))
+    val = args.val_data or args.data
+    if val:
+        from zero_latency_yolo_tpu.train.data import load_yolo_dir
+        import numpy as np
+        raw, targets = load_yolo_dir(val, args.size, num_classes=args.classes,
+                                     limit=args.eval_images or None)
+        images = raw.astype(np.float32) / 255
+    else:
+        # Held-out eval at deployment size: seed 777 matches the committed
+        # artifact gates (tests/test_model_parity.py).
+        images, targets = next(synthetic_batches(args.eval_images, args.size,
+                                                 seed=777))
     metrics = evaluate(folded, spec, images, targets, conf_thresh=0.25,
                        batch=min(4, args.batch))
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)

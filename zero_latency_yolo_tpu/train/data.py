@@ -1,0 +1,208 @@
+"""Real-dataset pipeline: the ultralytics YOLO directory convention.
+
+The reference's deployment flow trains with ultralytics and drops the export
+into ``models/`` (reference start.sh:113-149); the datasets its users hold
+are therefore in the YOLO directory convention:
+
+    root/images/*.{jpg,png,bmp,...}     root/labels/<stem>.txt
+      -- or a flat directory with <stem>.txt next to each image --
+
+with one ``class cx cy w h`` line per box, normalized to the ORIGINAL image.
+This module loads that layout for the native train loop (train/loop.py) and
+the evaluator (train/eval.py), closing the last gap between "synthetic-only
+training" and "fine-tune on your own data".
+
+Geometry: images are letterboxed to the square train size with the SAME
+parameters the serving preprocess uses (ops/preprocess.letterbox_params:
+scale = min(S/h, S/w), centered pad, zero fill) and the boxes are remapped
+into letterboxed coordinates — a model fine-tuned here sees exactly the
+serving-time geometry. Host-side the paste lands on integer pixels (the
+device kernel samples at fractional pads; the difference is bounded by half
+a pixel), and the box remap uses the same integer pads as the paste so
+labels stay aligned with the pixels.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def _require_cv2():
+    try:
+        import cv2
+        return cv2
+    except ImportError as e:  # pragma: no cover - cv2 ships in this image
+        raise ImportError(
+            "the YOLO directory loader decodes images with cv2; install "
+            "opencv-python or convert the dataset to .npz shards "
+            "(train/loop.py npz_batches)") from e
+
+
+def find_pairs(root: str) -> List[Tuple[str, Optional[str]]]:
+    """(image_path, label_path|None) pairs under a YOLO-convention root.
+
+    Accepts either ``root/images`` + ``root/labels`` or a flat directory
+    with ``<stem>.txt`` beside each image. Images without a label file are
+    kept as negative (background-only) samples — the standard convention.
+    """
+    img_dir = os.path.join(root, "images")
+    lbl_dir = os.path.join(root, "labels")
+    flat = not os.path.isdir(img_dir)
+    if flat:
+        img_dir, lbl_dir = root, root
+    pairs: List[Tuple[str, Optional[str]]] = []
+    for name in sorted(os.listdir(img_dir)):
+        stem, ext = os.path.splitext(name)
+        if ext.lower() not in IMAGE_EXTS:
+            continue
+        lbl = os.path.join(lbl_dir, stem + ".txt")
+        pairs.append((os.path.join(img_dir, name),
+                      lbl if os.path.isfile(lbl) else None))
+    if not pairs:
+        raise FileNotFoundError(
+            f"no images under {root!r} (looked in {img_dir!r}; "
+            f"extensions {IMAGE_EXTS})")
+    return pairs
+
+
+def read_labels(path: Optional[str], num_classes: Optional[int] = None
+                ) -> np.ndarray:
+    """Parse one YOLO label file -> (M, 5) [class, cx, cy, w, h] float32.
+
+    Malformed lines raise (silent label loss poisons a fine-tune); class ids
+    outside [0, num_classes) raise when num_classes is given.
+    """
+    if path is None:
+        return np.zeros((0, 5), np.float32)
+    rows = []
+    with open(path, "r", encoding="utf-8") as f:
+        for ln, line in enumerate(f, 1):
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split()
+            if len(parts) != 5:
+                raise ValueError(f"{path}:{ln}: expected 'class cx cy w h', "
+                                 f"got {line!r}")
+            cls = float(parts[0])
+            vals = [float(v) for v in parts[1:]]
+            if num_classes is not None and not 0 <= cls < num_classes:
+                raise ValueError(f"{path}:{ln}: class {cls:g} outside "
+                                 f"[0, {num_classes})")
+            rows.append((cls, *vals))
+    return np.asarray(rows, np.float32).reshape(-1, 5)
+
+
+def letterbox_image(img: np.ndarray, size: int) -> Tuple[np.ndarray, float,
+                                                         int, int]:
+    """Letterbox an HWC uint8 image to (size, size); returns (out, scale,
+    pad_x, pad_y) with the serving preprocess's geometry (integer paste)."""
+    cv2 = _require_cv2()
+    h, w = img.shape[:2]
+    scale = min(size / h, size / w)
+    new_h = max(int(round(h * scale)), 1)
+    new_w = max(int(round(w * scale)), 1)
+    resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    pad_y = (size - new_h) // 2
+    pad_x = (size - new_w) // 2
+    out = np.zeros((size, size, 3), np.uint8)
+    out[pad_y:pad_y + new_h, pad_x:pad_x + new_w] = resized
+    return out, scale, pad_x, pad_y
+
+
+def load_sample(img_path: str, lbl_path: Optional[str], size: int,
+                max_boxes: int, num_classes: Optional[int] = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """One letterboxed (size,size,3) uint8 image + (max_boxes,5) targets."""
+    cv2 = _require_cv2()
+    bgr = cv2.imread(img_path, cv2.IMREAD_COLOR)
+    if bgr is None:
+        raise ValueError(f"cv2 could not decode image {img_path!r}")
+    img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    h, w = img.shape[:2]
+    out, scale, pad_x, pad_y = letterbox_image(img, size)
+    labels = read_labels(lbl_path, num_classes)
+    targets = np.full((max_boxes, 5), -1.0, np.float32)
+    n = min(len(labels), max_boxes)
+    if n:
+        t = labels[:n].copy()
+        # Original-normalized -> letterboxed-normalized coordinates.
+        t[:, 1] = (t[:, 1] * w * scale + pad_x) / size
+        t[:, 2] = (t[:, 2] * h * scale + pad_y) / size
+        t[:, 3] = t[:, 3] * w * scale / size
+        t[:, 4] = t[:, 4] * h * scale / size
+        targets[:n] = t
+    return out, targets
+
+
+def load_yolo_dir(root: str, size: int, max_boxes: int = 32,
+                  num_classes: Optional[int] = None,
+                  limit: Optional[int] = None
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Materialize a whole split: (N,S,S,3) uint8 + (N,max_boxes,5) targets.
+
+    Feed ``images.astype(np.float32)/255`` straight into train/eval (this is
+    the evaluator's expected input; the batch iterator below does the
+    conversion per batch to keep the resident cache at uint8 size).
+    """
+    pairs = find_pairs(root)
+    if limit is not None:
+        pairs = pairs[:limit]
+    images = np.empty((len(pairs), size, size, 3), np.uint8)
+    targets = np.empty((len(pairs), max_boxes, 5), np.float32)
+    for i, (img, lbl) in enumerate(pairs):
+        images[i], targets[i] = load_sample(img, lbl, size, max_boxes,
+                                            num_classes)
+    return images, targets
+
+
+def yolo_dir_batches(root: str, batch: int, size: int, max_boxes: int = 32,
+                     num_classes: Optional[int] = None, seed: int = 0,
+                     cache_mb: int = 2048
+                     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Endless shuffled batches from a YOLO-convention directory.
+
+    Splits at-or-under ``cache_mb`` of letterboxed uint8 pixels are decoded
+    once and held in RAM (the common case for fine-tune sets); larger splits
+    re-decode per epoch from a shuffled file order. Shuffling is seeded and
+    per-epoch; batches are full-size (a trailing remainder shorter than
+    ``batch`` is folded into the next epoch so the train step never sees a
+    new shape — shape stability is a serving-stack invariant too).
+    """
+    pairs = find_pairs(root)
+    if len(pairs) < batch:
+        raise ValueError(f"split {root!r} has {len(pairs)} images, fewer "
+                         f"than batch={batch}")
+    rng = np.random.default_rng(seed)
+    resident = len(pairs) * size * size * 3 <= cache_mb * (1 << 20)
+    cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    carry_i: List[np.ndarray] = []
+    carry_t: List[np.ndarray] = []
+    while True:
+        order = rng.permutation(len(pairs))
+        if resident:
+            if cache is None:
+                cache = load_yolo_dir(root, size, max_boxes, num_classes)
+            epoch_i, epoch_t = cache[0][order], cache[1][order]
+            carry_i.extend(epoch_i)
+            carry_t.extend(epoch_t)
+        else:
+            for j in order:
+                img, tgt = load_sample(*pairs[j], size, max_boxes,
+                                       num_classes)
+                carry_i.append(img)
+                carry_t.append(tgt)
+                if len(carry_i) >= batch:
+                    yield (np.stack(carry_i[:batch]).astype(np.float32) / 255,
+                           np.stack(carry_t[:batch]))
+                    del carry_i[:batch], carry_t[:batch]
+            continue
+        while len(carry_i) >= batch:
+            yield (np.stack(carry_i[:batch]).astype(np.float32) / 255,
+                   np.stack(carry_t[:batch]))
+            del carry_i[:batch], carry_t[:batch]

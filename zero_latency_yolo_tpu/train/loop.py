@@ -7,15 +7,17 @@ Usage:
     python -m zero_latency_yolo_tpu.train.loop --steps 200 --variant yolov8p \
         --size 64 --batch 8 --ckpt-dir checkpoints/
 
-Data: either .npz shards (`images` (N,H,W,3) uint8, `targets` (N,M,5)
-[class,cx,cy,w,h] normalized, class=-1 padding) passed via --data, or the
-built-in synthetic moving-blob generator (smoke-training / CI).
+Data via --data: a YOLO-convention directory (images/ + labels/*.txt, the
+ultralytics layout — see train/data.py), .npz shards (`images` (N,H,W,3)
+uint8, `targets` (N,M,5) [class,cx,cy,w,h] normalized, class=-1 padding),
+or the built-in synthetic moving-blob generator (smoke-training / CI).
 """
 
 from __future__ import annotations
 
 import argparse
 import glob
+import os
 import time
 from typing import Iterator, Optional, Tuple
 
@@ -193,7 +195,7 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
           remat: bool = False, init_from: Optional[str] = None,
           ema: bool = False, ema_decay: float = 0.9998,
           mosaic: float = 0.0, assigner: str = "center",
-          crowded: bool = False, log_every: int = 10):
+          crowded: bool = False, max_boxes: int = 32, log_every: int = 10):
     import jax
     import jax.numpy as jnp
     import optax
@@ -231,9 +233,16 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
                 state = step_fn.shard_state(state)
             print(f"resumed from step {int(state.step)}")
 
-    batches = (npz_batches(data, batch) if data
-               else crowded_batches(batch, size) if crowded
-               else synthetic_batches(batch, size))
+    if data and os.path.isdir(data):
+        from .data import yolo_dir_batches
+        batches = yolo_dir_batches(data, batch, size, max_boxes=max_boxes,
+                                   num_classes=num_classes)
+    elif data:
+        batches = npz_batches(data, batch)
+    elif crowded:
+        batches = crowded_batches(batch, size)
+    else:
+        batches = synthetic_batches(batch, size)
     if mosaic > 0:
         batches = mosaic_batches(batches, prob=mosaic)
     t0 = time.perf_counter()
@@ -270,7 +279,11 @@ def main() -> None:  # pragma: no cover
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--lr", type=float, default=1e-3)
-    ap.add_argument("--data", default=None, help=".npz shard glob")
+    ap.add_argument("--data", default=None,
+                    help="YOLO-convention dataset directory (images/ + "
+                         "labels/*.txt) or .npz shard glob")
+    ap.add_argument("--max-boxes", type=int, default=32,
+                    help="target capacity per image for directory datasets")
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--ckpt-every", type=int, default=100)
     ap.add_argument("--mesh-data", type=int, default=1)
@@ -297,7 +310,8 @@ def main() -> None:  # pragma: no cover
           ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,
           mesh_data=args.mesh_data, mesh_model=args.mesh_model,
           remat=args.remat, init_from=args.init_from, ema=args.ema,
-          mosaic=args.mosaic, assigner=args.assigner, crowded=args.crowded)
+          mosaic=args.mosaic, assigner=args.assigner, crowded=args.crowded,
+          max_boxes=args.max_boxes)
 
 
 if __name__ == "__main__":  # pragma: no cover
