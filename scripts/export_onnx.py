@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Export a trained .npz artifact as an ultralytics-convention .onnx.
+
+The reference's deployment flow consumes exactly this artifact shape
+(src/inference/onnx_engine.cpp:957-1062): fused Conv+BN initializers named
+`model.<idx>...`, input `images`, output `output0` = (1, 4+nc, A) decoded
+px boxes + sigmoid class scores. Artifacts fine-tuned by this framework can
+therefore be deployed on ANY ONNX Runtime stack — including the reference
+server itself.
+
+    python scripts/export_onnx.py --weights artifacts/yolov8n_trained_416.npz \
+        --variant yolov8n --size 416 --out models/yolov8n_416.onnx
+
+Prints one JSON line with the round-trip parity check (the exported file is
+read back through models/weights.from_onnx and compared to the source
+params; max|diff| must be 0 — the export is a layout transpose, not a
+requantization).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights", required=True, help="source .npz artifact")
+    ap.add_argument("--variant", default="yolov8n")
+    ap.add_argument("--classes", type=int, default=4)
+    ap.add_argument("--size", type=int, default=416)
+    ap.add_argument("--out", required=True, help="output .onnx path")
+    args = ap.parse_args()
+
+    from zero_latency_yolo_tpu.models import get_spec
+    from zero_latency_yolo_tpu.models.ultra import export_deployment_onnx
+    from zero_latency_yolo_tpu.models.weights import (
+        flatten, from_onnx, load_params,
+    )
+
+    from zero_latency_yolo_tpu.models.yolov8 import fold_batchnorm
+
+    params = load_params(args.weights)
+    spec = get_spec(args.variant, args.classes)
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    export_deployment_onnx(params, spec, args.out, args.size)
+
+    # Round-trip gate: the export must read back bit-identical (vs the
+    # folded form — the exporter folds BN exactly as the serving path does).
+    if any("/bn/" in k for k in flatten(params)):
+        params = fold_batchnorm(params)
+    back = flatten(from_onnx(args.out))
+    src = flatten(params)
+    if set(back) != set(src):
+        raise SystemExit(f"round-trip key mismatch: "
+                         f"{sorted(set(src) ^ set(back))[:5]}")
+    max_diff = max(float(np.abs(back[k].astype(np.float32) -
+                                src[k].astype(np.float32)).max())
+                   for k in src)
+    print(json.dumps({
+        "out": args.out, "variant": args.variant, "size": args.size,
+        "bytes": os.path.getsize(args.out),
+        "roundtrip_max_diff": max_diff,
+    }))
+    return 0 if max_diff == 0.0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -173,7 +173,7 @@ def test_file_sha256(tmp_path):
 # ---------------------------------------------------------------------------
 
 def _ultra_twin(size=64):
-    from ultra_export import UltralyticsTwin
+    from zero_latency_yolo_tpu.models.ultra import UltralyticsTwin
     spec = get_spec("yolov8p", 4)
     return UltralyticsTwin(spec).randomize(7).eval(), spec
 
@@ -183,7 +183,7 @@ def test_real_torch_state_dict_loads_and_matches(tmp_path):
     dfl.conv.weight, bare Conv2d tips) must convert, BN-fold, and match the
     torch model's own decoded output within 1e-3."""
     import torch
-    from ultra_export import decoded_reference
+    from zero_latency_yolo_tpu.models.ultra import decoded_reference
     from zero_latency_yolo_tpu.models.yolov8 import forward_decoded
 
     model, spec = _ultra_twin()
@@ -215,7 +215,7 @@ def test_real_onnx_export_loads_and_matches(tmp_path):
     """A REAL torch.onnx.export artifact of the fused model (the reference's
     deployment format, start.sh:113-149) must parse via the dependency-free
     protobuf walker and match the torch model within 1e-3."""
-    from ultra_export import decoded_reference, export_onnx
+    from zero_latency_yolo_tpu.models.ultra import decoded_reference, export_onnx
     from zero_latency_yolo_tpu.models.yolov8 import forward_decoded
 
     model, spec = _ultra_twin()

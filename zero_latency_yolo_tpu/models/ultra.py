@@ -1,12 +1,20 @@
-"""Faithful ultralytics-DetectionModel torch twin for export-compat tests.
+"""Faithful ultralytics-DetectionModel torch twin: ONNX export + compat.
 
 Reconstructs the EXACT module tree (names, nesting, BN placement, DFL conv,
 fuse() semantics) of ultralytics' YOLOv8 so that `state_dict()` and
 `torch.onnx.export` produce artifacts with the real deployment flow's naming
 and fusion conventions (reference start.sh:113-149 exports exactly this via
-`yolo export format=onnx`). tests/test_weights.py loads these REAL artifacts
-through models/weights.py — a synthetic hand-built protobuf can't catch a
-naming or fusion mismatch; these can.
+`yolo export format=onnx`). Two uses:
+
+- **Deployment export** (`export_deployment_onnx` / scripts/export_onnx.py):
+  artifacts fine-tuned by this framework leave as genuine
+  ultralytics-convention .onnx files — loadable by ONNX Runtime and by the
+  reference server itself (src/inference/onnx_engine.cpp:957-1062), closing
+  the interop loop in BOTH directions (weights.py already imports real
+  exports).
+- **Compat gates**: tests/test_weights.py loads REAL exported artifacts back
+  through models/weights.py — a synthetic hand-built protobuf can't catch a
+  naming or fusion mismatch; these can.
 
 Independent implementation: module layout/naming follows the public
 ultralytics architecture; no ultralytics code is used.
@@ -15,13 +23,14 @@ ultralytics architecture; no ultralytics code is used.
 from __future__ import annotations
 
 import math
+import os
 from typing import List
 
 import numpy as np
 import torch
 import torch.nn as nn
 
-from zero_latency_yolo_tpu.models.yolov8 import ModelSpec, _depth
+from .yolov8 import ModelSpec, _depth
 
 
 class UConv(nn.Module):
@@ -260,3 +269,99 @@ def decoded_reference(model: UltralyticsTwin, x_nhwc: np.ndarray) -> np.ndarray:
     with torch.no_grad():
         x = torch.from_numpy(np.asarray(x_nhwc)).float().permute(0, 3, 1, 2)
         return model(x).permute(0, 2, 1).numpy()
+
+
+# ---------------------------------------------------------------------------
+# JAX params -> twin (the inverse of weights.from_ultralytics_state_dict)
+# ---------------------------------------------------------------------------
+
+def load_params_into_twin(twin: UltralyticsTwin, params) -> UltralyticsTwin:
+    """Fill the twin from our param pytree (folded or BN-carrying).
+
+    The mapping is driven by the twin's own state_dict keys through the SAME
+    `_map_ultra_path` table the import direction uses, so export and import
+    stay inverses by construction. Folded params fuse the twin first (the
+    form every real `yolo export` artifact ships); any unmatched or
+    shape-mismatched parameter raises — a silently-partial export would
+    serve garbage."""
+    from .weights import _map_ultra_path, flatten
+
+    flat = {k: np.asarray(v) for k, v in flatten(params).items()}
+    if not any("/bn/" in k for k in flat):
+        twin.fuse()
+    sd = twin.state_dict()
+    new_sd = {}
+    problems: List[str] = []
+    for key, cur in sd.items():
+        parts = key.split(".")
+        rest = parts[2:]
+        if rest[:1] == ["dfl"]:
+            new_sd[key] = cur  # fixed arange conv, not a learned weight
+            continue
+        mapped = _map_ultra_path(rest)
+        if mapped is None:  # num_batches_tracked
+            new_sd[key] = cur
+            continue
+        fk = f"m{parts[1]}/" + "/".join(mapped)
+        if fk not in flat:
+            problems.append(f"{key}: no source param {fk}")
+            continue
+        arr = flat[fk].astype(np.float32)
+        if mapped[-1] == "w" and arr.ndim == 4:
+            arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
+        if tuple(arr.shape) != tuple(cur.shape):
+            problems.append(f"{key}: shape {tuple(arr.shape)} != twin "
+                            f"{tuple(cur.shape)} (wrong variant/num_classes?)")
+            continue
+        new_sd[key] = torch.from_numpy(np.ascontiguousarray(arr))
+    if problems:
+        raise ValueError("params do not fit the twin:\n  " +
+                         "\n  ".join(problems[:8]))
+    twin.load_state_dict(new_sd)
+    return twin.eval()
+
+
+def export_deployment_onnx(params, spec: ModelSpec, path: str,
+                           size: int) -> None:
+    """Write a genuine ultralytics-convention .onnx from our params.
+
+    Output: fused Conv+BN initializers named `model.<idx>...conv.weight`,
+    input `images` (1,3,size,size), output `output0` (1,4+nc,A) with decoded
+    px boxes + sigmoid class scores — the exact artifact shape the reference
+    deploys (src/inference/onnx_engine.cpp:957-1062, start.sh:113-149), and
+    one that weights.from_onnx round-trips."""
+    from .weights import flatten, read_onnx_initializers
+    from .yolov8 import fold_batchnorm
+
+    if any("/bn/" in k for k in flatten(params)):
+        params = fold_batchnorm(params)
+    twin = UltralyticsTwin(spec)
+    load_params_into_twin(twin, params)
+    export_onnx(twin, path, size)
+    # The exporter deduplicates identical-valued initializers (legal ONNX,
+    # and ONNX Runtime serves it fine) — but then the file no longer carries
+    # one named initializer per parameter, so OUR name-based re-import and
+    # the reference's introspection see a partial model. Identical tensors
+    # across layers only happen with untrained/degenerate weights; refuse
+    # loudly rather than ship an artifact that round-trips wrong.
+    have = set(read_onnx_initializers(path))
+    want = {f"model.{k}" for k in _twin_param_names(twin)}
+    missing = sorted(want - have)
+    if missing:
+        os.remove(path)
+        raise ValueError(
+            "export deduplicated identical-valued parameters (weights look "
+            f"untrained/degenerate); first missing: {missing[:4]}")
+
+
+def _twin_param_names(twin: UltralyticsTwin) -> List[str]:
+    """state_dict keys (sans the leading 'model.') that must appear as ONNX
+    initializers: every learned tensor; the fixed DFL conv is graph-folded
+    by the exporter and num_batches_tracked never exports."""
+    out = []
+    for key in twin.state_dict():
+        rest = key.split(".")[2:]
+        if rest[:1] == ["dfl"] or rest[-1] == "num_batches_tracked":
+            continue
+        out.append(key.split(".", 1)[1])
+    return out
