@@ -411,3 +411,41 @@ def test_synthetic_step_mode_serializes_fake_steps():
     assert elapsed >= 0.058  # 3 serialized 20 ms steps
     assert [len(r) for r in res] == [1, 1, 1]
     assert eng.latency.snapshot()["p99_ms"] >= 20.0
+
+
+def test_hot_swap_rejects_geometry_change(tmp_path):
+    """A file with a different architecture must NOT stage into live jitted
+    programs — rejected with the failed-hash memo, old model keeps serving."""
+    spec = get_spec("yolov8p", 4)
+    path = tmp_path / "model.npz"
+    save_params(init_params(jax.random.PRNGKey(1), spec, folded=True),
+                str(path))
+    eng = InferenceEngine(_cfg(model_path=str(path)))
+    assert not eng.simulation
+    before = eng.infer_batch([_req(1, 1, seed=11)])[0]
+    other = get_spec("yolov8p", 6)  # nc change = geometry change
+    save_params(init_params(jax.random.PRNGKey(2), other, folded=True),
+                str(path))
+    assert not eng.maybe_reload()
+    assert not eng.maybe_reload()  # failed-hash memo short-circuits
+    after = eng.infer_batch([_req(1, 1, seed=11)])[0]
+    assert [d.x for d in before.detections] == [d.x for d in after.detections]
+    assert eng.spec.num_classes == 4
+
+
+def test_hot_swap_out_of_simulation_adopts_geometry(tmp_path):
+    """Modelless boot + a later file with a DIFFERENT variant/nc: simulation
+    built no programs, so the engine adopts the file's own geometry."""
+    path = tmp_path / "late.npz"
+    cfg = _cfg(model_path=str(path))  # configured yolov8p/4
+    eng = InferenceEngine(cfg)
+    assert eng.simulation
+    other = get_spec("yolov8p", 6)
+    save_params(init_params(jax.random.PRNGKey(3), other, folded=True),
+                str(path))
+    assert eng.maybe_reload()
+    out = eng.infer_batch([_req(1, 1, seed=5)])
+    assert not eng.simulation
+    assert eng.spec.num_classes == 6
+    assert len(eng._class_weights) == 6
+    assert len(out) == 1

@@ -234,3 +234,52 @@ def test_real_onnx_export_loads_and_matches(tmp_path):
     assert not simulation
     got = np.asarray(forward_decoded(params, spec, want_x))
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Spec introspection (the ORT-introspection equivalent): geometry is read
+# from the file, not trusted from config.
+# ---------------------------------------------------------------------------
+
+def test_infer_spec_named_variant():
+    import jax
+    from zero_latency_yolo_tpu.models import init_params
+    from zero_latency_yolo_tpu.models.weights import infer_spec_from_params
+    spec = get_spec("yolov8p", 6)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    got = infer_spec_from_params(params)
+    assert got.variant == "yolov8p" and got.num_classes == 6
+
+
+def test_infer_spec_parametric_variant():
+    import jax
+    from zero_latency_yolo_tpu.models import init_params
+    from zero_latency_yolo_tpu.models.weights import infer_spec_from_params
+    spec = get_spec("yolov8-d0.17-w0.125-mc256", 4)
+    params = init_params(jax.random.PRNGKey(1), spec, folded=True)
+    got = infer_spec_from_params(params)
+    assert got.backbone_channels == spec.backbone_channels
+    assert got.num_classes == 4
+    # The recovered name round-trips through get_spec to the same geometry.
+    again = get_spec(got.variant, got.num_classes)
+    assert again.backbone_channels == spec.backbone_channels
+
+
+def test_infer_spec_rejects_garbage():
+    from zero_latency_yolo_tpu.models.weights import infer_spec_from_params
+    with pytest.raises(ValueError, match="YOLOv8"):
+        infer_spec_from_params({"m0": {"w": np.zeros((3, 3, 3, 16))}})
+
+
+def test_load_model_adopts_file_geometry(tmp_path):
+    """A valid artifact whose variant/nc differ from config must serve with
+    the file's own geometry (reference: onnx_engine.cpp:957-1062 reads IO
+    dims from the session), not crash at first trace or blank to sim."""
+    import jax
+    from zero_latency_yolo_tpu.models import init_params
+    spec = get_spec("yolov8p", 6)
+    path = str(tmp_path / "p6.npz")
+    save_params(init_params(jax.random.PRNGKey(2), spec, folded=True), path)
+    params, got, sim = load_model(path, "yolov8n", 4)  # wrong config
+    assert not sim
+    assert got.variant == "yolov8p" and got.num_classes == 6

@@ -21,7 +21,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .yolov8 import ModelSpec, fold_batchnorm, get_spec, init_params
+from .yolov8 import VARIANTS, ModelSpec, fold_batchnorm, get_spec, init_params
 
 Params = Dict[str, Any]
 
@@ -270,13 +270,100 @@ def from_onnx(path: str) -> Params:
     return unflatten(flat)
 
 
+# ---------------------------------------------------------------------------
+# Spec introspection: recover (depth, width, max_channels, nc) from weights
+# ---------------------------------------------------------------------------
+
+def _expected_shapes(spec: ModelSpec, folded: bool) -> Dict[str, Tuple[int, ...]]:
+    import jax
+    ref = init_params(jax.random.PRNGKey(0), spec, folded=folded)
+    return {k: tuple(np.shape(v)) for k, v in flatten(ref).items()}
+
+
+def spec_shape_mismatch(params: Params, spec: ModelSpec) -> List[str]:
+    """[] when the param tree fits the spec exactly; else human-readable
+    diffs (missing / extra / wrong-shape keys), a few at most."""
+    flat = {k: tuple(np.shape(v)) for k, v in flatten(params).items()}
+    want = _expected_shapes(spec, folded=not any("/bn/" in k for k in flat))
+    out = []
+    for k in sorted(set(want) - set(flat)):
+        out.append(f"missing {k}")
+    for k in sorted(set(flat) - set(want)):
+        out.append(f"unexpected {k}")
+    for k in sorted(set(flat) & set(want)):
+        if flat[k] != want[k]:
+            out.append(f"{k}: file {flat[k]} != spec {want[k]}")
+    return out[:8]
+
+
+def infer_spec_from_params(params: Params) -> ModelSpec:
+    """Recover the ModelSpec from a loaded param tree's landmark shapes —
+    the TPU-side equivalent of the reference's ORT session introspection
+    (src/inference/onnx_engine.cpp:957-1062 reads IO dims from the file):
+    drop in any yolov8 size/class-count and serving adapts without config
+    edits. Raises ValueError when the tree isn't a recognizable YOLOv8."""
+    try:
+        c64 = int(np.shape(params["m0"]["w"])[3])
+        ladder = tuple(int(np.shape(params[m]["w"])[3])
+                       for m in ("m1", "m3", "m5", "m7"))
+        n3 = len(params["m2"]["m"])
+        n6 = len(params["m4"]["m"])
+        det = params["m22"]
+        nc = int(np.shape(det["cv3"][0][2]["w"])[3])
+        reg_max = int(np.shape(det["cv2"][0][2]["w"])[3]) // 4
+    except (KeyError, IndexError, TypeError) as e:
+        raise ValueError(f"not a YOLOv8 param tree: {e!r}") from e
+
+    observed = (c64,) + ladder
+
+    def fits(spec: ModelSpec) -> bool:
+        from .yolov8 import _depth
+        return (tuple(spec.ch(b) for b in (64, 128, 256, 512, 1024))
+                == observed
+                and _depth(3, spec.depth) == n3
+                and _depth(6, spec.depth) == n6
+                and not spec_shape_mismatch(params, spec))
+
+    for name, (d, w, mc) in sorted(VARIANTS.items()):
+        spec = ModelSpec(variant=name, num_classes=nc, depth=d, width=w,
+                         max_channels=mc, reg_max=reg_max)
+        if fits(spec):
+            return spec
+    # Parametric point: width from the stem (ch(64) = divisible(64*w) is
+    # exact at w = c64/64), depth from the bottleneck counts, channel cap
+    # from the deepest rung.
+    from .yolov8 import _depth
+    w = c64 / 64.0
+    d = next((round(dd, 2) for dd in [n3 / 3.0] +
+              [x / 100.0 for x in range(5, 201)]
+              if _depth(3, round(dd, 2)) == n3
+              and _depth(6, round(dd, 2)) == n6), None)
+    for mc in (1024, int(round(observed[-1] / w))):
+        if d is None:
+            break
+        name = f"yolov8-d{d:g}-w{w:g}-mc{mc}"
+        spec = ModelSpec(variant=name, num_classes=nc, depth=d, width=w,
+                         max_channels=mc, reg_max=reg_max)
+        if fits(spec):
+            return spec
+    raise ValueError(
+        f"params have an unrecognized geometry: stem {c64}, ladder "
+        f"{ladder}, bottlenecks ({n3},{n6}), nc {nc}")
+
+
 def load_model(path: str, variant: str = "yolov8n", num_classes: int = 4,
                seed: int = 0) -> Tuple[Params, ModelSpec, bool]:
     """Load weights from .npz/.pt/.onnx. Returns (params, spec, simulation).
 
-    On any failure returns random-init params with simulation=True, mirroring
-    the reference's graceful degradation to simulation mode.
+    The configured (variant, num_classes) is validated against the file's
+    actual geometry; on mismatch the spec is INFERRED from the weights
+    (reference behavior: the ORT engine introspects the session, the config
+    never has to repeat what the file knows). On any failure returns
+    random-init params with simulation=True, mirroring the reference's
+    graceful degradation to simulation mode.
     """
+    import logging
+
     import jax
     spec = get_spec(variant, num_classes)
     try:
@@ -288,6 +375,14 @@ def load_model(path: str, variant: str = "yolov8n", num_classes: int = 4,
             params = from_onnx(path)
         else:
             raise ValueError(f"unknown weight format: {path}")
+        mismatch = spec_shape_mismatch(params, spec)
+        if mismatch:
+            inferred = infer_spec_from_params(params)
+            logging.getLogger("zlt.weights").warning(
+                "%s does not fit configured %s/nc=%d (%s) — serving the "
+                "file's own geometry %s/nc=%d", path, variant, num_classes,
+                mismatch[0], inferred.variant, inferred.num_classes)
+            spec = inferred
         return params, spec, False
     except Exception:  # noqa: BLE001 — any failure => simulation mode
         params = init_params(jax.random.PRNGKey(seed), spec, folded=True)

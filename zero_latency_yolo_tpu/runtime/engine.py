@@ -261,6 +261,9 @@ class InferenceEngine:
         # Host-side staged params from maybe_reload (applied on the
         # dispatch thread by _current_params).
         self._staged_params: Optional[Dict[str, Any]] = None
+        # Spec adopted with a sim->real hot swap (file geometry differs from
+        # the configured variant); applied with the params on dispatch.
+        self._staged_spec = None
 
         nc = self.spec.num_classes
         names = CS16_CLASS_NAMES if nc == len(CS16_CLASS_NAMES) else tuple(
@@ -942,8 +945,33 @@ class InferenceEngine:
             # for the process lifetime.
             self._failed_hash = new_hash
             return False
+        if not self.simulation and (
+                spec.num_classes != self.spec.num_classes
+                or spec.backbone_channels != self.spec.backbone_channels
+                or spec.depth != self.spec.depth
+                or spec.reg_max != self.spec.reg_max):
+            # load_model inferred a different architecture from the file:
+            # staged params would not fit the live jitted programs (the step
+            # cache is traced for self.spec). Geometry changes need a boot,
+            # not a hot swap.
+            log.error("hot-swap rejected: %s is %s/nc=%d but the engine "
+                      "serves %s/nc=%d — restart to change architecture",
+                      path, spec.variant, spec.num_classes,
+                      self.spec.variant, self.spec.num_classes)
+            self._failed_hash = new_hash
+            return False
+        staged_spec = None
+        if self.simulation and spec != self.spec:
+            # Simulation built no device programs, so the file's own
+            # geometry can be adopted — applied on the dispatch thread
+            # together with the params (the only lane that reads spec-
+            # dependent state).
+            staged_spec = spec
+            log.info("hot-swap out of simulation adopts file geometry "
+                     "%s/nc=%d", spec.variant, spec.num_classes)
         with self._params_lock:
             self._staged_params = params
+            self._staged_spec = staged_spec
             self._model_hash = new_hash
         log.info("hot-reload staged: %s (sha256=%s)", path, new_hash[:12])
         return True
@@ -955,8 +983,22 @@ class InferenceEngine:
         self._refresh_thresholds()
         with self._params_lock:
             staged = self._staged_params
+            staged_spec = self._staged_spec
             self._staged_params = None
+            self._staged_spec = None
         if staged is not None:
+            if staged_spec is not None:
+                # Simulation-to-real swap adopting the file's geometry: no
+                # real programs exist yet, but spec-derived state must
+                # follow before the first trace.
+                self.spec = staged_spec
+                nc = staged_spec.num_classes
+                names = (CS16_CLASS_NAMES if nc == len(CS16_CLASS_NAMES)
+                         else tuple(f"class_{i}" for i in range(nc)))
+                self._class_weights = jnp.asarray(
+                    self.config.detection.class_weight_vector(names),
+                    jnp.float32)
+                self._step_cache.clear()
             if self.config.tpu.quantize_int8:
                 staged = self._quantize_and_calibrate(staged)
             self._params = self._place_params(staged)
