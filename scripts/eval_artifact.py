@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Evaluate a weight artifact: AP@0.5 / recall on a dataset or the held-out
+synthetic seed.
+
+The variant is introspected from the file (models/weights.py landmark
+shapes), so the only required argument is the artifact:
+
+    python scripts/eval_artifact.py --weights artifacts/yolov8n_trained_416.npz
+    python scripts/eval_artifact.py --weights my.onnx --data datasets/val
+
+Prints one JSON line. Forces CPU by default (the sitecustomize ignores
+JAX_PLATFORMS; evaluation must not fight the TPU relay).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights", required=True, help=".npz/.pt/.onnx artifact")
+    ap.add_argument("--data", default=None,
+                    help="YOLO-convention eval directory; default is the "
+                         "held-out synthetic seed (777, the committed "
+                         "artifact gates)")
+    ap.add_argument("--size", type=int, default=416)
+    ap.add_argument("--images", type=int, default=8,
+                    help="synthetic eval-set size / dataset limit (0 = all)")
+    ap.add_argument("--conf", type=float, default=0.25)
+    ap.add_argument("--nms", type=float, default=0.45)
+    ap.add_argument("--iou", type=float, default=0.5)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--platform", default="cpu")
+    args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from zero_latency_yolo_tpu.models.weights import (
+        infer_spec_from_params, load_torch_checkpoint, from_onnx, load_params,
+    )
+    from zero_latency_yolo_tpu.train.eval import evaluate
+    from zero_latency_yolo_tpu.train.loop import synthetic_batches
+
+    if args.weights.endswith(".npz"):
+        params = load_params(args.weights)
+    elif args.weights.endswith((".pt", ".pth")):
+        params = load_torch_checkpoint(args.weights)
+    elif args.weights.endswith(".onnx"):
+        params = from_onnx(args.weights)
+    else:
+        raise SystemExit(f"unknown weight format: {args.weights}")
+    spec = infer_spec_from_params(params)
+
+    if args.data:
+        from zero_latency_yolo_tpu.train.data import load_yolo_dir
+        raw, targets = load_yolo_dir(args.data, args.size,
+                                     num_classes=spec.num_classes,
+                                     limit=args.images or None)
+        images = raw.astype(np.float32) / 255
+    else:
+        images, targets = next(synthetic_batches(args.images, args.size,
+                                                 seed=777))
+
+    t0 = time.perf_counter()
+    metrics = evaluate(params, spec, images, targets, conf_thresh=args.conf,
+                       nms_thresh=args.nms, iou_thresh=args.iou,
+                       batch=args.batch)
+    print(json.dumps({
+        "weights": args.weights, "variant": spec.variant,
+        "num_classes": spec.num_classes, "size": args.size,
+        "images": int(len(images)),
+        "data": args.data or "synthetic-777",
+        "mAP": round(metrics["mAP"], 4),
+        "recall": round(metrics["recall"], 4),
+        "eval_s": round(time.perf_counter() - t0, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,7 +37,10 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--eval-images", type=int, default=8)
+    # 8-image evals mislead: the committed artifacts rank DIFFERENTLY at 8
+    # vs 64 images (docs/BENCH_NOTES artifact table) — 64 is the floor for
+    # comparable numbers, still seconds of eval time.
+    ap.add_argument("--eval-images", type=int, default=64)
     ap.add_argument("--data", default=None,
                     help="YOLO-convention train directory (images/ + "
                          "labels/*.txt); default is the synthetic task")

@@ -334,7 +334,10 @@ def infer_spec_from_params(params: Params) -> ModelSpec:
     # from the deepest rung.
     from .yolov8 import _depth
     w = c64 / 64.0
-    d = next((round(dd, 2) for dd in [n3 / 3.0] +
+    # Depth: counts give an equivalence class of multiples; prefer the
+    # canonical representatives (n3/3, n6/6) so a d0.17 artifact reports
+    # as d0.17, not the first grid point with the same rounded counts.
+    d = next((round(dd, 2) for dd in [n3 / 3.0, n6 / 6.0] +
               [x / 100.0 for x in range(5, 201)]
               if _depth(3, round(dd, 2)) == n3
               and _depth(6, round(dd, 2)) == n6), None)

@@ -1014,7 +1014,9 @@ class InferenceEngine:
                 if self.synthetic_step_ms > 0 else None)
         return {
             "engine": "jax-tpu",
-            "model": self.config.tpu.variant,
+            # The SERVED spec: may differ from config.tpu.variant when the
+            # model file's introspected geometry won (load_model).
+            "model": self.spec.variant,
             "model_size": str(self.model_size),
             "classes": str(self.spec.num_classes),
             "simulation": str(self.simulation).lower(),
