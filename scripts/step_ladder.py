@@ -33,7 +33,7 @@ def main():
     smoke = os.environ.get("ZLT_BENCH_SMOKE") == "1"
     variant = os.environ.get("ZLT_LADDER_VARIANT",
                              "yolov8p" if smoke else "yolov8n")
-    size = 64 if smoke else 416
+    size = 64 if smoke else int(os.environ.get("ZLT_LADDER_SIZE", "416"))
     bh, bw = (96, 96) if smoke else (608, 800)
     h, w = (64, 96) if smoke else (600, 800)
     batches = (1, 2) if smoke else tuple(

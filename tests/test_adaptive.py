@@ -1,0 +1,145 @@
+"""Adaptive-resolution serving (tpu.serve_sizes / tpu.adaptive_slo_ms):
+size-keyed programs, SLO-driven ladder policy with hysteresis, warmup over
+every rung."""
+
+import jax
+import numpy as np
+import pytest
+
+from zero_latency_yolo_tpu.config import ServerConfig
+from zero_latency_yolo_tpu.models import get_spec, init_params
+from zero_latency_yolo_tpu.runtime.engine import InferenceEngine, InferenceRequest
+
+
+def _cfg(**tpu_over):
+    tpu = {"variant": "yolov8p", "num_classes": 4, "dtype": "float32",
+           "batch_buckets": [1, 2], "frame_buckets": [[96, 96]],
+           "pre_nms_topk": 64, "serve_sizes": [64, 32]}
+    tpu.update(tpu_over)
+    return ServerConfig.from_dict({
+        "model_path": "/nonexistent.npz",
+        "confidence_threshold": 0.25,
+        "detection": {"model_width": 64, "model_height": 64},
+        "tpu": tpu,
+    })
+
+
+@pytest.fixture(scope="module")
+def engine():
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(0), spec, folded=True)
+    return InferenceEngine(_cfg(), params=params)
+
+
+def _req(cid, fid, seed=0):
+    rng = np.random.default_rng(seed)
+    return InferenceRequest(
+        client_id=cid, frame_id=fid, timestamp=1000 + fid, width=96,
+        height=72, data=rng.integers(0, 256, (72, 96, 3), dtype=np.uint8))
+
+
+def test_config_rejects_bad_sizes():
+    with pytest.raises(ValueError, match="multiple of 32"):
+        _cfg(serve_sizes=[64, 48])
+    with pytest.raises(ValueError, match="ladder"):
+        ServerConfig.from_dict({
+            "detection": {"model_width": 64},
+            "tpu": {"adaptive_slo_ms": 8.0}})
+
+
+def test_ladder_includes_model_size(engine):
+    assert engine.serve_sizes == (64, 32)
+    assert engine._serve_size == 64
+
+
+def test_serves_every_rung_with_consistent_boxes(engine):
+    """The same frame through both rungs: programs differ, boxes stay
+    normalized-to-source and roughly agree (resolution changes detail, not
+    geometry)."""
+    r64 = engine.infer_batch([_req(1, 1, seed=3)])[0]
+    engine._serve_size = 32
+    try:
+        r32 = engine.infer_batch([_req(1, 2, seed=3)])[0]
+    finally:
+        engine._serve_size = 64
+    for r in (r64, r32):
+        for d in r.detections:
+            assert 0 <= d.x <= 1 and 0 <= d.y <= 1
+    keys = {k for k in engine._step_cache if isinstance(k, tuple)}
+    sizes = {k[-1] for k in keys if not isinstance(k[0], str)}
+    assert {32, 64} <= sizes
+
+
+def test_warmup_compiles_all_rungs():
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(1), spec, folded=True)
+    eng = InferenceEngine(_cfg(batch_buckets=[1]), params=params)
+    eng.warmup(batches=[1], buckets=[(96, 96)])
+    sizes = {k[-1] for k in eng._step_cache if not isinstance(k[0], str)}
+    assert sizes == {32, 64}
+
+
+def _prime(engine, ms, n=32):
+    for _ in range(n):
+        engine._adapt_stats.record(ms)
+
+
+def test_policy_downshifts_then_recovers(engine):
+    engine.adaptive_slo_ms = 8.0
+    try:
+        # Sustained SLO violation: two consecutive hot checks step down.
+        _prime(engine, 20.0)
+        engine._adapt_next_check = 0.0
+        engine._maybe_adapt()
+        assert engine._serve_size == 64  # hysteresis: first hot check holds
+        engine._adapt_next_check = 0.0
+        engine._maybe_adapt()
+        assert engine._serve_size == 32
+        assert engine.size_downshifts >= 1
+        # Stats window reset on switch: old slow samples can't block recovery.
+        assert engine._adapt_stats.snapshot()["count"] == 0
+        # Sustained wide margin: 8 cool checks step back up.
+        for _ in range(8):
+            _prime(engine, 2.0)
+            engine._adapt_next_check = 0.0
+            engine._maybe_adapt()
+        assert engine._serve_size == 64
+        assert engine.size_upshifts >= 1
+    finally:
+        engine.adaptive_slo_ms = 0.0
+        engine._serve_size = 64
+
+
+def test_policy_neutral_band_resets_counters(engine):
+    engine.adaptive_slo_ms = 8.0
+    try:
+        _prime(engine, 20.0)
+        engine._adapt_next_check = 0.0
+        engine._maybe_adapt()
+        assert engine._adapt_hot == 1
+        # p99 back inside the band (between 0.6*SLO and SLO): counters clear.
+        engine._adapt_stats = type(engine._adapt_stats)(window=256)
+        _prime(engine, 6.0)
+        engine._adapt_next_check = 0.0
+        engine._maybe_adapt()
+        assert engine._adapt_hot == 0 and engine._serve_size == 64
+    finally:
+        engine.adaptive_slo_ms = 0.0
+        engine._serve_size = 64
+
+
+def test_simulation_never_adapts():
+    cfg = _cfg(adaptive_slo_ms=8.0)
+    eng = InferenceEngine(cfg)  # no params, no file => simulation
+    assert eng.simulation
+    _prime(eng, 50.0)
+    for _ in range(4):
+        eng._adapt_next_check = 0.0
+        eng._maybe_adapt()
+    assert eng._serve_size == 64
+
+
+def test_status_reports_serve_size(engine):
+    st = engine.status()
+    assert st["serve_size"] == "64"
+    assert "size_downshifts" in st and "size_upshifts" in st

@@ -190,6 +190,19 @@ class TpuConfig:
     # loadtest's queueing behavior matches hardware. Buckets not listed fall
     # back to synthetic_step_ms. Non-empty enables synthetic mode.
     synthetic_step_profile: Dict[str, float] = field(default_factory=dict)
+    # Serve-size ladder for adaptive resolution, e.g. [416, 320]: YOLOv8 is
+    # fully convolutional, so the SAME weights serve any 32-multiple input
+    # size — a smaller letterbox target cuts step pixels quadratically
+    # (320 is 41% fewer than 416) at a measured accuracy cost
+    # (scripts/eval_artifact.py --size). Every listed size pre-compiles the
+    # full (batch, bucket) program grid at warmup. Empty = fixed
+    # detection.model_width only.
+    serve_sizes: tuple = ()
+    # > 0 enables the adaptive policy: when the engine's rolling
+    # submit->result p99 exceeds this SLO (ms), serving steps down the
+    # serve_sizes ladder (hysteresis both ways; upshifts need a sustained
+    # margin). The policy runs on the dispatch lane only. 0 = static size.
+    adaptive_slo_ms: float = 0.0
 
 
 # Closed value sets for TpuConfig's layout/impl enums (validated in
@@ -260,12 +273,25 @@ class ServerConfig:
                 cfg.game_adapters[name] = game
         if isinstance(j.get("tpu"), dict):
             tj = dict(j["tpu"])
-            for tuple_key in ("batch_buckets", "frame_buckets"):
+            for tuple_key in ("batch_buckets", "frame_buckets", "serve_sizes"):
                 if tuple_key in tj:
                     tj[tuple_key] = tuple(
                         tuple(v) if isinstance(v, (list, tuple)) else v
                         for v in tj[tuple_key])
             _merge(cfg.tpu, tj)
+            # Serve sizes must be stride-32 multiples (the FPN downsamples
+            # to /32; a non-multiple letterbox target misaligns the anchor
+            # grid) — fail at load, not at first trace.
+            for s in cfg.tpu.serve_sizes:
+                if int(s) <= 0 or int(s) % 32:
+                    raise ValueError(
+                        f"tpu.serve_sizes entry {s!r} must be a positive "
+                        "multiple of 32")
+            if cfg.tpu.adaptive_slo_ms and len(
+                    set(cfg.tpu.serve_sizes) | {cfg.detection.model_width}) < 2:
+                raise ValueError(
+                    "tpu.adaptive_slo_ms needs a serve_sizes ladder with at "
+                    "least one size besides detection.model_width")
             # Layout/impl enums fail FAST at load: a typo ("Split", "splt",
             # "perLevel") would otherwise silently serve the default layout
             # and the operator's intended measured win never happens. Same

@@ -164,6 +164,22 @@ class InferenceEngine:
         tpu = config.tpu
         self.spec: ModelSpec = get_spec(tpu.variant, tpu.num_classes)
         self.model_size = int(config.detection.model_width)
+        # Serve-size ladder (adaptive resolution): the fully-convolutional
+        # model serves any 32-multiple size from the same params; programs
+        # are keyed by size and the CURRENT size is dispatch-lane state.
+        ladder = {int(s) for s in getattr(tpu, "serve_sizes", ()) or ()}
+        self.serve_sizes = tuple(sorted(ladder | {self.model_size},
+                                        reverse=True))
+        self._serve_size = self.model_size
+        self.adaptive_slo_ms = float(getattr(tpu, "adaptive_slo_ms", 0.0))
+        # Policy state (dispatch lane only): dedicated short window so a
+        # size switch is judged on fresh samples, not the 1000-sample tail.
+        self._adapt_stats = RollingStats(window=256)
+        self._adapt_next_check = 0.0
+        self._adapt_hot = 0
+        self._adapt_cool = 0
+        self.size_downshifts = 0
+        self.size_upshifts = 0
         if config.detection.model_width != config.detection.model_height:
             raise ValueError("non-square model inputs not supported")
         self.dtype = jnp.bfloat16 if tpu.dtype == "bfloat16" else jnp.float32
@@ -329,8 +345,9 @@ class InferenceEngine:
         return qparams
 
     # ------------------------------------------------------------- compile
-    def _build_step(self, batch: int, bucket: Tuple[int, int]):
-        size = self.model_size
+    def _build_step(self, batch: int, bucket: Tuple[int, int],
+                    size: Optional[int] = None):
+        size = int(size or self.model_size)
         spec = self.spec
         dtype = self.dtype
         topk = self.pre_nms_topk
@@ -420,25 +437,29 @@ class InferenceEngine:
 
         return jax.jit(step, donate_argnums=(1,))
 
-    def get_step(self, batch: int, bucket: Tuple[int, int]):
-        key = (batch, bucket[0], bucket[1])
+    def get_step(self, batch: int, bucket: Tuple[int, int],
+                 size: Optional[int] = None):
+        size = int(size or self._serve_size)
+        key = (batch, bucket[0], bucket[1], size)
         fn = self._step_cache.get(key)
         if fn is None:
-            fn = self._build_step(batch, bucket)
+            fn = self._build_step(batch, bucket, size)
             self._step_cache[key] = fn
         return fn
 
-    def get_step_cached(self, batch: int, bucket: Tuple[int, int]):
+    def get_step_cached(self, batch: int, bucket: Tuple[int, int],
+                        size: Optional[int] = None):
         """Fused variant: slot gather from the device frame cache + the full
         serve step in ONE program (one dispatch per batch; the cache is not
         donated). Signature: (params, cache, shw, cw, conf, iou) with
         shw (3, B) int32 rows [slots, heights, widths] — ONE host upload per
         dispatch instead of three (each H2D transition through a relayed
         TPU costs link latency)."""
-        key = ("cached", batch, bucket[0], bucket[1])
+        size = int(size or self._serve_size)
+        key = ("cached", batch, bucket[0], bucket[1], size)
         fn = self._step_cache.get(key)
         if fn is None:
-            inner = self._build_step(batch, bucket)
+            inner = self._build_step(batch, bucket, size)
 
             def step(params, cache, shw, cw, conf, iou):
                 return inner(params, cache[shw[0]], shw[1], shw[2],
@@ -479,10 +500,21 @@ class InferenceEngine:
                     frames_d = jnp.asarray(frames)
                     hs_d = jnp.asarray(hw[0])
                     ws_d = jnp.asarray(hw[1])
-                out = self.get_step(b, bk)(
-                    self._params, frames_d, hs_d, ws_d,
-                    self._class_weights, self._conf, self._iou)
-                jax.block_until_ready(out)
+                for sz in self.serve_sizes:
+                    # Every rung of the serve-size ladder pre-compiles: an
+                    # adaptive downshift must be a key switch, not a cold
+                    # compile right when the engine is already over SLO.
+                    # Donation means the buffer dies per call; re-stage it.
+                    if sz != self.serve_sizes[0]:
+                        if self.mesh is not None:
+                            frames_d = jax.device_put(frames,
+                                                      self.batch_sharding(4))
+                        else:
+                            frames_d = jnp.asarray(frames)
+                    out = self.get_step(b, bk, size=sz)(
+                        self._params, frames_d, hs_d, ws_d,
+                        self._class_weights, self._conf, self._iou)
+                    jax.block_until_ready(out)
                 last_out[b] = out
         if inflight > 2 and last_out:
             # Drain-path programs: pad-to-max-rows per batch bucket, plus the
@@ -519,9 +551,12 @@ class InferenceEngine:
                             shw, NamedSharding(self.mesh, P(None, DATA_AXIS)))
                     else:
                         shw_d = jnp.asarray(shw)
-                    return self.get_step_cached(b, bucket)(
-                        self._params, arr, shw_d,
-                        self._class_weights, self._conf, self._iou)
+                    out = None
+                    for sz in self.serve_sizes:  # cache is NOT donated
+                        out = self.get_step_cached(b, bucket, size=sz)(
+                            self._params, arr, shw_d,
+                            self._class_weights, self._conf, self._iou)
+                    return out
 
                 jax.block_until_ready(locked(launch))
         dt = time.perf_counter() - t0
@@ -869,12 +904,58 @@ class InferenceEngine:
             e2e_ms = (now - r.enqueue_t) * 1e3
             q_ms = max(e2e_ms - infer_ms, 0.0)
             self.e2e_latency.record(e2e_ms)
+            self._adapt_stats.record(e2e_ms)
             results.append(EngineResult(
                 client_id=r.client_id, frame_id=r.frame_id,
                 timestamp=r.timestamp, detections=dets,
                 infer_ms=infer_ms, queue_ms=max(q_ms, 0.0),
                 recv_t=r.enqueue_t))
+        self._maybe_adapt()
         return results
+
+    # ------------------------------------------------- adaptive resolution
+    def _maybe_adapt(self) -> None:
+        """Serve-size policy, dispatch lane only (called from completion):
+        sustained submit->result p99 over the SLO steps DOWN the
+        serve_sizes ladder (pixels fall quadratically with the letterbox
+        target); a sustained wide margin steps back UP. Hysteresis is
+        asymmetric — shedding latency is urgent, recovering accuracy is
+        not — and the stats window resets on every switch so decisions are
+        judged on post-switch samples only."""
+        if self.adaptive_slo_ms <= 0 or len(self.serve_sizes) < 2 \
+                or self.simulation:
+            return
+        now = time.perf_counter()
+        if now < self._adapt_next_check:
+            return
+        snap = self._adapt_stats.snapshot()
+        if snap["count"] < 32:  # not enough fresh samples to judge
+            return
+        self._adapt_next_check = now + 0.5
+        i = self.serve_sizes.index(self._serve_size)
+        if snap["p99_ms"] > self.adaptive_slo_ms:
+            self._adapt_cool = 0
+            self._adapt_hot += 1
+            if self._adapt_hot >= 2 and i + 1 < len(self.serve_sizes):
+                self._switch_size(self.serve_sizes[i + 1], snap["p99_ms"])
+                self.size_downshifts += 1
+        elif snap["p99_ms"] < 0.6 * self.adaptive_slo_ms:
+            self._adapt_hot = 0
+            self._adapt_cool += 1
+            if self._adapt_cool >= 8 and i > 0:
+                self._switch_size(self.serve_sizes[i - 1], snap["p99_ms"])
+                self.size_upshifts += 1
+        else:
+            self._adapt_hot = 0
+            self._adapt_cool = 0
+
+    def _switch_size(self, size: int, p99_ms: float) -> None:
+        log.info("adaptive resolution: %d -> %d (p99 %.1f ms, SLO %.1f ms)",
+                 self._serve_size, size, p99_ms, self.adaptive_slo_ms)
+        self._serve_size = size
+        self._adapt_stats = RollingStats(window=256)
+        self._adapt_hot = 0
+        self._adapt_cool = 0
 
     def _simulate(self, r: InferenceRequest) -> EngineResult:
         """Random plausible detections (reference onnx_engine.cpp:1133-1177)."""
@@ -1018,6 +1099,11 @@ class InferenceEngine:
             # model file's introspected geometry won (load_model).
             "model": self.spec.variant,
             "model_size": str(self.model_size),
+            # Current serve size (= model_size unless an adaptive ladder
+            # downshifted) + lifetime switch counts.
+            "serve_size": str(self._serve_size),
+            "size_downshifts": str(self.size_downshifts),
+            "size_upshifts": str(self.size_upshifts),
             "classes": str(self.spec.num_classes),
             "simulation": str(self.simulation).lower(),
             "inferences": str(self.inference_count.value),
