@@ -32,22 +32,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--weights", required=True, help="source .npz artifact")
-    ap.add_argument("--variant", default="yolov8n")
-    ap.add_argument("--classes", type=int, default=4)
+    ap.add_argument("--variant", default=None,
+                    help="override the variant introspected from the file")
+    ap.add_argument("--classes", type=int, default=None)
     ap.add_argument("--size", type=int, default=416)
     ap.add_argument("--out", required=True, help="output .onnx path")
+    ap.add_argument("--platform", default="cpu")
     args = ap.parse_args()
+
+    import jax
+    if args.platform:
+        # The sitecustomize force-registers the TPU relay and ignores
+        # JAX_PLATFORMS; an unfolded checkpoint's fold_batchnorm would
+        # otherwise dispatch through the relay (~1 s per readback).
+        jax.config.update("jax_platforms", args.platform)
 
     from zero_latency_yolo_tpu.models import get_spec
     from zero_latency_yolo_tpu.models.ultra import export_deployment_onnx
     from zero_latency_yolo_tpu.models.weights import (
-        flatten, from_onnx, load_params,
+        flatten, from_onnx, infer_spec_from_params, load_params,
     )
-
     from zero_latency_yolo_tpu.models.yolov8 import fold_batchnorm
 
     params = load_params(args.weights)
-    spec = get_spec(args.variant, args.classes)
+    if args.variant:
+        spec = get_spec(args.variant, args.classes or 4)
+    else:
+        spec = infer_spec_from_params(params)  # the file knows its geometry
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     export_deployment_onnx(params, spec, args.out, args.size)
 
@@ -64,7 +75,7 @@ def main() -> int:
                                 src[k].astype(np.float32)).max())
                    for k in src)
     print(json.dumps({
-        "out": args.out, "variant": args.variant, "size": args.size,
+        "out": args.out, "variant": spec.variant, "size": args.size,
         "bytes": os.path.getsize(args.out),
         "roundtrip_max_diff": max_diff,
     }))

@@ -70,13 +70,25 @@ def test_serves_every_rung_with_consistent_boxes(engine):
     assert {32, 64} <= sizes
 
 
-def test_warmup_compiles_all_rungs():
+def test_warmup_compiles_all_rungs_when_policy_enabled():
     spec = get_spec("yolov8p", 4)
     params = init_params(jax.random.PRNGKey(1), spec, folded=True)
-    eng = InferenceEngine(_cfg(batch_buckets=[1]), params=params)
+    eng = InferenceEngine(_cfg(batch_buckets=[1], adaptive_slo_ms=8.0),
+                          params=params)
     eng.warmup(batches=[1], buckets=[(96, 96)])
     sizes = {k[-1] for k in eng._step_cache if not isinstance(k[0], str)}
     assert sizes == {32, 64}
+
+
+def test_warmup_skips_unreachable_rungs_without_slo():
+    """serve_sizes without adaptive_slo_ms: nothing can ever switch sizes,
+    so warmup must not spend (relayed) compile time on dead rungs."""
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(2), spec, folded=True)
+    eng = InferenceEngine(_cfg(batch_buckets=[1]), params=params)
+    eng.warmup(batches=[1], buckets=[(96, 96)])
+    sizes = {k[-1] for k in eng._step_cache if not isinstance(k[0], str)}
+    assert sizes == {64}
 
 
 def _prime(engine, ms, n=32):

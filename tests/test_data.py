@@ -98,6 +98,10 @@ def test_read_labels_rejects_malformed(tmp_path):
         f.write("7 0.5 0.5 0.2 0.2\n")
     with pytest.raises(ValueError, match="class"):
         read_labels(p, num_classes=4)
+    with open(p, "w") as f:
+        f.write("1.5 0.5 0.5 0.2 0.2\n")  # fractional class id
+    with pytest.raises(ValueError, match="integer"):
+        read_labels(p)
 
 
 def test_load_yolo_dir_shapes(dataset):

@@ -275,8 +275,11 @@ def from_onnx(path: str) -> Params:
 # ---------------------------------------------------------------------------
 
 def _expected_shapes(spec: ModelSpec, folded: bool) -> Dict[str, Tuple[int, ...]]:
-    import jax
-    ref = init_params(jax.random.PRNGKey(0), spec, folded=folded)
+    # int seed => pure-NumPy init: this runs on the model-watcher thread
+    # (maybe_reload -> load_model), where a PRNGKey would put device ops on
+    # a second lane concurrent with the batcher's dispatches — the
+    # single-device-lane discipline scheduler.py documents.
+    ref = init_params(0, spec, folded=folded)
     return {k: tuple(np.shape(v)) for k, v in flatten(ref).items()}
 
 
@@ -367,7 +370,6 @@ def load_model(path: str, variant: str = "yolov8n", num_classes: int = 4,
     """
     import logging
 
-    import jax
     spec = get_spec(variant, num_classes)
     try:
         if path.endswith(".npz"):
@@ -388,5 +390,6 @@ def load_model(path: str, variant: str = "yolov8n", num_classes: int = 4,
             spec = inferred
         return params, spec, False
     except Exception:  # noqa: BLE001 — any failure => simulation mode
-        params = init_params(jax.random.PRNGKey(seed), spec, folded=True)
+        # int seed => NumPy init (this path also runs on the watcher thread).
+        params = init_params(seed, spec, folded=True)
         return params, spec, True

@@ -483,6 +483,11 @@ class InferenceEngine:
         stall the batcher lane at the FIRST live drain).
         """
         t0 = time.perf_counter()
+        # Extra serve-size rungs are only reachable through the adaptive
+        # policy; with the SLO unset they would be minutes of cold-boot
+        # compile (through a relayed TPU) for programs nothing dispatches.
+        warm_sizes = (self.serve_sizes if self.adaptive_slo_ms > 0
+                      else (self._serve_size,))
         last_out: Dict[int, Any] = {}
         for b in (batches or self.batch_buckets):
             for bk in (buckets or self.frame_buckets):
@@ -500,12 +505,12 @@ class InferenceEngine:
                     frames_d = jnp.asarray(frames)
                     hs_d = jnp.asarray(hw[0])
                     ws_d = jnp.asarray(hw[1])
-                for sz in self.serve_sizes:
-                    # Every rung of the serve-size ladder pre-compiles: an
-                    # adaptive downshift must be a key switch, not a cold
-                    # compile right when the engine is already over SLO.
+                for sz in warm_sizes:
+                    # Every REACHABLE rung pre-compiles: an adaptive
+                    # downshift must be a key switch, not a cold compile
+                    # right when the engine is already over SLO.
                     # Donation means the buffer dies per call; re-stage it.
-                    if sz != self.serve_sizes[0]:
+                    if sz != warm_sizes[0]:
                         if self.mesh is not None:
                             frames_d = jax.device_put(frames,
                                                       self.batch_sharding(4))
@@ -552,7 +557,7 @@ class InferenceEngine:
                     else:
                         shw_d = jnp.asarray(shw)
                     out = None
-                    for sz in self.serve_sizes:  # cache is NOT donated
+                    for sz in warm_sizes:  # cache is NOT donated
                         out = self.get_step_cached(b, bucket, size=sz)(
                             self._params, arr, shw_d,
                             self._class_weights, self._conf, self._iou)

@@ -91,6 +91,9 @@ def read_labels(path: Optional[str], num_classes: Optional[int] = None
                                  f"got {line!r}")
             cls = float(parts[0])
             vals = [float(v) for v in parts[1:]]
+            if not cls.is_integer():
+                raise ValueError(f"{path}:{ln}: class id {parts[0]!r} is "
+                                 "not an integer")
             if num_classes is not None and not 0 <= cls < num_classes:
                 raise ValueError(f"{path}:{ln}: class {cls:g} outside "
                                  f"[0, {num_classes})")
@@ -185,24 +188,21 @@ def yolo_dir_batches(root: str, batch: int, size: int, max_boxes: int = 32,
     carry_t: List[np.ndarray] = []
     while True:
         order = rng.permutation(len(pairs))
-        if resident:
-            if cache is None:
-                cache = load_yolo_dir(root, size, max_boxes, num_classes)
-            epoch_i, epoch_t = cache[0][order], cache[1][order]
-            carry_i.extend(epoch_i)
-            carry_t.extend(epoch_t)
-        else:
-            for j in order:
+        if resident and cache is None:
+            cache = load_yolo_dir(root, size, max_boxes, num_classes)
+        for j in order:
+            if cache is not None:
+                # Row views into the one resident copy — a whole-epoch
+                # fancy-index copy here would peak at ~3x the cache_mb
+                # bound the residency check enforces.
+                img, tgt = cache[0][j], cache[1][j]
+            else:
                 img, tgt = load_sample(*pairs[j], size, max_boxes,
                                        num_classes)
-                carry_i.append(img)
-                carry_t.append(tgt)
-                if len(carry_i) >= batch:
-                    yield (np.stack(carry_i[:batch]).astype(np.float32) / 255,
-                           np.stack(carry_t[:batch]))
-                    del carry_i[:batch], carry_t[:batch]
-            continue
-        while len(carry_i) >= batch:
-            yield (np.stack(carry_i[:batch]).astype(np.float32) / 255,
-                   np.stack(carry_t[:batch]))
-            del carry_i[:batch], carry_t[:batch]
+            carry_i.append(img)
+            carry_t.append(tgt)
+            if len(carry_i) >= batch:
+                yield (np.stack(carry_i).astype(np.float32) / 255,
+                       np.stack(carry_t))
+                carry_i.clear()
+                carry_t.clear()
