@@ -151,6 +151,30 @@ def test_simulation_never_adapts():
     assert eng._serve_size == 64
 
 
+def test_downshift_through_real_completion_path():
+    """End-to-end through infer_batch -> dispatch -> complete -> _convert:
+    with an impossible SLO every real completion feeds the policy, and the
+    engine steps down WITHOUT anyone calling _maybe_adapt directly."""
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(3), spec, folded=True)
+    eng = InferenceEngine(_cfg(adaptive_slo_ms=0.001, batch_buckets=[1, 8]),
+                          params=params)
+    assert eng._serve_size == 64
+    i = 0
+    while eng._serve_size == 64 and i < 30:
+        # 8 requests per call: 32 fresh samples arrive within 4 calls.
+        eng.infer_batch([_req(c + 1, i * 8 + c, seed=i) for c in range(8)])
+        eng._adapt_next_check = 0.0  # collapse the 0.5 s rate limit
+        i += 1
+    assert eng._serve_size == 32
+    assert eng.size_downshifts == 1
+    assert eng.status()["serve_size"] == "32"
+    # And the 32-rung really serves: detections come back normalized.
+    out = eng.infer_batch([_req(99, 1, seed=1)])[0]
+    for d in out.detections:
+        assert 0 <= d.x <= 1 and 0 <= d.y <= 1
+
+
 def test_status_reports_serve_size(engine):
     st = engine.status()
     assert st["serve_size"] == "64"

@@ -70,6 +70,8 @@ async function tick(){
       ['bad packets', s.transport.bad_packets],
       ['retransmits', s.transport.retransmits],
       ['model', s.engine.model + '@' + s.engine.model_size +
+        (s.engine.serve_size !== s.engine.model_size
+          ? ' → ' + s.engine.serve_size : '') +
         (s.engine.simulation === 'true' ? ' (SIM)' : '')],
     ];
     document.getElementById('cards').innerHTML = cards.map(
