@@ -179,3 +179,87 @@ def test_status_reports_serve_size(engine):
     st = engine.status()
     assert st["serve_size"] == "64"
     assert "size_downshifts" in st and "size_upshifts" in st
+
+
+def test_runtime_slo_guarded_by_warmed_rungs():
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(4), spec, folded=True)
+    # Booted with the policy OFF: rungs are cold, runtime enable must refuse
+    # (the first downshift would be a cold XLA compile under pressure).
+    eng = InferenceEngine(_cfg(batch_buckets=[1]), params=params)
+    eng.warmup(batches=[1], buckets=[(96, 96)])
+    assert not eng.update_adaptive_slo(8.0)
+    assert eng.adaptive_slo_ms == 0.0
+    # Booted with the policy ON: rungs warm; runtime retune and disable work.
+    eng2 = InferenceEngine(_cfg(batch_buckets=[1], adaptive_slo_ms=8.0),
+                           params=params)
+    eng2.warmup(batches=[1], buckets=[(96, 96)])
+    assert eng2.update_adaptive_slo(12.0)
+    assert eng2.adaptive_slo_ms == 12.0
+    eng2._serve_size = 32  # pretend a downshift happened
+    assert eng2.update_adaptive_slo(0.0)  # disable
+    assert eng2._serve_size == 64  # serving returns to the primary size
+
+
+def test_runtime_slo_refused_without_ladder():
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(5), spec, folded=True)
+    cfg = _cfg(batch_buckets=[1])
+    cfg.tpu.serve_sizes = ()
+    eng = InferenceEngine(cfg, params=params)
+    assert not eng.update_adaptive_slo(8.0)
+
+
+def test_set_config_adaptive_slo_over_the_wire(tmp_path):
+    """SET_CONFIG carrying adaptive_slo_ms is accepted (no crash) and
+    GET_CONFIG echoes the adaptive state; in simulation mode (no ladder)
+    the setting is refused but thresholds still apply atomically."""
+    import json as _json
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
+    from test_server_e2e import ServerHarness
+    from zero_latency_yolo_tpu.protocol import CommandPacket, CommandType
+    from zero_latency_yolo_tpu.runtime.simulator import SimClient
+
+    cfg = _cfg()
+    cfg.model_path = "/nonexistent.npz"
+    cfg.network.port = 27461
+    cfg.network.web_port = 0
+    cfg.use_cpu_affinity = False
+    cfg.use_high_priority = False
+    h = ServerHarness(cfg)
+    server = h.start()
+    c = SimClient(("127.0.0.1", server.port), screen_width=96,
+                  screen_height=64)
+    try:
+        c.connect()
+        c.start_receiver()
+        c._send(CommandPacket(
+            command_type=CommandType.SET_CONFIG,
+            command_data=_json.dumps({
+                "confidence_threshold": 0.9,
+                "adaptive_slo_ms": 8.0}).encode()).serialize())
+        import time as _t
+        deadline = _t.monotonic() + 5
+        while (_t.monotonic() < deadline and
+               server.engine.config.confidence_threshold != 0.9):
+            _t.sleep(0.05)
+        assert server.engine.config.confidence_threshold == 0.9
+        # The rungs were never warmed (simulation boot): SLO refused,
+        # state unchanged — but the threshold above still applied.
+        assert server.engine.adaptive_slo_ms == 0.0
+        c._send(CommandPacket(
+            command_type=CommandType.GET_CONFIG).serialize())
+        deadline = _t.monotonic() + 5
+        echo = None
+        while _t.monotonic() < deadline and echo is None:
+            with c._lock:
+                for pkt in c.commands:
+                    if pkt.command_type == CommandType.GET_CONFIG:
+                        echo = _json.loads(pkt.command_data.decode())
+            _t.sleep(0.05)
+        assert echo is not None
+        assert "adaptive_slo_ms" in echo and "serve_size" in echo
+    finally:
+        c.stop()
+        h.stop()

@@ -180,6 +180,10 @@ class InferenceEngine:
         self._adapt_cool = 0
         self.size_downshifts = 0
         self.size_upshifts = 0
+        # Rungs that have compiled programs (set by warmup): runtime SLO
+        # enabling is refused while rungs are cold — a first downshift must
+        # never be a cold XLA compile under pressure.
+        self._warmed_sizes: Tuple[int, ...] = ()
         if config.detection.model_width != config.detection.model_height:
             raise ValueError("non-square model inputs not supported")
         self.dtype = jnp.bfloat16 if tpu.dtype == "bfloat16" else jnp.float32
@@ -566,8 +570,31 @@ class InferenceEngine:
                 jax.block_until_ready(locked(launch))
         dt = time.perf_counter() - t0
         self.warmed = True
+        self._warmed_sizes = tuple(warm_sizes)
         log.info("engine warmup done in %.1fs", dt)
         return dt
+
+    def update_adaptive_slo(self, slo_ms: float) -> bool:
+        """Runtime SLO change (SET_CONFIG/CONFIG_UPDATE lane). Enabling
+        requires a ladder whose rungs were warmed at boot — a runtime
+        enable must never turn the first over-SLO downshift into a cold
+        XLA compile. Disabling (0) returns serving to the primary size."""
+        slo_ms = float(slo_ms)
+        if slo_ms > 0:
+            if len(self.serve_sizes) < 2:
+                log.warning("adaptive_slo_ms ignored: no tpu.serve_sizes "
+                            "ladder configured")
+                return False
+            if not set(self.serve_sizes) <= set(self._warmed_sizes):
+                log.warning("adaptive_slo_ms ignored: serve-size rungs were "
+                            "not warmed (boot with adaptive_slo_ms > 0)")
+                return False
+        self.adaptive_slo_ms = slo_ms
+        if slo_ms <= 0:
+            self._serve_size = self.serve_sizes[0]
+            self._adapt_hot = 0
+            self._adapt_cool = 0
+        return True
 
     # --------------------------------------------------------------- infer
     def _simulating(self) -> bool:

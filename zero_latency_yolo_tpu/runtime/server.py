@@ -500,9 +500,11 @@ class DetectionServer:
         malformed field must not leave a partial state change."""
         conf = s.get("confidence_threshold")
         nms = s.get("nms_threshold")
+        slo = s.get("adaptive_slo_ms")
         try:
             conf_f = float(conf) if conf is not None else None
             nms_f = float(nms) if nms is not None else None
+            slo_f = float(slo) if slo is not None else None
         except (TypeError, ValueError):
             log.debug("non-numeric threshold update from client #%d ignored",
                       session.client_id)
@@ -516,9 +518,18 @@ class DetectionServer:
                 log.debug("out-of-range threshold update from client #%d "
                           "ignored", session.client_id)
                 return False
+        if slo_f is not None and not (math.isfinite(slo_f)
+                                      and 0.0 <= slo_f <= 10000.0):
+            log.debug("out-of-range adaptive_slo_ms from client #%d ignored",
+                      session.client_id)
+            return False
         self.engine.update_thresholds(confidence=conf_f, nms=nms_f)
+        slo_ok = (self.engine.update_adaptive_slo(slo_f)
+                  if slo_f is not None else False)
         applied = {k: v for k, v in (("confidence_threshold", conf_f),
-                                     ("nms_threshold", nms_f))
+                                     ("nms_threshold", nms_f),
+                                     ("adaptive_slo_ms",
+                                      slo_f if slo_ok else None))
                    if v is not None}
         if applied:
             ignored = sorted(set(s) - set(applied))
@@ -640,6 +651,10 @@ class DetectionServer:
                 "confidence_threshold": self.engine.config.confidence_threshold,
                 "nms_threshold": self.engine.config.nms_threshold,
                 "target_fps": self.config.target_fps,
+                "adaptive_slo_ms": getattr(self.engine, "adaptive_slo_ms",
+                                           0.0),
+                "serve_size": int(getattr(self.engine, "_serve_size", 0)
+                                  or self.config.detection.model_width),
             }).encode()
             self._send_raw(CommandPacket(
                 command_type=CommandType.GET_CONFIG,

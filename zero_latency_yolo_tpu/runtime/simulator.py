@@ -20,9 +20,10 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..protocol import (
-    AckPacket, ClientInfo, ClientInfoPacket, DetectionResultPacket,
-    FrameDataPacket, HeartbeatPacket, PacketType, ProtocolError,
-    ServerInfoPacket, build_roi_header, parse_header, parse_packet,
+    AckPacket, ClientInfo, ClientInfoPacket, CommandPacket,
+    DetectionResultPacket, FrameDataPacket, HeartbeatPacket, PacketType,
+    ProtocolError, ServerInfoPacket, build_roi_header, parse_header,
+    parse_packet,
 )
 from ..protocol import native
 from .frames import encode_jpeg
@@ -67,6 +68,8 @@ class SimClient:
         self.sock.settimeout(timeout)
         self.server_info = None
         self.results: List[DetectionResultPacket] = []
+        # Server-originated COMMAND packets seen by the receiver (bounded).
+        self.commands: List[CommandPacket] = []
         self.result_latencies_ms: List[float] = []
         # Server-initiated stream control (REQUEST_KEYFRAME after a shed
         # froze our cache slot): the next capture must be a keyframe.
@@ -146,6 +149,12 @@ class SimClient:
                 if pkt.command_type == CommandType.REQUEST_KEYFRAME:
                     self.keyframe_requested = True
                     self.keyframe_requests_seen += 1
+                with self._lock:
+                    # Surface server commands (GET_CONFIG echoes, keyframe
+                    # requests) to drivers/tests; bounded so an idle client
+                    # can't accumulate unboundedly.
+                    self.commands.append(pkt)
+                    del self.commands[:-64]
 
     def reset_latency_stats(self) -> None:
         """Drop accumulated e2e latency samples and in-flight send stamps —
