@@ -40,18 +40,31 @@ from zero_latency_yolo_tpu.runtime.scheduler import ContinuousBatcher
 
 
 def run_row(ladder, label, window_ms, rate, streams, duration,
-            buckets=(2, 4, 8, 16, 32, 64), inflight=2):
+            buckets=(2, 4, 8, 16, 32, 64), inflight=2,
+            adaptive=None, slo_ms=8.0):
     """One measured row: drive the real batcher at `rate` submits/s for
     `duration` s against a synthetic engine replaying `ladder` (bucket->ms),
-    return latency stats over the steady-state tail (first 20% discarded)."""
+    return latency stats over the steady-state tail (first 20% discarded).
+
+    adaptive: optional second (smaller-serve-size) ladder — the engine then
+    runs the REAL adaptive-resolution policy over per-size synthetic
+    ladders (primary at 416, the downshift rung at 320) with the given SLO.
+    """
+    tpu = {"variant": "yolov8n", "num_classes": 4,
+           "batch_buckets": list(buckets),
+           "frame_buckets": [[64, 64]],
+           "batch_window_ms": window_ms, "max_inflight": inflight,
+           "synthetic_step_profile": ladder}
+    if adaptive is not None:
+        tpu.update({
+            "synthetic_step_profiles": {"416": ladder, "320": adaptive},
+            "serve_sizes": [416, 320],
+            "adaptive_slo_ms": slo_ms,
+        })
     cfg = ServerConfig.from_dict({
         "model_path": "/nonexistent.npz",
         "detection": {"model_width": 416, "model_height": 416},
-        "tpu": {"variant": "yolov8n", "num_classes": 4,
-                "batch_buckets": list(buckets),
-                "frame_buckets": [[64, 64]],
-                "batch_window_ms": window_ms, "max_inflight": inflight,
-                "synthetic_step_profile": ladder},
+        "tpu": tpu,
     })
     eng = create_engine(cfg)
     lat = []
@@ -87,13 +100,18 @@ def run_row(ladder, label, window_ms, rate, streams, duration,
         time.sleep(0.3)
         b.stop()
     a = np.asarray(lat[len(lat) // 5:])
-    return dict(ladder=label, window_ms=window_ms, offered_fps=rate,
-                streams=streams,
-                served_fps=round(len(lat) / duration, 1),
-                detect_avg_ms=round(float(a.mean()), 2),
-                detect_p50_ms=round(float(np.percentile(a, 50)), 2),
-                detect_p99_ms=round(float(np.percentile(a, 99)), 2),
-                dropped=eng.frames_dropped.value)
+    row = dict(ladder=label, window_ms=window_ms, offered_fps=rate,
+               streams=streams,
+               served_fps=round(len(lat) / duration, 1),
+               detect_avg_ms=round(float(a.mean()), 2),
+               detect_p50_ms=round(float(np.percentile(a, 50)), 2),
+               detect_p99_ms=round(float(np.percentile(a, 99)), 2),
+               dropped=eng.frames_dropped.value)
+    if adaptive is not None:
+        row.update(serve_size=eng._serve_size,
+                   downshifts=eng.size_downshifts,
+                   upshifts=eng.size_upshifts, slo_ms=slo_ms)
+    return row
 
 
 def main():
@@ -107,12 +125,21 @@ def main():
     ap.add_argument("--window", type=float, default=1.0)
     ap.add_argument("--duration", type=float, default=12.0)
     ap.add_argument("--inflight", type=int, default=2)
+    ap.add_argument("--adaptive", default=None, metavar="LADDER_320.json",
+                    help="second ladder (the 320 rung): run the REAL "
+                         "adaptive-resolution policy over per-size ladders")
+    ap.add_argument("--slo", type=float, default=8.0,
+                    help="adaptive policy SLO ms (with --adaptive)")
     args = ap.parse_args()
 
+    adaptive = (json.load(open(args.adaptive))["ladder"]
+                if args.adaptive else None)
     for path in args.ladders:
         doc = json.load(open(path))
         ladder = doc["ladder"]
         label = doc.get("variant", path)
+        if adaptive is not None:
+            label += "+adaptive320"
         if args.battery == "single":
             rows = [(args.window, args.streams * args.fps, args.streams)]
         else:
@@ -125,7 +152,8 @@ def main():
             ]
         for window, rate, streams in rows:
             print(json.dumps(run_row(ladder, label, window, rate, streams,
-                                     args.duration, inflight=args.inflight)),
+                                     args.duration, inflight=args.inflight,
+                                     adaptive=adaptive, slo_ms=args.slo)),
                   flush=True)
 
 

@@ -181,6 +181,34 @@ def test_status_reports_serve_size(engine):
     assert "size_downshifts" in st and "size_upshifts" in st
 
 
+def test_synthetic_per_size_profiles_drive_policy():
+    """Per-size synthetic ladders (the host-path harness form): the fake
+    lane reads the CURRENT serve size and the policy runs in synthetic
+    mode — the full adaptive loop without a device."""
+    cfg = _cfg(adaptive_slo_ms=8.0,
+               synthetic_step_profiles={"64": {"1": 20.0, "8": 20.0},
+                                        "32": {"1": 2.0, "8": 2.0}},
+               batch_buckets=[1, 8])
+    eng = InferenceEngine(cfg)
+    assert eng.simulation
+    assert eng._synthetic_step(1) == 20.0  # primary rung's ladder
+    i = 0
+    while eng._serve_size == 64 and i < 40:
+        eng.infer_batch([_req(c + 1, i * 8 + c) for c in range(8)])
+        eng._adapt_next_check = 0.0
+        i += 1
+    assert eng._serve_size == 32 and eng.size_downshifts == 1
+    assert eng._synthetic_step(1) == 2.0  # fake lane follows the downshift
+
+
+def test_synthetic_profiles_must_cover_ladder():
+    with pytest.raises(ValueError, match="missing ladders"):
+        InferenceEngine(_cfg(
+            adaptive_slo_ms=8.0,
+            synthetic_step_profiles={"64": {"1": 5.0}},  # no 32 rung
+            batch_buckets=[1]))
+
+
 def test_runtime_slo_guarded_by_warmed_rungs():
     spec = get_spec("yolov8p", 4)
     params = init_params(jax.random.PRNGKey(4), spec, folded=True)

@@ -198,6 +198,12 @@ class TpuConfig:
     # full (batch, bucket) program grid at warmup. Empty = fixed
     # detection.model_width only.
     serve_sizes: tuple = ()
+    # Per-serve-size synthetic ladders ({"416": {...}, "320": {...}}) — the
+    # adaptive-policy counterpart of synthetic_step_profile: the host-path
+    # harness replays each rung's measured chip ladder while the REAL
+    # policy switches between them. Measurement-only, never production.
+    synthetic_step_profiles: Dict[str, Dict[str, float]] = field(
+        default_factory=dict)
     # > 0 enables the adaptive policy: when the engine's rolling
     # submit->result p99 exceeds this SLO (ms), serving steps down the
     # serve_sizes ladder (hysteresis both ways; upshifts need a sustained

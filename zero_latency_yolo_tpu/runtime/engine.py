@@ -235,6 +235,24 @@ class InferenceEngine:
             int(k): float(v)
             for k, v in (getattr(tpu, "synthetic_step_profile", None)
                          or {}).items()}
+        # Per-serve-size ladders ({"416": {...}, "320": {...}}): lets the
+        # host-path harness exercise the REAL adaptive-resolution policy
+        # over measured chip ladders (the fake lane reads _serve_size).
+        self.synthetic_profiles = {
+            int(size): {int(k): float(v) for k, v in prof.items()}
+            for size, prof in (getattr(tpu, "synthetic_step_profiles", None)
+                               or {}).items()}
+        if self.synthetic_profiles:
+            if self.adaptive_slo_ms > 0:
+                missing = set(self.serve_sizes) - set(self.synthetic_profiles)
+                if missing:
+                    raise ValueError(
+                        f"tpu.synthetic_step_profiles missing ladders for "
+                        f"serve sizes {sorted(missing)}")
+            if not self.synthetic_profile:
+                self.synthetic_profile = self.synthetic_profiles.get(
+                    self.model_size) or next(
+                        iter(self.synthetic_profiles.values()))
         if self.synthetic_profile and self.synthetic_step_ms <= 0:
             self.synthetic_step_ms = max(self.synthetic_profile.values())
         if self.synthetic_step_ms > 0:
@@ -799,13 +817,15 @@ class InferenceEngine:
         ladder entry for the padded batch bucket when a profile is
         configured (next bucket up if the exact one is unlisted), else the
         flat synthetic_step_ms."""
-        if not self.synthetic_profile:
+        profile = (self.synthetic_profiles.get(self._serve_size)
+                   or self.synthetic_profile)
+        if not profile:
             return self.synthetic_step_ms
         bucket = _pick_batch(self.batch_buckets, n)
-        for b in sorted(self.synthetic_profile):
+        for b in sorted(profile):
             if bucket <= b:
-                return self.synthetic_profile[b]
-        return self.synthetic_profile[max(self.synthetic_profile)]
+                return profile[b]
+        return profile[max(profile)]
 
     def complete(self, pending: "PendingBatch") -> List[EngineResult]:
         """Block on the device step, convert fixed-shape outputs to results."""
@@ -824,11 +844,13 @@ class InferenceEngine:
                 for r in pending.requests:
                     e2e = (now - r.enqueue_t) * 1e3
                     self.e2e_latency.record(e2e)
+                    self._adapt_stats.record(e2e)
                     # Everything that is NOT the (fake) device step: decode
                     # wait + batch window + lane queueing + completion — the
                     # host-path overhead the synthetic harness measures.
                     self.synthetic_host.record(max(e2e - pending.step_ms,
                                                    0.0))
+                self._maybe_adapt()
             return pending.simulated
         return self._convert(pending, np.asarray(pending.out))  # one D2H
 
@@ -954,8 +976,12 @@ class InferenceEngine:
         asymmetric — shedding latency is urgent, recovering accuracy is
         not — and the stats window resets on every switch so decisions are
         judged on post-switch samples only."""
-        if self.adaptive_slo_ms <= 0 or len(self.serve_sizes) < 2 \
-                or self.simulation:
+        if self.adaptive_slo_ms <= 0 or len(self.serve_sizes) < 2:
+            return
+        if self.simulation and not self.synthetic_profiles:
+            # Plain simulation has no size-dependent step to adapt; the
+            # per-size synthetic ladders exist precisely to exercise this
+            # policy in the host-path harness.
             return
         now = time.perf_counter()
         if now < self._adapt_next_check:
