@@ -255,17 +255,35 @@ def _host_path_loadtest(results):
     # (the 1-core dev box saturates near ~500 pps with its own client
     # harness co-located — BENCH_NOTES round 3); full streams = the
     # saturated-box behavior at the BASELINE offered load.
-    configs = (((2, 10, 5, "clean"),) if SMOKE
-               else ((8, 60, 15, "clean"), (64, 60, 15, "full")))
+    configs = [((2, 10, 5, "clean"),) if SMOKE
+               else ((8, 60, 15, "clean"), (64, 60, 15, "full"))][0]
+    configs = list(configs)
+    # With a measured 320 chip ladder committed, add the adaptive-policy
+    # row: full load over per-size ladders with the REAL downshift policy
+    # (the single-chip full-load gate candidate — BENCH_NOTES).
+    ladder320 = {}
+    try:
+        with open(os.path.join(here, "artifacts",
+                               "n320_step_ladder.json")) as f:
+            ladder320 = dict(json.load(f).get("ladder", {}))
+    except Exception:  # noqa: BLE001 — row only exists once measured
+        pass
+    if ladder320 and not SMOKE:
+        configs.append((64, 60, 15, "full_adaptive"))
     out = {}
     for streams, fps, dur, label in configs:
         cmd = [sys.executable, os.path.join(here, "scripts", "loadtest.py"),
                "--streams", str(streams), "--fps", str(fps),
                "--duration", str(dur), "--platform", "cpu",
-               "--synthetic-profile", json.dumps(ladder),
                "--max-inflight", "2", "--window-ms", "1.0",
                "--width", "320", "--height", "240",
                "--bucket-h", "240", "--bucket-w", "320"]
+        if label == "full_adaptive":
+            cmd += ["--adaptive-profiles",
+                    json.dumps({"416": ladder, "320": ladder320}),
+                    "--adaptive-slo", "8.0"]
+        else:
+            cmd += ["--synthetic-profile", json.dumps(ladder)]
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=900, cwd=here)
@@ -346,6 +364,9 @@ def _host_path_summary(host_path):
             "host_overhead_p99_ms": rep.get("host_overhead_p99_ms"),
             "host_overhead_avg_ms": rep.get("host_overhead_avg_ms"),
             "frames_dropped": rep.get("frames_dropped"),
+            **({"serve_size": rep.get("serve_size"),
+                "size_downshifts": rep.get("size_downshifts")}
+               if rep.get("serve_size") else {}),
         } for label, rep in host_path.items()
     }
 

@@ -71,6 +71,15 @@ def build_config(args, model_path: str) -> dict:
             # Measured per-bucket ladder (scripts/step_ladder.py output).
             "synthetic_step_profile": json.loads(args.synthetic_profile)
             if args.synthetic_profile else {},
+            # Per-size ladders + the REAL adaptive policy (see lane_physics
+            # --adaptive): {"416": {...}, "320": {...}} with an SLO.
+            "synthetic_step_profiles": json.loads(args.adaptive_profiles)
+            if args.adaptive_profiles else {},
+            "serve_sizes": ([int(s) for s in
+                             json.loads(args.adaptive_profiles)]
+                            if args.adaptive_profiles else []),
+            "adaptive_slo_ms": (args.adaptive_slo
+                                if args.adaptive_profiles else 0.0),
         },
     }
 
@@ -183,6 +192,13 @@ def main() -> None:
                     help='measured per-bucket step ladder as JSON, e.g. '
                          '\'{"8": 3.1, "32": 6.44}\' (step_ladder.py output);'
                          ' implies synthetic mode')
+    ap.add_argument("--adaptive-profiles", default="",
+                    help='per-serve-size measured ladders as JSON, e.g. '
+                         '\'{"416": {"32": 6.4}, "320": {"32": 4.0}}\' — '
+                         'runs the REAL adaptive-resolution policy over '
+                         'them (implies synthetic mode)')
+    ap.add_argument("--adaptive-slo", type=float, default=8.0,
+                    help="adaptive policy SLO ms (with --adaptive-profiles)")
     ap.add_argument("--client-nice", type=int, default=10,
                     help="niceness ADDED to this (client) process so the "
                          "server wins the CPU on small co-located hosts; "
@@ -192,6 +208,10 @@ def main() -> None:
     if args.synthetic_profile and args.synthetic_step_ms <= 0:
         args.synthetic_step_ms = max(
             float(v) for v in json.loads(args.synthetic_profile).values())
+    if args.adaptive_profiles and args.synthetic_step_ms <= 0:
+        args.synthetic_step_ms = max(
+            float(v) for prof in json.loads(args.adaptive_profiles).values()
+            for v in prof.values())
 
     tmp = tempfile.mkdtemp(prefix="zlt-loadtest-")
     proc = None
@@ -327,6 +347,12 @@ def main() -> None:
                 eng.get("synthetic_host_avg_ms", "nan"))
             report["host_overhead_p99_ms"] = float(
                 eng.get("synthetic_host_p99_ms", "nan"))
+        if args.adaptive_profiles:
+            eng = st["engine"]
+            report["serve_size"] = int(eng.get("serve_size", 0))
+            report["size_downshifts"] = int(eng.get("size_downshifts", 0))
+            report["size_upshifts"] = int(eng.get("size_upshifts", 0))
+            report["adaptive_slo_ms"] = args.adaptive_slo
         print(json.dumps(report))
     finally:
         if proc is not None:
