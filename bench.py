@@ -255,9 +255,8 @@ def _host_path_loadtest(results):
     # (the 1-core dev box saturates near ~500 pps with its own client
     # harness co-located — BENCH_NOTES round 3); full streams = the
     # saturated-box behavior at the BASELINE offered load.
-    configs = [((2, 10, 5, "clean"),) if SMOKE
-               else ((8, 60, 15, "clean"), (64, 60, 15, "full"))][0]
-    configs = list(configs)
+    configs = ([(2, 10, 5, "clean")] if SMOKE
+               else [(8, 60, 15, "clean"), (64, 60, 15, "full")])
     # With a measured 320 chip ladder committed, add the adaptive-policy
     # row: full load over per-size ladders with the REAL downshift policy
     # (the single-chip full-load gate candidate — BENCH_NOTES).

@@ -55,10 +55,18 @@ def main() -> int:
     from zero_latency_yolo_tpu.models.yolov8 import fold_batchnorm
 
     params = load_params(args.weights)
+    introspected = infer_spec_from_params(params)  # the file's own geometry
     if args.variant:
-        spec = get_spec(args.variant, args.classes or 4)
+        spec = get_spec(args.variant,
+                        args.classes if args.classes is not None
+                        else introspected.num_classes)
     else:
-        spec = infer_spec_from_params(params)  # the file knows its geometry
+        spec = introspected
+        if args.classes is not None and args.classes != spec.num_classes:
+            raise SystemExit(
+                f"--classes {args.classes} contradicts the file's "
+                f"introspected {spec.num_classes} classes (pass --variant "
+                "too if you mean to force a different spec)")
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     export_deployment_onnx(params, spec, args.out, args.size)
 

@@ -73,10 +73,9 @@ def build_config(args, model_path: str) -> dict:
             if args.synthetic_profile else {},
             # Per-size ladders + the REAL adaptive policy (see lane_physics
             # --adaptive): {"416": {...}, "320": {...}} with an SLO.
-            "synthetic_step_profiles": json.loads(args.adaptive_profiles)
-            if args.adaptive_profiles else {},
-            "serve_sizes": ([int(s) for s in
-                             json.loads(args.adaptive_profiles)]
+            # (args.adaptive_profiles is parsed once in main.)
+            "synthetic_step_profiles": args.adaptive_profiles or {},
+            "serve_sizes": ([int(s) for s in args.adaptive_profiles]
                             if args.adaptive_profiles else []),
             "adaptive_slo_ms": (args.adaptive_slo
                                 if args.adaptive_profiles else 0.0),
@@ -208,9 +207,11 @@ def main() -> None:
     if args.synthetic_profile and args.synthetic_step_ms <= 0:
         args.synthetic_step_ms = max(
             float(v) for v in json.loads(args.synthetic_profile).values())
+    args.adaptive_profiles = (json.loads(args.adaptive_profiles)
+                              if args.adaptive_profiles else {})
     if args.adaptive_profiles and args.synthetic_step_ms <= 0:
         args.synthetic_step_ms = max(
-            float(v) for prof in json.loads(args.adaptive_profiles).values()
+            float(v) for prof in args.adaptive_profiles.values()
             for v in prof.values())
 
     tmp = tempfile.mkdtemp(prefix="zlt-loadtest-")

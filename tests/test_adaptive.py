@@ -222,11 +222,13 @@ def test_runtime_slo_guarded_by_warmed_rungs():
     eng2 = InferenceEngine(_cfg(batch_buckets=[1], adaptive_slo_ms=8.0),
                            params=params)
     eng2.warmup(batches=[1], buckets=[(96, 96)])
-    assert eng2.update_adaptive_slo(12.0)
+    assert eng2.update_adaptive_slo(12.0)  # stages for the dispatch lane
+    eng2._apply_staged_slo()  # (the dispatch lane applies it)
     assert eng2.adaptive_slo_ms == 12.0
     eng2._serve_size = 32  # pretend a downshift happened
-    assert eng2.update_adaptive_slo(0.0)  # disable
-    assert eng2._serve_size == 64  # serving returns to the primary size
+    assert eng2.update_adaptive_slo(0.0)  # disable (staged)
+    eng2._apply_staged_slo()
+    assert eng2._serve_size == 64  # serving returns to the BOOT size
 
 
 def test_runtime_slo_refused_without_ladder():
@@ -262,20 +264,27 @@ def test_set_config_adaptive_slo_over_the_wire(tmp_path):
     try:
         c.connect()
         c.start_receiver()
+        import time as _t
+        # Combined update with a refusable SLO (simulation boot = cold
+        # rungs): ATOMIC refusal — the threshold must NOT partially apply.
         c._send(CommandPacket(
             command_type=CommandType.SET_CONFIG,
             command_data=_json.dumps({
                 "confidence_threshold": 0.9,
                 "adaptive_slo_ms": 8.0}).encode()).serialize())
-        import time as _t
+        _t.sleep(0.5)
+        assert server.engine.config.confidence_threshold != 0.9
+        assert server.engine.adaptive_slo_ms == 0.0
+        # Threshold-only update still applies.
+        c._send(CommandPacket(
+            command_type=CommandType.SET_CONFIG,
+            command_data=_json.dumps(
+                {"confidence_threshold": 0.9}).encode()).serialize())
         deadline = _t.monotonic() + 5
         while (_t.monotonic() < deadline and
                server.engine.config.confidence_threshold != 0.9):
             _t.sleep(0.05)
         assert server.engine.config.confidence_threshold == 0.9
-        # The rungs were never warmed (simulation boot): SLO refused,
-        # state unchanged — but the threshold above still applied.
-        assert server.engine.adaptive_slo_ms == 0.0
         c._send(CommandPacket(
             command_type=CommandType.GET_CONFIG).serialize())
         deadline = _t.monotonic() + 5

@@ -180,6 +180,8 @@ class InferenceEngine:
         self._adapt_cool = 0
         self.size_downshifts = 0
         self.size_upshifts = 0
+        # Runtime SLO change staged for the dispatch lane (update_adaptive_slo).
+        self._staged_slo: Optional[float] = None
         # Rungs that have compiled programs (set by warmup): runtime SLO
         # enabling is refused while rungs are cold — a first downshift must
         # never be a cold XLA compile under pressure.
@@ -596,7 +598,13 @@ class InferenceEngine:
         """Runtime SLO change (SET_CONFIG/CONFIG_UPDATE lane). Enabling
         requires a ladder whose rungs were warmed at boot — a runtime
         enable must never turn the first over-SLO downshift into a cold
-        XLA compile. Disabling (0) returns serving to the primary size."""
+        XLA compile. Disabling (0) returns serving to the boot size.
+
+        Validation happens here (caller's thread, no state touched);
+        the change itself is STAGED and applied on the dispatch lane
+        (_apply_staged_slo) — policy state is dispatch-lane-only, and a
+        disable racing _maybe_adapt could otherwise strand the engine
+        downshifted with the policy off."""
         slo_ms = float(slo_ms)
         if slo_ms > 0:
             if len(self.serve_sizes) < 2:
@@ -607,12 +615,27 @@ class InferenceEngine:
                 log.warning("adaptive_slo_ms ignored: serve-size rungs were "
                             "not warmed (boot with adaptive_slo_ms > 0)")
                 return False
-        self.adaptive_slo_ms = slo_ms
-        if slo_ms <= 0:
-            self._serve_size = self.serve_sizes[0]
-            self._adapt_hot = 0
-            self._adapt_cool = 0
+        self._staged_slo = slo_ms
         return True
+
+    def _apply_staged_slo(self) -> None:
+        """Dispatch lane only (called from _current_params and
+        _maybe_adapt): apply a runtime SLO change atomically with the
+        policy state it governs."""
+        staged = self._staged_slo
+        if staged is None:
+            return
+        self._staged_slo = None
+        self.adaptive_slo_ms = staged
+        self._adapt_hot = 0
+        self._adapt_cool = 0
+        if staged <= 0:
+            # Back to the configured serving size — NOT serve_sizes[0]: the
+            # ladder may contain rungs larger than model_width that were
+            # never warmed (a cold compile under live traffic otherwise).
+            self._serve_size = self.model_size
+        log.info("adaptive SLO now %.1f ms (serve size %d)",
+                 self.adaptive_slo_ms, self._serve_size)
 
     # --------------------------------------------------------------- infer
     def _simulating(self) -> bool:
@@ -976,6 +999,7 @@ class InferenceEngine:
         asymmetric — shedding latency is urgent, recovering accuracy is
         not — and the stats window resets on every switch so decisions are
         judged on post-switch samples only."""
+        self._apply_staged_slo()
         if self.adaptive_slo_ms <= 0 or len(self.serve_sizes) < 2:
             return
         if self.simulation and not self.synthetic_profiles:
@@ -1120,6 +1144,7 @@ class InferenceEngine:
         (quantize + device_put happen HERE, on the device lane) and any
         pending threshold change."""
         self._refresh_thresholds()
+        self._apply_staged_slo()
         with self._params_lock:
             staged = self._staged_params
             staged_spec = self._staged_spec

@@ -523,13 +523,19 @@ class DetectionServer:
             log.debug("out-of-range adaptive_slo_ms from client #%d ignored",
                       session.client_id)
             return False
+        # The SLO stages (or refuses) BEFORE the thresholds apply, keeping
+        # the all-or-nothing contract: a refused SLO (no ladder / cold
+        # rungs) fails the whole update so the client gets an ERROR rather
+        # than silent success with nothing applied.
+        if slo_f is not None and not self.engine.update_adaptive_slo(slo_f):
+            log.debug("adaptive_slo_ms update from client #%d refused by "
+                      "the engine (no warmed serve-size ladder)",
+                      session.client_id)
+            return False
         self.engine.update_thresholds(confidence=conf_f, nms=nms_f)
-        slo_ok = (self.engine.update_adaptive_slo(slo_f)
-                  if slo_f is not None else False)
         applied = {k: v for k, v in (("confidence_threshold", conf_f),
                                      ("nms_threshold", nms_f),
-                                     ("adaptive_slo_ms",
-                                      slo_f if slo_ok else None))
+                                     ("adaptive_slo_ms", slo_f))
                    if v is not None}
         if applied:
             ignored = sorted(set(s) - set(applied))
