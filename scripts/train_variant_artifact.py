@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--stage1-lr", type=float, default=2e-3)
     ap.add_argument("--size", type=int, default=416)
     ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--multiscale", default="",
+                    help="comma list of stage-2 sizes to round-robin "
+                         "(e.g. '416,320') — train for the adaptive "
+                         "serve ladder; --size stays the eval size")
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--batch", type=int, default=8)
     # 8-image evals mislead: the committed artifacts rank DIFFERENTLY at 8
@@ -72,6 +76,9 @@ def main() -> None:
         state = train(variant=args.variant, num_classes=args.classes,
                       size=args.size, batch=args.batch, steps=args.steps,
                       lr=args.lr, init_from=warm, data=args.data,
+                      multiscale=([int(s) for s in
+                                   args.multiscale.split(",")]
+                                  if args.multiscale else None),
                       log_every=max(args.steps // 10, 1))
 
     folded = fold_batchnorm(jax.device_get(state.params))

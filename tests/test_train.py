@@ -217,3 +217,30 @@ def test_train_step_on_parametric_variant():
     moved = jax.tree.map(lambda a, b: float(np.max(np.abs(a - np.asarray(b)))),
                          before, state2.params)
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_multiscale_training_round_robins_sizes():
+    """Multi-scale training (the serve-ladder companion): one jitted step
+    per size, deterministic round-robin, shared optimizer state."""
+    from zero_latency_yolo_tpu.train.loop import train
+    state = train(variant="yolov8p", num_classes=4, size=64, batch=2,
+                  steps=4, lr=1e-3, multiscale=(64, 32), log_every=1)
+    assert int(state.step) == 4
+
+
+def test_multiscale_rejects_bad_size():
+    from zero_latency_yolo_tpu.train.loop import train
+    with pytest.raises(ValueError, match="multiple of 32"):
+        train(variant="yolov8p", num_classes=4, batch=2, steps=1,
+              multiscale=(64, 48))
+
+
+def test_multiscale_rejects_npz_shards(tmp_path):
+    import numpy as np
+    from zero_latency_yolo_tpu.train.loop import train
+    path = tmp_path / "shard.npz"
+    np.savez(str(path), images=np.zeros((4, 32, 32, 3), np.uint8),
+             targets=np.full((4, 2, 5), -1, np.float32))
+    with pytest.raises(ValueError, match="multiscale"):
+        train(variant="yolov8p", num_classes=4, batch=2, steps=1,
+              data=str(path), multiscale=(64, 32))

@@ -19,7 +19,7 @@ import argparse
 import glob
 import os
 import time
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -195,7 +195,8 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
           remat: bool = False, init_from: Optional[str] = None,
           ema: bool = False, ema_decay: float = 0.9998,
           mosaic: float = 0.0, assigner: str = "center",
-          crowded: bool = False, max_boxes: int = 32, log_every: int = 10):
+          crowded: bool = False, max_boxes: int = 32,
+          multiscale: Optional[Sequence[int]] = None, log_every: int = 10):
     import jax
     import jax.numpy as jnp
     import optax
@@ -216,8 +217,19 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
     mesh = None
     if mesh_data * mesh_model > 1:
         mesh = make_mesh(data=mesh_data, model=mesh_model)
-    step_fn = make_train_step(spec, tx, (size, size), mesh=mesh, remat=remat,
-                              ema_decay=ema_decay, assigner=assigner)
+    # Multi-scale training (the ultralytics recipe's scale augmentation,
+    # and the training-side companion of adaptive-resolution serving): one
+    # jitted step per size, batches round-robin the ladder — a model
+    # fine-tuned this way holds accuracy at every serve rung.
+    sizes = tuple(int(s) for s in multiscale) if multiscale else (size,)
+    for s in sizes:
+        if s % 32:
+            raise ValueError(f"train size {s} must be a multiple of 32 "
+                             "(stride-32 FPN)")
+    step_fns = {s: make_train_step(spec, tx, (s, s), mesh=mesh, remat=remat,
+                                   ema_decay=ema_decay, assigner=assigner)
+                for s in sizes}
+    step_fn = step_fns[sizes[0]]
     if mesh is not None:
         state = step_fn.shard_state(state)
 
@@ -233,23 +245,32 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
                 state = step_fn.shard_state(state)
             print(f"resumed from step {int(state.step)}")
 
-    if data and os.path.isdir(data):
-        from .data import yolo_dir_batches
-        batches = yolo_dir_batches(data, batch, size, max_boxes=max_boxes,
-                                   num_classes=num_classes)
-    elif data:
-        batches = npz_batches(data, batch)
-    elif crowded:
-        batches = crowded_batches(batch, size)
-    else:
-        batches = synthetic_batches(batch, size)
-    if mosaic > 0:
-        batches = mosaic_batches(batches, prob=mosaic)
+    def _batches_for(s: int):
+        if data and os.path.isdir(data):
+            from .data import yolo_dir_batches
+            src_it = yolo_dir_batches(data, batch, s, max_boxes=max_boxes,
+                                      num_classes=num_classes)
+        elif data:
+            if len(sizes) > 1:
+                raise ValueError(".npz shards are fixed-shape; multiscale "
+                                 "needs a directory dataset or the "
+                                 "synthetic task")
+            src_it = npz_batches(data, batch)
+        elif crowded:
+            src_it = crowded_batches(batch, s)
+        else:
+            src_it = synthetic_batches(batch, s)
+        if mosaic > 0:
+            src_it = mosaic_batches(src_it, prob=mosaic)
+        return src_it
+
+    per_size = {s: _batches_for(s) for s in sizes}
     t0 = time.perf_counter()
     start = int(state.step)
-    for i, (images, targets) in enumerate(batches):
-        if start + i >= steps:
-            break
+    for i in range(max(steps - start, 0)):
+        s = sizes[i % len(sizes)]  # deterministic ladder coverage
+        step_fn = step_fns[s]
+        images, targets = next(per_size[s])
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             images = jax.device_put(
@@ -284,6 +305,10 @@ def main() -> None:  # pragma: no cover
                          "labels/*.txt) or .npz shard glob")
     ap.add_argument("--max-boxes", type=int, default=32,
                     help="target capacity per image for directory datasets")
+    ap.add_argument("--multiscale", default="",
+                    help="comma list of train sizes to round-robin (e.g. "
+                         "'416,320'): the training-side companion of "
+                         "tpu.serve_sizes — overrides --size")
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--ckpt-every", type=int, default=100)
     ap.add_argument("--mesh-data", type=int, default=1)
@@ -311,7 +336,9 @@ def main() -> None:  # pragma: no cover
           mesh_data=args.mesh_data, mesh_model=args.mesh_model,
           remat=args.remat, init_from=args.init_from, ema=args.ema,
           mosaic=args.mosaic, assigner=args.assigner, crowded=args.crowded,
-          max_boxes=args.max_boxes)
+          max_boxes=args.max_boxes,
+          multiscale=([int(s) for s in args.multiscale.split(",")]
+                      if args.multiscale else None))
 
 
 if __name__ == "__main__":  # pragma: no cover
