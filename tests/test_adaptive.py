@@ -240,6 +240,69 @@ def test_runtime_slo_refused_without_ladder():
     assert not eng.update_adaptive_slo(8.0)
 
 
+def test_track_ids_survive_a_size_switch(tmp_path):
+    """A serve-size downshift must be invisible to clients: boxes stay
+    normalized to the source frame, so the Kalman tracker keeps matching
+    and track ids persist across the switch."""
+    import asyncio
+    import threading
+    import time as _t
+
+    from zero_latency_yolo_tpu.models import save_params
+    from zero_latency_yolo_tpu.runtime.server import DetectionServer
+    from zero_latency_yolo_tpu.runtime.simulator import SimClient, synthetic_frame
+
+    model_path = str(tmp_path / "pico.npz")
+    spec = get_spec("yolov8p", 4)
+    save_params(init_params(jax.random.PRNGKey(0), spec, folded=True),
+                model_path)
+    cfg = _cfg(adaptive_slo_ms=8.0)
+    cfg.model_path = model_path
+    cfg.network.port = 27471
+    cfg.network.web_port = 0
+    cfg.use_cpu_affinity = False
+    cfg.use_high_priority = False
+    cfg.detection.enable_tracking = True
+    server = DetectionServer(cfg)
+    assert not server.engine.simulation
+    server.engine.warmup(cache=server.device_cache)
+    loop = asyncio.new_event_loop()
+    t = threading.Thread(target=loop.run_forever, daemon=True)
+    t.start()
+    asyncio.run_coroutine_threadsafe(server.start(), loop).result(10)
+    c = SimClient(("127.0.0.1", server.port), screen_width=96,
+                  screen_height=64)
+    try:
+        c.connect()
+        c.start_receiver()
+        frame = synthetic_frame(96, 64, seed=5)
+
+        def ids_of(fid, results):
+            r = [x for x in results if x.frame_id == fid]
+            assert r, f"no result for frame {fid}"
+            return sorted(d.track_id for d in r[0].detections)
+
+        f1 = c.send_raw_frame(frame)
+        res = c.wait_results(1, timeout=30.0)
+        before = ids_of(f1, res)
+        # Force the downshift (dispatch-lane write is GIL-atomic; the next
+        # get_step call picks the 32-rung program).
+        server.engine._serve_size = 32
+        _t.sleep(0.1)
+        f2 = c.send_raw_frame(frame)
+        res = c.wait_results(2, timeout=30.0)
+        after = ids_of(f2, res)
+        assert before, "expected detections from the random-weights model"
+        # Same scene, same tracker: ids persist across the rung switch.
+        assert set(before) & set(after), (before, after)
+    finally:
+        c.stop()
+        fut = asyncio.run_coroutine_threadsafe(server.stop(), loop)
+        fut.result(10)
+        loop.call_soon_threadsafe(loop.stop)
+        t.join(timeout=5)
+
+
 def test_set_config_adaptive_slo_over_the_wire(tmp_path):
     """SET_CONFIG carrying adaptive_slo_ms is accepted (no crash) and
     GET_CONFIG echoes the adaptive state; in simulation mode (no ladder)
