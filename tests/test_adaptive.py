@@ -240,6 +240,45 @@ def test_runtime_slo_refused_without_ladder():
     assert not eng.update_adaptive_slo(8.0)
 
 
+def test_adaptive_rungs_on_the_serving_mesh(tmp_path):
+    """Serve-size rungs compose with SPMD serving: a mesh_data=2 engine
+    serves BOTH ladder rungs and each matches the single-device engine at
+    the same rung (size only changes the traced program, not the sharded
+    input shapes)."""
+    import copy
+
+    from zero_latency_yolo_tpu.models import save_params
+
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(7), spec, folded=True)
+    path = str(tmp_path / "m.npz")
+    save_params(params, path)
+
+    def mk(md):
+        cfg = _cfg(adaptive_slo_ms=8.0, batch_buckets=[4])
+        cfg.model_path = path
+        cfg.tpu.mesh_data = md
+        return InferenceEngine(cfg, params=params)
+
+    single, meshed = mk(1), mk(2)
+    assert meshed.mesh is not None
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (4, 72, 96, 3), np.uint8)
+    reqs = [InferenceRequest(client_id=i + 1, frame_id=i, timestamp=0,
+                             width=96, height=72, data=frames[i])
+            for i in range(4)]
+    for rung in (64, 32):
+        single._serve_size = rung
+        meshed._serve_size = rung
+        r1 = single.infer_batch(copy.deepcopy(reqs))
+        r2 = meshed.infer_batch(copy.deepcopy(reqs))
+        for a, b in zip(r1, r2):
+            assert len(a.detections) == len(b.detections), rung
+            for da, db in zip(a.detections, b.detections):
+                assert da.x == pytest.approx(db.x, abs=1e-5)
+                assert da.class_id == db.class_id
+
+
 def test_track_ids_survive_a_size_switch(tmp_path):
     """A serve-size downshift must be invisible to clients: boxes stay
     normalized to the source frame, so the Kalman tracker keeps matching
