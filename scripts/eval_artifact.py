@@ -84,6 +84,7 @@ def main() -> int:
         "images": int(len(images)),
         "data": args.data or "synthetic-777",
         "mAP": round(metrics["mAP"], 4),
+        "mAP50_95": round(metrics["mAP50_95"], 4),
         "recall": round(metrics["recall"], 4),
         "eval_s": round(time.perf_counter() - t0, 1),
     }))

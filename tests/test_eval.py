@@ -73,5 +73,42 @@ def test_evaluate_end_to_end_with_oracle_model():
     finally:
         ev.forward_decoded = orig
     assert metrics["mAP"] == pytest.approx(1.0, abs=1e-6), metrics
+    # Exact boxes match at every IoU rung of the COCO ladder.
+    assert metrics["mAP50_95"] == pytest.approx(1.0, abs=1e-6), metrics
     assert metrics["recall"] == pytest.approx(1.0)
     assert metrics["num_gt"] == 8
+
+
+def test_coco_ladder_penalizes_loose_boxes():
+    """A detection that overlaps its GT at IoU ~0.54 is a hit at 0.5 but a
+    miss at the higher rungs: mAP50 stays 1.0 while mAP50_95 drops — the
+    COCO metric must actually distinguish localization quality."""
+    import zero_latency_yolo_tpu.train.eval as ev
+    from zero_latency_yolo_tpu.models import get_spec
+
+    spec = get_spec("yolov8p", 4)
+    s, n = 64, 2
+    targets = np.full((n, 1, 5), -1.0, np.float32)
+    targets[:, 0] = (0, 0.5, 0.5, 0.4, 0.4)
+    images = np.zeros((n, s, s, 3), np.float32)
+    a = spec.num_anchors(s, s)
+
+    def fake_forward(params, spec_, x, dtype=None):
+        import jax.numpy as jnp
+        b = x.shape[0]
+        pred = np.zeros((b, a, 4 + 4), np.float32)
+        # Shifted by 0.12 of the image on one axis: inter 0.28*0.4,
+        # union 0.32 - 0.112 -> IoU ~ 0.538 (clear of both rung edges).
+        pred[:, 0, :4] = np.array([0.62, 0.5, 0.4, 0.4]) * s
+        pred[:, 0, 4] = 0.9
+        return jnp.asarray(pred)
+
+    orig = ev.forward_decoded
+    ev.forward_decoded = fake_forward
+    try:
+        metrics = ev.evaluate(None, spec, images, targets, batch=n)
+    finally:
+        ev.forward_decoded = orig
+    assert metrics["mAP"] == pytest.approx(1.0, abs=1e-6), metrics
+    # Hits only the 0.50 rung of 10 -> mAP50_95 = 0.1.
+    assert metrics["mAP50_95"] == pytest.approx(0.1, abs=1e-6), metrics

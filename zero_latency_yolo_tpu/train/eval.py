@@ -78,16 +78,22 @@ def match_detections(pred_boxes: np.ndarray, pred_scores: np.ndarray,
     return out
 
 
+COCO_IOU_LADDER = tuple(round(0.5 + 0.05 * i, 2) for i in range(10))
+
+
 def evaluate(params, spec: ModelSpec, images: np.ndarray, targets: np.ndarray,
              conf_thresh: float = 0.25, nms_thresh: float = 0.45,
              iou_thresh: float = 0.5, batch: int = 8,
              class_weights: Optional[np.ndarray] = None,
              dtype=jnp.float32) -> Dict[str, float]:
-    """AP@iou_thresh over an eval set.
+    """AP over an eval set: the primary threshold plus the COCO IoU ladder.
 
     images:  (N, S, S, 3) float in [0,1] (already letterboxed/square)
     targets: (N, M, 5) [class, cx, cy, w, h] normalized, class=-1 padding
-    Returns {"mAP": ..., "AP/<cls>": ..., "recall": ...}.
+    Returns {"mAP": AP@iou_thresh (back-compat key), "mAP50_95": COCO-style
+    mean over IoU 0.50:0.95:0.05, "AP/<cls>": per-class @iou_thresh,
+    "recall": ..., "num_gt": ...}. Inference runs ONCE; the extra ladder
+    points only re-run the host-side greedy matcher.
     """
     n, s = images.shape[0], images.shape[1]
     nc = spec.num_classes
@@ -105,7 +111,9 @@ def evaluate(params, spec: ModelSpec, images: np.ndarray, targets: np.ndarray,
             pred, cw, jnp.float32(conf_thresh), jnp.float32(nms_thresh),
             scale, pad, wh)
 
-    per_class: Dict[int, List[Tuple[float, bool]]] = {c: [] for c in range(nc)}
+    ladder = tuple(sorted({float(iou_thresh), *COCO_IOU_LADDER}))
+    per_class: Dict[float, Dict[int, List[Tuple[float, bool]]]] = {
+        t: {c: [] for c in range(nc)} for t in ladder}
     gt_count = {c: 0 for c in range(nc)}
     matched_total = 0
     for i0 in range(0, n, batch):
@@ -127,16 +135,24 @@ def evaluate(params, spec: ModelSpec, images: np.ndarray, targets: np.ndarray,
                 gt_count[c] += len(gt_c)
                 k = int(counts[bi])
                 sel = classes[bi, :k] == c
-                res = match_detections(boxes[bi, :k][sel], scores[bi, :k][sel],
-                                       gt_c, iou_thresh)
-                matched_total += sum(1 for _, hit in res if hit)
-                per_class[c].extend(res)
+                pb, ps = boxes[bi, :k][sel], scores[bi, :k][sel]
+                for thr in ladder:
+                    res = match_detections(pb, ps, gt_c, thr)
+                    if thr == iou_thresh:
+                        matched_total += sum(1 for _, hit in res if hit)
+                    per_class[thr][c].extend(res)
 
-    aps = {c: average_precision(per_class[c], gt_count[c])
-           for c in range(nc) if gt_count[c] > 0}
+    def _map_at(thr: float) -> Dict[int, float]:
+        return {c: average_precision(per_class[thr][c], gt_count[c])
+                for c in range(nc) if gt_count[c] > 0}
+
+    aps = _map_at(iou_thresh)
+    coco = ([float(np.mean(list(_map_at(t).values())))
+             for t in COCO_IOU_LADDER] if any(gt_count.values()) else [])
     total_gt = sum(gt_count.values())
     return {
         "mAP": float(np.mean(list(aps.values()))) if aps else 0.0,
+        "mAP50_95": float(np.mean(coco)) if coco else 0.0,
         **{f"AP/{c}": ap for c, ap in aps.items()},
         "recall": matched_total / total_gt if total_gt else 0.0,
         "num_gt": total_gt,
