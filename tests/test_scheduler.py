@@ -131,3 +131,42 @@ def test_deep_inflight_pipeline_real_compute():
     assert eng.error_count.value == 0
     # Every result carries sane detections from real compute.
     assert all(0 <= d.x <= 1 for r in got[:50] for d in r.detections)
+
+
+def test_device_stall_visibility():
+    """A device that stops completing (TPU preemption / transport wedge)
+    must be VISIBLE: device_stall_s grows with the age of the wedge instead
+    of the server serving silence (monitor loop warns past 5s)."""
+    import time
+
+    from zero_latency_yolo_tpu.runtime.engine import PendingBatch
+
+    b = _batcher(max_batch=2)
+    # Healthy: nothing in flight.
+    assert b.device_stall_s() == 0.0
+
+    class NeverReady:
+        def is_ready(self):
+            return False
+
+    now = time.perf_counter()
+    # A real device batch dispatched 10s ago and still unread.
+    b._inflight.append(PendingBatch(requests=[], out={"d": NeverReady()},
+                                    t0=now - 10.0, n=1))
+    assert 9.5 < b.device_stall_s() < 11.0
+    b._inflight.clear()
+
+    # Synthetic / simulated lanes cannot wedge -> never counted.
+    b._inflight.append(PendingBatch(requests=[], out={"d": NeverReady()},
+                                    t0=now - 10.0, n=1, ready_at=now + 1.0))
+    assert b.device_stall_s() == 0.0
+    b._inflight.clear()
+    b._inflight.append(PendingBatch(requests=[], out=None, t0=now - 10.0,
+                                    n=1, simulated=[]))
+    assert b.device_stall_s() == 0.0
+    b._inflight.clear()
+
+    # A readback blocked inside complete_many dominates (the batch was
+    # already popped from _inflight when the lane blocked).
+    b._completing_since = now - 7.0
+    assert 6.5 < b.device_stall_s() < 8.0

@@ -67,6 +67,12 @@ class ContinuousBatcher:
         # Dispatched-but-unread batches (depth 2: one batch computing on
         # device while the previous one's results convert on host).
         self._inflight: deque = deque()
+        # Stall visibility: perf_counter stamp set while complete_many
+        # blocks on a REAL device readback (cleared on return). A device
+        # that stops completing (TPU preemption, relay wedge) blocks this
+        # single lane with no exception — the monitor loop surfaces the
+        # stall via device_stall_s() instead of serving silence.
+        self._completing_since: Optional[float] = None
 
     # ---------------------------------------------------------------- submit
     def submit(self, request: InferenceRequest) -> bool:
@@ -98,6 +104,25 @@ class ContinuousBatcher:
     def queue_depth(self) -> int:
         with self._cv:
             return self._pending
+
+    def device_stall_s(self) -> float:
+        """Seconds the device lane has gone without completing a REAL batch
+        that should have finished: the age of a blocked readback, or of the
+        oldest in-flight device batch. ~0 in healthy serving (a step is
+        milliseconds); sustained growth means the device stopped answering
+        (TPU preemption / transport wedge) while ingest sheds normally.
+        Read from other threads (monitor loop / statusz) — attribute reads
+        are atomic and the worst case is one stale sample."""
+        t = self._completing_since
+        if t is not None:
+            return max(time.perf_counter() - t, 0.0)
+        try:
+            p = self._inflight[0]
+        except IndexError:
+            return 0.0
+        if p.out is None or p.ready_at is not None or p.simulated is not None:
+            return 0.0  # synthetic/simulated lanes cannot wedge
+        return max(time.perf_counter() - p.t0, 0.0)
 
     # --------------------------------------------------------------- control
     def start(self) -> None:
@@ -248,6 +273,11 @@ class ContinuousBatcher:
         batch = [self._inflight.popleft() for _ in range(min(k, len(self._inflight)))]
         if not batch:
             return
+        if any(p.out is not None and p.ready_at is None and
+               p.simulated is None for p in batch):
+            # Real device readback ahead: stamp it so a wedged device shows
+            # up as device_stall_s growth instead of silent blocking.
+            self._completing_since = time.perf_counter()
         try:
             all_results = self.engine.complete_many(batch)
         except Exception:  # noqa: BLE001
@@ -258,6 +288,8 @@ class ContinuousBatcher:
             self.engine.recycle_staging(batch)
             log.exception("batch completion failed")
             return
+        finally:
+            self._completing_since = None
         for results in all_results:
             try:
                 self.on_result(results)

@@ -56,6 +56,10 @@ from .scheduler import ContinuousBatcher
 
 log = get_logger("server")
 
+# Monitor-loop warning threshold for a device lane that stopped completing
+# batches (see ContinuousBatcher.device_stall_s).
+DEVICE_STALL_WARN_S = 5.0
+
 Addr = Tuple[str, int]
 
 
@@ -1007,6 +1011,16 @@ class DetectionServer:
                     st["detect_latency"]["p99_ms"],
                     st["engine"].get("pipeline_p99_ms"),
                     st["engine"].get("dropped"))
+                stall = float(st.get("device_stall_s") or 0.0)
+                if stall > DEVICE_STALL_WARN_S:
+                    # The device lane stopped completing (TPU preemption /
+                    # transport wedge): ingest keeps shedding per-client,
+                    # heartbeats and /statusz stay live — say WHY results
+                    # stopped. Two orders above any measured step (12 ms at
+                    # batch 64) and below liveness eviction timeouts.
+                    log.warning(
+                        "device lane stalled for %.1fs (no batch completion;"
+                        " TPU preemption or transport wedge?)", stall)
             except asyncio.CancelledError:
                 raise
             except Exception:  # noqa: BLE001
@@ -1064,6 +1078,7 @@ class DetectionServer:
             "clients": len(self._sessions),
             "max_clients": self.config.max_clients,
             "queue_depth": self.batcher.queue_depth(),
+            "device_stall_s": round(self.batcher.device_stall_s(), 3),
             "transport": {
                 "packets_received": self.packets_received.value,
                 "packets_sent": self.packets_sent.value,
