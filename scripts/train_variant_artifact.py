@@ -40,6 +40,10 @@ def main() -> None:
                          "(e.g. '416,320') — train for the adaptive "
                          "serve ladder; --size stays the eval size")
     ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--schedule", default="const",
+                    choices=("const", "cosine"),
+                    help="lr schedule for BOTH stages (cosine = "
+                         "warmup-cosine; warmup is 3%% of each stage)")
     ap.add_argument("--batch", type=int, default=8)
     # 8-image evals mislead: the committed artifacts rank DIFFERENTLY at 8
     # vs 64 images (docs/BENCH_NOTES artifact table) — 64 is the floor for
@@ -69,6 +73,8 @@ def main() -> None:
     state = train(variant=args.variant, num_classes=args.classes,
                   size=args.stage1_size, batch=args.batch,
                   steps=args.stage1_steps, lr=args.stage1_lr, data=args.data,
+                  schedule=args.schedule,
+                  warmup_steps=args.stage1_steps * 3 // 100,
                   log_every=max(args.stage1_steps // 10, 1))
     with tempfile.TemporaryDirectory() as td:
         warm = os.path.join(td, "stage1.npz")
@@ -79,6 +85,8 @@ def main() -> None:
                       multiscale=([int(s) for s in
                                    args.multiscale.split(",")]
                                   if args.multiscale else None),
+                      schedule=args.schedule,
+                      warmup_steps=args.steps * 3 // 100,
                       log_every=max(args.steps // 10, 1))
 
     folded = fold_batchnorm(jax.device_get(state.params))

@@ -244,3 +244,17 @@ def test_multiscale_rejects_npz_shards(tmp_path):
     with pytest.raises(ValueError, match="multiscale"):
         train(variant="yolov8p", num_classes=4, batch=2, steps=1,
               data=str(path), multiscale=(64, 32))
+
+
+def test_cosine_schedule_trains_and_decays():
+    """--schedule cosine: warmup-cosine over the run. The optimizer state
+    carries the schedule index, so training completes and the loss stays
+    finite; an unknown schedule name raises."""
+    from zero_latency_yolo_tpu.train.loop import train
+    state = train(variant="yolov8p", num_classes=4, size=64, batch=2,
+                  steps=4, lr=1e-3, schedule="cosine", warmup_steps=2,
+                  log_every=1)
+    assert int(state.step) == 4
+    with pytest.raises(ValueError, match="schedule"):
+        train(variant="yolov8p", num_classes=4, batch=2, steps=1,
+              schedule="linear")

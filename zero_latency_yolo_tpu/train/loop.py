@@ -196,7 +196,9 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
           ema: bool = False, ema_decay: float = 0.9998,
           mosaic: float = 0.0, assigner: str = "center",
           crowded: bool = False, max_boxes: int = 32,
-          multiscale: Optional[Sequence[int]] = None, log_every: int = 10):
+          multiscale: Optional[Sequence[int]] = None,
+          schedule: str = "const", warmup_steps: int = 0,
+          log_every: int = 10):
     import jax
     import jax.numpy as jnp
     import optax
@@ -211,6 +213,19 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
         params = load_params(init_from)
     else:
         params = init_params(jax.random.PRNGKey(0), spec, folded=False)
+    if schedule == "cosine":
+        # Warmup-cosine over the run (the ultralytics recipe's shape): ramp
+        # from 0 to peak over warmup_steps, decay to 5% of peak by `steps`.
+        # The schedule is indexed by the optimizer's own step count, so it
+        # restores correctly with a checkpoint.
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr,
+            warmup_steps=max(int(warmup_steps), 0),
+            decay_steps=max(int(steps), int(warmup_steps) + 1),
+            end_value=0.05 * lr)
+    elif schedule != "const":
+        raise ValueError(f"unknown lr schedule {schedule!r} "
+                         "(expected 'const' or 'cosine')")
     tx = optax.adamw(lr, weight_decay=1e-4)
     state = init_train_state(params, tx, ema=ema)
 
@@ -319,6 +334,11 @@ def main() -> None:  # pragma: no cover
     ap.add_argument("--mosaic", type=float, default=0.0,
                     help="mosaic augmentation probability (0 disables)")
     ap.add_argument("--assigner", default="center", choices=("tal", "center"))
+    ap.add_argument("--schedule", default="const", choices=("const", "cosine"),
+                    help="lr schedule: cosine = warmup-cosine decay to 5% "
+                         "of --lr over --steps")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="linear warmup steps (with --schedule cosine)")
     ap.add_argument("--crowded", action="store_true",
                     help="use the dense occlusion-aware synthetic task")
     ap.add_argument("--init-from", default=None, help="warm-start .npz")
@@ -338,7 +358,8 @@ def main() -> None:  # pragma: no cover
           mosaic=args.mosaic, assigner=args.assigner, crowded=args.crowded,
           max_boxes=args.max_boxes,
           multiscale=([int(s) for s in args.multiscale.split(",")]
-                      if args.multiscale else None))
+                      if args.multiscale else None),
+          schedule=args.schedule, warmup_steps=args.warmup)
 
 
 if __name__ == "__main__":  # pragma: no cover
