@@ -98,6 +98,13 @@ class PendingBatch:
     ready_at: Optional[float] = None
     step_ms: float = 0.0
 
+    @property
+    def is_real_device(self) -> bool:
+        """True when completion requires a REAL device readback (the only
+        kind that can wedge): not simulated, not a synthetic fake step."""
+        return (self.out is not None and self.ready_at is None
+                and self.simulated is None)
+
 
 @dataclass
 class EngineResult:

@@ -67,12 +67,14 @@ class ContinuousBatcher:
         # Dispatched-but-unread batches (depth 2: one batch computing on
         # device while the previous one's results convert on host).
         self._inflight: deque = deque()
-        # Stall visibility: perf_counter stamp set while complete_many
-        # blocks on a REAL device readback (cleared on return). A device
-        # that stops completing (TPU preemption, relay wedge) blocks this
-        # single lane with no exception — the monitor loop surfaces the
-        # stall via device_stall_s() instead of serving silence.
+        # Stall visibility: perf_counter stamps set while the lane is inside
+        # a REAL device readback (complete_many) or a dispatch (H2D/compile/
+        # cache flush can block on a wedged transport too). A device that
+        # stops answering blocks this single lane with no exception — the
+        # monitor loop surfaces the stall via device_stall_s() instead of
+        # serving silence.
         self._completing_since: Optional[float] = None
+        self._dispatching_since: Optional[float] = None
 
     # ---------------------------------------------------------------- submit
     def submit(self, request: InferenceRequest) -> bool:
@@ -114,13 +116,15 @@ class ContinuousBatcher:
         Read from other threads (monitor loop / statusz) — attribute reads
         are atomic and the worst case is one stale sample."""
         t = self._completing_since
+        if t is None:
+            t = self._dispatching_since
         if t is not None:
             return max(time.perf_counter() - t, 0.0)
         try:
             p = self._inflight[0]
         except IndexError:
             return 0.0
-        if p.out is None or p.ready_at is not None or p.simulated is not None:
+        if not p.is_real_device:
             return 0.0  # synthetic/simulated lanes cannot wedge
         return max(time.perf_counter() - p.t0, 0.0)
 
@@ -240,11 +244,18 @@ class ContinuousBatcher:
                                            else min(remaining, poll)))
             batch = self._collect()
             if batch:
+                # Stamp the dispatch too: H2D/compile/cache-flush inside it
+                # can block on a wedged transport with _inflight still empty
+                # (first batch after an idle drain) — without this the
+                # watchdog is blind to dispatch-side wedges.
+                self._dispatching_since = time.perf_counter()
                 try:
                     self._inflight.extend(self._dispatch(batch))
                 except Exception:  # noqa: BLE001
                     self.engine.error_count.inc()
                     log.exception("batch dispatch failed (batch=%d)", len(batch))
+                finally:
+                    self._dispatching_since = None
             # Single device lane, pipelined: the newest dispatch computes on
             # device while we convert the older ones' (async-copied) results
             # on host. When the window fills, drain to depth 1 in ONE
@@ -273,8 +284,7 @@ class ContinuousBatcher:
         batch = [self._inflight.popleft() for _ in range(min(k, len(self._inflight)))]
         if not batch:
             return
-        if any(p.out is not None and p.ready_at is None and
-               p.simulated is None for p in batch):
+        if any(p.is_real_device for p in batch):
             # Real device readback ahead: stamp it so a wedged device shows
             # up as device_stall_s growth instead of silent blocking.
             self._completing_since = time.perf_counter()

@@ -1079,6 +1079,7 @@ class DetectionServer:
             "max_clients": self.config.max_clients,
             "queue_depth": self.batcher.queue_depth(),
             "device_stall_s": round(self.batcher.device_stall_s(), 3),
+            "device_stall_warn_s": DEVICE_STALL_WARN_S,
             "transport": {
                 "packets_received": self.packets_received.value,
                 "packets_sent": self.packets_sent.value,

@@ -74,7 +74,7 @@ async function tick(){
           ? ' → ' + s.engine.serve_size : '') +
         (s.engine.simulation === 'true' ? ' (SIM)' : '')],
     ];
-    if (s.device_stall_s > 5.0)
+    if (s.device_stall_s > (s.device_stall_warn_s || 5.0))
       cards.push(['DEVICE STALLED (s)', s.device_stall_s.toFixed(1)]);
     document.getElementById('cards').innerHTML = cards.map(
       c => `<div class="card"><div class="k">${c[0]}</div><div class="v">${c[1]}</div></div>`).join('');

@@ -58,24 +58,34 @@ def average_precision(scored: List[Tuple[float, bool]], n_gt: int) -> float:
     return float(ap)
 
 
+def _greedy_match(order: np.ndarray, iou: Optional[np.ndarray],
+                  scores: np.ndarray, iou_thresh: float
+                  ) -> List[Tuple[float, bool]]:
+    """Greedy score-ordered matching over a precomputed IoU matrix — the
+    matrix and sort order are threshold-independent, so the COCO ladder
+    re-runs only this loop per rung."""
+    n_gt = 0 if iou is None else iou.shape[1]
+    taken = np.zeros(n_gt, bool)
+    out: List[Tuple[float, bool]] = []
+    for i in order:
+        hit = False
+        if n_gt:
+            j = int(np.argmax(np.where(taken, -1.0, iou[i])))
+            if not taken[j] and iou[i, j] >= iou_thresh:
+                taken[j] = True
+                hit = True
+        out.append((float(scores[i]), hit))
+    return out
+
+
 def match_detections(pred_boxes: np.ndarray, pred_scores: np.ndarray,
                      gt_boxes: np.ndarray, iou_thresh: float = 0.5
                      ) -> List[Tuple[float, bool]]:
     """Greedy score-ordered matching of one image's single-class detections."""
     order = np.argsort(-pred_scores)
-    taken = np.zeros(len(gt_boxes), bool)
-    out: List[Tuple[float, bool]] = []
-    if len(gt_boxes):
-        iou = _iou_xyxy(_xywh_to_xyxy(pred_boxes), _xywh_to_xyxy(gt_boxes))
-    for i in order:
-        hit = False
-        if len(gt_boxes):
-            j = int(np.argmax(np.where(taken, -1.0, iou[i])))
-            if not taken[j] and iou[i, j] >= iou_thresh:
-                taken[j] = True
-                hit = True
-        out.append((float(pred_scores[i]), hit))
-    return out
+    iou = (_iou_xyxy(_xywh_to_xyxy(pred_boxes), _xywh_to_xyxy(gt_boxes))
+           if len(gt_boxes) else None)
+    return _greedy_match(order, iou, pred_scores, iou_thresh)
 
 
 COCO_IOU_LADDER = tuple(round(0.5 + 0.05 * i, 2) for i in range(10))
@@ -136,8 +146,11 @@ def evaluate(params, spec: ModelSpec, images: np.ndarray, targets: np.ndarray,
                 k = int(counts[bi])
                 sel = classes[bi, :k] == c
                 pb, ps = boxes[bi, :k][sel], scores[bi, :k][sel]
+                order = np.argsort(-ps)
+                iou = (_iou_xyxy(_xywh_to_xyxy(pb), _xywh_to_xyxy(gt_c))
+                       if len(gt_c) else None)
                 for thr in ladder:
-                    res = match_detections(pb, ps, gt_c, thr)
+                    res = _greedy_match(order, iou, ps, thr)
                     if thr == iou_thresh:
                         matched_total += sum(1 for _, hit in res if hit)
                     per_class[thr][c].extend(res)

@@ -208,6 +208,9 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
     from .checkpoint import CheckpointManager
     from .step import init_train_state, make_train_step
 
+    if schedule not in ("const", "cosine"):  # fail before params build/load
+        raise ValueError(f"unknown lr schedule {schedule!r} "
+                         "(expected 'const' or 'cosine')")
     spec = get_spec(variant, num_classes)
     if init_from:
         params = load_params(init_from)
@@ -223,9 +226,6 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
             warmup_steps=max(int(warmup_steps), 0),
             decay_steps=max(int(steps), int(warmup_steps) + 1),
             end_value=0.05 * lr)
-    elif schedule != "const":
-        raise ValueError(f"unknown lr schedule {schedule!r} "
-                         "(expected 'const' or 'cosine')")
     tx = optax.adamw(lr, weight_decay=1e-4)
     state = init_train_state(params, tx, ema=ema)
 
@@ -335,7 +335,7 @@ def main() -> None:  # pragma: no cover
                     help="mosaic augmentation probability (0 disables)")
     ap.add_argument("--assigner", default="center", choices=("tal", "center"))
     ap.add_argument("--schedule", default="const", choices=("const", "cosine"),
-                    help="lr schedule: cosine = warmup-cosine decay to 5% "
+                    help="lr schedule: cosine = warmup-cosine decay to 5%% "
                          "of --lr over --steps")
     ap.add_argument("--warmup", type=int, default=0,
                     help="linear warmup steps (with --schedule cosine)")
