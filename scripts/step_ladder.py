@@ -17,6 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    if {"-h", "--help"} & set(sys.argv[1:]):
+        # Env-var-driven by design (ZLT_LADDER_VARIANT/SIZE/ZLT_LADDER,
+        # ZLT_BENCH_SMOKE); --help must not touch the device (a wedged
+        # relay would hang the help text).
+        print(__doc__)
+        return
     import jax
     if os.environ.get("ZLT_BENCH_SMOKE") == "1":
         jax.config.update("jax_platforms", "cpu")
