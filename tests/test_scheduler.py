@@ -170,3 +170,9 @@ def test_device_stall_visibility():
     # already popped from _inflight when the lane blocked).
     b._completing_since = now - 7.0
     assert 6.5 < b.device_stall_s() < 8.0
+    b._completing_since = None
+
+    # A wedge during DISPATCH (H2D/compile/cache flush, _inflight still
+    # empty after an idle drain) must be visible too.
+    b._dispatching_since = now - 3.0
+    assert 2.5 < b.device_stall_s() < 4.0
