@@ -160,3 +160,69 @@ def test_eval_consumes_directory(dataset):
     m = evaluate(params, spec, images.astype(np.float32) / 255, targets,
                  batch=4)
     assert 0.0 <= m["mAP"] <= 1.0 and m["num_gt"] == 5
+
+
+def test_coco_to_yolo_roundtrip(tmp_path):
+    """COCO-format annotations convert to the YOLO layout this loader
+    consumes: sparse category ids remap contiguously, boxes convert from
+    absolute corner-format to normalized center-format exactly, crowd and
+    degenerate boxes are skipped, and the converted split loads."""
+    import json
+
+    from zero_latency_yolo_tpu.train.data import coco_to_yolo
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    img = np.zeros((40, 80, 3), np.uint8)
+    cv2.imwrite(str(src / "a.png"), img)
+    cv2.imwrite(str(src / "b.png"), img)
+    coco = {
+        "images": [
+            {"id": 7, "file_name": "a.png", "width": 80, "height": 40},
+            {"id": 9, "file_name": "b.png", "width": 80, "height": 40},
+        ],
+        # Sparse, unordered category ids -> contiguous {3: 0, 11: 1}.
+        "categories": [{"id": 11, "name": "t"}, {"id": 3, "name": "head"}],
+        "annotations": [
+            # [x_min, y_min, w, h] absolute: center (40, 20), half-size box.
+            {"image_id": 7, "category_id": 11, "bbox": [20, 10, 40, 20]},
+            {"image_id": 7, "category_id": 3, "bbox": [0, 0, 8, 8],
+             "iscrowd": 1},                     # skipped (crowd)
+            {"image_id": 9, "category_id": 3, "bbox": [76, 36, 20, 20]},
+            {"image_id": 9, "category_id": 3, "bbox": [-5, -5, 3, 3]},
+        ],
+    }
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps(coco))
+    out = tmp_path / "out"
+    n, cat_map = coco_to_yolo(str(ann), str(src), str(out))
+    assert n == 2 and cat_map == {3: 0, 11: 1}
+    assert (out / "classes.txt").read_text().splitlines() == ["head", "t"]
+
+    labels_a = read_labels(str(out / "labels" / "a.txt"), num_classes=2)
+    np.testing.assert_allclose(labels_a, [[1, 0.5, 0.5, 0.5, 0.5]],
+                               atol=1e-6)
+    labels_b = read_labels(str(out / "labels" / "b.txt"), num_classes=2)
+    # Clamped to the image: x in [76, 80], y in [36, 40].
+    np.testing.assert_allclose(
+        labels_b, [[0, 78 / 80, 38 / 40, 4 / 80, 4 / 40]], atol=1e-6)
+    # The degenerate box vanished; the converted split loads end-to-end.
+    images, targets = load_yolo_dir(str(out), 32, max_boxes=4, num_classes=2)
+    assert images.shape == (2, 32, 32, 3)
+    assert int((targets[..., 0] >= 0).sum()) == 2
+
+
+def test_coco_to_yolo_missing_image_raises(tmp_path):
+    import json
+
+    from zero_latency_yolo_tpu.train.data import coco_to_yolo
+
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps({
+        "images": [{"id": 1, "file_name": "gone.png",
+                    "width": 8, "height": 8}],
+        "categories": [{"id": 1, "name": "x"}],
+        "annotations": [],
+    }))
+    with pytest.raises(FileNotFoundError, match="gone.png"):
+        coco_to_yolo(str(ann), str(tmp_path), str(tmp_path / "out"))

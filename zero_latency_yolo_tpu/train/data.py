@@ -164,6 +164,73 @@ def load_yolo_dir(root: str, size: int, max_boxes: int = 32,
     return images, targets
 
 
+def coco_to_yolo(ann_file: str, images_dir: str, out_dir: str,
+                 skip_crowd: bool = True) -> Tuple[int, dict]:
+    """Convert a COCO-format annotation file into the YOLO directory layout
+    this loader (and ultralytics) consumes: ``out_dir/images`` (symlinks to
+    the originals) + ``out_dir/labels/<stem>.txt``.
+
+    Most public detection datasets ship COCO JSON; the reference's training
+    story assumes users already hold YOLO-layout data (start.sh:113-149
+    just exports a pretrained model). Category ids (arbitrary, sparse in
+    COCO) remap to contiguous [0, C) in ascending id order — the mapping is
+    returned and written to ``out_dir/classes.txt`` one name per line.
+    COCO boxes are absolute [x_min, y_min, w, h]; YOLO wants normalized
+    center-format. Boxes are clamped to the image and degenerate (empty
+    after clamping) or iscrowd annotations are skipped. Returns
+    (num_images, {coco_category_id: contiguous_id})."""
+    import json as _json
+
+    with open(ann_file, "r", encoding="utf-8") as f:
+        coco = _json.load(f)
+    cats = sorted(c["id"] for c in coco.get("categories", []))
+    cat_map = {cid: i for i, cid in enumerate(cats)}
+    names = {c["id"]: str(c.get("name", c["id"]))
+             for c in coco.get("categories", [])}
+    imgs = {im["id"]: im for im in coco.get("images", [])}
+    per_image: dict = {im_id: [] for im_id in imgs}
+    for a in coco.get("annotations", []):
+        if skip_crowd and a.get("iscrowd"):
+            continue
+        im = imgs.get(a.get("image_id"))
+        if im is None or a.get("category_id") not in cat_map:
+            continue
+        W, H = float(im["width"]), float(im["height"])
+        x, y, w, h = (float(v) for v in a["bbox"])
+        x0, y0 = max(x, 0.0), max(y, 0.0)
+        x1, y1 = min(x + w, W), min(y + h, H)
+        if x1 <= x0 or y1 <= y0:
+            continue
+        per_image[im["id"]].append(
+            (cat_map[a["category_id"]],
+             (x0 + x1) / 2 / W, (y0 + y1) / 2 / H,
+             (x1 - x0) / W, (y1 - y0) / H))
+    img_out = os.path.join(out_dir, "images")
+    lbl_out = os.path.join(out_dir, "labels")
+    os.makedirs(img_out, exist_ok=True)
+    os.makedirs(lbl_out, exist_ok=True)
+    n = 0
+    for im_id, im in imgs.items():
+        src = os.path.join(images_dir, im["file_name"])
+        if not os.path.isfile(src):
+            raise FileNotFoundError(f"image listed in {ann_file!r} missing "
+                                    f"on disk: {src!r}")
+        dst = os.path.join(img_out, os.path.basename(im["file_name"]))
+        if not os.path.exists(dst):
+            os.symlink(os.path.abspath(src), dst)
+        stem = os.path.splitext(os.path.basename(im["file_name"]))[0]
+        with open(os.path.join(lbl_out, stem + ".txt"), "w",
+                  encoding="utf-8") as f:
+            for row in per_image[im_id]:
+                f.write("%d %.6f %.6f %.6f %.6f\n" % row)
+        n += 1
+    with open(os.path.join(out_dir, "classes.txt"), "w",
+              encoding="utf-8") as f:
+        for cid in cats:
+            f.write(names[cid] + "\n")
+    return n, cat_map
+
+
 def yolo_dir_batches(root: str, batch: int, size: int, max_boxes: int = 32,
                      num_classes: Optional[int] = None, seed: int = 0,
                      cache_mb: int = 2048
