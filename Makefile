@@ -1,6 +1,6 @@
 # Top-level build/test entry points.
 
-.PHONY: all native test test-fast bench serve clean
+.PHONY: all native test test-fast test-native release-check bench serve clean
 
 all: native
 
@@ -13,6 +13,14 @@ test: native
 test-fast: native
 	python -m pytest tests/test_protocol.py tests/test_config.py \
 	  tests/test_tracker.py tests/test_native_codec.py -q
+
+test-native:
+	$(MAKE) -C zero_latency_yolo_tpu/native test-native
+
+# One-command acceptance: native ASan/UBSan + fuzz, full suite (virtual
+# 8-device CPU mesh), bench mechanics. ~25 min on a 1-core host.
+release-check: test-native test bench-smoke
+	@echo "release-check: all green"
 
 bench:
 	python bench.py
