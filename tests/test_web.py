@@ -94,3 +94,16 @@ def test_http_end_to_end(tmp_path):
         asyncio.run_coroutine_threadsafe(server.stop(), loop).result(10)
         loop.call_soon_threadsafe(loop.stop)
         t.join(timeout=5)
+
+
+def test_historyz_route(tmp_path):
+    """/historyz serves the monitor loop's rolling snapshots (the trend the
+    reference's web plane scraped from log files); absent wiring -> []."""
+    hist = [{"t": 1.0, "served_fps": 100.0, "detect_p99_ms": 5.0}]
+    api = ManagementApi(status_fn=lambda: {}, history_fn=lambda: list(hist),
+                        models_dir=str(tmp_path), logs_dir=str(tmp_path))
+    code, payload = _call(api, "GET", "/historyz")
+    assert code == 200 and payload == {"history": hist}
+    bare = ManagementApi(status_fn=lambda: {}, models_dir=str(tmp_path),
+                         logs_dir=str(tmp_path))
+    assert _call(bare, "GET", "/historyz") == (200, {"history": []})

@@ -30,6 +30,7 @@ from __future__ import annotations
 import asyncio
 import json
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -154,8 +155,14 @@ class DetectionServer:
 
         import os as _os
         from .web import ManagementApi
+        # Rolling 5s snapshots from the monitor loop (~10 min at maxlen):
+        # the p99/fps/serve-size trend is queryable (/historyz) instead of
+        # reconstructed from log scraping like the reference's web plane
+        # (web/server.js:198-248).
+        self._status_history: deque = deque(maxlen=120)
         self.management = ManagementApi(
             status_fn=self.status,
+            history_fn=lambda: list(self._status_history),
             models_dir=_os.path.dirname(config.model_path) or "models",
             logs_dir=_os.path.dirname(config.logging.log_file) or "logs",
             active_model=_os.path.basename(config.model_path))
@@ -1011,6 +1018,16 @@ class DetectionServer:
                     st["detect_latency"]["p99_ms"],
                     st["engine"].get("pipeline_p99_ms"),
                     st["engine"].get("dropped"))
+                self._status_history.append({
+                    "t": round(time.time(), 1),
+                    "clients": st["clients"],
+                    "served_fps": st["served_fps"],
+                    "detect_p99_ms": st["detect_latency"].get("p99_ms"),
+                    "queue_depth": st["queue_depth"],
+                    "dropped": st["engine"].get("dropped"),
+                    "serve_size": st["engine"].get("serve_size"),
+                    "device_stall_s": st.get("device_stall_s"),
+                })
                 stall = float(st.get("device_stall_s") or 0.0)
                 if stall > DEVICE_STALL_WARN_S:
                     # The device lane stopped completing (TPU preemption /

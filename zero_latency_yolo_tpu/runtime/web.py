@@ -90,8 +90,10 @@ tick(); setInterval(tick, 2000);
 class ManagementApi:
     def __init__(self, status_fn: Callable[[], Dict],
                  models_dir: str = "models", logs_dir: str = "logs",
-                 active_model: Optional[str] = None) -> None:
+                 active_model: Optional[str] = None,
+                 history_fn: Optional[Callable[[], list]] = None) -> None:
         self.status_fn = status_fn
+        self.history_fn = history_fn
         self.models_dir = models_dir
         self.logs_dir = logs_dir
         # Basename of the file the SHA-256 watcher actually monitors
@@ -116,6 +118,12 @@ class ManagementApi:
                     return 200, {"__html__": DASHBOARD_HTML}
                 if route in ("/", "/statusz", "/api/server/status"):
                     return 200, self.status_fn()
+                if route == "/historyz":
+                    # Rolling monitor-loop snapshots (5s cadence, ~10 min):
+                    # the trend data the reference's web plane scraped from
+                    # log files.
+                    return 200, {"history": (self.history_fn()
+                                             if self.history_fn else [])}
                 if route == "/api/client/version":
                     return 200, CLIENT_VERSION
             return await asyncio.to_thread(self._handle_file_route, method,
