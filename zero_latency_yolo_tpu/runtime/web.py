@@ -49,9 +49,13 @@ h1{font-size:1.2rem} .grid{display:grid;grid-template-columns:repeat(auto-fill,m
 .k{color:#888;font-size:.75rem;text-transform:uppercase}.v{font-size:1.4rem;margin-top:4px}
 table{width:100%;border-collapse:collapse;margin-top:1rem;font-size:.85rem}
 td,th{border-bottom:1px solid #2a2a2a;padding:4px 8px;text-align:left}
+.trend{grid-column:span 2;min-width:0}
+.trend svg{display:block;width:100%;height:56px;margin-top:6px}
+.hovv{color:#c3c2b7;font-size:.75rem;min-height:1em;margin-top:2px}
 </style></head><body>
 <h1>zero-latency-yolo TPU &mdash; live status</h1>
 <div class="grid" id="cards"></div>
+<div class="grid" id="trends" style="margin-top:12px"></div>
 <table id="sessions"><thead><tr><th>client</th><th>addr</th><th>frames</th>
 <th>results</th><th>srtt ms</th></tr></thead><tbody></tbody></table>
 <script>
@@ -84,6 +88,55 @@ async function tick(){
   }catch(e){}
 }
 tick(); setInterval(tick, 2000);
+
+// Trend sparklines from /historyz (5s monitor snapshots, ~10 min window).
+// One series per chart (no dual axes); line colors are pre-validated
+// dark-surface categorical steps; values/labels stay in text tokens.
+function spark(el, hist, key, color, fmt){
+  const pts = hist.map(h => +h[key]).filter(v => isFinite(v));
+  const hv = el.querySelector('.hovv');
+  const svg = el.querySelector('svg');
+  if (pts.length < 2) { svg.innerHTML=''; hv.textContent='collecting…'; return; }
+  const W = svg.clientWidth || 300, H = 56, P = 3;
+  const lo = Math.min(...pts), hi = Math.max(...pts), span = (hi-lo) || 1;
+  const x = i => P + i*(W-2*P)/(pts.length-1);
+  const y = v => H-P - (v-lo)*(H-2*P)/span;
+  const line = pts.map((v,i) => `${x(i).toFixed(1)},${y(v).toFixed(1)}`).join(' ');
+  svg.setAttribute('viewBox', `0 0 ${W} ${H}`);
+  svg.innerHTML =
+    `<line x1="${P}" y1="${y(lo)}" x2="${W-P}" y2="${y(lo)}" stroke="#2a2a2a" stroke-width="1"/>` +
+    `<polyline points="${line}" fill="none" stroke="${color}" stroke-width="2" stroke-linejoin="round"/>` +
+    `<circle id="dot" r="3" fill="${color}" opacity="0"/>`;
+  hv.textContent = `now ${fmt(pts[pts.length-1])} · min ${fmt(lo)} · max ${fmt(hi)}`;
+  svg.onmousemove = ev => {
+    const r = svg.getBoundingClientRect();
+    const i = Math.max(0, Math.min(pts.length-1,
+      Math.round((ev.clientX-r.left)/r.width*(pts.length-1))));
+    const d = svg.querySelector('#dot');
+    d.setAttribute('cx', x(i)); d.setAttribute('cy', y(pts[i]));
+    d.setAttribute('opacity', 1);
+    const ago = Math.round((pts.length-1-i)*5/60*10)/10;
+    hv.textContent = `${fmt(pts[i])} · ${ago} min ago`;
+  };
+  svg.onmouseleave = () => {
+    svg.querySelector('#dot').setAttribute('opacity', 0);
+    hv.textContent = `now ${fmt(pts[pts.length-1])} · min ${fmt(lo)} · max ${fmt(hi)}`;
+  };
+}
+const TRENDS = [
+  ['served fps — 10 min', 'served_fps', '#3987e5', v => v.toFixed(1)],
+  ['detect p99 ms — 10 min', 'detect_p99_ms', '#d95926', v => v.toFixed(2)],
+];
+document.getElementById('trends').innerHTML = TRENDS.map((t,i) =>
+  `<div class="card trend" id="tr${i}"><div class="k">${t[0]}</div><svg></svg><div class="hovv"></div></div>`).join('');
+async function trendTick(){
+  try{
+    const h = (await (await fetch('/historyz')).json()).history || [];
+    TRENDS.forEach((t,i) =>
+      spark(document.getElementById('tr'+i), h, t[1], t[2], t[3]));
+  }catch(e){}
+}
+trendTick(); setInterval(trendTick, 10000);
 </script></body></html>"""
 
 
