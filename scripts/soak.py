@@ -52,6 +52,7 @@ def stream_worker(idx, args, stop_t, stats, lock):
             time.sleep(0.5)
             continue
         c.start_receiver()
+        c.start_heartbeat()
         try:
             c.send_jpeg_keyframe(synthetic_frame(args.width, args.height,
                                                  seed=cycle))
@@ -109,8 +110,18 @@ def main() -> int:
         t.start()
     for t in threads:
         t.join(timeout=args.duration + 60)
-    # Let timeouts/evictions settle before the verdict.
-    time.sleep(3.0)
+    # Settle before the verdict: a final DISCONNECT can be eaten by the
+    # fault injector, in which case the session lives until the server's
+    # liveness eviction (network.timeout_ms, default 5 s) — poll past it
+    # instead of reading a racy snapshot.
+    deadline = time.monotonic() + 20.0
+    while time.monotonic() < deadline:
+        after = _statusz(statusz)
+        fc0 = after.get("frame_cache") or {}
+        if (after["clients"] <= before["clients"]
+                and fc0.get("slots_used", 0) == 0):
+            break
+        time.sleep(1.0)
     after = _statusz(statusz)
 
     fc = after.get("frame_cache") or {}
@@ -134,7 +145,10 @@ def main() -> int:
         },
         "clean": (not stats["client_errors"]
                   and after["clients"] <= before["clients"]
-                  and (fc.get("slots_used") in (None, 0))),
+                  and (fc.get("slots_used") in (None, 0))
+                  # A fully-stalled server also drains clean; the soak
+                  # must additionally prove frames were actually SERVED.
+                  and after["results_sent"] - before["results_sent"] > 0),
     }
     print(json.dumps(verdict))
     return 0 if verdict["clean"] else 1

@@ -226,3 +226,54 @@ def test_coco_to_yolo_missing_image_raises(tmp_path):
     }))
     with pytest.raises(FileNotFoundError, match="gone.png"):
         coco_to_yolo(str(ann), str(tmp_path), str(tmp_path / "out"))
+
+
+def test_coco_to_yolo_subdir_names_and_rerun(tmp_path):
+    """Subdirectory file_names flatten without cross-linking; identical
+    flattened names from DISTINCT paths are refused; reruns retarget stale
+    symlinks instead of crashing or silently keeping old sources."""
+    import json
+
+    from zero_latency_yolo_tpu.train.data import coco_to_yolo
+
+    src = tmp_path / "src"
+    os.makedirs(src / "p1")
+    os.makedirs(src / "p2")
+    cv2.imwrite(str(src / "p1" / "a.png"), np.zeros((10, 10, 3), np.uint8))
+    cv2.imwrite(str(src / "p2" / "a.png"),
+                np.full((10, 10, 3), 200, np.uint8))
+    coco = {
+        "images": [
+            {"id": 1, "file_name": "p1/a.png", "width": 10, "height": 10},
+            {"id": 2, "file_name": "p2/a.png", "width": 10, "height": 10},
+        ],
+        "categories": [{"id": 1, "name": "x"}],
+        "annotations": [
+            {"image_id": 1, "category_id": 1, "bbox": [0, 0, 10, 10]},
+        ],
+    }
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps(coco))
+    out = tmp_path / "out"
+    n, _ = coco_to_yolo(str(ann), str(src), str(out))
+    assert n == 2
+    # Both images exist independently (no basename cross-link) and the
+    # labeled one is p1's.
+    assert sorted(os.listdir(out / "images")) == ["p1_a.png", "p2_a.png"]
+    assert read_labels(str(out / "labels" / "p1_a.txt")).shape == (1, 5)
+    assert read_labels(str(out / "labels" / "p2_a.txt")).shape == (0, 5)
+
+    # Rerun after the source moved: stale links retarget, no crash.
+    src2 = tmp_path / "moved"
+    os.rename(src, src2)
+    n, _ = coco_to_yolo(str(ann), str(src2), str(out))
+    assert n == 2
+    img, _t = load_yolo_dir(str(out), 16, max_boxes=2, num_classes=1)
+    assert img.shape[0] == 2  # links resolve again
+
+    # Distinct paths flattening to one name are refused loudly.
+    coco["images"].append({"id": 3, "file_name": "p1_a.png",
+                           "width": 10, "height": 10})
+    ann.write_text(json.dumps(coco))
+    with pytest.raises(ValueError, match="flatten"):
+        coco_to_yolo(str(ann), str(src2), str(tmp_path / "out2"))

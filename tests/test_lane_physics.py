@@ -13,8 +13,9 @@ from lane_physics import run_row  # noqa: E402
 
 def test_lane_physics_row_smoke():
     ladder = {"2": 0.5, "4": 0.6, "8": 0.8, "16": 1.0, "32": 1.5, "64": 2.0}
+    duration = 1.5
     row = run_row(ladder, "smoke", window_ms=1.0, rate=240.0, streams=4,
-                  duration=1.5)
+                  duration=duration)
     assert row["ladder"] == "smoke"
     assert row["streams"] == 4
     # ~360 frames offered; the tail-trimmed sample must be non-trivial and
@@ -26,5 +27,5 @@ def test_lane_physics_row_smoke():
     # host contention (flaked at 3-4, then 26, under full-suite load), so
     # bound the drop FRACTION, not a lucky absolute: a real admission
     # regression sheds most of the offered rate, not a few percent.
-    served = row["served_fps"] * 1.5
+    served = row["served_fps"] * duration
     assert row["dropped"] < 0.25 * (served + row["dropped"]), row

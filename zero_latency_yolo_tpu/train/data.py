@@ -209,16 +209,31 @@ def coco_to_yolo(ann_file: str, images_dir: str, out_dir: str,
     lbl_out = os.path.join(out_dir, "labels")
     os.makedirs(img_out, exist_ok=True)
     os.makedirs(lbl_out, exist_ok=True)
+    # COCO file_name may contain subdirectories and may repeat basenames
+    # across them ('part1/0001.jpg', 'part2/0001.jpg'): flatten separators
+    # into the output name so nothing silently cross-links images and
+    # labels, and refuse outright if two entries still collide.
+    flat_names: dict = {}
+    for im in imgs.values():
+        flat = im["file_name"].replace(os.sep, "_").replace("/", "_")
+        other = flat_names.get(flat)
+        if other is not None and other != im["file_name"]:
+            raise ValueError(
+                f"distinct images {other!r} and {im['file_name']!r} both "
+                f"flatten to {flat!r}; rename one in the annotation file")
+        flat_names[flat] = im["file_name"]
+        im["_flat_name"] = flat
     n = 0
     for im_id, im in imgs.items():
         src = os.path.join(images_dir, im["file_name"])
         if not os.path.isfile(src):
             raise FileNotFoundError(f"image listed in {ann_file!r} missing "
                                     f"on disk: {src!r}")
-        dst = os.path.join(img_out, os.path.basename(im["file_name"]))
-        if not os.path.exists(dst):
-            os.symlink(os.path.abspath(src), dst)
-        stem = os.path.splitext(os.path.basename(im["file_name"]))[0]
+        dst = os.path.join(img_out, im["_flat_name"])
+        if os.path.lexists(dst):  # retarget stale/moved links on rerun
+            os.unlink(dst)
+        os.symlink(os.path.abspath(src), dst)
+        stem = os.path.splitext(im["_flat_name"])[0]
         with open(os.path.join(lbl_out, stem + ".txt"), "w",
                   encoding="utf-8") as f:
             for row in per_image[im_id]:
