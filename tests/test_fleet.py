@@ -1,0 +1,178 @@
+"""SO_REUSEPORT fleet sharding: N server processes on ONE UDP port.
+
+The kernel flow-hashes clients across the shard group (sticky per 4-tuple),
+so each session lives wholly inside one shard — the multi-core / multi-chip
+scale-out (scripts/serve_fleet.py; the dp=2 gate closure in BENCH_NOTES).
+The reference has no multi-process story at all (one process, racing worker
+threads — src/inference/onnx_engine.cpp:315-470).
+"""
+
+import asyncio
+import importlib.util
+import os
+import threading
+
+import pytest
+
+from zero_latency_yolo_tpu.config import ServerConfig
+from zero_latency_yolo_tpu.runtime.server import DetectionServer
+from zero_latency_yolo_tpu.runtime.simulator import SimClient, synthetic_frame
+
+PORT = 27488
+
+
+def _cfg(port=PORT, **net):
+    return ServerConfig.from_dict({
+        "model_path": "/nonexistent/model.npz",  # simulation mode
+        "port": port,
+        "web_port": 0,
+        "max_clients": 8,
+        "network": {"timeout_ms": 2000, "reuse_port": True, **net},
+        "tpu": {"batch_window_ms": 1.0,
+                "frame_buckets": [[128, 128]],
+                "batch_buckets": [1, 2, 4]},
+    })
+
+
+class _Harness:
+    """Same in-process server harness as test_server_e2e, one per shard."""
+
+    def __init__(self, config):
+        self.server = DetectionServer(config)
+        self.loop = asyncio.new_event_loop()
+        self.thread = threading.Thread(target=self.loop.run_forever,
+                                       daemon=True)
+
+    def start(self):
+        self.thread.start()
+        asyncio.run_coroutine_threadsafe(
+            self.server.start(), self.loop).result(10)
+        return self.server
+
+    def stop(self):
+        asyncio.run_coroutine_threadsafe(
+            self.server.stop(), self.loop).result(10)
+        self.loop.call_soon_threadsafe(self.loop.stop)
+        self.thread.join(timeout=5)
+
+
+def test_config_reuse_port_roundtrip(tmp_path):
+    cfg = _cfg()
+    assert cfg.network.reuse_port is True
+    path = str(tmp_path / "server.json")
+    cfg.save(path)
+    again = ServerConfig.load(path)
+    assert again.network.reuse_port is True
+    # Old configs that omit the key keep the safe default.
+    assert ServerConfig.from_dict({}).network.reuse_port is False
+
+
+def test_two_shards_share_one_port_and_serve():
+    """Two in-process servers bind the SAME port; every client handshakes,
+    streams a frame, and gets a result; sessions are disjoint across shards
+    (kernel stickiness) and account for every client."""
+    shards = [_Harness(_cfg()) for _ in range(2)]
+    servers = [h.start() for h in shards]
+    try:
+        assert servers[0].port == servers[1].port == PORT
+        clients = []
+        try:
+            for i in range(6):
+                c = SimClient(("127.0.0.1", PORT),
+                              screen_width=96, screen_height=64)
+                c.connect()
+                c.start_receiver()
+                clients.append(c)
+            for i, c in enumerate(clients):
+                fid = c.send_raw_frame(synthetic_frame(96, 64, seed=i))
+                results = c.wait_results(1, timeout=5.0)
+                assert results, f"client {i} got no result"
+                assert results[0].frame_id == fid
+            # Client ids are a per-shard namespace (each shard numbers from
+            # 1); flow stickiness is asserted on ADDRESSES: every client
+            # socket lands on exactly one shard, and together they account
+            # for all of them.
+            addrs = [set(s.addr for s in srv._sessions.values())
+                     for srv in servers]
+            assert len(addrs[0]) + len(addrs[1]) == len(clients)
+            assert not (addrs[0] & addrs[1])
+        finally:
+            for c in clients:
+                c.stop()
+    finally:
+        for h in shards:
+            h.stop()
+
+
+def test_reuse_port_skips_port_fallback():
+    """A reuse_port shard must never drift to port+1 (the fleet's clients
+    all aim at ONE port): a plain bind holding the port fails the start."""
+    import socket
+    blocker = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    blocker.bind(("0.0.0.0", PORT + 7))
+    try:
+        h = _Harness(_cfg(port=PORT + 7))
+        with pytest.raises(OSError):
+            h.thread.start()
+            asyncio.run_coroutine_threadsafe(
+                h.server.start(), h.loop).result(10)
+        h.loop.call_soon_threadsafe(h.loop.stop)
+        h.thread.join(timeout=5)
+    finally:
+        blocker.close()
+
+
+def test_native_transport_reuseport_group():
+    """Two native transports join one reuseport group; a plain native bind
+    on the same port still gets a clean EADDRINUSE (the round-2 port-steal
+    fix is preserved)."""
+    from zero_latency_yolo_tpu.runtime import transport as t
+    if not t.HAVE_NATIVE_UDP_REUSEPORT:
+        pytest.skip("native UDP (open2) unavailable")
+    port = PORT + 11
+    t1 = t.NativeUdpTransport(port, 0, 0, lambda b: None, reuse_port=True)
+    try:
+        t2 = t.NativeUdpTransport(port, 0, 0, lambda b: None, reuse_port=True)
+        t2.close()
+        with pytest.raises(OSError):
+            t.NativeUdpTransport(port, 0, 0, lambda b: None)
+    finally:
+        t1.close()
+
+
+def _load_fleet_module():
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "serve_fleet.py")
+    spec = importlib.util.spec_from_file_location("serve_fleet", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_fleet_shard_config_derivation():
+    fleet = _load_fleet_module()
+    base = {
+        "port": 7788,
+        "web_port": 8080,
+        "use_cpu_affinity": True,
+        "cpu_core_id": 2,
+        "logging": {"log_file": "logs/server.log"},
+        "analytics": {"stats_file": "logs/stats.json"},
+    }
+    c0 = fleet.derive_shard_config(base, 0)
+    c1 = fleet.derive_shard_config(base, 1)
+    for c in (c0, c1):
+        assert c["network"]["reuse_port"] is True
+        assert c["port"] == 7788          # every shard on the fleet port
+        assert "web_port" not in c        # alias removed (would override)
+    assert c0["network"]["web_port"] == 8080
+    assert c1["network"]["web_port"] == 8081
+    assert c0["logging"]["log_file"] == "logs/server-0.log"
+    assert c1["logging"]["log_file"] == "logs/server-1.log"
+    assert c1["analytics"]["stats_file"] == "logs/stats-1.json"
+    assert c0["cpu_core_id"] == 2 and c1["cpu_core_id"] == 3
+    # A disabled dashboard stays disabled on every shard.
+    assert fleet.derive_shard_config({"web_port": 0}, 1).get(
+        "network", {}).get("web_port", 0) == 0
+    # The base dict must not be mutated (shards derive independently).
+    assert base["logging"]["log_file"] == "logs/server.log"

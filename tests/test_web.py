@@ -96,6 +96,65 @@ def test_http_end_to_end(tmp_path):
         t.join(timeout=5)
 
 
+def test_metricsz_prometheus_format(tmp_path):
+    """/metricsz flattens the numeric status leaves into Prometheus text;
+    strings and per-session rows (unbounded label cardinality) are skipped."""
+    status = {
+        "server": "zero_latency_yolo_tpu",          # string -> skipped
+        "clients": 3,
+        "served_fps": 123.5,
+        "transport": {"packets_received": 42, "rx_pps": 7.0},
+        "detect_latency": {"p99 ms": 6.25},          # key sanitized
+        "engine": {"simulation": "true"},            # string -> skipped
+        "frame_cache": None,                         # absent tree tolerated
+        "sessions": {"1": {"frames": 9}},            # skipped wholesale
+        "paused": True,                              # bool -> 0/1
+    }
+    api = ManagementApi(status_fn=lambda: status,
+                        models_dir=str(tmp_path), logs_dir=str(tmp_path))
+    code, payload = _call(api, "GET", "/metricsz")
+    assert code == 200 and "__text__" in payload
+    lines = payload["__text__"].strip().splitlines()
+    metrics = dict(line.rsplit(" ", 1) for line in lines)
+    assert metrics["zlt_clients"] == "3"
+    assert metrics["zlt_served_fps"] == "123.5"
+    assert metrics["zlt_transport_packets_received"] == "42"
+    assert metrics["zlt_detect_latency_p99_ms"] == "6.25"
+    assert metrics["zlt_paused"] == "1"
+    assert not any(k.startswith("zlt_sessions") for k in metrics)
+    assert not any(k.startswith("zlt_server") for k in metrics)
+
+
+def test_metricsz_http_content_type(tmp_path):
+    """Over HTTP the endpoint must answer text/plain, not JSON — that is
+    what a Prometheus scraper parses."""
+    import threading
+    from zero_latency_yolo_tpu.config import ServerConfig
+    from zero_latency_yolo_tpu.runtime.server import DetectionServer
+
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent.npz",
+        "port": 27393, "web_port": 27394, "max_clients": 2,
+        "tpu": {"frame_buckets": [[64, 64]], "batch_buckets": [1]},
+    })
+    server = DetectionServer(cfg)
+    loop = asyncio.new_event_loop()
+    t = threading.Thread(target=loop.run_forever, daemon=True)
+    t.start()
+    asyncio.run_coroutine_threadsafe(server.start(), loop).result(10)
+    try:
+        with urllib.request.urlopen(
+                "http://127.0.0.1:27394/metricsz", timeout=5) as r:
+            assert r.headers.get_content_type() == "text/plain"
+            body = r.read().decode()
+        assert "zlt_clients 0" in body
+        assert "zlt_transport_packets_received" in body
+    finally:
+        asyncio.run_coroutine_threadsafe(server.stop(), loop).result(10)
+        loop.call_soon_threadsafe(loop.stop)
+        t.join(timeout=5)
+
+
 def test_historyz_route(tmp_path):
     """/historyz serves the monitor loop's rolling snapshots (the trend the
     reference's web plane scraped from log files); absent wiring -> []."""

@@ -48,6 +48,11 @@ class NetworkConfig:
     # New optional knob: C++ recvmmsg transport (native/udp.cpp) instead of
     # the asyncio datagram endpoint. Old configs simply omit it.
     use_native_transport: bool = False
+    # SO_REUSEPORT host sharding: N server processes bind the SAME UDP port
+    # and the kernel flow-hashes clients across them (sticky per 4-tuple).
+    # The multi-core/multi-chip scale-out mode (scripts/serve_fleet.py);
+    # disables the port+1 fallback so every shard stays on the fleet port.
+    reuse_port: bool = False
 
 
 @dataclass

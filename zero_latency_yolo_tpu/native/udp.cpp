@@ -8,6 +8,9 @@
 //
 // API (all little-endian host structs, IPv4):
 //   zl_udp_open(port, rcvbuf, sndbuf) -> fd (or -errno); binds 0.0.0.0:port
+//   zl_udp_open2(port, rcvbuf, sndbuf, flags) -> as above; flags bit 0 sets
+//       SO_REUSEPORT (kernel flow-hash sharding across N server processes —
+//       every binder must opt in, so it cannot steal a normal bind)
 //   zl_udp_recv_batch(fd, arena, arena_cap, pkts, max_pkts, timeout_ms)
 //       -> n packets written (0 on timeout, -errno on error)
 //   zl_udp_recv_batch2(...)  -> as above, but each datagram is ZLTY-validated
@@ -54,12 +57,26 @@ struct ZlPacketDesc {
     uint16_t _pad;
 };
 
-int zl_udp_open(int port, int rcvbuf, int sndbuf) {
+static const int ZL_OPEN_REUSEPORT = 1;
+
+int zl_udp_open2(int port, int rcvbuf, int sndbuf, int flags) {
     int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
     if (fd < 0) return -errno;
     // NOTE: no SO_REUSEADDR — on UDP it lets a second instance bind the
     // same port and silently steal all traffic; the server's port-busy
     // handling wants a clean EADDRINUSE so it can fall back to port+1.
+    // SO_REUSEPORT is different: the kernel flow-hashes datagrams across
+    // the group of sockets that ALL opted in (per-4-tuple sticky), and an
+    // existing plain bind still yields EADDRINUSE — the multi-process
+    // host-sharding mode (network.reuse_port).
+    if (flags & ZL_OPEN_REUSEPORT) {
+        int one = 1;
+        if (::setsockopt(fd, SOL_SOCKET, SO_REUSEPORT, &one, sizeof(one)) != 0) {
+            int e = errno;
+            ::close(fd);
+            return -e;
+        }
+    }
     if (rcvbuf > 0) ::setsockopt(fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
     if (sndbuf > 0) ::setsockopt(fd, SOL_SOCKET, SO_SNDBUF, &sndbuf, sizeof(sndbuf));
     sockaddr_in addr{};
@@ -72,6 +89,10 @@ int zl_udp_open(int port, int rcvbuf, int sndbuf) {
         return -e;
     }
     return fd;
+}
+
+int zl_udp_open(int port, int rcvbuf, int sndbuf) {
+    return zl_udp_open2(port, rcvbuf, sndbuf, 0);
 }
 
 int zl_udp_recv_batch(int fd, uint8_t* arena, int arena_cap,

@@ -220,20 +220,42 @@ class DetectionServer:
                 log.warning("native transport requested but unavailable; "
                             "falling back to asyncio")
                 use_native = False
-        for attempt, p in enumerate((port, port + 1)):
+        reuse = self.config.network.reuse_port
+        if reuse and use_native:
+            from .transport import HAVE_NATIVE_UDP_REUSEPORT
+            if not HAVE_NATIVE_UDP_REUSEPORT:
+                log.warning("native .so lacks zl_udp_open2; reuse_port "
+                            "sharding falls back to the asyncio endpoint")
+                use_native = False
+        # reuse_port shards must all sit on the SAME port — the port+1
+        # fallback would silently strand a shard where no client looks.
+        candidates = (port,) if reuse else (port, port + 1)
+        for attempt, p in enumerate(candidates):
             try:
                 if use_native:
                     self._transport = NativeUdpTransport(
                         p, self.config.network.recv_buffer_size,
                         self.config.network.send_buffer_size,
-                        self._on_native_batch)
+                        self._on_native_batch, reuse_port=reuse)
+                elif reuse:
+                    import socket as _socket
+                    sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+                    try:
+                        sock.setsockopt(_socket.SOL_SOCKET,
+                                        _socket.SO_REUSEPORT, 1)
+                        sock.bind(("0.0.0.0", p))
+                    except OSError:
+                        sock.close()
+                        raise
+                    await self._loop.create_datagram_endpoint(
+                        lambda: _Protocol(self), sock=sock)
                 else:
                     await self._loop.create_datagram_endpoint(
                         lambda: _Protocol(self), local_addr=("0.0.0.0", p))
                 self.port = p
                 break
             except OSError:
-                if attempt == 1:
+                if attempt == len(candidates) - 1:
                     raise
                 log.warning("port %d busy, trying %d", p, p + 1)
         if use_native:
@@ -1080,8 +1102,23 @@ class DetectionServer:
             self._transport = None
         await asyncio.sleep(0.05)
         try:
-            await self._loop.create_datagram_endpoint(
-                lambda: _Protocol(self), local_addr=("0.0.0.0", self.port))
+            if self.config.network.reuse_port:
+                # Rejoin the reuseport group, not a plain bind: a plain bind
+                # would EADDRINUSE against the surviving fleet shards.
+                import socket as _socket
+                sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+                try:
+                    sock.setsockopt(_socket.SOL_SOCKET,
+                                    _socket.SO_REUSEPORT, 1)
+                    sock.bind(("0.0.0.0", self.port))
+                except OSError:
+                    sock.close()
+                    raise
+                await self._loop.create_datagram_endpoint(
+                    lambda: _Protocol(self), sock=sock)
+            else:
+                await self._loop.create_datagram_endpoint(
+                    lambda: _Protocol(self), local_addr=("0.0.0.0", self.port))
             log.warning("socket recovered on udp/%d", self.port)
         except OSError:
             log.exception("socket recovery failed")
@@ -1158,6 +1195,10 @@ class DetectionServer:
             if isinstance(payload, dict) and "__html__" in payload:
                 data = payload["__html__"].encode()
                 ctype = "text/html; charset=utf-8"
+            elif isinstance(payload, dict) and "__text__" in payload:
+                # Prometheus /metricsz (and any future plain-text route).
+                data = payload["__text__"].encode()
+                ctype = "text/plain; version=0.0.4; charset=utf-8"
             else:
                 data = json.dumps(payload, indent=1).encode()
                 ctype = "application/json"

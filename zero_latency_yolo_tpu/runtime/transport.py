@@ -93,6 +93,16 @@ def _bind_udp_symbols(lib: ctypes.CDLL) -> bool:
         return False
 
 
+def _bind_udp_open2_symbol(lib: ctypes.CDLL) -> bool:
+    try:
+        lib.zl_udp_open2.restype = ctypes.c_int
+        lib.zl_udp_open2.argtypes = [ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int]
+        return True
+    except AttributeError:
+        return False
+
+
 def _bind_udp_v2_symbols(lib: ctypes.CDLL) -> bool:
     try:
         lib.zl_udp_recv_batch2.restype = ctypes.c_int
@@ -111,6 +121,11 @@ def _bind_udp_v2_symbols(lib: ctypes.CDLL) -> bool:
 
 HAVE_NATIVE_UDP = _codec._LIB is not None and _bind_udp_symbols(_codec._LIB)
 HAVE_NATIVE_UDP_V2 = HAVE_NATIVE_UDP and _bind_udp_v2_symbols(_codec._LIB)
+# SO_REUSEPORT host sharding needs the zl_udp_open2 entry point (older .so
+# builds lack it; the server falls back to the asyncio endpoint then).
+HAVE_NATIVE_UDP_REUSEPORT = (HAVE_NATIVE_UDP
+                             and _bind_udp_open2_symbol(_codec._LIB))
+_OPEN_REUSEPORT = 1  # zl_udp_open2 flags bit 0
 
 
 def _addr_key(addr: Addr) -> int:
@@ -123,11 +138,20 @@ class NativeUdpTransport:
     plus a drain thread delivering inbound batches to a callback."""
 
     def __init__(self, port: int, recv_buffer: int, send_buffer: int,
-                 on_batch: Callable[[List[Datagram]], None]) -> None:
+                 on_batch: Callable[[List[Datagram]], None],
+                 reuse_port: bool = False) -> None:
         if not HAVE_NATIVE_UDP:
             raise RuntimeError("native UDP symbols unavailable")
+        if reuse_port and not HAVE_NATIVE_UDP_REUSEPORT:
+            raise RuntimeError(
+                "native transport .so predates zl_udp_open2; rebuild with "
+                "`make native` for reuse_port sharding")
         self._lib = _codec._LIB
-        fd = self._lib.zl_udp_open(port, recv_buffer, send_buffer)
+        if reuse_port:
+            fd = self._lib.zl_udp_open2(port, recv_buffer, send_buffer,
+                                        _OPEN_REUSEPORT)
+        else:
+            fd = self._lib.zl_udp_open(port, recv_buffer, send_buffer)
         if fd < 0:
             raise OSError(-fd, f"zl_udp_open({port}) failed")
         self.fd = fd

@@ -177,6 +177,11 @@ class ManagementApi:
                     # log files.
                     return 200, {"history": (self.history_fn()
                                              if self.history_fn else [])}
+                if route == "/metricsz":
+                    # Prometheus exposition format over the same live status
+                    # tree — scrape-ready observability (the reference's web
+                    # plane could only regex server logs, web/server.js:198).
+                    return 200, {"__text__": self._prometheus_metrics()}
                 if route == "/api/client/version":
                     return 200, CLIENT_VERSION
             return await asyncio.to_thread(self._handle_file_route, method,
@@ -184,6 +189,35 @@ class ManagementApi:
         except Exception as e:  # noqa: BLE001
             log.exception("management api error on %s %s", method, route)
             return 500, {"error": str(e)}
+
+    # ------------------------------------------------------------- metrics
+    def _prometheus_metrics(self) -> str:
+        """Flatten the status tree's numeric leaves into Prometheus text
+        lines (`zlt_transport_packets_received 1234`). Per-session rows are
+        skipped: client ids churn, and unbounded label cardinality is the
+        classic way to blow up a metrics backend — aggregate counters carry
+        the same signal."""
+        import math
+        import re
+        status = self.status_fn()
+        lines = []
+
+        def emit(prefix: str, val) -> None:
+            if isinstance(val, bool):
+                val = int(val)
+            if isinstance(val, (int, float)):
+                if math.isfinite(val):
+                    lines.append(f"{prefix} {val}")
+            elif isinstance(val, dict):
+                for k, v in val.items():
+                    key = re.sub(r"[^a-zA-Z0-9_]", "_", str(k))
+                    emit(f"{prefix}_{key}", v)
+
+        for key, val in status.items():
+            if key == "sessions":
+                continue
+            emit("zlt_" + re.sub(r"[^a-zA-Z0-9_]", "_", str(key)), val)
+        return "\n".join(lines) + "\n"
 
     def _handle_file_route(self, method: str, route: str, query: Dict,
                            body: bytes) -> Tuple[int, Dict]:
