@@ -40,28 +40,35 @@ import urllib.request
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+from zero_latency_yolo_tpu.config import ServerConfig  # noqa: E402
 
 
 def derive_shard_config(base: dict, shard: int) -> dict:
-    cfg = json.loads(json.dumps(base))  # deep copy
-    net = cfg.setdefault("network", {})
+    """Per-shard config from the base JSON, derived AFTER normalizing
+    through ServerConfig — the server applies dataclass defaults for absent
+    keys (web_port=3000, use_cpu_affinity=True, analytics stats file...),
+    and deriving from the raw dict would miss every one of them: shards
+    would fight over core 0, clobber one stats file, and an explicit
+    `"web_port": 0` disable would silently re-enable the default port."""
+    cfg = ServerConfig.from_dict(base).to_dict()  # validated + defaults
+    net = cfg["network"]
     net["reuse_port"] = True
-    web = int(net.get("web_port", cfg.get("web_port", 8080) or 0))
+    web = int(net.get("web_port", 0) or 0)
     if web:
         net["web_port"] = web + shard
-    cfg.pop("web_port", None)  # the top-level alias would override network.*
-    logging_cfg = cfg.setdefault("logging", {})
-    log_file = logging_cfg.get("log_file", "logs/server.log")
-    root, ext = os.path.splitext(log_file)
-    logging_cfg["log_file"] = f"{root}-{shard}{ext}"
-    analytics = cfg.get("analytics") or {}
-    stats = analytics.get("stats_file")
+    # to_dict mirrors network.web_port as a top-level alias; keep the two
+    # consistent (from_dict applies the alias first, then network wins).
+    cfg["web_port"] = net.get("web_port", 0)
+    root, ext = os.path.splitext(cfg["logging"]["log_file"])
+    cfg["logging"]["log_file"] = f"{root}-{shard}{ext}"
+    stats = cfg["analytics"].get("stats_file")
     if stats:
         root, ext = os.path.splitext(stats)
-        analytics["stats_file"] = f"{root}-{shard}{ext}"
-        cfg["analytics"] = analytics
-    if cfg.get("use_cpu_affinity"):
-        cfg["cpu_core_id"] = int(cfg.get("cpu_core_id", 0)) + shard
+        cfg["analytics"]["stats_file"] = f"{root}-{shard}{ext}"
+    if cfg["use_cpu_affinity"]:
+        cfg["cpu_core_id"] = int(cfg["cpu_core_id"]) + shard
     return cfg
 
 
@@ -94,31 +101,18 @@ def main() -> int:
     if args.shards < 1:
         ap.error("--shards must be >= 1")
 
+    if args.device_env and "=" not in args.device_env:
+        # A missing '=' would export the whole string as VAR='' — on TPU
+        # hosts an empty visible-devices list hides every chip, silently.
+        ap.error("--device-env must look like NAME=VALUE "
+                 "(e.g. 'TPU_VISIBLE_DEVICES={shard}')")
+
     with open(args.config, "r", encoding="utf-8") as f:
         base = json.load(f)
 
     tmp = tempfile.mkdtemp(prefix="zlt-fleet-")
     procs = []
     shard_cfgs = []
-    for shard in range(args.shards):
-        cfg = derive_shard_config(base, shard)
-        path = os.path.join(tmp, f"shard-{shard}.json")
-        with open(path, "w", encoding="utf-8") as f:
-            json.dump(cfg, f, indent=2)
-        env = dict(os.environ)
-        if args.device_env:
-            key, _, val = args.device_env.partition("=")
-            env[key] = val.format(shard=shard)
-        cmd = [sys.executable, "-m", "zero_latency_yolo_tpu.runtime.server",
-               "--config", path]
-        if args.platform:
-            cmd += ["--platform", args.platform]
-        procs.append(subprocess.Popen(cmd, cwd=REPO, env=env))
-        shard_cfgs.append(cfg)
-        print(f"shard {shard}: pid={procs[-1].pid} config={path} "
-              f"web_port={cfg.get('network', {}).get('web_port', 0)}",
-              flush=True)
-
     stopping = False
 
     def _forward(signum, _frame):
@@ -128,15 +122,55 @@ def main() -> int:
             if p.poll() is None:
                 p.send_signal(signum)
 
+    # Install BEFORE spawning: a Ctrl+C mid-spawn must tear down the shards
+    # already launched instead of orphaning them on the port group.
     signal.signal(signal.SIGINT, _forward)
     signal.signal(signal.SIGTERM, _forward)
 
+    for shard in range(args.shards):
+        cfg = derive_shard_config(base, shard)
+        path = os.path.join(tmp, f"shard-{shard}.json")
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(cfg, f, indent=2)
+        env = dict(os.environ)
+        if args.device_env:
+            key, _, val = args.device_env.partition("=")
+            # Literal replace, not str.format: a value with other braces
+            # (JSON, XLA_FLAGS) must pass through untouched.
+            env[key] = val.replace("{shard}", str(shard))
+        cmd = [sys.executable, "-m", "zero_latency_yolo_tpu.runtime.server",
+               "--config", path]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        procs.append(subprocess.Popen(cmd, cwd=REPO, env=env))
+        shard_cfgs.append(cfg)
+        print(f"shard {shard}: pid={procs[-1].pid} config={path} "
+              f"web_port={cfg.get('network', {}).get('web_port', 0)}",
+              flush=True)
+        if stopping:
+            break
+    if stopping:
+        # Re-forward: a shard spawned in the same loop iteration the signal
+        # landed in missed the first pass.
+        _forward(signal.SIGTERM, None)
+
     last_status = time.time()
+    term_deadline = None
     exit_code = 0
     while True:
         alive = [p for p in procs if p.poll() is None]
         if not alive:
             break
+        if stopping and term_deadline is None:
+            term_deadline = time.time() + 15.0
+        if term_deadline is not None and time.time() > term_deadline:
+            # A shard wedged past SIGTERM grace (e.g. stuck in a device
+            # readback inside a C extension) must not hang the manager.
+            for p in alive:
+                print(f"shard pid={p.pid} ignored SIGTERM; killing",
+                      file=sys.stderr)
+                p.kill()
+            term_deadline = time.time() + 15.0  # re-arm for the kill wait
         if not stopping and len(alive) < len(procs):
             # A shard died: the surviving group keeps the port, but the dead
             # shard's flows rebalance to survivors mid-session (they will

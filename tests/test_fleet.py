@@ -150,6 +150,11 @@ def _load_fleet_module():
 
 
 def test_fleet_shard_config_derivation():
+    """Derivation happens on the NORMALIZED config: every assertion here is
+    on the ServerConfig a shard actually loads, because the raw JSON omits
+    keys the server fills with defaults (that mismatch shipped as review
+    findings: affinity all on core 0, one shared stats file, web_port=0
+    silently re-enabled at the default port)."""
     fleet = _load_fleet_module()
     base = {
         "port": 7788,
@@ -159,20 +164,34 @@ def test_fleet_shard_config_derivation():
         "logging": {"log_file": "logs/server.log"},
         "analytics": {"stats_file": "logs/stats.json"},
     }
-    c0 = fleet.derive_shard_config(base, 0)
-    c1 = fleet.derive_shard_config(base, 1)
-    for c in (c0, c1):
-        assert c["network"]["reuse_port"] is True
-        assert c["port"] == 7788          # every shard on the fleet port
-        assert "web_port" not in c        # alias removed (would override)
-    assert c0["network"]["web_port"] == 8080
-    assert c1["network"]["web_port"] == 8081
-    assert c0["logging"]["log_file"] == "logs/server-0.log"
-    assert c1["logging"]["log_file"] == "logs/server-1.log"
-    assert c1["analytics"]["stats_file"] == "logs/stats-1.json"
-    assert c0["cpu_core_id"] == 2 and c1["cpu_core_id"] == 3
-    # A disabled dashboard stays disabled on every shard.
-    assert fleet.derive_shard_config({"web_port": 0}, 1).get(
-        "network", {}).get("web_port", 0) == 0
+    l0 = ServerConfig.from_dict(fleet.derive_shard_config(base, 0))
+    l1 = ServerConfig.from_dict(fleet.derive_shard_config(base, 1))
+    for l in (l0, l1):
+        assert l.network.reuse_port is True
+        assert l.network.port == 7788     # every shard on the fleet port
+    assert l0.network.web_port == 8080
+    assert l1.network.web_port == 8081
+    assert l0.logging.log_file == "logs/server-0.log"
+    assert l1.logging.log_file == "logs/server-1.log"
+    assert l1.analytics.stats_file == "logs/stats-1.json"
+    assert l0.cpu_core_id == 2 and l1.cpu_core_id == 3
+    # A disabled dashboard stays disabled on every shard — as LOADED, so the
+    # default web port cannot sneak back in through an absent key.
+    assert ServerConfig.from_dict(
+        fleet.derive_shard_config({"web_port": 0}, 1)).network.web_port == 0
     # The base dict must not be mutated (shards derive independently).
     assert base["logging"]["log_file"] == "logs/server.log"
+
+
+def test_fleet_defaults_shard_cleanly():
+    """An EMPTY base config (all server defaults) must still derive shards
+    that do not collide: distinct cores (affinity defaults ON), distinct
+    stats files, distinct web ports from the DEFAULT web port."""
+    fleet = _load_fleet_module()
+    l0 = ServerConfig.from_dict(fleet.derive_shard_config({}, 0))
+    l1 = ServerConfig.from_dict(fleet.derive_shard_config({}, 1))
+    assert l0.cpu_core_id != l1.cpu_core_id
+    assert l0.analytics.stats_file != l1.analytics.stats_file
+    assert l0.logging.log_file != l1.logging.log_file
+    assert l0.network.web_port != l1.network.web_port
+    assert l0.network.web_port == ServerConfig().network.web_port  # 3000

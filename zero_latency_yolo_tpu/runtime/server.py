@@ -237,21 +237,13 @@ class DetectionServer:
                         p, self.config.network.recv_buffer_size,
                         self.config.network.send_buffer_size,
                         self._on_native_batch, reuse_port=reuse)
-                elif reuse:
-                    import socket as _socket
-                    sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
-                    try:
-                        sock.setsockopt(_socket.SOL_SOCKET,
-                                        _socket.SO_REUSEPORT, 1)
-                        sock.bind(("0.0.0.0", p))
-                    except OSError:
-                        sock.close()
-                        raise
-                    await self._loop.create_datagram_endpoint(
-                        lambda: _Protocol(self), sock=sock)
                 else:
+                    # reuse_port=True sets SO_REUSEPORT before bind (the
+                    # fleet shard group); a plain bind holding the port
+                    # still raises EADDRINUSE either way.
                     await self._loop.create_datagram_endpoint(
-                        lambda: _Protocol(self), local_addr=("0.0.0.0", p))
+                        lambda: _Protocol(self), local_addr=("0.0.0.0", p),
+                        reuse_port=reuse or None)
                 self.port = p
                 break
             except OSError:
@@ -1102,23 +1094,11 @@ class DetectionServer:
             self._transport = None
         await asyncio.sleep(0.05)
         try:
-            if self.config.network.reuse_port:
-                # Rejoin the reuseport group, not a plain bind: a plain bind
-                # would EADDRINUSE against the surviving fleet shards.
-                import socket as _socket
-                sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
-                try:
-                    sock.setsockopt(_socket.SOL_SOCKET,
-                                    _socket.SO_REUSEPORT, 1)
-                    sock.bind(("0.0.0.0", self.port))
-                except OSError:
-                    sock.close()
-                    raise
-                await self._loop.create_datagram_endpoint(
-                    lambda: _Protocol(self), sock=sock)
-            else:
-                await self._loop.create_datagram_endpoint(
-                    lambda: _Protocol(self), local_addr=("0.0.0.0", self.port))
+            # reuse_port: rejoin the reuseport group, not a plain bind — a
+            # plain bind would EADDRINUSE against the surviving fleet shards.
+            await self._loop.create_datagram_endpoint(
+                lambda: _Protocol(self), local_addr=("0.0.0.0", self.port),
+                reuse_port=self.config.network.reuse_port or None)
             log.warning("socket recovered on udp/%d", self.port)
         except OSError:
             log.exception("socket recovery failed")
