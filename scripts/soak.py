@@ -5,6 +5,9 @@ loss/dup/corrupt churn for T seconds, then a JSON verdict.
     python scripts/soak.py --host 127.0.0.1 --port 7788 --web-port 3000 \
         --streams 16 --duration 300 --fps 20
 
+Against a reuse_port fleet, pass every shard's web port and the verdict
+aggregates: `--web-port 3000,3001`.
+
 Exercises the full wire surface the way a flaky WAN would: keyframes + ROI
 deltas under 5% loss/dup/corrupt, periodic client churn (disconnect +
 reconnect), heartbeats. The verdict pulls /statusz to assert the server
@@ -27,9 +30,26 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _statusz(url: str) -> dict:
-    with urllib.request.urlopen(url, timeout=10) as r:
-        return json.loads(r.read())
+def _statusz(urls) -> dict:
+    """Aggregate /statusz across one or more endpoints (a reuse_port fleet:
+    every shard carries a disjoint slice of the clients, so the soak verdict
+    sums counters over all of them)."""
+    agg = {"clients": 0, "results_sent": 0,
+           "transport": {"bad_packets": 0},
+           "frame_cache": {"slots_used": 0},
+           "device_stall_s": 0.0}
+    for url in urls:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            st = json.loads(r.read())
+        agg["clients"] += int(st.get("clients", 0))
+        agg["results_sent"] += int(st.get("results_sent", 0))
+        agg["transport"]["bad_packets"] += int(
+            (st.get("transport") or {}).get("bad_packets", 0))
+        fc = st.get("frame_cache") or {}
+        agg["frame_cache"]["slots_used"] += int(fc.get("slots_used", 0) or 0)
+        agg["device_stall_s"] = max(agg["device_stall_s"],
+                                    float(st.get("device_stall_s", 0) or 0))
+    return agg
 
 
 def stream_worker(idx, args, stop_t, stats, lock):
@@ -86,7 +106,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=7788)
-    ap.add_argument("--web-port", type=int, default=3000)
+    ap.add_argument("--web-port", default="3000",
+                    help="statusz port, or comma-separated list for a "
+                         "reuse_port fleet (counters aggregate over shards)")
     ap.add_argument("--streams", type=int, default=16)
     ap.add_argument("--duration", type=float, default=300.0)
     ap.add_argument("--fps", type=float, default=20.0)
@@ -96,7 +118,8 @@ def main() -> int:
     ap.add_argument("--height", type=int, default=240)
     args = ap.parse_args()
 
-    statusz = f"http://{args.host}:{args.web_port}/statusz"
+    statusz = [f"http://{args.host}:{int(p)}/statusz"
+               for p in str(args.web_port).split(",") if p.strip()]
     before = _statusz(statusz)
     stats = {"frames_sent": 0, "results": 0, "cycles": 0,
              "handshake_misses": 0, "client_errors": []}
