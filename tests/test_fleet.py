@@ -140,6 +140,45 @@ def test_native_transport_reuseport_group():
         t1.close()
 
 
+def test_two_native_shards_share_one_port():
+    """Same two-shard flow over the C++ recvmmsg transport: the reuseport
+    group + drain-thread intake + inline ACK path all in one process pair
+    (the production fleet configuration for a loaded host)."""
+    from zero_latency_yolo_tpu.runtime import transport as t
+    if not t.HAVE_NATIVE_UDP_REUSEPORT:
+        pytest.skip("native UDP (open2) unavailable")
+    port = PORT + 23
+    shards = [_Harness(_cfg(port=port, use_native_transport=True))
+              for _ in range(2)]
+    servers = [h.start() for h in shards]
+    try:
+        assert servers[0].port == servers[1].port == port
+        assert all(srv._transport is not None for srv in servers)
+        clients = []
+        try:
+            for i in range(6):
+                c = SimClient(("127.0.0.1", port),
+                              screen_width=96, screen_height=64)
+                c.connect()
+                c.start_receiver()
+                clients.append(c)
+            for i, c in enumerate(clients):
+                fid = c.send_raw_frame(synthetic_frame(96, 64, seed=i))
+                results = c.wait_results(1, timeout=5.0)
+                assert results, f"client {i} got no result (native fleet)"
+                assert results[0].frame_id == fid
+            addrs = [set(s.addr for s in srv._sessions.values())
+                     for srv in servers]
+            assert len(addrs[0]) + len(addrs[1]) == len(clients)
+            assert not (addrs[0] & addrs[1])
+        finally:
+            for c in clients:
+                c.stop()
+    finally:
+        for h in shards:
+            h.stop()
+
+
 def _load_fleet_module():
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "scripts", "serve_fleet.py")
