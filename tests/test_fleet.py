@@ -11,6 +11,7 @@ import asyncio
 import importlib.util
 import os
 import threading
+import time
 
 import pytest
 
@@ -138,6 +139,49 @@ def test_native_transport_reuseport_group():
             t.NativeUdpTransport(port, 0, 0, lambda b: None)
     finally:
         t1.close()
+
+
+def test_shard_shutdown_notifies_its_clients():
+    """Stopping one shard sends COMMAND(DISCONNECT) to ITS sessions only:
+    those clients learn immediately (re-handshake onto a survivor in one
+    RTT) while the other shard's clients see nothing. The reference
+    declared the command type but only ever sent it client->server."""
+    port = PORT + 31
+    shards = [_Harness(_cfg(port=port)) for _ in range(2)]
+    servers = [h.start() for h in shards]
+    clients = []
+    try:
+        while True:
+            c = SimClient(("127.0.0.1", port),
+                          screen_width=96, screen_height=64)
+            c.connect()
+            c.start_receiver()
+            clients.append(c)
+            # Stop growing once both shards hold at least one session.
+            if all(srv._sessions for srv in servers) or len(clients) >= 8:
+                break
+        if not all(srv._sessions for srv in servers):
+            pytest.skip("kernel hashed every client onto one shard")
+        shard0_addrs = {s.addr for s in servers[0]._sessions.values()}
+        shards[0].stop()
+        deadline = time.monotonic() + 3.0
+        while time.monotonic() < deadline:
+            flags = [c.server_disconnected for c in clients]
+            want = [c.sock.getsockname() in shard0_addrs for c in clients]
+            if all(f for f, w in zip(flags, want) if w):
+                break
+            time.sleep(0.05)
+        for c, w in zip(clients, want):
+            assert c.server_disconnected == w, (
+                f"client {c.sock.getsockname()} expected "
+                f"disconnected={w}, got {c.server_disconnected}")
+    finally:
+        for c in clients:
+            try:
+                c.stop()
+            except OSError:
+                pass
+        shards[1].stop()
 
 
 def test_two_native_shards_share_one_port():

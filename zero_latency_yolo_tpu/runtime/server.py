@@ -289,6 +289,20 @@ class DetectionServer:
     async def stop(self) -> None:
         self._running = False
         EVENT_BUS.publish(SERVER_STOPPING, None)
+        # Graceful-drain notice: tell every live session the server is going
+        # away (COMMAND DISCONNECT, server-initiated — the reference declared
+        # the type, types.h:94-103, but only ever sent it client->server).
+        # Clients re-handshake immediately (onto a surviving fleet shard
+        # after a rebalance) instead of waiting out network.timeout_ms.
+        # Best-effort fire-and-forget: the retransmit machinery is being
+        # torn down, and the liveness timeout remains the fallback.
+        from ..protocol import CommandPacket, CommandType
+        bye = CommandPacket(command_type=CommandType.DISCONNECT).serialize()
+        for session in list(self._sessions.values()):
+            try:
+                self._send_raw(bye, session.addr)
+            except OSError:
+                pass
         for task in (self._mgmt_task, self._watch_task,
                      getattr(self, "_monitor_task", None)):
             if task:

@@ -75,6 +75,9 @@ class SimClient:
         # froze our cache slot): the next capture must be a keyframe.
         self.keyframe_requested = False
         self.keyframe_requests_seen = 0
+        # Server-initiated COMMAND(DISCONNECT): graceful shutdown/drain
+        # notice — the session is already gone server-side.
+        self.server_disconnected = False
         self._sent_at: Dict[int, float] = {}
         self._frame_id = 0
         self._rx_thread: Optional[threading.Thread] = None
@@ -149,6 +152,11 @@ class SimClient:
                 if pkt.command_type == CommandType.REQUEST_KEYFRAME:
                     self.keyframe_requested = True
                     self.keyframe_requests_seen += 1
+                elif pkt.command_type == CommandType.DISCONNECT:
+                    # Server-initiated graceful drain (shutdown/rebalance):
+                    # the session is gone server-side — a real client
+                    # re-handshakes now instead of waiting out its timeout.
+                    self.server_disconnected = True
                 with self._lock:
                     # Surface server commands (GET_CONFIG echoes, keyframe
                     # requests) to drivers/tests; bounded so an idle client
