@@ -184,6 +184,69 @@ def test_shard_shutdown_notifies_its_clients():
         shards[1].stop()
 
 
+def test_fleet_rebalance_streams_survive_shard_loss():
+    """The full rebalance loop: streams on a 2-shard fleet keep serving
+    after one shard stops — its clients get the drain notice, re-handshake
+    on the SAME socket (the kernel re-hashes the flow to the survivor),
+    re-anchor with a keyframe, and results keep flowing."""
+    port = PORT + 37
+    shards = [_Harness(_cfg(port=port)) for _ in range(2)]
+    servers = [h.start() for h in shards]
+    clients, drivers = [], []
+    stopped0 = False
+    try:
+        from zero_latency_yolo_tpu.runtime.simulator import StreamDriver
+        while True:
+            c = SimClient(("127.0.0.1", port),
+                          screen_width=96, screen_height=64)
+            c.connect()
+            c.start_receiver()
+            clients.append(c)
+            drivers.append(StreamDriver(c, keyframe_interval=8))
+            if all(srv._sessions for srv in servers) or len(clients) >= 8:
+                break
+        if not all(srv._sessions for srv in servers):
+            pytest.skip("kernel hashed every client onto one shard")
+        shard0_addrs = {s.addr for s in servers[0]._sessions.values()}
+        for t in range(4):  # streams running on both shards
+            for d in drivers:
+                d.push(synthetic_frame(96, 64, seed=1, t=t * 0.3))
+        for c in clients:
+            assert c.wait_results(1, timeout=5.0)
+
+        shards[0].stop()
+        stopped0 = True
+        baseline = {id(c): len(c.results) for c in clients}
+        deadline = time.monotonic() + 10.0
+        moved = [c for c in clients
+                 if c.sock.getsockname() in shard0_addrs]
+        assert moved, "no client was on shard 0?"
+        while time.monotonic() < deadline:
+            for d in drivers:
+                d.push(synthetic_frame(96, 64, seed=1,
+                                       t=time.monotonic()))
+            if all(len(c.results) > baseline[id(c)] + 2 for c in clients):
+                break
+            time.sleep(0.05)
+        for c in clients:
+            assert len(c.results) > baseline[id(c)], (
+                "stream starved after shard loss")
+        for c in moved:
+            d = drivers[clients.index(c)]
+            assert d.rehandshakes >= 1, "moved client never re-handshook"
+        # Every surviving session lives on shard 1 now.
+        assert len(servers[1]._sessions) == len(clients)
+    finally:
+        for c in clients:
+            try:
+                c.stop()
+            except OSError:
+                pass
+        if not stopped0:
+            shards[0].stop()
+        shards[1].stop()
+
+
 def test_two_native_shards_share_one_port():
     """Same two-shard flow over the C++ recvmmsg transport: the reuseport
     group + drain-thread intake + inline ACK path all in one process pair

@@ -339,11 +339,16 @@ def test_monitor_survives_poisoned_status(monkeypatch):
     async def run():
         orig_sleep = asyncio.sleep
         ticks = {"n": 0}
+        me = asyncio.current_task()
 
         async def fast_sleep(_t):
-            ticks["n"] += 1
-            if ticks["n"] > 3:
-                raise asyncio.CancelledError
+            # The patch is GLOBAL: a task from a previous test still winding
+            # down on another loop thread must not consume our ticks (that
+            # cancels the monitor early — observed flake under load).
+            if asyncio.current_task() is me:
+                ticks["n"] += 1
+                if ticks["n"] > 3:
+                    raise asyncio.CancelledError
             await orig_sleep(0)
 
         monkeypatch.setattr(asyncio, "sleep", fast_sleep)

@@ -78,6 +78,7 @@ class SimClient:
         # Server-initiated COMMAND(DISCONNECT): graceful shutdown/drain
         # notice — the session is already gone server-side.
         self.server_disconnected = False
+        self._handshake_event = threading.Event()
         self._sent_at: Dict[int, float] = {}
         self._frame_id = 0
         self._rx_thread: Optional[threading.Thread] = None
@@ -141,6 +142,18 @@ class SimClient:
                     if t0 is not None:
                         self.result_latencies_ms.append((now - t0) * 1e3)
                 self._result_event.set()
+            elif isinstance(pkt, ServerInfoPacket):
+                # A re-handshake's SERVER_INFO (reconnect() with the
+                # receiver running — connect()'s direct socket read would
+                # race this loop, which consumes every inbound datagram).
+                self.server_info = pkt.info
+                try:
+                    self._send(AckPacket(
+                        acked_sequence=pkt.sequence).serialize())
+                except OSError:
+                    pass
+                self.server_disconnected = False
+                self._handshake_event.set()
             elif pkt.TYPE == PacketType.COMMAND:
                 from ..protocol import CommandType
                 # Server commands arrive reliable: ACK so retransmits stop.
@@ -163,6 +176,27 @@ class SimClient:
                     # can't accumulate unboundedly.
                     self.commands.append(pkt)
                     del self.commands[:-64]
+
+    def reconnect(self, timeout: float = 2.0) -> bool:
+        """Re-handshake on the SAME socket after a server drain notice
+        (COMMAND DISCONNECT on shutdown/rebalance). Same source port =
+        same 4-tuple: if the old shard is gone, the kernel's reuseport
+        hash lands the flow on a surviving shard, which sees a fresh
+        CLIENT_INFO and opens a new session. Requires the receiver thread
+        (it consumes every inbound datagram, including the SERVER_INFO)."""
+        if not self._running:
+            raise RuntimeError("reconnect() needs start_receiver() running; "
+                               "use connect() before the receiver starts")
+        self._handshake_event.clear()
+        self.server_disconnected = False
+        info = ClientInfo(client_id=0, screen_width=self.screen_width,
+                          screen_height=self.screen_height,
+                          game_id=self.game_id)
+        try:
+            self._send(ClientInfoPacket(info=info).serialize())
+        except OSError:
+            return False
+        return self._handshake_event.wait(timeout)
 
     def reset_latency_stats(self) -> None:
         """Drop accumulated e2e latency samples and in-flight send stamps —
@@ -326,12 +360,23 @@ class StreamDriver:
         self.keyframes_sent = 0
         self.roi_sent = 0
         self.skipped = 0
+        self.rehandshakes = 0
 
     def push(self, frame: np.ndarray) -> Optional[int]:
         """Encode + send one captured frame; returns the frame id or None
         when the frame was skipped (no change). A server REQUEST_KEYFRAME
         (shed-frozen cache slot) forces the next push to re-anchor
         immediately instead of waiting out the keyframe cadence."""
+        if getattr(self.client, "server_disconnected", False):
+            # Drain notice (shutdown/rebalance): re-handshake on the same
+            # socket — the reuseport hash lands us on a surviving shard —
+            # and re-anchor with a keyframe (the new session has no cache
+            # slot). On failure, skip this tick and retry next push.
+            if not self.client.reconnect():
+                self.skipped += 1
+                return None
+            self.rehandshakes += 1
+            self._prev = None
         forced = getattr(self.client, "keyframe_requested", False)
         if forced:
             self.client.keyframe_requested = False
