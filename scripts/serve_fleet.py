@@ -72,6 +72,30 @@ def derive_shard_config(base: dict, shard: int) -> dict:
     return cfg
 
 
+class RestartBudget:
+    """Rolling-window restart limiter for --on-shard-exit restart: a
+    crash-looping shard (bad config, poisoned model file) must not flap
+    forever — restart storms hide real breakage behind apparent uptime."""
+
+    def __init__(self, max_restarts: int = 5, window_s: float = 300.0,
+                 now=time.monotonic) -> None:
+        self.max_restarts = max_restarts
+        self.window_s = window_s
+        self._now = now
+        self._events: dict = {}
+
+    def allow(self, shard: int) -> bool:
+        t = self._now()
+        ev = [e for e in self._events.get(shard, ())
+              if t - e < self.window_s]
+        if len(ev) >= self.max_restarts:
+            self._events[shard] = ev
+            return False
+        ev.append(t)
+        self._events[shard] = ev
+        return True
+
+
 def shard_status(cfg: dict) -> dict:
     web = int(cfg.get("network", {}).get("web_port", 0) or 0)
     if not web:
@@ -97,6 +121,17 @@ def main() -> int:
                          "shard its own chip")
     ap.add_argument("--status-interval", type=float, default=10.0,
                     help="seconds between aggregated status lines (0=off)")
+    ap.add_argument("--on-shard-exit", choices=("stop", "restart"),
+                    default="stop",
+                    help="stop: tear the fleet down loudly when a shard "
+                         "dies (default, dev). restart: respawn it — the "
+                         "drain/rebalance loop keeps its clients served by "
+                         "survivors meanwhile; budget-limited "
+                         "(--max-restarts per shard per 5 min), exhausted "
+                         "budget stops the fleet")
+    ap.add_argument("--max-restarts", type=int, default=5,
+                    help="per-shard restart budget in a rolling 5-minute "
+                         "window (with --on-shard-exit restart)")
     args = ap.parse_args()
     if args.shards < 1:
         ap.error("--shards must be >= 1")
@@ -127,11 +162,11 @@ def main() -> int:
     signal.signal(signal.SIGINT, _forward)
     signal.signal(signal.SIGTERM, _forward)
 
-    for shard in range(args.shards):
-        cfg = derive_shard_config(base, shard)
+    def spawn(shard: int, cfg: dict) -> subprocess.Popen:
         path = os.path.join(tmp, f"shard-{shard}.json")
-        with open(path, "w", encoding="utf-8") as f:
-            json.dump(cfg, f, indent=2)
+        if not os.path.exists(path):
+            with open(path, "w", encoding="utf-8") as f:
+                json.dump(cfg, f, indent=2)
         env = dict(os.environ)
         if args.device_env:
             key, _, val = args.device_env.partition("=")
@@ -142,11 +177,16 @@ def main() -> int:
                "--config", path]
         if args.platform:
             cmd += ["--platform", args.platform]
-        procs.append(subprocess.Popen(cmd, cwd=REPO, env=env))
-        shard_cfgs.append(cfg)
-        print(f"shard {shard}: pid={procs[-1].pid} config={path} "
+        p = subprocess.Popen(cmd, cwd=REPO, env=env)
+        print(f"shard {shard}: pid={p.pid} config={path} "
               f"web_port={cfg.get('network', {}).get('web_port', 0)}",
               flush=True)
+        return p
+
+    for shard in range(args.shards):
+        cfg = derive_shard_config(base, shard)
+        shard_cfgs.append(cfg)
+        procs.append(spawn(shard, cfg))
         if stopping:
             break
     if stopping:
@@ -157,6 +197,7 @@ def main() -> int:
     last_status = time.time()
     term_deadline = None
     exit_code = 0
+    budget = RestartBudget(max_restarts=args.max_restarts)
     while True:
         alive = [p for p in procs if p.poll() is None]
         if not alive:
@@ -172,14 +213,31 @@ def main() -> int:
                 p.kill()
             term_deadline = time.time() + 15.0  # re-arm for the kill wait
         if not stopping and len(alive) < len(procs):
-            # A shard died: the surviving group keeps the port, but the dead
-            # shard's flows rebalance to survivors mid-session (they will
-            # re-handshake on timeout). Shut the fleet down loudly rather
-            # than limp with silent capacity loss.
+            # A shard died: the surviving group keeps the port and picks up
+            # the dead shard's flows (drain notice + client re-handshake,
+            # or liveness timeout on a crash).
             dead = [i for i, p in enumerate(procs) if p.poll() is not None]
-            print(f"shard(s) {dead} exited; stopping fleet", file=sys.stderr)
-            exit_code = 1
-            _forward(signal.SIGTERM, None)
+            if args.on_shard_exit == "restart":
+                for i in dead:
+                    if budget.allow(i):
+                        print(f"shard {i} exited (rc={procs[i].returncode});"
+                              " restarting", file=sys.stderr)
+                        procs[i] = spawn(i, shard_cfgs[i])
+                    else:
+                        # Crash loop: stop loudly rather than flap forever.
+                        print(f"shard {i} exhausted its restart budget "
+                              f"({args.max_restarts}/5min); stopping fleet",
+                              file=sys.stderr)
+                        exit_code = 1
+                        _forward(signal.SIGTERM, None)
+                        break
+            else:
+                # Default: shut the fleet down loudly rather than limp with
+                # silent capacity loss.
+                print(f"shard(s) {dead} exited; stopping fleet",
+                      file=sys.stderr)
+                exit_code = 1
+                _forward(signal.SIGTERM, None)
         if (args.status_interval and not stopping
                 and time.time() - last_status >= args.status_interval):
             stats = [shard_status(c) for c in shard_cfgs]

@@ -247,6 +247,110 @@ def test_fleet_rebalance_streams_survive_shard_loss():
         shards[1].stop()
 
 
+def test_fleet_crash_rebalance_via_unknown_sender_nak():
+    """A CRASHED shard sends no drain notice: its clients keep streaming
+    into the survivor, which answers the sessionless frames with
+    ERROR(INVALID_REQUEST) — the client re-handshakes in one RTT and
+    streaming resumes (the --on-shard-exit restart loop's crash half)."""
+    port = PORT + 41
+    shards = [_Harness(_cfg(port=port)) for _ in range(2)]
+    servers = [h.start() for h in shards]
+    clients, drivers = [], []
+    stopped0 = False
+    try:
+        from zero_latency_yolo_tpu.runtime.simulator import StreamDriver
+        while True:
+            c = SimClient(("127.0.0.1", port),
+                          screen_width=96, screen_height=64)
+            c.connect()
+            c.start_receiver()
+            clients.append(c)
+            drivers.append(StreamDriver(c, keyframe_interval=8))
+            if all(srv._sessions for srv in servers) or len(clients) >= 8:
+                break
+        if not all(srv._sessions for srv in servers):
+            pytest.skip("kernel hashed every client onto one shard")
+        shard0_addrs = {s.addr for s in servers[0]._sessions.values()}
+        for t in range(4):
+            for d in drivers:
+                d.push(synthetic_frame(96, 64, seed=3, t=t * 0.3))
+        for c in clients:
+            assert c.wait_results(1, timeout=5.0)
+
+        # Crash shard 0: drop its sessions first so stop() sends NO drain
+        # notices (SIGKILL semantics — socket closes, clients learn nothing).
+        servers[0]._sessions.clear()
+        shards[0].stop()
+        stopped0 = True
+        baseline = {id(c): len(c.results) for c in clients}
+        moved = [c for c in clients if c.sock.getsockname() in shard0_addrs]
+        assert moved
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline:
+            for d in drivers:
+                d.push(synthetic_frame(96, 64, seed=3, t=time.monotonic()))
+            if all(len(c.results) > baseline[id(c)] + 2 for c in clients):
+                break
+            time.sleep(0.05)
+        for c in clients:
+            assert len(c.results) > baseline[id(c)], (
+                "stream starved after shard crash")
+        for c in moved:
+            assert drivers[clients.index(c)].rehandshakes >= 1
+        # The NAK may be sent by either shard: the dying shard's socket is
+        # still in the reuseport group (zero sessions) for the duration of
+        # its stop() teardown, so the first sessionless frame can be NAKed
+        # there before the kernel moves the flow. Fleet-wide at least one
+        # NAK drove the recovery.
+        assert sum(s.unknown_sender_naks.value for s in servers) >= 1
+        assert len(servers[1]._sessions) == len(clients)
+    finally:
+        for c in clients:
+            try:
+                c.stop()
+            except OSError:
+                pass
+        if not stopped0:
+            shards[0].stop()
+        shards[1].stop()
+
+
+def test_unknown_sender_nak_rate_limited():
+    """The re-handshake NAK is rate-limited per address: two sessionless
+    frames inside a second draw exactly ONE ERROR reply (attenuation, not
+    a reflection amplifier)."""
+    import socket as _socket
+
+    from zero_latency_yolo_tpu.protocol import (
+        ErrorCode, FrameDataPacket, PacketType, parse_packet)
+    h = _Harness(_cfg(port=PORT + 47))
+    server = h.start()
+    sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(1.0)
+    try:
+        frame = FrameDataPacket(frame_id=1, width=8, height=8,
+                                data=b"\0" * 192).serialize()
+        errors = 0
+        for _ in range(2):
+            sock.sendto(frame, ("127.0.0.1", PORT + 47))
+        deadline = time.monotonic() + 2.0
+        while time.monotonic() < deadline:
+            try:
+                data, _ = sock.recvfrom(65536)
+            except _socket.timeout:
+                break
+            pkt = parse_packet(data)
+            if pkt.TYPE == PacketType.ERROR:
+                assert pkt.error_code == ErrorCode.INVALID_REQUEST
+                errors += 1
+        assert errors == 1, f"expected exactly one NAK, got {errors}"
+        assert server.unknown_sender_naks.value == 1
+    finally:
+        sock.close()
+        h.stop()
+
+
 def test_two_native_shards_share_one_port():
     """Same two-shard flow over the C++ recvmmsg transport: the reuseport
     group + drain-thread intake + inline ACK path all in one process pair
@@ -293,6 +397,24 @@ def _load_fleet_module():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+def test_restart_budget_rolling_window():
+    """--on-shard-exit restart is budget-limited: a crash-looping shard
+    stops the fleet instead of flapping forever; the window rolls, and
+    budgets are per-shard."""
+    fleet = _load_fleet_module()
+    clock = {"t": 0.0}
+    b = fleet.RestartBudget(max_restarts=3, window_s=300.0,
+                            now=lambda: clock["t"])
+    assert all(b.allow(0) for _ in range(3))
+    assert not b.allow(0)           # budget exhausted at t=0
+    assert b.allow(1)               # independent per-shard budget
+    clock["t"] = 301.0
+    assert b.allow(0)               # the window rolled; events expired
+    clock["t"] = 302.0
+    assert b.allow(0) and b.allow(0)
+    assert not b.allow(0)           # 3 within the new window again
 
 
 def test_fleet_shard_config_derivation():

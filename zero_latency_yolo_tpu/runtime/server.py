@@ -202,6 +202,8 @@ class DetectionServer:
         self.results_sent = Counter()  # rate => live served fps
         self.keyframe_requests = Counter()  # REQUEST_KEYFRAME commands sent
         self.frames_paused = Counter()  # frames shed at ingest while paused
+        self.unknown_sender_naks = Counter()  # ERRORs to sessionless senders
+        self._unknown_nak: Dict[Addr, float] = {}  # per-addr NAK rate limit
         self.detect_latency = RollingStats()  # frame recv -> result sent
 
     # ================================================================ lifecycle
@@ -453,7 +455,7 @@ class DetectionServer:
                 self._send_raw(reply.serialize(), addr)
         elif ptype == PacketType.FRAME_DATA:
             if session is None:
-                log.debug("frame data from unknown client %s", addr)
+                self._nak_unknown_sender(addr)
                 return
             self._handle_frame(pkt, session)
         else:
@@ -479,7 +481,7 @@ class DetectionServer:
                 native.build_ack(sequence, next_sequence(), now_ms()), addr)
         if ntype == PacketType.FRAME_DATA:
             if session is None:
-                log.debug("frame data from unknown client %s", addr)
+                self._nak_unknown_sender(addr)
                 return
             parsed = native.parse_frame_header(data)
             if parsed is None:
@@ -503,6 +505,31 @@ class DetectionServer:
             log.debug("bad packet from %s: %s", addr, e)
             return
         self._handle_control(pkt, addr, session)
+
+    def _nak_unknown_sender(self, addr: Addr) -> None:
+        """FRAME_DATA from an address with no session is usually a client
+        whose shard CRASHED (no drain notice) and whose flow the kernel
+        re-hashed onto this shard mid-stream: answer ERROR(INVALID_REQUEST)
+        so it re-handshakes in one RTT instead of streaming into the void
+        until its own liveness timeout. Abuse posture: the reply is far
+        smaller than the frame that elicited it (attenuation, not
+        amplification), rate-limited to 1/s per address, and the tracking
+        table is hard-capped so a spoofed-source flood cannot grow state."""
+        now = time.monotonic()
+        if now - self._unknown_nak.get(addr, 0.0) < 1.0:
+            return
+        if len(self._unknown_nak) >= 512:
+            self._unknown_nak = {a: t for a, t in self._unknown_nak.items()
+                                 if now - t < 2.0}
+            if len(self._unknown_nak) >= 512:
+                return  # under flood: stay silent, frames are dropped anyway
+        self._unknown_nak[addr] = now
+        log.debug("frame data from unknown client %s; sent re-handshake NAK",
+                  addr)
+        self.unknown_sender_naks.inc()
+        self._send_raw(ErrorPacket(
+            error_code=ErrorCode.INVALID_REQUEST,
+            message="no session for sender; re-handshake").serialize(), addr)
 
     def _handle_control(self, pkt, addr: Addr,
                         session: Optional[ClientSession]) -> None:
@@ -1136,6 +1163,7 @@ class DetectionServer:
                 "retransmits": self.retransmits.value,
                 "send_drops": self.send_drops.value,
                 "bad_packets": self.bad_packets.value,
+                "unknown_sender_naks": self.unknown_sender_naks.value,
                 "rx_pps": round(self.packets_received.rate(), 1),
             },
             "served_fps": round(self.results_sent.rate(), 1),

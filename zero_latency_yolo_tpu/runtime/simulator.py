@@ -142,6 +142,14 @@ class SimClient:
                     if t0 is not None:
                         self.result_latencies_ms.append((now - t0) * 1e3)
                 self._result_event.set()
+            elif pkt.TYPE == PacketType.ERROR:
+                from ..protocol import ErrorCode
+                if pkt.error_code == ErrorCode.INVALID_REQUEST:
+                    # Unknown-sender NAK: our session is gone server-side
+                    # (shard crash rebalanced us, or we were evicted) and we
+                    # kept streaming — re-handshake instead of waiting out
+                    # our own liveness timeout.
+                    self.server_disconnected = True
             elif isinstance(pkt, ServerInfoPacket):
                 # A re-handshake's SERVER_INFO (reconnect() with the
                 # receiver running — connect()'s direct socket read would
