@@ -346,6 +346,21 @@ def test_unknown_sender_nak_rate_limited():
                 errors += 1
         assert errors == 1, f"expected exactly one NAK, got {errors}"
         assert server.unknown_sender_naks.value == 1
+        # Idle clients matter too: a sessionless HEARTBEAT (from a fresh
+        # address — the rate limiter is per-addr) draws the same NAK.
+        from zero_latency_yolo_tpu.protocol import HeartbeatPacket
+        sock2 = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        sock2.bind(("127.0.0.1", 0))
+        sock2.settimeout(2.0)
+        try:
+            sock2.sendto(HeartbeatPacket(ping=7).serialize(),
+                         ("127.0.0.1", PORT + 47))
+            data, _ = sock2.recvfrom(65536)
+            pkt = parse_packet(data)
+            assert pkt.TYPE == PacketType.ERROR
+            assert pkt.error_code == ErrorCode.INVALID_REQUEST
+        finally:
+            sock2.close()
     finally:
         sock.close()
         h.stop()

@@ -453,6 +453,11 @@ class DetectionServer:
             if session is not None:
                 reply = HeartbeatPacket(ping=pkt.ping)
                 self._send_raw(reply.serialize(), addr)
+            else:
+                # An idle (heartbeat-only) client of a crashed shard must
+                # also learn its session is gone — frames aren't the only
+                # liveness signal.
+                self._nak_unknown_sender(addr)
         elif ptype == PacketType.FRAME_DATA:
             if session is None:
                 self._nak_unknown_sender(addr)
@@ -496,6 +501,9 @@ class DetectionServer:
                 ping = int.from_bytes(data[22:26], "little")
                 self._send_raw(native.build_heartbeat(
                     ping, next_sequence(), now_ms()), addr)
+            elif session is None:
+                # Idle client of a crashed shard: see the object-path twin.
+                self._nak_unknown_sender(addr)
             return
         # Rare control packets: full object parse.
         try:
