@@ -204,6 +204,8 @@ class DetectionServer:
         self.frames_paused = Counter()  # frames shed at ingest while paused
         self.unknown_sender_naks = Counter()  # ERRORs to sessionless senders
         self._unknown_nak: Dict[Addr, float] = {}  # per-addr NAK rate limit
+        self._nak_prune_at = 0.0  # full-table prune throttle (flood posture)
+        self._draining = False  # stop() in progress: refuse new handshakes
         self.detect_latency = RollingStats()  # frame recv -> result sent
 
     # ================================================================ lifecycle
@@ -290,6 +292,14 @@ class DetectionServer:
 
     async def stop(self) -> None:
         self._running = False
+        # Teardown takes seconds (task cancels, batcher drain, thread
+        # joins) with the socket still open — and while it is open, the
+        # kernel's reuseport hash keeps landing this shard's 4-tuples
+        # here. Refuse handshakes for the whole window or a drained
+        # client's instant re-handshake would get a fresh session on a
+        # shard whose batcher is already stopped (it would stream into
+        # silence until the socket finally closes).
+        self._draining = True
         EVENT_BUS.publish(SERVER_STOPPING, None)
         # Graceful-drain notice: tell every live session the server is going
         # away (COMMAND DISCONNECT, server-initiated — the reference declared
@@ -517,16 +527,26 @@ class DetectionServer:
     def _nak_unknown_sender(self, addr: Addr) -> None:
         """FRAME_DATA from an address with no session is usually a client
         whose shard CRASHED (no drain notice) and whose flow the kernel
-        re-hashed onto this shard mid-stream: answer ERROR(INVALID_REQUEST)
-        so it re-handshakes in one RTT instead of streaming into the void
-        until its own liveness timeout. Abuse posture: the reply is far
-        smaller than the frame that elicited it (attenuation, not
-        amplification), rate-limited to 1/s per address, and the tracking
-        table is hard-capped so a spoofed-source flood cannot grow state."""
+        re-hashed onto this shard mid-stream: answer ERROR(TIMEOUT) so it
+        re-handshakes in one RTT instead of streaming into the void until
+        its own liveness timeout. TIMEOUT (not INVALID_REQUEST) because the
+        server also sends INVALID_REQUEST to LIVE sessions for malformed
+        SET_CONFIG bodies — the session-loss NAK must be unambiguous or a
+        bad config request would trigger a spurious re-handshake (which
+        clears PAUSE state). Abuse posture: the reply is far smaller than
+        the frame that elicited it (attenuation, not amplification),
+        rate-limited to 1/s per address, and the tracking table is
+        hard-capped so a spoofed-source flood cannot grow state."""
         now = time.monotonic()
         if now - self._unknown_nak.get(addr, 0.0) < 1.0:
             return
         if len(self._unknown_nak) >= 512:
+            # Table pinned full by a spoofed-source flood: prune at most
+            # once a second — per-packet dict rebuilds would hand the
+            # attacker an event-loop CPU amplifier.
+            if now < self._nak_prune_at:
+                return
+            self._nak_prune_at = now + 1.0
             self._unknown_nak = {a: t for a, t in self._unknown_nak.items()
                                  if now - t < 2.0}
             if len(self._unknown_nak) >= 512:
@@ -536,7 +556,7 @@ class DetectionServer:
                   addr)
         self.unknown_sender_naks.inc()
         self._send_raw(ErrorPacket(
-            error_code=ErrorCode.INVALID_REQUEST,
+            error_code=ErrorCode.TIMEOUT,
             message="no session for sender; re-handshake").serialize(), addr)
 
     def _handle_control(self, pkt, addr: Addr,
@@ -626,6 +646,18 @@ class DetectionServer:
             session.observe_rtt(time.monotonic() - pending.sent_at)
 
     def _handle_client_info(self, pkt: ClientInfoPacket, addr: Addr) -> None:
+        if self._draining:
+            # Shutdown/rebalance in progress: answer with the same drain
+            # notice stop() broadcasts so the client keeps its
+            # disconnected state and retries — once this socket closes,
+            # the kernel re-hashes its flow onto a surviving shard.
+            from ..protocol import CommandPacket, CommandType
+            try:
+                self._send_raw(CommandPacket(
+                    command_type=CommandType.DISCONNECT).serialize(), addr)
+            except OSError:
+                pass
+            return
         info = pkt.info
         existing = self._by_addr.get(addr)
         if existing is not None:
@@ -1301,8 +1333,12 @@ def main() -> None:  # pragma: no cover
     if cfg.use_cpu_affinity and hasattr(os, "sched_setaffinity"):
         try:
             os.sched_setaffinity(0, {cfg.cpu_core_id})
-        except OSError:
-            pass
+        except OSError as e:
+            # Loud, not fatal: a silent failure here means an operator who
+            # asked for per-shard core pinning (serve_fleet) gets a process
+            # floating across all cores and no signal why.
+            log.warning("cpu affinity to core %d failed (%s); process "
+                        "runs unpinned", cfg.cpu_core_id, e)
     if cfg.use_high_priority:
         try:
             os.nice(-10)

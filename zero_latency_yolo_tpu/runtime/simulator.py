@@ -75,9 +75,11 @@ class SimClient:
         # froze our cache slot): the next capture must be a keyframe.
         self.keyframe_requested = False
         self.keyframe_requests_seen = 0
+        self.errors_seen = 0  # ERROR packets observed by the rx loop
         # Server-initiated COMMAND(DISCONNECT): graceful shutdown/drain
         # notice — the session is already gone server-side.
         self.server_disconnected = False
+        self._reconnect_pending = False
         self._handshake_event = threading.Event()
         self._sent_at: Dict[int, float] = {}
         self._frame_id = 0
@@ -144,11 +146,15 @@ class SimClient:
                 self._result_event.set()
             elif pkt.TYPE == PacketType.ERROR:
                 from ..protocol import ErrorCode
-                if pkt.error_code == ErrorCode.INVALID_REQUEST:
+                self.errors_seen += 1
+                if pkt.error_code == ErrorCode.TIMEOUT:
                     # Unknown-sender NAK: our session is gone server-side
                     # (shard crash rebalanced us, or we were evicted) and we
                     # kept streaming — re-handshake instead of waiting out
-                    # our own liveness timeout.
+                    # our own liveness timeout. Only TIMEOUT means session
+                    # loss: the server answers INVALID_REQUEST to live
+                    # sessions too (bad SET_CONFIG), and re-handshaking on
+                    # those would silently clear a deliberate PAUSE.
                     self.server_disconnected = True
             elif isinstance(pkt, ServerInfoPacket):
                 # A re-handshake's SERVER_INFO (reconnect() with the
@@ -160,7 +166,11 @@ class SimClient:
                         acked_sequence=pkt.sequence).serialize())
                 except OSError:
                     pass
-                self.server_disconnected = False
+                # Clear the disconnect flag only while a reconnect is in
+                # flight: a stale/retransmitted SERVER_INFO from the old
+                # shard must not cancel a genuine disconnect notice.
+                if self._reconnect_pending:
+                    self.server_disconnected = False
                 self._handshake_event.set()
             elif pkt.TYPE == PacketType.COMMAND:
                 from ..protocol import CommandType
@@ -196,15 +206,23 @@ class SimClient:
             raise RuntimeError("reconnect() needs start_receiver() running; "
                                "use connect() before the receiver starts")
         self._handshake_event.clear()
-        self.server_disconnected = False
-        info = ClientInfo(client_id=0, screen_width=self.screen_width,
-                          screen_height=self.screen_height,
-                          game_id=self.game_id)
+        # server_disconnected stays set until the handshake actually
+        # completes (the rx thread clears it on SERVER_INFO while
+        # _reconnect_pending): a lost CLIENT_INFO/SERVER_INFO must leave
+        # the flag up so the next push() retries immediately instead of
+        # streaming sessionless until another (1/s rate-limited) NAK.
+        self._reconnect_pending = True
         try:
-            self._send(ClientInfoPacket(info=info).serialize())
-        except OSError:
-            return False
-        return self._handshake_event.wait(timeout)
+            info = ClientInfo(client_id=0, screen_width=self.screen_width,
+                              screen_height=self.screen_height,
+                              game_id=self.game_id)
+            try:
+                self._send(ClientInfoPacket(info=info).serialize())
+            except OSError:
+                return False
+            return self._handshake_event.wait(timeout)
+        finally:
+            self._reconnect_pending = False
 
     def reset_latency_stats(self) -> None:
         """Drop accumulated e2e latency samples and in-flight send stamps —
