@@ -22,6 +22,13 @@ Usage:
   python scripts/serve_fleet.py --config configs/server.json --shards 2 \
       [--platform cpu] [--device-env 'TPU_VISIBLE_DEVICES={shard}']
 
+Signals: SIGTERM/SIGINT stop the fleet (graceful drain). SIGHUP performs a
+ZERO-DOWNTIME ROLLING RESTART — one shard at a time: drain, respawn, wait
+healthy, next. That is the deployment path for architecture-changing model
+updates, which the in-process hot-swap watcher rejects by design (serving
+programs are traced for the boot spec): drop the new model file in place
+and `kill -HUP` the manager.
+
 Reference contrast: the reference is a single process with worker threads
 racing one queue (src/inference/onnx_engine.cpp:315-470) and has no
 multi-process story at all; SO_REUSEPORT sharding is the standard kernel
@@ -45,7 +52,7 @@ sys.path.insert(0, REPO)
 from zero_latency_yolo_tpu.config import ServerConfig  # noqa: E402
 
 
-def derive_shard_config(base: dict, shard: int) -> dict:
+def derive_shard_config(base: dict, shard: int, ncpu: int = None) -> dict:
     """Per-shard config from the base JSON, derived AFTER normalizing
     through ServerConfig — the server applies dataclass defaults for absent
     keys (web_port=3000, use_cpu_affinity=True, analytics stats file...),
@@ -68,7 +75,20 @@ def derive_shard_config(base: dict, shard: int) -> dict:
         root, ext = os.path.splitext(stats)
         cfg["analytics"]["stats_file"] = f"{root}-{shard}{ext}"
     if cfg["use_cpu_affinity"]:
-        cfg["cpu_core_id"] = int(cfg["cpu_core_id"]) + shard
+        # Wrap within the host's cores: base_core+shard past the end would
+        # make sched_setaffinity fail — the shard would float unpinned
+        # (the server now also warns, but the operator asked for pinning).
+        # Wrapping double-pins two shards in oversubscribed fleets, so say
+        # so loudly.
+        if ncpu is None:
+            ncpu = os.cpu_count() or 1
+        core = int(cfg["cpu_core_id"]) + shard
+        if core >= ncpu:
+            print(f"[fleet] shard {shard}: core {core} exceeds host cpus "
+                  f"({ncpu}); wrapping to {core % ncpu} (shared pin)",
+                  file=sys.stderr)
+            core %= ncpu
+        cfg["cpu_core_id"] = core
     return cfg
 
 
@@ -94,6 +114,101 @@ class RestartBudget:
         ev.append(t)
         self._events[shard] = ev
         return True
+
+
+class RollingRestarter:
+    """Zero-downtime rolling restart of the shard group (sent via SIGHUP).
+
+    One shard at a time: SIGTERM it (graceful stop sends the drain notice,
+    so its clients re-handshake onto survivors within one RTT), respawn it,
+    wait until it reports healthy, then move to the next. This is the
+    fleet's answer to the one model swap the in-process watcher REJECTS by
+    design: an architecture-changing update (serving programs are traced
+    for the boot spec, engine.py hot-swap guard) — roll the fleet and every
+    shard boots on the new file while the group keeps the port served.
+
+    Deliberately conservative: a replacement shard that never turns healthy
+    ABORTS the roll (survivors keep serving the old model) instead of
+    marching on and degrading capacity shard by shard.
+    """
+
+    def __init__(self, n_shards, *, stop_shard, kill_shard, respawn,
+                 is_alive, healthy, log=print, now=time.monotonic,
+                 drain_grace_s=15.0, warm_grace_s=120.0):
+        self.n = n_shards
+        self._stop = stop_shard
+        self._kill = kill_shard
+        self._respawn = respawn
+        self._alive = is_alive
+        self._healthy = healthy
+        self._log = log
+        self._now = now
+        self.drain_grace_s = drain_grace_s
+        self.warm_grace_s = warm_grace_s
+        self._queue = []          # shard indexes still to roll
+        self._state = None        # None | ("stopping"|"warming", shard, t0)
+
+    @property
+    def active(self) -> bool:
+        return self._state is not None or bool(self._queue)
+
+    def expects_exit(self, shard: int) -> bool:
+        """True while `shard`'s exit is intentional (manager must not treat
+        it as a crash)."""
+        return (self._state is not None and self._state[0] == "stopping"
+                and self._state[1] == shard)
+
+    def request(self) -> None:
+        if self.active:
+            self._log("rolling restart already in progress; ignored")
+            return
+        self._queue = list(range(self.n))
+        self._log(f"rolling restart: {self.n} shard(s), one at a time")
+
+    def abort(self) -> None:
+        if self.active:
+            self._queue = []
+            self._state = None
+
+    def tick(self) -> None:
+        if self._state is None:
+            if not self._queue:
+                return
+            shard = self._queue.pop(0)
+            self._log(f"rolling restart: draining shard {shard}")
+            self._stop(shard)
+            self._state = ("stopping", shard, self._now())
+            return
+        phase, shard, t0 = self._state
+        if phase == "stopping":
+            if not self._alive(shard):
+                self._respawn(shard)
+                self._log(f"rolling restart: shard {shard} respawned; "
+                          "waiting for health")
+                self._state = ("warming", shard, self._now())
+            elif self._now() - t0 > self.drain_grace_s:
+                self._log(f"rolling restart: shard {shard} ignored SIGTERM "
+                          f"for {self.drain_grace_s:.0f}s; killing")
+                self._kill(shard)
+                self._state = ("stopping", shard, self._now())
+        elif phase == "warming":
+            if not self._alive(shard):
+                # The replacement died during warmup (bad model/config):
+                # abort the roll — the remaining shards keep the OLD model;
+                # the dead shard falls to the --on-shard-exit policy.
+                self._log(f"rolling restart ABORTED: replacement shard "
+                          f"{shard} exited during warmup")
+                self.abort()
+            elif self._healthy(shard):
+                self._log(f"rolling restart: shard {shard} healthy")
+                self._state = None  # next tick picks the next shard
+                if not self._queue:
+                    self._log("rolling restart complete")
+            elif self._now() - t0 > self.warm_grace_s:
+                self._log(f"rolling restart ABORTED: shard {shard} not "
+                          f"healthy after {self.warm_grace_s:.0f}s "
+                          "(survivors keep serving)")
+                self.abort()
 
 
 def shard_status(cfg: dict) -> dict:
@@ -132,6 +247,16 @@ def main() -> int:
     ap.add_argument("--max-restarts", type=int, default=5,
                     help="per-shard restart budget in a rolling 5-minute "
                          "window (with --on-shard-exit restart)")
+    ap.add_argument("--roll-warm-grace", type=float, default=300.0,
+                    help="SIGHUP rolling restart: seconds to wait for a "
+                         "replacement shard to report healthy before "
+                         "aborting the roll (cold boot = process start + "
+                         "device init + warmup compiles; size for the slow "
+                         "case — an abort leaves survivors on the old "
+                         "model)")
+    ap.add_argument("--roll-drain-grace", type=float, default=15.0,
+                    help="SIGHUP rolling restart: seconds a drained shard "
+                         "may ignore SIGTERM before it is killed")
     args = ap.parse_args()
     if args.shards < 1:
         ap.error("--shards must be >= 1")
@@ -194,13 +319,56 @@ def main() -> int:
         # landed in missed the first pass.
         _forward(signal.SIGTERM, None)
 
+    # Rolling restart on SIGHUP: the operational path for the ONE model
+    # update the in-process hot-swap watcher rejects by design — an
+    # architecture change (programs are traced for the boot spec). Drop the
+    # new model file in place, `kill -HUP <manager>`, and each shard
+    # restarts in turn onto the new file while the group keeps serving.
+    roll_requested = False
+
+    def _on_hup(_signum, _frame):
+        nonlocal roll_requested
+        roll_requested = True
+
+    if hasattr(signal, "SIGHUP"):
+        signal.signal(signal.SIGHUP, _on_hup)
+
+    boot_t = {i: time.time() for i in range(len(procs))}
+
+    def _shard_healthy(i: int) -> bool:
+        # With a dashboard port: statusz answering IS health (the server
+        # only opens it after warmup). Without one: alive + grace period.
+        if int(shard_cfgs[i].get("network", {}).get("web_port", 0) or 0):
+            return bool(shard_status(shard_cfgs[i]))
+        return (procs[i].poll() is None
+                and time.time() - boot_t.get(i, 0.0) >= 5.0)
+
+    def _respawn_rolled(i: int) -> None:
+        procs[i] = spawn(i, shard_cfgs[i])
+        boot_t[i] = time.time()
+
+    roller = RollingRestarter(
+        len(procs),
+        stop_shard=lambda i: (procs[i].poll() is None
+                              and procs[i].send_signal(signal.SIGTERM)),
+        kill_shard=lambda i: (procs[i].poll() is None and procs[i].kill()),
+        respawn=_respawn_rolled,
+        is_alive=lambda i: procs[i].poll() is None,
+        healthy=_shard_healthy,
+        log=lambda m: print(f"fleet: {m}", file=sys.stderr, flush=True),
+        drain_grace_s=args.roll_drain_grace,
+        warm_grace_s=args.roll_warm_grace)
+
     last_status = time.time()
     term_deadline = None
     exit_code = 0
     budget = RestartBudget(max_restarts=args.max_restarts)
     while True:
         alive = [p for p in procs if p.poll() is None]
-        if not alive:
+        if not alive and not roller.active:
+            # roller.active guard: a 1-shard fleet mid-roll has ZERO live
+            # shards between drain and respawn — that window is not "fleet
+            # done".
             break
         if stopping and term_deadline is None:
             term_deadline = time.time() + 15.0
@@ -212,17 +380,26 @@ def main() -> int:
                       file=sys.stderr)
                 p.kill()
             term_deadline = time.time() + 15.0  # re-arm for the kill wait
-        if not stopping and len(alive) < len(procs):
+        if not stopping:
+            if roll_requested:
+                roll_requested = False
+                roller.request()
+            roller.tick()
+        dead_unexpected = [i for i, p in enumerate(procs)
+                           if p.poll() is not None
+                           and not roller.expects_exit(i)]
+        if not stopping and dead_unexpected:
             # A shard died: the surviving group keeps the port and picks up
             # the dead shard's flows (drain notice + client re-handshake,
             # or liveness timeout on a crash).
-            dead = [i for i, p in enumerate(procs) if p.poll() is not None]
+            dead = dead_unexpected
             if args.on_shard_exit == "restart":
                 for i in dead:
                     if budget.allow(i):
                         print(f"shard {i} exited (rc={procs[i].returncode});"
                               " restarting", file=sys.stderr)
                         procs[i] = spawn(i, shard_cfgs[i])
+                        boot_t[i] = time.time()
                     else:
                         # Crash loop: stop loudly rather than flap forever.
                         print(f"shard {i} exhausted its restart budget "

@@ -250,7 +250,7 @@ def test_fleet_rebalance_streams_survive_shard_loss():
 def test_fleet_crash_rebalance_via_unknown_sender_nak():
     """A CRASHED shard sends no drain notice: its clients keep streaming
     into the survivor, which answers the sessionless frames with
-    ERROR(INVALID_REQUEST) — the client re-handshakes in one RTT and
+    ERROR(TIMEOUT) — the client re-handshakes in one RTT and
     streaming resumes (the --on-shard-exit restart loop's crash half)."""
     port = PORT + 41
     shards = [_Harness(_cfg(port=port)) for _ in range(2)]
@@ -342,7 +342,7 @@ def test_unknown_sender_nak_rate_limited():
                 break
             pkt = parse_packet(data)
             if pkt.TYPE == PacketType.ERROR:
-                assert pkt.error_code == ErrorCode.INVALID_REQUEST
+                assert pkt.error_code == ErrorCode.TIMEOUT
                 errors += 1
         assert errors == 1, f"expected exactly one NAK, got {errors}"
         assert server.unknown_sender_naks.value == 1
@@ -358,7 +358,7 @@ def test_unknown_sender_nak_rate_limited():
             data, _ = sock2.recvfrom(65536)
             pkt = parse_packet(data)
             assert pkt.TYPE == PacketType.ERROR
-            assert pkt.error_code == ErrorCode.INVALID_REQUEST
+            assert pkt.error_code == ErrorCode.TIMEOUT
         finally:
             sock2.close()
     finally:
@@ -447,8 +447,8 @@ def test_fleet_shard_config_derivation():
         "logging": {"log_file": "logs/server.log"},
         "analytics": {"stats_file": "logs/stats.json"},
     }
-    l0 = ServerConfig.from_dict(fleet.derive_shard_config(base, 0))
-    l1 = ServerConfig.from_dict(fleet.derive_shard_config(base, 1))
+    l0 = ServerConfig.from_dict(fleet.derive_shard_config(base, 0, ncpu=8))
+    l1 = ServerConfig.from_dict(fleet.derive_shard_config(base, 1, ncpu=8))
     for l in (l0, l1):
         assert l.network.reuse_port is True
         assert l.network.port == 7788     # every shard on the fleet port
@@ -461,7 +461,8 @@ def test_fleet_shard_config_derivation():
     # A disabled dashboard stays disabled on every shard — as LOADED, so the
     # default web port cannot sneak back in through an absent key.
     assert ServerConfig.from_dict(
-        fleet.derive_shard_config({"web_port": 0}, 1)).network.web_port == 0
+        fleet.derive_shard_config({"web_port": 0}, 1,
+                                  ncpu=8)).network.web_port == 0
     # The base dict must not be mutated (shards derive independently).
     assert base["logging"]["log_file"] == "logs/server.log"
 
@@ -471,10 +472,246 @@ def test_fleet_defaults_shard_cleanly():
     that do not collide: distinct cores (affinity defaults ON), distinct
     stats files, distinct web ports from the DEFAULT web port."""
     fleet = _load_fleet_module()
-    l0 = ServerConfig.from_dict(fleet.derive_shard_config({}, 0))
-    l1 = ServerConfig.from_dict(fleet.derive_shard_config({}, 1))
+    l0 = ServerConfig.from_dict(fleet.derive_shard_config({}, 0, ncpu=8))
+    l1 = ServerConfig.from_dict(fleet.derive_shard_config({}, 1, ncpu=8))
     assert l0.cpu_core_id != l1.cpu_core_id
     assert l0.analytics.stats_file != l1.analytics.stats_file
     assert l0.logging.log_file != l1.logging.log_file
     assert l0.network.web_port != l1.network.web_port
     assert l0.network.web_port == ServerConfig().network.web_port  # 3000
+
+
+def test_fleet_core_pin_wraps_within_host_cpus(capsys):
+    """cpu_core_id+shard past the host's last core would make
+    sched_setaffinity fail — the shard would float unpinned while the
+    operator believes the fleet is core-isolated. Derivation wraps within
+    the host's cores and says so on stderr (a shared pin is visible, a
+    silent mis-pin is not)."""
+    fleet = _load_fleet_module()
+    base = {"use_cpu_affinity": True, "cpu_core_id": 1}
+    l0 = ServerConfig.from_dict(fleet.derive_shard_config(base, 0, ncpu=2))
+    l1 = ServerConfig.from_dict(fleet.derive_shard_config(base, 1, ncpu=2))
+    l2 = ServerConfig.from_dict(fleet.derive_shard_config(base, 2, ncpu=2))
+    assert l0.cpu_core_id == 1
+    assert l1.cpu_core_id == 0          # wrapped: (1+1) % 2
+    assert l2.cpu_core_id == 1          # wrapped: (1+2) % 2
+    assert "wrapping" in capsys.readouterr().err
+
+
+def test_bad_set_config_does_not_trigger_rehandshake():
+    """ERROR(INVALID_REQUEST) answers a live session's malformed SET_CONFIG;
+    only ERROR(TIMEOUT) — the unknown-sender NAK — may mean session loss.
+    A client that re-handshook on any ERROR would silently clear its own
+    PAUSE state on every rejected config request."""
+    from zero_latency_yolo_tpu.protocol import CommandType
+    h = _Harness(_cfg(port=PORT + 53))
+    server = h.start()
+    c = SimClient(("127.0.0.1", PORT + 53),
+                  screen_width=96, screen_height=64)
+    try:
+        c.connect()
+        c.start_receiver()
+        c.send_command(CommandType.SET_CONFIG, b"not json at all")
+        deadline = time.monotonic() + 2.0
+        while time.monotonic() < deadline and c.errors_seen == 0:
+            time.sleep(0.05)
+        assert c.errors_seen >= 1  # the INVALID_REQUEST reply arrived...
+        assert c.server_disconnected is False  # ...and did NOT read as loss
+        assert server.client_count() == 1  # no spurious re-handshake churn
+    finally:
+        c.stop()
+        h.stop()
+
+
+def test_draining_server_refuses_new_handshakes():
+    """While stop() tears down (socket still open, kernel still hashing
+    this shard's flows here), CLIENT_INFO must NOT mint a session on the
+    dying shard — it is answered with the same COMMAND(DISCONNECT) drain
+    notice, so the client keeps retrying until the socket closes and the
+    kernel re-hashes its flow to a survivor."""
+    import socket as _socket
+
+    from zero_latency_yolo_tpu.protocol import (
+        ClientInfo, ClientInfoPacket, CommandType, PacketType, parse_packet)
+    h = _Harness(_cfg(port=PORT + 59))
+    server = h.start()
+    sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", 0))
+    sock.settimeout(2.0)
+    try:
+        server._draining = True  # the window stop() opens before teardown
+        info = ClientInfo(client_id=0, screen_width=64, screen_height=48,
+                          game_id=1)
+        sock.sendto(ClientInfoPacket(info=info).serialize(),
+                    ("127.0.0.1", PORT + 59))
+        data, _ = sock.recvfrom(65536)
+        pkt = parse_packet(data)
+        assert pkt.TYPE == PacketType.COMMAND
+        assert pkt.command_type == CommandType.DISCONNECT
+        assert server.client_count() == 0
+    finally:
+        sock.close()
+        server._draining = False
+        h.stop()
+
+
+def test_failed_reconnect_keeps_disconnected_flag():
+    """A reconnect whose handshake is lost must leave server_disconnected
+    SET so the next push() retries immediately — clearing it up front would
+    leave the driver streaming sessionless until another (1/s rate-limited)
+    NAK arrives."""
+    import socket as _socket
+
+    # Reserve a port with no server behind it: every CLIENT_INFO vanishes.
+    placeholder = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    placeholder.bind(("127.0.0.1", 0))
+    dead_addr = placeholder.getsockname()
+    placeholder.close()
+    c = SimClient(dead_addr, screen_width=64, screen_height=48)
+    try:
+        c.start_receiver()
+        c.server_disconnected = True
+        assert c.reconnect(timeout=0.3) is False
+        assert c.server_disconnected is True  # still set: push() will retry
+    finally:
+        c.stop()
+
+
+def test_stale_server_info_does_not_cancel_disconnect():
+    """A retransmitted/stale SERVER_INFO (e.g. from the dying shard) while
+    NO reconnect is in flight must not cancel a genuine disconnect notice."""
+    import socket as _socket
+
+    from zero_latency_yolo_tpu.protocol import ServerInfo, ServerInfoPacket
+    h = _Harness(_cfg(port=PORT + 61))
+    h.start()
+    c = SimClient(("127.0.0.1", PORT + 61),
+                  screen_width=96, screen_height=64)
+    try:
+        c.connect()
+        c.start_receiver()
+        c.server_disconnected = True
+        stale = ServerInfoPacket(info=ServerInfo(
+            server_id=9, model_version=1.0, max_clients=8,
+            max_fps=60, status=0)).serialize()
+        spoof = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        try:
+            spoof.sendto(stale, c.sock.getsockname())
+        finally:
+            spoof.close()
+        time.sleep(0.3)
+        assert c.server_disconnected is True
+    finally:
+        c.stop()
+        h.stop()
+
+
+class _FakeFleet:
+    """Deterministic stand-in for the manager's callbacks: shards are
+    dicts with alive/healthy flags; time is a manual clock."""
+
+    def __init__(self, n):
+        self.t = 0.0
+        self.shards = [{"alive": True, "healthy": True, "gen": 0}
+                       for _ in range(n)]
+        self.log_lines = []
+        self.kills = []
+
+    def roller(self, fleet_mod, **kw):
+        return fleet_mod.RollingRestarter(
+            len(self.shards),
+            stop_shard=lambda i: self.shards[i].update(stopping=True),
+            kill_shard=lambda i: (self.kills.append(i),
+                                  self.shards[i].update(alive=False)),
+            respawn=lambda i: self.shards[i].update(
+                alive=True, healthy=False, stopping=False,
+                gen=self.shards[i]["gen"] + 1),
+            is_alive=lambda i: self.shards[i]["alive"],
+            healthy=lambda i: self.shards[i]["healthy"],
+            log=self.log_lines.append,
+            now=lambda: self.t, **kw)
+
+
+def test_rolling_restart_one_shard_at_a_time():
+    """SIGHUP rolls every shard exactly once, strictly serially: shard i+1
+    is not touched until shard i's replacement reports healthy. This is the
+    zero-downtime path for architecture-changing model swaps (the hot-swap
+    watcher rejects those per-shard by design)."""
+    fleet = _load_fleet_module()
+    f = _FakeFleet(3)
+    r = f.roller(fleet)
+    r.request()
+    assert r.active
+    r.tick()                                  # drains shard 0
+    assert f.shards[0].get("stopping")
+    assert not f.shards[1].get("stopping")    # strictly one at a time
+    assert r.expects_exit(0) and not r.expects_exit(1)
+    f.shards[0]["alive"] = False              # graceful exit
+    r.tick()                                  # respawn 0
+    assert f.shards[0]["gen"] == 1 and f.shards[0]["alive"]
+    r.tick()                                  # warming: not healthy yet
+    assert not f.shards[1].get("stopping")
+    f.shards[0]["healthy"] = True
+    r.tick()                                  # 0 healthy -> state clears
+    r.tick()                                  # drains shard 1
+    assert f.shards[1].get("stopping")
+    for i in (1, 2):
+        f.shards[i]["alive"] = False
+        r.tick()
+        f.shards[i]["healthy"] = True
+        r.tick()
+        r.tick()
+    assert [s["gen"] for s in f.shards] == [1, 1, 1]
+    assert not r.active
+    assert any("complete" in m for m in f.log_lines)
+    # A second request starts a fresh roll; a request mid-roll is ignored.
+    r.request()
+    r.tick()
+    r.request()
+    assert any("ignored" in m for m in f.log_lines)
+
+
+def test_rolling_restart_kills_shard_that_ignores_sigterm():
+    fleet = _load_fleet_module()
+    f = _FakeFleet(2)
+    r = f.roller(fleet, drain_grace_s=10.0)
+    r.request()
+    r.tick()                                  # drain shard 0
+    f.t = 11.0                                # SIGTERM ignored past grace
+    r.tick()
+    assert f.kills == [0]
+    r.tick()                                  # now dead -> respawn
+    assert f.shards[0]["gen"] == 1
+
+
+def test_rolling_restart_aborts_on_unhealthy_replacement():
+    """A replacement that never turns healthy ABORTS the roll: the
+    remaining shards keep serving the old model instead of the roll
+    marching on and degrading capacity shard by shard."""
+    fleet = _load_fleet_module()
+    f = _FakeFleet(3)
+    r = f.roller(fleet, warm_grace_s=30.0)
+    r.request()
+    r.tick()
+    f.shards[0]["alive"] = False
+    r.tick()                                  # respawned, healthy=False
+    f.t = 31.0                                # past warm grace
+    r.tick()
+    assert not r.active                       # aborted
+    assert f.shards[1]["gen"] == 0 and f.shards[2]["gen"] == 0
+    assert any("ABORTED" in m for m in f.log_lines)
+
+
+def test_rolling_restart_aborts_when_replacement_dies():
+    fleet = _load_fleet_module()
+    f = _FakeFleet(2)
+    r = f.roller(fleet)
+    r.request()
+    r.tick()
+    f.shards[0]["alive"] = False
+    r.tick()                                  # respawn
+    f.shards[0]["alive"] = False              # replacement crashes
+    r.tick()
+    assert not r.active
+    assert not r.expects_exit(0)              # crash falls to the manager's
+    assert f.shards[1]["gen"] == 0            # --on-shard-exit policy
