@@ -79,6 +79,12 @@ def main() -> None:
                "device": device}
         if host_path is not None:
             out["host_path"] = _host_path_summary(host_path)
+        prior = _last_committed_chip_numbers()
+        if prior:
+            # Context, not a claim: the most recent chip-side measurement
+            # COMMITTED in-tree (the host-path rows above replay its step
+            # ladder). value stays 0.0 — nothing ran on hardware this time.
+            out["last_committed_measurement"] = prior
         print(json.dumps(out))
         return
     live = None if SMOKE else _live_loadtest()
@@ -347,6 +353,35 @@ def _run_combo(cfg, params, batch, mode, source, bh, bw, h, w, rng, results):
         print(f"# batch={batch} mode={mode} src={source}: {fps:.0f} fps, "
               f"step={step_s*1e3:.2f} ms (link rtt {rtt_s*1e3:.0f} ms)",
               file=sys.stderr)
+
+
+def _last_committed_chip_numbers():
+    """The most recent chip-side measurements COMMITTED in-tree, for the
+    device-unreachable fallback report: the step ladder the host-path rows
+    replay, plus the last round's recorded headline. Clearly labeled as
+    prior context — `value` stays 0.0 when nothing ran on hardware."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = {}
+    try:
+        with open(os.path.join(here, "artifacts", "step_ladder.json")) as f:
+            lad = json.load(f)
+        out["step_ladder_ms"] = lad.get("ladder")
+        out["step_ladder_device"] = lad.get("device")
+    except Exception:  # noqa: BLE001
+        pass
+    for prev in ("BENCH_r02.json", "BENCH_r01.json"):
+        try:
+            with open(os.path.join(here, prev)) as f:
+                rec = json.load(f).get("parsed") or {}
+            if rec.get("value"):
+                out["prior_round"] = {
+                    "file": prev, "value": rec["value"],
+                    "unit": rec.get("unit"),
+                    "vs_baseline": rec.get("vs_baseline")}
+                break
+        except Exception:  # noqa: BLE001
+            continue
+    return out or None
 
 
 def _host_path_summary(host_path):
