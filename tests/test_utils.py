@@ -92,3 +92,20 @@ def test_counter_rate_not_capped_by_event_count():
         c.inc(100)  # 10k events, far above the old per-event cap
     assert c.value == 10000
     assert c.rate(window_s=1.0) >= 9999
+def test_bench_fallback_context_schema():
+    """The device-unreachable fallback embeds the last COMMITTED chip
+    measurement (clearly labeled context; value stays 0.0). Pin the schema
+    so artifact renames can't silently drop it from a wedged-relay round's
+    record."""
+    import importlib.util, os
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ctx = mod._last_committed_chip_numbers()
+    assert ctx, "committed artifacts/step_ladder.json must be readable"
+    assert isinstance(ctx.get("step_ladder_ms"), dict)
+    assert all(float(v) > 0 for v in ctx["step_ladder_ms"].values())
+    pr = ctx.get("prior_round")
+    assert pr and pr["value"] > 0 and pr["unit"] == "frames/sec/chip"
