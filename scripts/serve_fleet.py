@@ -365,6 +365,14 @@ def main() -> int:
     budget = RestartBudget(max_restarts=args.max_restarts)
     while True:
         alive = [p for p in procs if p.poll() is None]
+        if stopping and roller.active:
+            # A fleet-stop signal mid-roll supersedes the roll. Without
+            # this, tick() is never called again (the `not stopping` gate
+            # below), roller.active stays true forever, and the exit
+            # condition under it never fires: every shard dead, manager
+            # spinning. The drained shard already got SIGTERM; _forward
+            # covered the rest.
+            roller.abort()
         if not alive and not roller.active:
             # roller.active guard: a 1-shard fleet mid-roll has ZERO live
             # shards between drain and respawn — that window is not "fleet

@@ -702,6 +702,28 @@ def test_rolling_restart_aborts_on_unhealthy_replacement():
     assert any("ABORTED" in m for m in f.log_lines)
 
 
+def test_rolling_restart_abort_mid_roll_clears_active():
+    """A fleet-stop signal mid-roll supersedes the roll via abort(): active
+    must clear IMMEDIATELY (no further ticks), in every phase — the manager's
+    exit condition is `no shards alive and not roller.active`, and tick() is
+    never called again once the fleet is stopping, so a sticky `active` would
+    spin the manager forever after the shards die."""
+    fleet = _load_fleet_module()
+    for phase in ("queued", "stopping", "warming"):
+        f = _FakeFleet(3)
+        r = f.roller(fleet)
+        r.request()
+        if phase in ("stopping", "warming"):
+            r.tick()                          # drain shard 0
+        if phase == "warming":
+            f.shards[0]["alive"] = False
+            r.tick()                          # respawn -> warming
+        assert r.active
+        r.abort()
+        assert not r.active, phase
+        assert not r.expects_exit(0), phase   # exits now fall to the manager
+
+
 def test_rolling_restart_aborts_when_replacement_dies():
     fleet = _load_fleet_module()
     f = _FakeFleet(2)
