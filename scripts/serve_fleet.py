@@ -211,6 +211,52 @@ class RollingRestarter:
                 self.abort()
 
 
+def pid_bound_to_udp_port(pid: int, port: int) -> bool:
+    """True if process `pid` holds a UDP socket bound to `port` (Linux
+    /proc walk: fd -> socket inodes, matched against /proc/net/udp*).
+
+    This is the dashboardless health check for the rolling restart. The
+    kernel's reuseport hash cannot target a specific shard through the
+    shared port, so an external ZLTY probe can't tell the replacement from
+    a survivor — but "bound" is exactly the zero-downtime condition: the
+    server binds before warmup and queues frames host-side, so once the
+    replacement holds the port it is safe to drain the next shard. A
+    time-based grace is NOT (a shard spends seconds in imports before it
+    binds; draining the next shard in that window leaves the port with no
+    listener)."""
+    try:
+        inodes = set()
+        fd_dir = f"/proc/{pid}/fd"
+        for fd in os.listdir(fd_dir):
+            try:
+                tgt = os.readlink(os.path.join(fd_dir, fd))
+            except OSError:
+                continue
+            if tgt.startswith("socket:["):
+                inodes.add(tgt[8:-1])
+    except OSError:
+        return False
+    if not inodes:
+        return False
+    for path in ("/proc/net/udp", "/proc/net/udp6"):
+        try:
+            with open(path, encoding="ascii") as f:
+                next(f, None)  # header
+                for line in f:
+                    cols = line.split()
+                    if len(cols) < 10:
+                        continue
+                    try:
+                        lport = int(cols[1].rsplit(":", 1)[1], 16)
+                    except (ValueError, IndexError):
+                        continue
+                    if lport == port and cols[9] in inodes:
+                        return True
+        except OSError:
+            continue
+    return False
+
+
 def shard_status(cfg: dict) -> dict:
     web = int(cfg.get("network", {}).get("web_port", 0) or 0)
     if not web:
@@ -336,12 +382,20 @@ def main() -> int:
     boot_t = {i: time.time() for i in range(len(procs))}
 
     def _shard_healthy(i: int) -> bool:
-        # With a dashboard port: statusz answering IS health (the server
-        # only opens it after warmup). Without one: alive + grace period.
+        # With a dashboard port: statusz answering IS health. Without one:
+        # the shard must actually HOLD the fleet port (a time grace would
+        # let the roll drain the next shard while the replacement is still
+        # importing — a no-listener window on the port). Non-Linux (no
+        # /proc) falls back to alive + grace.
         if int(shard_cfgs[i].get("network", {}).get("web_port", 0) or 0):
             return bool(shard_status(shard_cfgs[i]))
-        return (procs[i].poll() is None
-                and time.time() - boot_t.get(i, 0.0) >= 5.0)
+        p = procs[i]
+        if p.poll() is not None:
+            return False
+        if os.path.isdir(f"/proc/{p.pid}/fd"):
+            return pid_bound_to_udp_port(
+                p.pid, int(shard_cfgs[i]["network"]["port"]))
+        return time.time() - boot_t.get(i, 0.0) >= 5.0
 
     def _respawn_rolled(i: int) -> None:
         procs[i] = spawn(i, shard_cfgs[i])

@@ -9,6 +9,7 @@ threads — src/inference/onnx_engine.cpp:315-470).
 
 import asyncio
 import importlib.util
+import json
 import os
 import threading
 import time
@@ -737,3 +738,149 @@ def test_rolling_restart_aborts_when_replacement_dies():
     assert not r.active
     assert not r.expects_exit(0)              # crash falls to the manager's
     assert f.shards[1]["gen"] == 0            # --on-shard-exit policy
+
+
+def test_pid_bound_to_udp_port_sees_real_sockets():
+    """The dashboardless roll health check reads /proc: a UDP socket this
+    very process binds must be visible, and an unbound port must not —
+    'bound' is the zero-downtime gate (the server binds before warmup and
+    queues frames host-side; a time grace can pass a replacement that is
+    still importing, draining the next shard into a no-listener window)."""
+    import socket
+
+    fleet = _load_fleet_module()
+    if not os.path.isdir(f"/proc/{os.getpid()}/fd"):
+        pytest.skip("no /proc on this platform")
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        assert fleet.pid_bound_to_udp_port(os.getpid(), port)
+        # TCP on some other port is not a UDP bind; a dead pid is False.
+        assert not fleet.pid_bound_to_udp_port(os.getpid(), 1)
+    finally:
+        s.close()
+    assert not fleet.pid_bound_to_udp_port(os.getpid(), port)
+
+
+def test_rolling_restart_e2e_zero_downtime():
+    """THE deployment claim, end-to-end at the wire: a real serve_fleet.py
+    manager process with 2 sim-mode shards, live streams pushing frames the
+    whole time, `kill -HUP` -> both shards respawn one at a time onto new
+    pids, every stream keeps receiving results throughout (drain notice ->
+    re-handshake onto the survivor), and SIGTERM exits rc=0 with no orphan
+    shard processes."""
+    import re
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+
+    from zero_latency_yolo_tpu.runtime.simulator import StreamDriver
+
+    port = PORT + 53
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfgdir = os.path.join("/tmp", f"zlt-rolltest-{os.getpid()}")
+    os.makedirs(cfgdir, exist_ok=True)
+    cfg_path = os.path.join(cfgdir, "server.json")
+    with open(cfg_path, "w", encoding="utf-8") as f:
+        json.dump({
+            "model_path": "/nonexistent/model.npz",   # simulation mode
+            "port": port, "web_port": 0, "max_clients": 8,
+            "use_cpu_affinity": False,
+            "logging": {"log_file": os.path.join(cfgdir, "server.log")},
+            "analytics": {"stats_file": os.path.join(cfgdir, "stats.json")},
+            "network": {"timeout_ms": 4000},
+            "tpu": {"batch_window_ms": 1.0, "frame_buckets": [[128, 128]],
+                    "batch_buckets": [1, 2, 4]},
+        }, f)
+    log_path = os.path.join(cfgdir, "fleet.log")
+    env = dict(os.environ)
+    env.pop("ZLT_SYNTH_STEP_MS", None)
+    with open(log_path, "w", encoding="utf-8") as logf:
+        mgr = subprocess.Popen(
+            [_sys.executable, os.path.join(repo, "scripts", "serve_fleet.py"),
+             "--config", cfg_path, "--shards", "2", "--platform", "cpu",
+             "--status-interval", "0", "--roll-warm-grace", "90",
+             "--roll-drain-grace", "10"],
+            cwd=repo, env=env, stdout=logf, stderr=subprocess.STDOUT)
+    clients, drivers = [], []
+    try:
+        def log_text():
+            with open(log_path, encoding="utf-8", errors="replace") as f:
+                return f.read()
+
+        def spawned_pids():
+            return [int(m) for m in
+                    re.findall(r"shard \d+: pid=(\d+)", log_text())]
+
+        # Wait until both shards actually serve (handshake + first result).
+        deadline = time.monotonic() + 60.0
+        while time.monotonic() < deadline and len(clients) < 4:
+            c = SimClient(("127.0.0.1", port),
+                          screen_width=96, screen_height=64)
+            try:
+                c.connect()                   # own 3s handshake deadline
+            except Exception:
+                c.sock.close()
+                time.sleep(0.5)
+                continue
+            c.start_receiver()
+            clients.append(c)
+            drivers.append(StreamDriver(c, keyframe_interval=8))
+        assert len(clients) == 4, f"fleet never served: {log_text()[-2000:]}"
+        for t in range(3):
+            for d in drivers:
+                d.push(synthetic_frame(96, 64, seed=2, t=t * 0.3))
+        for c in clients:
+            assert c.wait_results(1, timeout=10.0), "no results pre-roll"
+        boot_pids = spawned_pids()
+        assert len(boot_pids) == 2
+
+        mgr.send_signal(_signal.SIGHUP)
+        # Stream continuously through the whole roll.
+        deadline = time.monotonic() + 150.0
+        while time.monotonic() < deadline:
+            for d in drivers:
+                d.push(synthetic_frame(96, 64, seed=2, t=time.monotonic()))
+            if "rolling restart complete" in log_text():
+                break
+            time.sleep(0.1)
+        else:
+            raise AssertionError(
+                f"roll never completed: {log_text()[-2000:]}")
+        all_pids = spawned_pids()
+        assert len(all_pids) == 4, all_pids
+        assert set(all_pids[2:]).isdisjoint(boot_pids), "shards not respawned"
+
+        # Zero downtime: every stream moved shards at least once (both
+        # shards drained) and keeps getting results AFTER the roll.
+        baseline = {id(c): len(c.results) for c in clients}
+        deadline = time.monotonic() + 20.0
+        while time.monotonic() < deadline:
+            for d in drivers:
+                d.push(synthetic_frame(96, 64, seed=2, t=time.monotonic()))
+            if all(len(c.results) > baseline[id(c)] + 2 for c in clients):
+                break
+            time.sleep(0.1)
+        for c in clients:
+            assert len(c.results) > baseline[id(c)], (
+                "stream starved after the roll")
+        for d in drivers:
+            assert d.rehandshakes >= 1, "client never re-handshook mid-roll"
+    finally:
+        for c in clients:
+            try:
+                c.stop()
+            except OSError:
+                pass
+        if mgr.poll() is None:
+            mgr.send_signal(_signal.SIGTERM)
+        try:
+            rc = mgr.wait(timeout=40.0)
+        except subprocess.TimeoutExpired:
+            mgr.kill()
+            raise AssertionError("fleet manager ignored SIGTERM")
+    assert rc == 0, f"manager exit rc={rc}: {log_text()[-2000:]}"
+    # No orphan shard processes survive the manager.
+    for pid in spawned_pids():
+        assert not os.path.isdir(f"/proc/{pid}"), f"orphan shard pid {pid}"
