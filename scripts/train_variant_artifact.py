@@ -55,6 +55,12 @@ def main() -> None:
     ap.add_argument("--val-data", default=None,
                     help="YOLO-convention eval directory (defaults to "
                          "--data when given)")
+    ap.add_argument("--distill-from", default=None,
+                    help="teacher artifact for knowledge distillation "
+                         "(both stages; geometry introspected from file)")
+    ap.add_argument("--distill-weight", type=float, default=1.0)
+    ap.add_argument("--distill-box-weight", type=float, default=1.0)
+    ap.add_argument("--distill-temp", type=float, default=2.0)
     ap.add_argument("--platform", default="cpu")
     args = ap.parse_args()
 
@@ -69,13 +75,17 @@ def main() -> None:
     from zero_latency_yolo_tpu.train.loop import synthetic_batches, train
 
     spec = get_spec(args.variant, args.classes)
+    kd = dict(distill_from=args.distill_from,
+              distill_weight=args.distill_weight,
+              distill_box_weight=args.distill_box_weight,
+              distill_temp=args.distill_temp)
     t0 = time.perf_counter()
     state = train(variant=args.variant, num_classes=args.classes,
                   size=args.stage1_size, batch=args.batch,
                   steps=args.stage1_steps, lr=args.stage1_lr, data=args.data,
                   schedule=args.schedule,
                   warmup_steps=args.stage1_steps * 3 // 100,
-                  log_every=max(args.stage1_steps // 10, 1))
+                  log_every=max(args.stage1_steps // 10, 1), **kd)
     with tempfile.TemporaryDirectory() as td:
         warm = os.path.join(td, "stage1.npz")
         save_params(jax.device_get(state.params), warm)
@@ -87,7 +97,7 @@ def main() -> None:
                                   if args.multiscale else None),
                       schedule=args.schedule,
                       warmup_steps=args.steps * 3 // 100,
-                      log_every=max(args.steps // 10, 1))
+                      log_every=max(args.steps // 10, 1), **kd)
 
     folded = fold_batchnorm(jax.device_get(state.params))
     val = args.val_data or args.data
@@ -110,6 +120,7 @@ def main() -> None:
         "variant": args.variant, "out": args.out, "size": args.size,
         "mAP": round(metrics["mAP"], 4), "recall": round(metrics["recall"], 4),
         "train_s": round(time.perf_counter() - t0, 1),
+        **({"distill_from": args.distill_from} if args.distill_from else {}),
     }))
 
 

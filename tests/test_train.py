@@ -258,3 +258,110 @@ def test_cosine_schedule_trains_and_decays():
     with pytest.raises(ValueError, match="schedule"):
         train(variant="yolov8p", num_classes=4, batch=2, steps=1,
               schedule="linear")
+
+
+# ------------------------------------------------------------ distillation
+
+def test_distill_loss_minimized_at_teacher_match(setup):
+    from zero_latency_yolo_tpu.train import distill_loss
+    spec, params, images, _ = setup
+    outs = forward_raw(params, spec, images)
+    kd_same, m_same = distill_loss(spec, outs, outs)
+    # The box term is a proper KL: exactly 0 when student == teacher.
+    assert abs(float(m_same["kd_box"])) < 1e-5
+    perturbed = [o + 0.5 for o in outs]
+    kd_diff, m_diff = distill_loss(spec, outs, perturbed)
+    assert float(kd_diff) > float(kd_same)
+    assert float(m_diff["kd_box"]) > 0
+
+
+def test_distill_gradient_descends_toward_teacher(setup):
+    """The KD gradient alone must pull the student toward the teacher: one
+    plain SGD step on distill_loss strictly decreases it. (Inside the full
+    train step the detection loss co-exists and, against a RANDOM teacher,
+    legitimately pulls the other way — so the mechanism is tested in
+    isolation here and the integration in the loop/mesh tests.)"""
+    from zero_latency_yolo_tpu.train import distill_loss
+    spec, params, images, _ = setup
+    teacher = init_params(jax.random.PRNGKey(7), spec, folded=False)
+    t_outs = forward_raw(teacher, spec, images)
+
+    def kd_only(p):
+        return distill_loss(spec, t_outs, forward_raw(p, spec, images))[0]
+
+    k0, grads = jax.jit(jax.value_and_grad(kd_only))(params)
+    stepped = jax.tree.map(lambda p, g: p - 1e-2 * g, params, grads)
+    k1 = jax.jit(kd_only)(stepped)
+    assert np.isfinite(float(k0)) and np.isfinite(float(k1))
+    assert float(k1) < float(k0), (float(k0), float(k1))
+
+
+def test_distill_step_leaves_teacher_untouched(setup):
+    spec, params, images, targets = setup
+    teacher = init_params(jax.random.PRNGKey(7), spec, folded=False)
+    t_copy = jax.tree.map(jnp.array, teacher)
+    tx = optax.adam(1e-3)
+    state = init_train_state(_copy(params), tx)
+    step = make_train_step(spec, tx, (SIZE, SIZE), mesh=None,
+                           teacher_spec=spec)
+    for _ in range(2):
+        state, metrics = step(state, images, targets, teacher)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["kd_cls"]))
+    assert np.isfinite(float(metrics["kd_box"]))
+    # The teacher is never updated (and never donated) by the step.
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), teacher, t_copy)
+    # The teacher is never updated by the distilled step.
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), teacher, t_copy)
+
+
+def test_distill_train_loop_from_folded_artifact(tmp_path):
+    """End-to-end --distill-from path: a folded serving artifact is loaded,
+    its geometry introspected, and the loop trains with kd metrics."""
+    from zero_latency_yolo_tpu.models.yolov8 import fold_batchnorm
+    from zero_latency_yolo_tpu.models.weights import save_params
+    from zero_latency_yolo_tpu.train.loop import train
+    spec = get_spec("yolov8p", 4)
+    teacher = fold_batchnorm(
+        init_params(jax.random.PRNGKey(3), spec, folded=False))
+    path = tmp_path / "teacher.npz"
+    save_params(teacher, str(path))
+    state = train(variant="yolov8p", num_classes=4, size=SIZE, batch=2,
+                  steps=2, distill_from=str(path), log_every=1)
+    assert int(state.step) == 2
+
+
+def test_distill_teacher_geometry_mismatch_raises(tmp_path):
+    from zero_latency_yolo_tpu.models.weights import save_params
+    from zero_latency_yolo_tpu.train.loop import train
+    spec2 = get_spec("yolov8p", 2)
+    teacher = init_params(jax.random.PRNGKey(0), spec2, folded=True)
+    path = tmp_path / "teacher_nc2.npz"
+    save_params(teacher, str(path))
+    with pytest.raises(ValueError, match="teacher"):
+        train(variant="yolov8p", num_classes=4, size=SIZE, batch=2, steps=1,
+              distill_from=str(path))
+
+
+def test_distill_mesh_step_runs_spmd(setup):
+    """Distilled SPMD step: teacher replicated over the (data, model) mesh,
+    student sharded; one step executes with finite loss."""
+    from zero_latency_yolo_tpu.parallel.mesh import make_mesh
+    spec, params, _, _ = setup
+    mesh = make_mesh(data=4, model=2)
+    teacher = init_params(jax.random.PRNGKey(7), spec, folded=False)
+    tx = optax.adam(1e-3)
+    state = init_train_state(_copy(params), tx)
+    step = make_train_step(spec, tx, (SIZE, SIZE), mesh=mesh,
+                           teacher_spec=spec)
+    state = step.shard_state(state)
+    t_sharded = step.shard_teacher(teacher)
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.uniform(0, 1, (4, SIZE, SIZE, 3)), jnp.float32)
+    targets = np.full((4, 4, 5), -1, np.float32)
+    targets[:, 0] = [1, 0.5, 0.5, 0.3, 0.3]
+    state, metrics = step(state, images, jnp.asarray(targets), t_sharded)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["kd_cls"]))

@@ -1,2 +1,2 @@
-from .loss import detection_loss  # noqa: F401
+from .loss import detection_loss, distill_loss  # noqa: F401
 from .step import TrainState, make_train_step, init_train_state  # noqa: F401

@@ -198,12 +198,14 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
           crowded: bool = False, max_boxes: int = 32,
           multiscale: Optional[Sequence[int]] = None,
           schedule: str = "const", warmup_steps: int = 0,
+          distill_from: Optional[str] = None, distill_weight: float = 1.0,
+          distill_box_weight: float = 1.0, distill_temp: float = 2.0,
           log_every: int = 10):
     import jax
     import jax.numpy as jnp
     import optax
     from ..models import get_spec, init_params
-    from ..models.weights import load_params
+    from ..models.weights import infer_spec_from_params, load_params
     from ..parallel.mesh import DATA_AXIS, make_mesh
     from .checkpoint import CheckpointManager
     from .step import init_train_state, make_train_step
@@ -229,6 +231,26 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
     tx = optax.adamw(lr, weight_decay=1e-4)
     state = init_train_state(params, tx, ema=ema)
 
+    # Knowledge distillation: a (usually larger) trained artifact steers the
+    # student via soft targets + DFL-bin LD (train/loss.py distill_loss).
+    # The teacher's geometry comes from the file itself, so any compatible
+    # artifact works: --distill-from artifacts/yolov8n_trained_416.npz.
+    t_params = None
+    t_spec = None
+    if distill_from:
+        t_params = load_params(distill_from)
+        t_spec = infer_spec_from_params(t_params)
+        if (t_spec.num_classes, t_spec.reg_max) != (spec.num_classes,
+                                                    spec.reg_max):
+            raise ValueError(
+                f"teacher {distill_from} has nc={t_spec.num_classes}, "
+                f"reg_max={t_spec.reg_max}; student needs "
+                f"nc={spec.num_classes}, reg_max={spec.reg_max}")
+        t_params = jax.tree.map(jnp.asarray, t_params)
+        print(f"distilling from {t_spec.variant} ({distill_from}), "
+              f"w_kd={distill_weight} w_box={distill_box_weight} "
+              f"T={distill_temp}")
+
     mesh = None
     if mesh_data * mesh_model > 1:
         mesh = make_mesh(data=mesh_data, model=mesh_model)
@@ -242,11 +264,17 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
             raise ValueError(f"train size {s} must be a multiple of 32 "
                              "(stride-32 FPN)")
     step_fns = {s: make_train_step(spec, tx, (s, s), mesh=mesh, remat=remat,
-                                   ema_decay=ema_decay, assigner=assigner)
+                                   ema_decay=ema_decay, assigner=assigner,
+                                   teacher_spec=t_spec,
+                                   distill_weight=distill_weight,
+                                   distill_box_weight=distill_box_weight,
+                                   distill_temp=distill_temp)
                 for s in sizes}
     step_fn = step_fns[sizes[0]]
     if mesh is not None:
         state = step_fn.shard_state(state)
+        if t_params is not None:
+            t_params = step_fn.shard_teacher(t_params)
 
     mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
     if mgr is not None:
@@ -292,14 +320,21 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
                 images, NamedSharding(mesh, P(DATA_AXIS, None, None, None)))
             targets = jax.device_put(
                 targets, NamedSharding(mesh, P(DATA_AXIS, None, None)))
-        state, metrics = step_fn(state, jnp.asarray(images), jnp.asarray(targets))
+        if t_params is not None:
+            state, metrics = step_fn(state, jnp.asarray(images),
+                                     jnp.asarray(targets), t_params)
+        else:
+            state, metrics = step_fn(state, jnp.asarray(images),
+                                     jnp.asarray(targets))
         step_num = int(state.step)
         if step_num % log_every == 0 or step_num == steps:
             loss = float(metrics["loss"])
             rate = step_num - start and (step_num - start) / (time.perf_counter() - t0)
+            kd = (f" kd {float(metrics['kd_cls']):.3f}/"
+                  f"{float(metrics['kd_box']):.3f}" if "kd_cls" in metrics else "")
             print(f"step {step_num:6d}  loss {loss:8.4f}  "
                   f"box {float(metrics['box']):.3f} cls {float(metrics['cls']):.3f} "
-                  f"dfl {float(metrics['dfl']):.3f}  {rate:.2f} it/s", flush=True)
+                  f"dfl {float(metrics['dfl']):.3f}{kd}  {rate:.2f} it/s", flush=True)
         if mgr is not None and step_num % ckpt_every == 0:
             mgr.save(state)
     if mgr is not None:
@@ -342,6 +377,16 @@ def main() -> None:  # pragma: no cover
     ap.add_argument("--crowded", action="store_true",
                     help="use the dense occlusion-aware synthetic task")
     ap.add_argument("--init-from", default=None, help="warm-start .npz")
+    ap.add_argument("--distill-from", default=None,
+                    help="teacher artifact (.npz/.pt/.onnx-converted) for "
+                         "knowledge distillation; geometry introspected "
+                         "from the file, nc/reg_max must match the student")
+    ap.add_argument("--distill-weight", type=float, default=1.0,
+                    help="weight on the distillation term")
+    ap.add_argument("--distill-box-weight", type=float, default=1.0,
+                    help="LD (DFL-bin KL) weight inside the distill term")
+    ap.add_argument("--distill-temp", type=float, default=2.0,
+                    help="distillation temperature")
     ap.add_argument("--platform", default="",
                     help="force a JAX platform (e.g. cpu); overrides "
                          "sitecustomize-registered accelerators, which "
@@ -359,7 +404,10 @@ def main() -> None:  # pragma: no cover
           max_boxes=args.max_boxes,
           multiscale=([int(s) for s in args.multiscale.split(",")]
                       if args.multiscale else None),
-          schedule=args.schedule, warmup_steps=args.warmup)
+          schedule=args.schedule, warmup_steps=args.warmup,
+          distill_from=args.distill_from, distill_weight=args.distill_weight,
+          distill_box_weight=args.distill_box_weight,
+          distill_temp=args.distill_temp)
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -217,3 +217,59 @@ def detection_loss(spec: ModelSpec, outs: Sequence[jnp.ndarray],
 def _bce_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
         jnp.exp(-jnp.abs(logits)))
+
+
+def distill_loss(spec: ModelSpec, teacher_outs: Sequence[jnp.ndarray],
+                 student_outs: Sequence[jnp.ndarray],
+                 temp: float = 2.0, w_cls: float = 1.0, w_box: float = 1.0
+                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Response-based knowledge distillation over raw per-level head maps.
+
+    The teacher and student share head geometry (reg_max, nc, strides) but
+    may differ in width/depth — both emit (B, Hi, Wi, 4*reg_max + nc), so
+    the flattened anchor axes align one-to-one. Two terms:
+
+    - **cls**: soft-target BCE at temperature `temp` over ALL anchors (the
+      dense-detector form of Hinton logit matching: per-class binary KL up
+      to the constant teacher entropy). Background anchors participate —
+      the teacher's confidence *suppression* is half of what it knows.
+    - **box**: localization distillation (LD, Zheng et al. 2022,
+      PAPERS.md): KL between teacher and student DFL bin distributions per
+      box side, weighted by the teacher's per-anchor quality
+      q = max_c sigmoid(t_cls) — box distributions only carry signal where
+      the teacher sees an object.
+
+    Both terms carry the standard temp**2 gradient rescale. Teacher maps
+    must already be stop_gradient'ed by the caller (make_train_step does).
+    """
+    reg_max, nc = spec.reg_max, spec.num_classes
+    b = student_outs[0].shape[0]
+    eps = 1e-9
+    flat_s = jnp.concatenate(
+        [o.reshape(b, -1, 4 * reg_max + nc) for o in student_outs], axis=1)
+    flat_t = jnp.concatenate(
+        [o.reshape(b, -1, 4 * reg_max + nc) for o in teacher_outs], axis=1)
+    if flat_s.shape != flat_t.shape:
+        raise ValueError(
+            f"teacher/student head shapes disagree: {flat_t.shape} vs "
+            f"{flat_s.shape} (reg_max/nc/strides must match)")
+    a = flat_s.shape[1]
+    s_box = flat_s[..., :4 * reg_max].reshape(b, a, 4, reg_max)
+    s_cls = flat_s[..., 4 * reg_max:]
+    t_box = flat_t[..., :4 * reg_max].reshape(b, a, 4, reg_max)
+    t_cls = flat_t[..., 4 * reg_max:]
+
+    # cls: tempered soft targets, mean over anchors x classes.
+    p_t = jax.nn.sigmoid(t_cls / temp)
+    kd_cls = jnp.mean(_bce_logits(s_cls / temp, p_t)) * temp ** 2
+
+    # box: tempered KL over the reg_max bins, teacher-quality weighted.
+    q = jnp.max(jax.nn.sigmoid(t_cls), axis=-1)          # (B, A)
+    q_sum = jnp.maximum(jnp.sum(q), 1.0)
+    p_tb = jax.nn.softmax(t_box / temp, axis=-1)
+    lp_s = jax.nn.log_softmax(s_box / temp, axis=-1)
+    kl = jnp.sum(p_tb * (jnp.log(p_tb + eps) - lp_s), axis=-1)  # (B, A, 4)
+    kd_box = jnp.sum(jnp.mean(kl, axis=-1) * q) / q_sum * temp ** 2
+
+    total = w_cls * kd_cls + w_box * kd_box
+    return total, {"kd_cls": kd_cls, "kd_box": kd_box}

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.yolov8 import ModelSpec, forward_raw
 from ..parallel.mesh import DATA_AXIS, param_shardings, make_mesh
-from .loss import detection_loss
+from .loss import detection_loss, distill_loss
 
 Params = Dict[str, Any]
 
@@ -48,10 +48,20 @@ def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
                     dtype=jnp.bfloat16,
                     remat: bool = False,
                     ema_decay: float = 0.9998,
-                    assigner: str = "center") -> Callable:
+                    assigner: str = "center",
+                    teacher_spec: Optional[ModelSpec] = None,
+                    distill_weight: float = 1.0,
+                    distill_box_weight: float = 1.0,
+                    distill_temp: float = 2.0) -> Callable:
     """Build the jitted train step.
 
     step(state, images (B,H,W,3) f32, targets (B,M,5)) -> (state, metrics)
+
+    With teacher_spec set, the step distills: it takes a fourth argument
+    (teacher params, folded or unfolded — forward_raw handles both) and
+    adds distill_weight * distill_loss to the detection loss. The teacher
+    forward runs inside the same XLA program under stop_gradient, so the
+    whole distilled step is still ONE compiled program per shape.
 
     With a mesh, in/out shardings are annotated so the program runs SPMD:
     images/targets over 'data', params/opt state tensor-parallel over 'model'.
@@ -69,14 +79,28 @@ def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
         fwd = jax.checkpoint(
             fwd, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
-    def loss_fn(params, images, targets):
+    def loss_fn(params, images, targets, teacher_outs):
         outs = fwd(params, images)
-        return detection_loss(spec, outs, targets, input_hw,
-                              assigner=assigner)
+        loss, metrics = detection_loss(spec, outs, targets, input_hw,
+                                       assigner=assigner)
+        if teacher_outs is not None:
+            kd, kd_metrics = distill_loss(spec, teacher_outs, outs,
+                                          temp=distill_temp,
+                                          w_box=distill_box_weight)
+            loss = loss + distill_weight * kd
+            metrics = dict(metrics, **kd_metrics)
+        return loss, metrics
 
-    def train_step(state: TrainState, images, targets):
+    def train_step(state: TrainState, images, targets, teacher_params=None):
+        teacher_outs = None
+        if teacher_spec is not None:
+            teacher_outs = [
+                jax.lax.stop_gradient(o)
+                for o in forward_raw(teacher_params, teacher_spec, images,
+                                     dtype=dtype, accum_f32=False)]
         (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, images, targets)
+            loss_fn, has_aux=True)(state.params, images, targets,
+                                   teacher_outs)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = state.ema_params
@@ -96,6 +120,9 @@ def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
+
+    data_img = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+    data_tgt = NamedSharding(mesh, P(DATA_AXIS, None, None))
 
     def shard_state(state: TrainState) -> TrainState:
         ps = param_shardings(state.params, mesh)
@@ -124,11 +151,21 @@ def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
                           step=jax.device_put(state.step, NamedSharding(mesh, P())),
                           ema_params=ema)
 
-    jitted = jax.jit(
-        train_step,
-        in_shardings=(None,  # state keeps its committed shardings
-                      NamedSharding(mesh, P(DATA_AXIS, None, None, None)),
-                      NamedSharding(mesh, P(DATA_AXIS, None, None))),
-        donate_argnums=(0,))
+    if teacher_spec is None:
+        jitted = jax.jit(
+            train_step,
+            in_shardings=(None,  # state keeps its committed shardings
+                          data_img, data_tgt),
+            donate_argnums=(0,))
+    else:
+        # The teacher replicates over the mesh (it only runs forward, data
+        # parallel); callers commit it once via shard_teacher.
+        jitted = jax.jit(
+            train_step,
+            in_shardings=(None, data_img, data_tgt, None),
+            donate_argnums=(0,))
+        repl = NamedSharding(mesh, P())
+        jitted.shard_teacher = lambda tp: jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), repl), tp)
     jitted.shard_state = shard_state  # convenience for callers
     return jitted
