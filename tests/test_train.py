@@ -365,3 +365,23 @@ def test_distill_mesh_step_runs_spmd(setup):
     state, metrics = step(state, images, jnp.asarray(targets), t_sharded)
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["kd_cls"]))
+
+
+def test_train_step_bench_cli_smoke():
+    """scripts/train_step_bench.py emits one JSON line with a batch row."""
+    import json
+    import subprocess
+    import sys
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "train_step_bench.py"),
+         "--platform", "cpu", "--variant", "yolov8p", "--size", "32",
+         "--batches", "1", "--pipeline", "2,4"],
+        capture_output=True, text=True, timeout=420, cwd=root)
+    assert out.returncode == 0, out.stderr[-2000:]
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    assert doc["metric"] == "train_step"
+    row = doc["rows"][0]
+    assert row["batch"] == 1 and row["step_ms"] > 0
+    assert np.isfinite(row["final_loss"])
