@@ -79,6 +79,10 @@ def build_config(args, model_path: str) -> dict:
                             if args.adaptive_profiles else []),
             "adaptive_slo_ms": (args.adaptive_slo
                                 if args.adaptive_profiles else 0.0),
+            # > 0: server->client AIMD rate control over CONFIG_UPDATE —
+            # the Stream pacing loop honors the broadcast hints.
+            "rate_control_slo_ms": args.rate_control_slo,
+            "rate_control_min_fps": args.rate_control_min_fps,
         },
     }
 
@@ -132,6 +136,7 @@ class Stream:
                                 screen_height=args.height)
         self.sent = 0
         self.errors = 0
+        self.rate_hint = None  # last server rate-control hint honored
 
     def connect_and_prime(self):
         self.client.connect()
@@ -155,6 +160,13 @@ class Stream:
                 self.sent += 1
             except OSError:
                 self.errors += 1
+            # Honor server rate control (CONFIG_UPDATE target_fps): capped
+            # by our own configured fps, floored at 1 (dict .get is
+            # GIL-atomic against the rx thread's update).
+            hint = c.server_settings.get("target_fps")
+            if hint:
+                period = 1.0 / max(min(self.args.fps, float(hint)), 1.0)
+                self.rate_hint = float(hint)
             next_t += period
             if next_t < time.perf_counter() - 0.5:
                 next_t = time.perf_counter()  # don't spiral after a stall
@@ -198,6 +210,10 @@ def main() -> None:
                          'them (implies synthetic mode)')
     ap.add_argument("--adaptive-slo", type=float, default=8.0,
                     help="adaptive policy SLO ms (with --adaptive-profiles)")
+    ap.add_argument("--rate-control-slo", type=float, default=0.0,
+                    help="> 0: server->client AIMD rate control SLO (ms); "
+                         "streams honor the CONFIG_UPDATE fps hints")
+    ap.add_argument("--rate-control-min-fps", type=int, default=15)
     ap.add_argument("--client-nice", type=int, default=10,
                     help="niceness ADDED to this (client) process so the "
                          "server wins the CPU on small co-located hosts; "
@@ -332,6 +348,12 @@ def main() -> None:
             "engine_e2e_p99_ms": float(st["engine"]["e2e_p99_ms"]),
             "engine_avg_batch": float(st["engine"]["avg_batch"]),
             "frames_dropped": int(st["engine"]["dropped"]),
+            "rate_control": (st.get("rate_control") and {
+                "hint_fps": st["rate_control"].get("hint_fps"),
+                "updates_sent": st["rate_control"].get("updates_sent"),
+                "clients_honoring": sum(
+                    1 for s in streams if s.rate_hint is not None),
+            }),
             "client_e2e_p50_ms": round(float(np.percentile(lat, 50)), 2)
             if lat.size else None,
             "client_e2e_p99_ms": round(float(np.percentile(lat, 99)), 2)

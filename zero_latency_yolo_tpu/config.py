@@ -214,6 +214,16 @@ class TpuConfig:
     # serve_sizes ladder (hysteresis both ways; upshifts need a sustained
     # margin). The policy runs on the dispatch lane only. 0 = static size.
     adaptive_slo_ms: float = 0.0
+    # > 0 enables server->client AIMD rate control (the escalation rung
+    # BELOW resolution downshift): when the server's rolling detect p99
+    # exceeds this SLO (ms), it broadcasts CONFIG_UPDATE
+    # {"target_fps": hint} to every session — multiplicative decrease
+    # (x0.8, floored at rate_control_min_fps), additive recovery once p99
+    # clears 70% of the SLO, restore to target_fps when recovered. The
+    # wire type is the reference's own declared-but-dead CONFIG_UPDATE
+    # (types.h:81); clients that ignore it just keep being shed. 0 = off.
+    rate_control_slo_ms: float = 0.0
+    rate_control_min_fps: int = 15
 
 
 # Closed value sets for TpuConfig's layout/impl enums (validated in
@@ -303,6 +313,16 @@ class ServerConfig:
                 raise ValueError(
                     "tpu.adaptive_slo_ms needs a serve_sizes ladder with at "
                     "least one size besides detection.model_width")
+            # Rate control: same fail-at-load stance as the enums below —
+            # a negative/NaN SLO or a zero fps floor would only surface as
+            # a wedged monitor tick or clients commanded to 0 fps.
+            slo = float(cfg.tpu.rate_control_slo_ms)
+            if not (slo == slo and 0.0 <= slo < 1e6):  # NaN-proof range gate
+                raise ValueError(
+                    f"tpu.rate_control_slo_ms={cfg.tpu.rate_control_slo_ms!r}"
+                    " must be a finite ms value >= 0")
+            if int(cfg.tpu.rate_control_min_fps) < 1:
+                raise ValueError("tpu.rate_control_min_fps must be >= 1")
             # Layout/impl enums fail FAST at load: a typo ("Split", "splt",
             # "perLevel") would otherwise silently serve the default layout
             # and the operator's intended measured win never happens. Same

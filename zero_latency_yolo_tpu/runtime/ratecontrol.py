@@ -1,0 +1,79 @@
+"""Server->client AIMD frame-rate control.
+
+The escalation ladder for overload is: adaptive resolution downshift
+(engine, dispatch lane, tpu.adaptive_slo_ms) -> frame shedding (bounded
+per-client queues) -> THIS: tell clients to capture less. The reference
+declared the wire vehicle (CommandType/CONFIG_UPDATE, types.h:81) but never
+defined a body or handler; the rebuild already gave CONFIG_UPDATE a JSON
+body client->server (protocol/packets.py ConfigUpdatePacket) — this module
+drives it the other direction, so well-behaved clients shape their offered
+load instead of having it randomly shed.
+
+Pure decision logic, no I/O: DetectionServer calls tick() from its monitor
+loop (5 s cadence) and broadcasts whatever fps this returns. AIMD shape:
+
+- decrease: p99 > slo  ->  hint = max(min_fps, 0.8 x current per-client
+  rate), at most once per `decrease_cooldown` ticks (the rolling-p99
+  window lags the load change; back-to-back cuts would overshoot to the
+  floor before the first cut is even measurable).
+- hold: slo >= p99 >= 0.7 x slo with a hint active -> re-broadcast (UDP
+  delivery is best-effort; periodic re-send is the loss story).
+- increase: p99 < 0.7 x slo -> hint grows 10% (>=1 fps) per tick; reaching
+  the configured target restores uncontrolled operation with one final
+  full-rate broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+class RateController:
+    """AIMD controller over the monitor-tick cadence. Not thread-safe by
+    design: exactly one caller (the monitor loop) ticks it."""
+
+    def __init__(self, slo_ms: float, min_fps: int, target_fps: float,
+                 decrease: float = 0.8, increase_frac: float = 0.1,
+                 recover_frac: float = 0.7, decrease_cooldown: int = 2):
+        self.slo_ms = float(slo_ms)
+        self.min_fps = max(int(min_fps), 1)
+        self.target_fps = max(float(target_fps), float(self.min_fps))
+        self.decrease = decrease
+        self.increase_frac = increase_frac
+        self.recover_frac = recover_frac
+        self.decrease_cooldown = max(int(decrease_cooldown), 1)
+        self.hint: Optional[int] = None
+        self._tick = 0
+        self._last_decrease = -10 ** 9
+
+    def tick(self, p99_ms: Optional[float],
+             per_client_rx_fps: Optional[float]) -> Optional[int]:
+        """One monitor-cadence decision. Returns the fps to broadcast this
+        tick (None = send nothing). `per_client_rx_fps` is the measured
+        ingest rate per client, used to seed the first decrease — cutting
+        from the *actual* offered rate instead of the configured target
+        reaches a sustainable hint in one step when clients already stream
+        slower than configured."""
+        self._tick += 1
+        if self.slo_ms <= 0:
+            return None
+        p99 = float(p99_ms or 0.0)
+        if p99 > self.slo_ms:
+            if (self.hint is not None
+                    and self._tick - self._last_decrease < self.decrease_cooldown):
+                return self.hint  # cooldown: hold, keep re-broadcasting
+            base = float(self.hint) if self.hint is not None else (
+                per_client_rx_fps if per_client_rx_fps and per_client_rx_fps > 0
+                else self.target_fps)
+            self.hint = max(self.min_fps, int(base * self.decrease))
+            self._last_decrease = self._tick
+            return self.hint
+        if self.hint is None:
+            return None
+        if p99 < self.recover_frac * self.slo_ms:
+            nxt = self.hint + max(1, int(self.hint * self.increase_frac))
+            if nxt >= self.target_fps:
+                self.hint = None
+                return int(self.target_fps)  # restore full rate, stand down
+            self.hint = nxt
+        return self.hint

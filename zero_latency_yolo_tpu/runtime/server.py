@@ -36,10 +36,12 @@ from typing import Dict, List, Optional, Tuple
 
 from ..config import ServerConfig
 from ..protocol import (
-    AckPacket, ClientInfoPacket, Detection, DetectionResultPacket, ErrorCode,
-    ErrorPacket, FrameDataPacket, HeartbeatPacket, PacketType, ProtocolError,
-    ServerInfo, ServerInfoPacket, parse_header, parse_packet,
+    AckPacket, ClientInfoPacket, ConfigUpdatePacket, Detection,
+    DetectionResultPacket, ErrorCode, ErrorPacket, FrameDataPacket,
+    HeartbeatPacket, PacketType, ProtocolError, ServerInfo, ServerInfoPacket,
+    parse_header, parse_packet,
 )
+from .ratecontrol import RateController
 from ..utils.events import (
     CLIENT_CONNECTED, CLIENT_DISCONNECTED, CLIENT_TIMEOUT, EVENT_BUS,
     INFERENCE_COMPLETED, MODEL_UPDATED, SERVER_STARTED, SERVER_STOPPING,
@@ -207,6 +209,14 @@ class DetectionServer:
         self._nak_prune_at = 0.0  # full-table prune throttle (flood posture)
         self._draining = False  # stop() in progress: refuse new handshakes
         self.detect_latency = RollingStats()  # frame recv -> result sent
+        self.frames_received = Counter()  # FRAME_DATA ingest (offered rate)
+        self.rate_updates_sent = Counter()  # CONFIG_UPDATE broadcasts
+        rc_slo = float(config.tpu.rate_control_slo_ms)
+        # AIMD server->client rate control (runtime/ratecontrol.py): ticked
+        # only by the monitor loop, broadcast over CONFIG_UPDATE.
+        self._rate_ctl: Optional[RateController] = (
+            RateController(rc_slo, config.tpu.rate_control_min_fps,
+                           config.target_fps) if rc_slo > 0 else None)
 
     # ================================================================ lifecycle
     async def start(self, warmup: bool = False) -> None:
@@ -779,6 +789,7 @@ class DetectionServer:
     def _handle_frame_fast(self, session: ClientSession, frame_id: int,
                            frame_ts: int, width: int, height: int,
                            keyframe: bool, payload: bytes) -> None:
+        self.frames_received.inc()  # offered rate feed for rate control
         if session.paused:
             # PAUSE/STOP_STREAM: shed before decode/device work. All three
             # FRAME_DATA ingest paths (drain-thread fast path, validated
@@ -1122,7 +1133,29 @@ class DetectionServer:
                     "dropped": st["engine"].get("dropped"),
                     "serve_size": st["engine"].get("serve_size"),
                     "device_stall_s": st.get("device_stall_s"),
+                    "rate_hint_fps": (self._rate_ctl.hint
+                                      if self._rate_ctl else None),
                 })
+                if self._rate_ctl is not None:
+                    prev = self._rate_ctl.hint
+                    fps = self._rate_ctl.tick(
+                        st["detect_latency"].get("p99_ms"),
+                        self.frames_received.rate(5.0)
+                        / max(len(self._sessions), 1))
+                    if fps is not None and self._sessions:
+                        blob = ConfigUpdatePacket(
+                            settings={"target_fps": fps}).serialize()
+                        for s in list(self._sessions.values()):
+                            self._send_raw(blob, s.addr)
+                        self.rate_updates_sent.inc(len(self._sessions))
+                        if self._rate_ctl.hint != prev:
+                            log.info(
+                                "rate control: detect p99 %.2fms vs slo "
+                                "%.2fms -> clients told target_fps=%d%s",
+                                st["detect_latency"].get("p99_ms") or 0.0,
+                                self._rate_ctl.slo_ms, fps,
+                                "" if self._rate_ctl.hint is not None
+                                else " (restored)")
                 stall = float(st.get("device_stall_s") or 0.0)
                 if stall > DEVICE_STALL_WARN_S:
                     # The device lane stopped completing (TPU preemption /
@@ -1208,8 +1241,15 @@ class DetectionServer:
             },
             "served_fps": round(self.results_sent.rate(), 1),
             "results_sent": self.results_sent.value,
+            "frames_received": self.frames_received.value,
             "frames_paused": self.frames_paused.value,
             "detect_latency": lat,
+            "rate_control": ({
+                "slo_ms": self._rate_ctl.slo_ms,
+                "min_fps": self._rate_ctl.min_fps,
+                "hint_fps": self._rate_ctl.hint,
+                "updates_sent": self.rate_updates_sent.value,
+            } if self._rate_ctl is not None else None),
             "frame_cache": ({
                 "slots_used": (self.device_cache.num_slots
                                - len(self.device_cache._free)),

@@ -21,9 +21,9 @@ import numpy as np
 
 from ..protocol import (
     AckPacket, ClientInfo, ClientInfoPacket, CommandPacket,
-    DetectionResultPacket, FrameDataPacket, HeartbeatPacket, PacketType,
-    ProtocolError, ServerInfoPacket, build_roi_header, parse_header,
-    parse_packet,
+    ConfigUpdatePacket, DetectionResultPacket, FrameDataPacket,
+    HeartbeatPacket, PacketType, ProtocolError, ServerInfoPacket,
+    build_roi_header, parse_header, parse_packet,
 )
 from ..protocol import native
 from .frames import encode_jpeg
@@ -76,6 +76,11 @@ class SimClient:
         self.keyframe_requested = False
         self.keyframe_requests_seen = 0
         self.errors_seen = 0  # ERROR packets observed by the rx loop
+        # Server-pushed runtime settings (CONFIG_UPDATE broadcasts — rate
+        # control): latest values win; read under _lock or via a plain
+        # .get() (GIL-atomic) for pacing decisions.
+        self.server_settings: Dict = {}
+        self.config_updates_seen = 0
         # Server-initiated COMMAND(DISCONNECT): graceful shutdown/drain
         # notice — the session is already gone server-side.
         self.server_disconnected = False
@@ -194,6 +199,12 @@ class SimClient:
                     # can't accumulate unboundedly.
                     self.commands.append(pkt)
                     del self.commands[:-64]
+            elif isinstance(pkt, ConfigUpdatePacket):
+                # Server-pushed runtime settings (rate control): sent
+                # unreliable and re-broadcast each monitor tick, so no ACK.
+                with self._lock:
+                    self.server_settings.update(pkt.settings)
+                self.config_updates_seen += 1
 
     def reconnect(self, timeout: float = 2.0) -> bool:
         """Re-handshake on the SAME socket after a server drain notice
