@@ -83,6 +83,14 @@ def main() -> int:
             infer_spec_from_params, load_params)
         t_params = load_params(args.distill_from)
         t_spec = infer_spec_from_params(t_params)
+        # Same gate as train/loop.py: fail with the clear message here, not
+        # with an opaque reshape error inside distill_loss after a full trace.
+        if (t_spec.num_classes, t_spec.reg_max) != (spec.num_classes,
+                                                    spec.reg_max):
+            raise SystemExit(
+                f"--distill-from {args.distill_from} has "
+                f"nc={t_spec.num_classes}, reg_max={t_spec.reg_max}; "
+                f"student needs nc={spec.num_classes}, reg_max={spec.reg_max}")
 
     step_fn = make_train_step(spec, tx, (args.size, args.size), mesh=mesh,
                               ema_decay=0.9998 if args.ema else 0.0,

@@ -45,16 +45,45 @@ def test_hold_band_keeps_rebroadcasting_without_change():
 
 def test_additive_recovery_and_restore():
     rc = RateController(slo_ms=8.0, min_fps=15, target_fps=20,
-                        decrease_cooldown=1)
+                        decrease_cooldown=1, restore_ticks=2)
     assert rc.tick(20.0, 20.0) == 16
     # Recovered: +10% (>= 1 fps) per tick...
     assert rc.tick(2.0, 16.0) == 17
     assert rc.tick(2.0, 17.0) == 18
     assert rc.tick(2.0, 18.0) == 19
-    # ...reaching the target broadcasts the full rate once and stands down.
+    # ...reaching the target broadcasts the full rate and stands down.
     assert rc.tick(2.0, 19.0) == 20
     assert rc.hint is None
+    # The restore is RE-broadcast for restore_ticks healthy ticks — a
+    # single lost CONFIG_UPDATE must not strand a client throttled.
+    assert rc.tick(2.0, 20.0) == 20
+    assert rc.tick(2.0, 20.0) == 20
     assert rc.tick(2.0, 20.0) is None  # uncontrolled: nothing to send
+
+
+def test_overload_during_restore_window_cuts_again():
+    rc = RateController(slo_ms=8.0, min_fps=5, target_fps=20,
+                        decrease_cooldown=1, restore_ticks=3)
+    assert rc.tick(20.0, 20.0) == 16
+    for _ in range(6):
+        fps = rc.tick(2.0, 16.0)
+    assert fps == 20 and rc.hint is None  # restored, window active
+    # Load returns mid-window: cut immediately, cancel the restore.
+    assert rc.tick(20.0, 20.0) == 16
+    assert rc.hint == 16
+
+
+def test_drop_fraction_triggers_decrease_without_latency_signal():
+    # Steady shedding: dropped frames produce no latency sample, so p99
+    # looks healthy — the drop fraction must drive the cut on its own.
+    rc = RateController(slo_ms=8.0, min_fps=15, target_fps=60,
+                        decrease_cooldown=1)
+    assert rc.tick(3.0, 50.0, drop_frac=0.5) == 40
+    assert rc.tick(3.0, 40.0, drop_frac=0.3) == 32
+    # Drops above the recovery band but under the SLO: hold, no increase.
+    assert rc.tick(3.0, 32.0, drop_frac=0.04) == 32
+    # Drops cleared: additive recovery resumes.
+    assert rc.tick(3.0, 32.0, drop_frac=0.0) == 35
 
 
 def test_disabled_and_empty_inputs():

@@ -312,9 +312,6 @@ def test_distill_step_leaves_teacher_untouched(setup):
     # The teacher is never updated (and never donated) by the step.
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)), teacher, t_copy)
-    # The teacher is never updated by the distilled step.
-    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
-        np.asarray(a), np.asarray(b)), teacher, t_copy)
 
 
 def test_distill_train_loop_from_folded_artifact(tmp_path):

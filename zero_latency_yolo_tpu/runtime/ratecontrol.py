@@ -12,15 +12,24 @@ load instead of having it randomly shed.
 Pure decision logic, no I/O: DetectionServer calls tick() from its monitor
 loop (5 s cadence) and broadcasts whatever fps this returns. AIMD shape:
 
-- decrease: p99 > slo  ->  hint = max(min_fps, 0.8 x current per-client
+- overload signal: detect p99 > slo OR sustained shedding (drop_frac —
+  dropped/offered over the stats window — above `drop_frac_slo`). The p99
+  alone is blind to the exact mode this feature targets: shed frames never
+  produce a result, so they contribute NO latency sample; a server
+  steady-state shedding half its offered load can report a healthy p99.
+- decrease: overloaded  ->  hint = max(min_fps, 0.8 x current per-client
   rate), at most once per `decrease_cooldown` ticks (the rolling-p99
   window lags the load change; back-to-back cuts would overshoot to the
   floor before the first cut is even measurable).
-- hold: slo >= p99 >= 0.7 x slo with a hint active -> re-broadcast (UDP
-  delivery is best-effort; periodic re-send is the loss story).
-- increase: p99 < 0.7 x slo -> hint grows 10% (>=1 fps) per tick; reaching
-  the configured target restores uncontrolled operation with one final
-  full-rate broadcast.
+- hold: under the SLO but above the 70% recovery band with a hint active
+  -> re-broadcast (UDP delivery is best-effort; periodic re-send is the
+  loss story).
+- increase: p99 < 0.7 x slo and drops < 0.7 x drop_frac_slo -> hint grows
+  10% (>=1 fps) per tick; reaching the configured target restores
+  uncontrolled operation. The full-rate restore is re-broadcast for
+  `restore_ticks` healthy ticks before the controller stands down — a
+  single unACKed CONFIG_UPDATE datagram must not be able to strand a
+  client at its last throttled rate forever.
 """
 
 from __future__ import annotations
@@ -34,7 +43,8 @@ class RateController:
 
     def __init__(self, slo_ms: float, min_fps: int, target_fps: float,
                  decrease: float = 0.8, increase_frac: float = 0.1,
-                 recover_frac: float = 0.7, decrease_cooldown: int = 2):
+                 recover_frac: float = 0.7, decrease_cooldown: int = 2,
+                 drop_frac_slo: float = 0.05, restore_ticks: int = 3):
         self.slo_ms = float(slo_ms)
         self.min_fps = max(int(min_fps), 1)
         self.target_fps = max(float(target_fps), float(self.min_fps))
@@ -42,23 +52,31 @@ class RateController:
         self.increase_frac = increase_frac
         self.recover_frac = recover_frac
         self.decrease_cooldown = max(int(decrease_cooldown), 1)
+        self.drop_frac_slo = float(drop_frac_slo)
+        self.restore_ticks = max(int(restore_ticks), 0)
         self.hint: Optional[int] = None
         self._tick = 0
         self._last_decrease = -10 ** 9
+        self._restore_left = 0
 
     def tick(self, p99_ms: Optional[float],
-             per_client_rx_fps: Optional[float]) -> Optional[int]:
+             per_client_rx_fps: Optional[float],
+             drop_frac: float = 0.0) -> Optional[int]:
         """One monitor-cadence decision. Returns the fps to broadcast this
         tick (None = send nothing). `per_client_rx_fps` is the measured
         ingest rate per client, used to seed the first decrease — cutting
         from the *actual* offered rate instead of the configured target
         reaches a sustainable hint in one step when clients already stream
-        slower than configured."""
+        slower than configured. `drop_frac` is dropped/offered over the
+        stats window: shed frames produce no latency sample, so it is the
+        only signal in the shed-dominated overload mode."""
         self._tick += 1
         if self.slo_ms <= 0:
             return None
         p99 = float(p99_ms or 0.0)
-        if p99 > self.slo_ms:
+        drops = float(drop_frac or 0.0)
+        if p99 > self.slo_ms or drops > self.drop_frac_slo:
+            self._restore_left = 0
             if (self.hint is not None
                     and self._tick - self._last_decrease < self.decrease_cooldown):
                 return self.hint  # cooldown: hold, keep re-broadcasting
@@ -69,11 +87,19 @@ class RateController:
             self._last_decrease = self._tick
             return self.hint
         if self.hint is None:
+            if self._restore_left > 0:
+                # Post-recovery: keep re-broadcasting the full rate — the
+                # restore rung needs the same datagram-loss story as
+                # hold/decrease or one lost packet throttles a client forever.
+                self._restore_left -= 1
+                return int(self.target_fps)
             return None
-        if p99 < self.recover_frac * self.slo_ms:
+        if (p99 < self.recover_frac * self.slo_ms
+                and drops < self.recover_frac * self.drop_frac_slo):
             nxt = self.hint + max(1, int(self.hint * self.increase_frac))
             if nxt >= self.target_fps:
-                self.hint = None
-                return int(self.target_fps)  # restore full rate, stand down
+                self.hint = None  # restored: uncontrolled operation
+                self._restore_left = self.restore_ticks
+                return int(self.target_fps)
             self.hint = nxt
         return self.hint

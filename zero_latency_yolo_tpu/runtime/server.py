@@ -1138,10 +1138,16 @@ class DetectionServer:
                 })
                 if self._rate_ctl is not None:
                     prev = self._rate_ctl.hint
+                    offered = self.frames_received.rate(5.0)
+                    # Shed frames never produce a latency sample, so the
+                    # drop fraction is the only overload signal in the
+                    # steady-shedding mode this controller exists for.
+                    drop_frac = (self.engine.frames_dropped.rate(5.0)
+                                 / offered) if offered > 0 else 0.0
                     fps = self._rate_ctl.tick(
                         st["detect_latency"].get("p99_ms"),
-                        self.frames_received.rate(5.0)
-                        / max(len(self._sessions), 1))
+                        offered / max(len(self._sessions), 1),
+                        drop_frac=drop_frac)
                     if fps is not None and self._sessions:
                         blob = ConfigUpdatePacket(
                             settings={"target_fps": fps}).serialize()
@@ -1151,9 +1157,10 @@ class DetectionServer:
                         if self._rate_ctl.hint != prev:
                             log.info(
                                 "rate control: detect p99 %.2fms vs slo "
-                                "%.2fms -> clients told target_fps=%d%s",
+                                "%.2fms, drop_frac %.2f -> clients told "
+                                "target_fps=%d%s",
                                 st["detect_latency"].get("p99_ms") or 0.0,
-                                self._rate_ctl.slo_ms, fps,
+                                self._rate_ctl.slo_ms, drop_frac, fps,
                                 "" if self._rate_ctl.hint is not None
                                 else " (restored)")
                 stall = float(st.get("device_stall_s") or 0.0)

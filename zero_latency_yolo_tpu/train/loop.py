@@ -246,7 +246,6 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
                 f"teacher {distill_from} has nc={t_spec.num_classes}, "
                 f"reg_max={t_spec.reg_max}; student needs "
                 f"nc={spec.num_classes}, reg_max={spec.reg_max}")
-        t_params = jax.tree.map(jnp.asarray, t_params)
         print(f"distilling from {t_spec.variant} ({distill_from}), "
               f"w_kd={distill_weight} w_box={distill_box_weight} "
               f"T={distill_temp}")
@@ -274,7 +273,13 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
     if mesh is not None:
         state = step_fn.shard_state(state)
         if t_params is not None:
+            # One transfer, replicated over the mesh: shard_teacher does
+            # its own asarray+device_put, so the loaded NumPy tree goes
+            # straight in — a prior default-device copy would cross the
+            # ~20 MB/s relayed H2D link twice for nothing.
             t_params = step_fn.shard_teacher(t_params)
+    elif t_params is not None:
+        t_params = jax.tree.map(jnp.asarray, t_params)
 
     mgr = CheckpointManager(ckpt_dir) if ckpt_dir else None
     if mgr is not None:
