@@ -166,3 +166,83 @@ def test_historyz_route(tmp_path):
     bare = ManagementApi(status_fn=lambda: {}, models_dir=str(tmp_path),
                          logs_dir=str(tmp_path))
     assert _call(bare, "GET", "/historyz") == (200, {"history": []})
+
+
+def test_debugz_route(tmp_path):
+    """/debugz serves sampled per-frame lifecycle traces (the reference's
+    per-frame DEBUG timing line, onnx_engine.cpp:615-618, as structured
+    data); absent wiring -> []."""
+    traces = [{"client_id": 1, "frame_id": 7, "detect_ms": 4.2}]
+    api = ManagementApi(status_fn=lambda: {}, traces_fn=lambda: list(traces),
+                        models_dir=str(tmp_path), logs_dir=str(tmp_path))
+    code, payload = _call(api, "GET", "/debugz")
+    assert code == 200 and payload == {"traces": traces}
+    bare = ManagementApi(status_fn=lambda: {}, models_dir=str(tmp_path),
+                         logs_dir=str(tmp_path))
+    assert _call(bare, "GET", "/debugz") == (200, {"traces": []})
+
+
+def test_trace_sampling_e2e_loopback():
+    """tpu.trace_sample_every=1: every served frame lands in the trace ring
+    with its stage spans; stages compose into the total."""
+    import threading
+    import time as _time
+
+    from zero_latency_yolo_tpu.config import ServerConfig
+    from zero_latency_yolo_tpu.runtime.server import DetectionServer
+    from zero_latency_yolo_tpu.runtime.simulator import (
+        SimClient, synthetic_frame)
+
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent/model.npz",  # simulation mode
+        "port": 27996, "web_port": 0, "max_clients": 2,
+        "network": {"timeout_ms": 20000},
+        "tpu": {"batch_window_ms": 1.0, "frame_buckets": [[64, 96]],
+                "batch_buckets": [1, 2], "trace_sample_every": 1},
+    })
+    server = DetectionServer(cfg)
+    loop = asyncio.new_event_loop()
+    t = threading.Thread(target=loop.run_forever, daemon=True)
+    t.start()
+    asyncio.run_coroutine_threadsafe(server.start(), loop).result(30)
+    c = SimClient(("127.0.0.1", 27996), screen_width=96, screen_height=64)
+    try:
+        c.connect()
+        c.start_receiver()
+        frame = synthetic_frame(96, 64)
+        for _ in range(5):
+            c.send_raw_frame(frame)
+            _time.sleep(0.05)
+        assert c.wait_results(3, timeout=10)
+        code, payload = _call(server.management, "GET", "/debugz")
+        assert code == 200
+        traces = payload["traces"]
+        assert traces, "no lifecycle traces sampled at sample_every=1"
+        for tr in traces:
+            assert tr["client_id"] == 1
+            assert tr["batch"] >= 1
+            # Stage spans are non-negative and compose into the total.
+            assert tr["decode_ms"] >= 0 and tr["queue_ms"] >= 0
+            assert tr["pipeline_ms"] >= 0 and tr["send_ms"] >= 0
+            assert tr["detect_ms"] >= 0
+            assert (tr["queue_ms"] + tr["pipeline_ms"] + tr["send_ms"]
+                    <= tr["detect_ms"] + 0.01)
+            # decode is a prefix of the total (it is a prefix of queue_ms
+            # only on the real-device path; simulated results carry
+            # queue_ms=0).
+            assert tr["decode_ms"] <= tr["detect_ms"] + 0.01
+    finally:
+        c.stop()
+        asyncio.run_coroutine_threadsafe(server.stop(), loop).result(30)
+        loop.call_soon_threadsafe(loop.stop)
+        t.join(timeout=5)
+
+
+def test_trace_sample_every_config_gate():
+    from zero_latency_yolo_tpu.config import ServerConfig
+
+    import pytest
+    with pytest.raises(ValueError, match="trace_sample_every"):
+        ServerConfig.from_dict({"tpu": {"trace_sample_every": -1}})
+    cfg = ServerConfig.from_dict({"tpu": {"trace_sample_every": 8}})
+    assert cfg.tpu.trace_sample_every == 8

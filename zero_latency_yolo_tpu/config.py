@@ -224,6 +224,13 @@ class TpuConfig:
     # (types.h:81); clients that ignore it just keep being shed. 0 = off.
     rate_control_slo_ms: float = 0.0
     rate_control_min_fps: int = 15
+    # > 0 samples every Nth served frame into a per-frame lifecycle trace
+    # ring (arrival -> decoded -> batch window/queue -> device step ->
+    # sent, with the batch it rode in), served at GET /debugz. The
+    # reference logged per-frame pre/infer/post spans at DEBUG
+    # (onnx_engine.cpp:615-618); this keeps that capability without a log
+    # write per frame. 0 = off (no overhead beyond one int check).
+    trace_sample_every: int = 0
 
 
 # Closed value sets for TpuConfig's layout/impl enums (validated in
@@ -323,6 +330,8 @@ class ServerConfig:
                     " must be a finite ms value >= 0")
             if int(cfg.tpu.rate_control_min_fps) < 1:
                 raise ValueError("tpu.rate_control_min_fps must be >= 1")
+            if int(cfg.tpu.trace_sample_every) < 0:
+                raise ValueError("tpu.trace_sample_every must be >= 0")
             # Layout/impl enums fail FAST at load: a typo ("Split", "splt",
             # "perLevel") would otherwise silently serve the default layout
             # and the operator's intended measured win never happens. Same

@@ -78,6 +78,10 @@ class InferenceRequest:
     data: np.ndarray  # (h, w, 3) uint8 RGB
     keyframe: bool = False
     enqueue_t: float = field(default_factory=time.perf_counter)
+    # Stamped at construction = payload-decode completion (the server later
+    # rewinds enqueue_t to datagram arrival, so decoded_t - enqueue_t is the
+    # arrival -> decoded-and-queued span for per-frame lifecycle traces).
+    decoded_t: float = field(default_factory=time.perf_counter)
 
 
 @dataclass
@@ -117,6 +121,10 @@ class EngineResult:
     # perf_counter stamp of datagram arrival — lets the server compute true
     # recv->sent latency at send time.
     recv_t: float = 0.0
+    # Per-frame lifecycle extras (GET /debugz sampling): arrival -> decoded
+    # span and the device batch this frame rode in.
+    decode_ms: float = 0.0
+    batch_n: int = 0
 
 
 def _pick_bucket(buckets: Sequence[Tuple[int, int]], h: int, w: int
@@ -835,11 +843,15 @@ class InferenceEngine:
         t0 = time.perf_counter()
         pb = PendingBatch(requests=requests, out=None, t0=t0, n=len(requests),
                           simulated=[self._simulate(r) for r in requests])
+        for er in pb.simulated:
+            er.batch_n = len(requests)
         if self.synthetic_step_ms > 0:
             pb.step_ms = self._synthetic_step(len(requests))
             start = max(t0, self._synthetic_last_ready)
             self._synthetic_last_ready = start + pb.step_ms / 1e3
             pb.ready_at = self._synthetic_last_ready
+            for er in pb.simulated:
+                er.infer_ms = pb.step_ms  # trace shows the replayed step
         return pb
 
     def _synthetic_step(self, n: int) -> float:
@@ -993,7 +1005,9 @@ class InferenceEngine:
                 client_id=r.client_id, frame_id=r.frame_id,
                 timestamp=r.timestamp, detections=dets,
                 infer_ms=infer_ms, queue_ms=max(q_ms, 0.0),
-                recv_t=r.enqueue_t))
+                recv_t=r.enqueue_t,
+                decode_ms=max((r.decoded_t - r.enqueue_t) * 1e3, 0.0),
+                batch_n=pending.n))
         self._maybe_adapt()
         return results
 
@@ -1060,7 +1074,10 @@ class InferenceEngine:
         self.inference_count.inc()
         return EngineResult(client_id=r.client_id, frame_id=r.frame_id,
                             timestamp=r.timestamp, detections=dets,
-                            recv_t=r.enqueue_t)
+                            recv_t=r.enqueue_t,
+                            decode_ms=max((r.decoded_t - r.enqueue_t) * 1e3,
+                                          0.0),
+                            batch_n=1)
 
     # -------------------------------------------------------- live config
     def update_thresholds(self, confidence: Optional[float] = None,

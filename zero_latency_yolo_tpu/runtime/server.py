@@ -165,6 +165,7 @@ class DetectionServer:
         self.management = ManagementApi(
             status_fn=self.status,
             history_fn=lambda: list(self._status_history),
+            traces_fn=lambda: list(self._traces),
             models_dir=_os.path.dirname(config.model_path) or "models",
             logs_dir=_os.path.dirname(config.logging.log_file) or "logs",
             active_model=_os.path.basename(config.model_path))
@@ -217,6 +218,12 @@ class DetectionServer:
         self._rate_ctl: Optional[RateController] = (
             RateController(rc_slo, config.tpu.rate_control_min_fps,
                            config.target_fps) if rc_slo > 0 else None)
+        # Per-frame lifecycle trace sampling (GET /debugz): every Nth served
+        # frame lands in the ring with its stage spans. Written only by the
+        # result path, read by the management plane (GIL-atomic deque ops).
+        self._trace_every = int(config.tpu.trace_sample_every)
+        self._trace_seen = 0
+        self._traces: deque = deque(maxlen=256)
 
     # ================================================================ lifecycle
     async def start(self, warmup: bool = False) -> None:
@@ -939,6 +946,7 @@ class DetectionServer:
         burst: List[Tuple[bytes, Addr]] = []
         recvs: List[Optional[float]] = []
         fallback_lat: List[float] = []
+        sampled: List = []  # (EngineResult, n_dets) picked for /debugz
         for res in results:
             session = self._sessions.get(res.client_id)
             if session is None:
@@ -961,6 +969,10 @@ class DetectionServer:
             burst.append((raw, session.addr))
             recvs.append(res.recv_t)
             fallback_lat.append(res.infer_ms + res.queue_ms)
+            if self._trace_every > 0:
+                self._trace_seen += 1
+                if self._trace_seen % self._trace_every == 0:
+                    sampled.append((res, len(dets)))
             session.results_sent += 1
             EVENT_BUS.publish(INFERENCE_COMPLETED, res.client_id)
         if not burst:
@@ -986,6 +998,32 @@ class DetectionServer:
                 self.detect_latency.record((sent_t - recv_t) * 1e3)
             else:
                 self.detect_latency.record(fb)
+        for res, ndet in sampled:
+            # One served frame's lifecycle, stage by stage:
+            #   decode_ms   arrival -> payload decoded & queued
+            #   queue_ms    arrival -> device dispatch (decode + client
+            #               queue + batch window; decode_ms is its prefix)
+            #   pipeline_ms dispatch -> results on host (device step +
+            #               inflight wait — see docs/BENCH_NOTES on why
+            #               this is NOT pure step time through a relay)
+            #   send_ms     results on host -> datagram sent (adapter,
+            #               tracking, serialize, send burst)
+            #   detect_ms   arrival -> sent (the SLO metric)
+            total = ((sent_t - res.recv_t) * 1e3 if res.recv_t
+                     else res.infer_ms + res.queue_ms)
+            self._traces.append({
+                "t": round(time.time(), 3),
+                "client_id": res.client_id,
+                "frame_id": res.frame_id,
+                "detections": ndet,
+                "batch": res.batch_n,
+                "decode_ms": round(res.decode_ms, 3),
+                "queue_ms": round(res.queue_ms, 3),
+                "pipeline_ms": round(res.infer_ms, 3),
+                "send_ms": round(
+                    max(total - res.queue_ms - res.infer_ms, 0.0), 3),
+                "detect_ms": round(total, 3),
+            })
 
     def _notify_frozen(self) -> None:
         """Called on the decode worker after a cache write: any slot the

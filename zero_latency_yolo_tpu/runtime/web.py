@@ -14,6 +14,10 @@ Here the management API lives in-process with direct access to live state:
                                         (server.js:283-315)
     POST /api/logs/upload?name=...      client log upload (server.js:182-195)
     GET  /api/client/version            client version info (server.js:251-263)
+    GET  /debugz                        sampled per-frame lifecycle traces
+                                        (tpu.trace_sample_every; the
+                                        reference's per-frame DEBUG timing,
+                                        onnx_engine.cpp:615-618)
 
 Implemented on asyncio streams — no web framework dependency. The dashboard
 HTML itself is optional and not rebuilt; every consumer of the reference's
@@ -144,9 +148,11 @@ class ManagementApi:
     def __init__(self, status_fn: Callable[[], Dict],
                  models_dir: str = "models", logs_dir: str = "logs",
                  active_model: Optional[str] = None,
-                 history_fn: Optional[Callable[[], list]] = None) -> None:
+                 history_fn: Optional[Callable[[], list]] = None,
+                 traces_fn: Optional[Callable[[], list]] = None) -> None:
         self.status_fn = status_fn
         self.history_fn = history_fn
+        self.traces_fn = traces_fn
         self.models_dir = models_dir
         self.logs_dir = logs_dir
         # Basename of the file the SHA-256 watcher actually monitors
@@ -177,6 +183,14 @@ class ManagementApi:
                     # log files.
                     return 200, {"history": (self.history_fn()
                                              if self.history_fn else [])}
+                if route == "/debugz":
+                    # Sampled per-frame lifecycle traces (tpu.
+                    # trace_sample_every > 0): stage spans for individual
+                    # served frames — the reference's per-frame DEBUG
+                    # timing line (onnx_engine.cpp:615-618) as structured
+                    # data instead of log scraping.
+                    return 200, {"traces": (self.traces_fn()
+                                            if self.traces_fn else [])}
                 if route == "/metricsz":
                     # Prometheus exposition format over the same live status
                     # tree — scrape-ready observability (the reference's web
