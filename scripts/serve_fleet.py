@@ -20,7 +20,17 @@ stats_file-<shard>, cpu_core_id+shard (when use_cpu_affinity).
 
 Usage:
   python scripts/serve_fleet.py --config configs/server.json --shards 2 \
-      [--platform cpu] [--device-env 'TPU_VISIBLE_DEVICES={shard}']
+      [--platform cpu] [--device-env 'TPU_VISIBLE_DEVICES={shard}'] \
+      [--canary-model models/candidate.npz [--canary-shards 1]]
+
+Canary rollout: --canary-model makes the LAST K shards serve a candidate
+artifact while the rest keep the base model. Flow-hashing is sticky per
+client socket, so ~K/N of clients ride the candidate for their whole
+session; compare cohorts on each shard's own statusz/metricsz
+(web_port+shard — the aggregated status line shows the canary cohort's
+clients and detect p99). Promote by copying the candidate over the base
+model file (surviving shards hot-swap in place) or re-pointing the config
+and SIGHUP-rolling; roll back by stopping with the flag removed.
 
 Signals: SIGTERM/SIGINT stop the fleet (graceful drain). SIGHUP performs a
 ZERO-DOWNTIME ROLLING RESTART — one shard at a time: drain, respawn, wait
@@ -52,7 +62,8 @@ sys.path.insert(0, REPO)
 from zero_latency_yolo_tpu.config import ServerConfig  # noqa: E402
 
 
-def derive_shard_config(base: dict, shard: int, ncpu: int = None) -> dict:
+def derive_shard_config(base: dict, shard: int, ncpu: int = None,
+                        model_path: str = None) -> dict:
     """Per-shard config from the base JSON, derived AFTER normalizing
     through ServerConfig — the server applies dataclass defaults for absent
     keys (web_port=3000, use_cpu_affinity=True, analytics stats file...),
@@ -60,6 +71,12 @@ def derive_shard_config(base: dict, shard: int, ncpu: int = None) -> dict:
     would fight over core 0, clobber one stats file, and an explicit
     `"web_port": 0` disable would silently re-enable the default port."""
     cfg = ServerConfig.from_dict(base).to_dict()  # validated + defaults
+    if model_path:
+        # Canary shard: serve a different artifact than the base fleet.
+        # Each shard's hot-swap watcher follows its OWN file, so promoting
+        # the canary is: copy it over the base model (survivors hot-swap)
+        # or re-point the config and SIGHUP-roll.
+        cfg["model_path"] = model_path
     net = cfg["network"]
     net["reuse_port"] = True
     web = int(net.get("web_port", 0) or 0)
@@ -282,6 +299,19 @@ def main() -> int:
                          "shard its own chip")
     ap.add_argument("--status-interval", type=float, default=10.0,
                     help="seconds between aggregated status lines (0=off)")
+    ap.add_argument("--canary-model", default="",
+                    help="model artifact served by the LAST --canary-shards "
+                         "shards instead of the base config's model — a "
+                         "canary rollout: SO_REUSEPORT flow-hashing is "
+                         "sticky per client socket, so ~K/N of clients ride "
+                         "the candidate for their whole session. Compare "
+                         "the cohorts on each shard's own statusz/metricsz "
+                         "(web_port+shard); promote by copying the file "
+                         "over the base model (survivors hot-swap) or "
+                         "re-pointing the config + SIGHUP roll")
+    ap.add_argument("--canary-shards", type=int, default=1,
+                    help="how many trailing shards serve --canary-model "
+                         "(must leave at least one baseline shard)")
     ap.add_argument("--on-shard-exit", choices=("stop", "restart"),
                     default="stop",
                     help="stop: tear the fleet down loudly when a shard "
@@ -312,6 +342,16 @@ def main() -> int:
         # hosts an empty visible-devices list hides every chip, silently.
         ap.error("--device-env must look like NAME=VALUE "
                  "(e.g. 'TPU_VISIBLE_DEVICES={shard}')")
+
+    if args.canary_model:
+        if not (1 <= args.canary_shards <= args.shards - 1):
+            ap.error("--canary-shards must leave at least one baseline "
+                     f"shard (got {args.canary_shards} of {args.shards})")
+        if not os.path.isfile(args.canary_model):
+            # Fail fast: a typo'd path would boot the canary cohort in
+            # SIMULATION mode — random detections presented as a candidate
+            # model's results.
+            ap.error(f"--canary-model {args.canary_model!r} does not exist")
 
     with open(args.config, "r", encoding="utf-8") as f:
         base = json.load(f)
@@ -354,9 +394,16 @@ def main() -> int:
               flush=True)
         return p
 
+    first_canary = (args.shards - args.canary_shards
+                    if args.canary_model else args.shards)
     for shard in range(args.shards):
-        cfg = derive_shard_config(base, shard)
+        canary = shard >= first_canary
+        cfg = derive_shard_config(
+            base, shard, model_path=args.canary_model if canary else None)
         shard_cfgs.append(cfg)
+        if canary:
+            print(f"shard {shard}: CANARY model={args.canary_model}",
+                  flush=True)
         procs.append(spawn(shard, cfg))
         if stopping:
             break
@@ -483,8 +530,16 @@ def main() -> int:
             clients = sum(int(s.get("clients", 0)) for s in stats)
             served = sum(float(s.get("served_fps", 0) or 0) for s in stats)
             per = "/".join(str(s.get("clients", "?")) for s in stats)
-            print(f"fleet: clients={clients} ({per}) served_fps={served:.0f}",
-                  flush=True)
+            line = f"fleet: clients={clients} ({per}) served_fps={served:.0f}"
+            if first_canary < len(stats):
+                c_stats = stats[first_canary:]
+                line += (" canary: clients="
+                         f"{sum(int(s.get('clients', 0)) for s in c_stats)}"
+                         " detect_p99_ms="
+                         + "/".join(str((s.get("detect_latency") or {})
+                                        .get("p99_ms", "?"))
+                                    for s in c_stats))
+            print(line, flush=True)
             last_status = time.time()
         time.sleep(0.5)
     return exit_code

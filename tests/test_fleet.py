@@ -884,3 +884,119 @@ def test_rolling_restart_e2e_zero_downtime():
     # No orphan shard processes survive the manager.
     for pid in spawned_pids():
         assert not os.path.isdir(f"/proc/{pid}"), f"orphan shard pid {pid}"
+
+
+def test_fleet_canary_model_derivation():
+    """--canary-model: the override lands on the derived shard config (and
+    ONLY when passed), composing with the usual per-shard derivation; the
+    base dict is untouched."""
+    fleet = _load_fleet_module()
+    base = {"model_path": "models/base.npz", "web_port": 8080}
+    l0 = ServerConfig.from_dict(fleet.derive_shard_config(base, 0, ncpu=8))
+    l1 = ServerConfig.from_dict(fleet.derive_shard_config(
+        base, 1, ncpu=8, model_path="models/candidate.npz"))
+    assert l0.model_path == "models/base.npz"
+    assert l1.model_path == "models/candidate.npz"
+    assert l1.network.web_port == 8081  # normal derivation still applies
+    assert base["model_path"] == "models/base.npz"
+
+
+def test_fleet_canary_cli_validation(tmp_path):
+    """Canary misconfig fails BEFORE any shard spawns: no baseline shard
+    left, or a typo'd artifact path (which would boot the canary cohort in
+    simulation mode — random detections presented as the candidate)."""
+    import subprocess
+    import sys as _sys
+
+    script = os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                          "serve_fleet.py")
+    model = tmp_path / "cand.npz"
+    model.write_bytes(b"x")
+    # All shards canary -> no baseline cohort to compare against.
+    r = subprocess.run(
+        [_sys.executable, script, "--shards", "2", "--canary-shards", "2",
+         "--canary-model", str(model)],
+        capture_output=True, text=True, timeout=60)
+    assert r.returncode == 2 and "baseline" in r.stderr
+    # Nonexistent artifact.
+    r = subprocess.run(
+        [_sys.executable, script, "--shards", "2",
+         "--canary-model", str(tmp_path / "nope.npz")],
+        capture_output=True, text=True, timeout=60)
+    assert r.returncode == 2 and "does not exist" in r.stderr
+
+
+def test_fleet_canary_e2e_two_cohorts():
+    """Canary rollout end-to-end: a real serve_fleet.py manager, shard 0 on
+    the base model (nonexistent -> simulation mode), shard 1 serving a REAL
+    pico artifact via --canary-model. Each shard's own statusz proves which
+    artifact its cohort rides (model_file + model_sha + simulation flag) —
+    the per-cohort comparison surface the feature exists for."""
+    import subprocess
+    import sys as _sys
+    import urllib.request
+
+    import jax as _jax
+
+    from zero_latency_yolo_tpu.models import get_spec, init_params, save_params
+
+    port = PORT + 61
+    web = 28480
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfgdir = os.path.join("/tmp", f"zlt-canarytest-{os.getpid()}")
+    os.makedirs(cfgdir, exist_ok=True)
+    cand = os.path.join(cfgdir, "cand.npz")
+    save_params(init_params(_jax.random.PRNGKey(0), get_spec("yolov8p", 4),
+                            folded=True), cand)
+    cfg_path = os.path.join(cfgdir, "server.json")
+    with open(cfg_path, "w", encoding="utf-8") as f:
+        json.dump({
+            "model_path": os.path.join(cfgdir, "base.npz"),  # nonexistent
+            "port": port, "web_port": web, "max_clients": 4,
+            "use_cpu_affinity": False,
+            "logging": {"log_file": os.path.join(cfgdir, "server.log")},
+            "analytics": {"stats_file": os.path.join(cfgdir, "stats.json")},
+            "detection": {"model_width": 64, "model_height": 64},
+            "tpu": {"variant": "yolov8p", "num_classes": 4,
+                    "dtype": "float32", "batch_window_ms": 1.0,
+                    "frame_buckets": [[96, 96]], "batch_buckets": [1, 2]},
+        }, f)
+    log_path = os.path.join(cfgdir, "fleet.log")
+    with open(log_path, "w", encoding="utf-8") as logf:
+        mgr = subprocess.Popen(
+            [_sys.executable, os.path.join(repo, "scripts", "serve_fleet.py"),
+             "--config", cfg_path, "--shards", "2", "--platform", "cpu",
+             "--status-interval", "0", "--canary-model", cand],
+            cwd=repo, stdout=logf, stderr=subprocess.STDOUT)
+    try:
+        def statusz(shard):
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{web + shard}/statusz",
+                        timeout=2) as r:
+                    return json.loads(r.read())
+            except Exception:
+                return None
+
+        deadline = time.monotonic() + 120.0
+        st0 = st1 = None
+        while time.monotonic() < deadline and not (st0 and st1):
+            st0, st1 = statusz(0), statusz(1)
+            time.sleep(1.0)
+        with open(log_path, encoding="utf-8", errors="replace") as f:
+            log_text = f.read()
+        assert st0 and st1, f"shards never answered statusz: {log_text[-2000:]}"
+        assert "CANARY" in log_text
+        eng0, eng1 = st0["engine"], st1["engine"]
+        assert eng0["model_file"] == "base.npz"
+        assert eng0["simulation"] == "true"          # base file absent
+        assert eng1["model_file"] == "cand.npz"      # the canary cohort
+        assert eng1["simulation"] == "false"
+        assert len(eng1["model_sha"]) == 12           # real artifact hashed
+    finally:
+        mgr.terminate()
+        try:
+            mgr.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            mgr.kill()
+            mgr.wait(timeout=10)

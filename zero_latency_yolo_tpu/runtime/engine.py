@@ -22,6 +22,7 @@ status() string map (:279-312).
 
 from __future__ import annotations
 
+import os as _os
 import random
 import threading
 import time
@@ -1205,6 +1206,10 @@ class InferenceEngine:
             # The SERVED spec: may differ from config.tpu.variant when the
             # model file's introspected geometry won (load_model).
             "model": self.spec.variant,
+            # WHICH artifact is live (canary fleets serve different files
+            # per shard; hot-swap visibility): file basename + hash prefix.
+            "model_file": _os.path.basename(self.config.model_path or ""),
+            "model_sha": (self._model_hash or "")[:12],
             "model_size": str(self.model_size),
             # Current serve size (= model_size unless an adaptive ladder
             # downshifted) + lifetime switch counts.
