@@ -351,11 +351,14 @@ def main() -> None:
             "rate_control": (st.get("rate_control") and {
                 "hint_fps": st["rate_control"].get("hint_fps"),
                 "updates_sent": st["rate_control"].get("updates_sent"),
-                # Throttled = last hint BELOW our configured rate; a
-                # full-rate restore hint means the stream is uncontrolled.
+                # Throttled = last hint below the SERVER's full rate (the
+                # value restores broadcast): against an external server,
+                # target_fps may differ from our --fps, so compare with the
+                # server's own number, not the harness's.
                 "clients_honoring": sum(
                     1 for s in streams
-                    if s.rate_hint is not None and s.rate_hint < args.fps),
+                    if s.rate_hint is not None and s.rate_hint < float(
+                        st["rate_control"].get("target_fps") or args.fps)),
             }),
             "client_e2e_p50_ms": round(float(np.percentile(lat, 50)), 2)
             if lat.size else None,

@@ -37,7 +37,10 @@ ZERO-DOWNTIME ROLLING RESTART — one shard at a time: drain, respawn, wait
 healthy, next. That is the deployment path for architecture-changing model
 updates, which the in-process hot-swap watcher rejects by design (serving
 programs are traced for the boot spec): drop the new model file in place
-and `kill -HUP` the manager.
+and `kill -HUP` the manager. SIGHUP also RE-READS --config before rolling,
+so edits to it (model_path, variant, buckets...) take effect on the roll;
+a reload that fails to validate or moves network.port is refused loudly
+and the roll proceeds on the boot-time derivation.
 
 Reference contrast: the reference is a single process with worker threads
 racing one queue (src/inference/onnx_engine.cpp:315-470) and has no
@@ -375,9 +378,10 @@ def main() -> int:
 
     def spawn(shard: int, cfg: dict) -> subprocess.Popen:
         path = os.path.join(tmp, f"shard-{shard}.json")
-        if not os.path.exists(path):
-            with open(path, "w", encoding="utf-8") as f:
-                json.dump(cfg, f, indent=2)
+        # Always (re)write: a SIGHUP roll may have reloaded the base config,
+        # and the respawned shard must boot the reloaded derivation.
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(cfg, f, indent=2)
         env = dict(os.environ)
         if args.device_env:
             key, _, val = args.device_env.partition("=")
@@ -448,6 +452,37 @@ def main() -> int:
         procs[i] = spawn(i, shard_cfgs[i])
         boot_t[i] = time.time()
 
+    def _reload_base_config() -> None:
+        """Re-read --config at SIGHUP so a roll can change more than model
+        FILE CONTENTS: model_path (canary promotion by re-pointing),
+        variant, buckets — anything the boot spec traces. Canary overrides
+        re-apply on top. A reload that fails to parse/validate, or that
+        moves network.port (the fleet's bind — moving it needs a restart,
+        not a roll), is refused loudly and the roll proceeds on the
+        boot-time derivation."""
+        try:
+            with open(args.config, "r", encoding="utf-8") as f:
+                new_base = json.load(f)
+            fresh = [derive_shard_config(
+                new_base, i,
+                model_path=(args.canary_model if i >= first_canary
+                            else None))
+                for i in range(args.shards)]
+        except Exception as e:  # noqa: BLE001 — operator typo must not kill
+            print(f"fleet: config reload failed ({e}); rolling on the "
+                  "boot-time config", file=sys.stderr, flush=True)
+            return
+        if (int(fresh[0]["network"]["port"])
+                != int(shard_cfgs[0]["network"]["port"])):
+            print("fleet: reloaded config moves network.port; reload "
+                  "refused (restart the fleet to change ports)",
+                  file=sys.stderr, flush=True)
+            return
+        if fresh != shard_cfgs:
+            print("fleet: config reloaded; the roll respawns shards on the "
+                  "new derivation", file=sys.stderr, flush=True)
+        shard_cfgs[:] = fresh
+
     roller = RollingRestarter(
         len(procs),
         stop_shard=lambda i: (procs[i].poll() is None
@@ -492,6 +527,7 @@ def main() -> int:
         if not stopping:
             if roll_requested:
                 roll_requested = False
+                _reload_base_config()
                 roller.request()
             roller.tick()
         dead_unexpected = [i for i, p in enumerate(procs)

@@ -1000,3 +1000,90 @@ def test_fleet_canary_e2e_two_cohorts():
         except subprocess.TimeoutExpired:
             mgr.kill()
             mgr.wait(timeout=10)
+
+
+def test_sighup_reload_repoints_model_on_roll():
+    """SIGHUP re-reads --config before rolling: edit model_path, HUP, and
+    the respawned shard serves the NEW file — the documented promote path
+    (re-point + roll) for canary/architecture changes. Refused reloads
+    (port moves) keep the boot-time derivation."""
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+    import urllib.request
+
+    port = PORT + 67
+    web = 28490
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfgdir = os.path.join("/tmp", f"zlt-reloadtest-{os.getpid()}")
+    os.makedirs(cfgdir, exist_ok=True)
+    cfg_path = os.path.join(cfgdir, "server.json")
+
+    def write_cfg(model_name):
+        with open(cfg_path, "w", encoding="utf-8") as f:
+            json.dump({
+                "model_path": os.path.join(cfgdir, model_name),  # sim mode
+                "port": port, "web_port": web, "max_clients": 4,
+                "use_cpu_affinity": False,
+                "logging": {"log_file": os.path.join(cfgdir, "server.log")},
+                "analytics": {"stats_file": os.path.join(cfgdir, "st.json")},
+                "tpu": {"batch_window_ms": 1.0,
+                        "frame_buckets": [[96, 96]], "batch_buckets": [1, 2]},
+            }, f)
+
+    write_cfg("a.npz")
+    log_path = os.path.join(cfgdir, "fleet.log")
+    with open(log_path, "w", encoding="utf-8") as logf:
+        mgr = subprocess.Popen(
+            [_sys.executable, os.path.join(repo, "scripts", "serve_fleet.py"),
+             "--config", cfg_path, "--shards", "1", "--platform", "cpu",
+             "--status-interval", "0", "--roll-warm-grace", "90",
+             "--roll-drain-grace", "10"],
+            cwd=repo, stdout=logf, stderr=subprocess.STDOUT)
+    try:
+        def statusz():
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{web}/statusz", timeout=2) as r:
+                    return json.loads(r.read())
+            except Exception:
+                return None
+
+        def log_text():
+            with open(log_path, encoding="utf-8", errors="replace") as f:
+                return f.read()
+
+        deadline = time.monotonic() + 90.0
+        st = None
+        while time.monotonic() < deadline and not st:
+            st = statusz()
+            time.sleep(1.0)
+        assert st, f"shard never served statusz: {log_text()[-2000:]}"
+        assert st["engine"]["model_file"] == "a.npz"
+
+        write_cfg("b.npz")                       # re-point the config...
+        mgr.send_signal(_signal.SIGHUP)          # ...and roll
+        deadline = time.monotonic() + 120.0
+        while time.monotonic() < deadline:
+            if "rolling restart complete" in log_text():
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError(f"roll never completed: {log_text()[-2000:]}")
+        assert "config reloaded" in log_text()
+        deadline = time.monotonic() + 60.0
+        st = None
+        while time.monotonic() < deadline:
+            st = statusz()
+            if st and st["engine"]["model_file"] == "b.npz":
+                break
+            time.sleep(1.0)
+        assert st and st["engine"]["model_file"] == "b.npz", (
+            f"respawned shard kept the old model: {st}")
+    finally:
+        mgr.terminate()
+        try:
+            mgr.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            mgr.kill()
+            mgr.wait(timeout=10)

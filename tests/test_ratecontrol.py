@@ -154,3 +154,39 @@ def test_rate_control_e2e_loopback():
         asyncio.run_coroutine_threadsafe(server.stop(), loop).result(30)
         loop.call_soon_threadsafe(loop.stop)
         t.join(timeout=5)
+
+
+def test_floor_probe_latch_unpins_load_invariant_drops():
+    """A drop fraction that does NOT respond to cuts (hint-ignoring or
+    misbehaving sender) must not pin well-behaved clients at min_fps
+    forever: at the floor with a healthy p99, the drop signal disarms
+    after floor_probe_ticks and recovery proceeds on p99 alone; the
+    signal re-arms only after the fraction clears the recovery band once."""
+    rc = RateController(slo_ms=8.0, min_fps=15, target_fps=20,
+                        decrease_cooldown=1, floor_probe_ticks=3,
+                        restore_ticks=0)
+    # Invariant 50% drop fraction, p99 always healthy: cut to the floor.
+    assert rc.tick(2.0, 20.0, drop_frac=0.5) == 16
+    assert rc.tick(2.0, 16.0, drop_frac=0.5) == 15  # floor
+    # Held at the floor for floor_probe_ticks (latch counting)...
+    assert rc.tick(2.0, 15.0, drop_frac=0.5) == 15
+    assert rc.tick(2.0, 15.0, drop_frac=0.5) == 15
+    # ...then the latch opens: recovery resumes DESPITE the drops.
+    assert rc.tick(2.0, 15.0, drop_frac=0.5) == 16
+    assert rc.tick(2.0, 16.0, drop_frac=0.5) == 17
+    assert rc.tick(2.0, 17.0, drop_frac=0.5) == 18
+    assert rc.tick(2.0, 18.0, drop_frac=0.5) == 19
+    assert rc.tick(2.0, 19.0, drop_frac=0.5) == 20  # restored
+    assert rc.hint is None
+    # Disarmed: the still-high fraction cannot cut again...
+    assert rc.tick(2.0, 20.0, drop_frac=0.5) is None
+    # ...but a latency breach still can (p99 governs while disarmed).
+    assert rc.tick(20.0, 20.0, drop_frac=0.5) == 16
+    # Recover via p99; drops still high -> climb allowed while disarmed.
+    for _ in range(10):
+        fps = rc.tick(2.0, 16.0, drop_frac=0.5)
+    assert rc.hint is None and fps in (None, 20)
+    # The fraction clears the recovery band once -> signal re-armed:
+    assert rc.tick(2.0, 20.0, drop_frac=0.0) is None
+    # ...a fresh drop surge is fresh information and cuts again.
+    assert rc.tick(2.0, 20.0, drop_frac=0.5) == 16

@@ -22,7 +22,7 @@ status() string map (:279-312).
 
 from __future__ import annotations
 
-import os as _os
+import os
 import random
 import threading
 import time
@@ -340,6 +340,10 @@ class InferenceEngine:
         # Telemetry (reference stats fields, onnx_engine.h:261-273).
         self.inference_count = Counter()
         self.frames_dropped = Counter()
+        # Subset of frames_dropped: oversized-frame sheds (client
+        # misconfig, load-invariant — excluded from rate-control's drop
+        # fraction).
+        self.frames_oversized = Counter()
         self.error_count = Counter()
         self.latency = RollingStats()     # dispatch -> readback (pipeline)
         self.e2e_latency = RollingStats()  # submit -> result
@@ -718,6 +722,11 @@ class InferenceEngine:
                      is None]
         if oversized:
             self.frames_dropped.inc(len(oversized))
+            # Also counted separately: oversized sheds are client
+            # misconfig, invariant under load — the rate controller's
+            # drop-fraction signal must exclude them or one bad client
+            # throttles every well-behaved one to the floor forever.
+            self.frames_oversized.inc(len(oversized))
             log.warning("shed %d oversized frame(s) (max bucket %s)",
                         len(oversized), max(self.frame_buckets))
             bad = {id(r) for r in oversized}
@@ -884,7 +893,7 @@ class InferenceEngine:
                 now = time.perf_counter()
                 self.latency.record((now - pending.t0) * 1e3)
                 self.batch_sizes.record(pending.n)
-                for r in pending.requests:
+                for r, er in zip(pending.requests, pending.simulated):
                     e2e = (now - r.enqueue_t) * 1e3
                     self.e2e_latency.record(e2e)
                     self._adapt_stats.record(e2e)
@@ -893,6 +902,10 @@ class InferenceEngine:
                     # host-path overhead the synthetic harness measures.
                     self.synthetic_host.record(max(e2e - pending.step_ms,
                                                    0.0))
+                    # Stamp the result too, or /debugz traces from the
+                    # synthetic harness would misattribute this whole wait
+                    # to send_ms (the post-completion hop).
+                    er.queue_ms = max(e2e - pending.step_ms, 0.0)
                 self._maybe_adapt()
             return pending.simulated
         return self._convert(pending, np.asarray(pending.out))  # one D2H
@@ -1109,7 +1122,6 @@ class InferenceEngine:
         dispatch thread at the next batch — the watcher thread must not
         touch the device (single-device-lane discipline; concurrent
         dispatch wedges relayed transports). Reference onnx_engine.cpp:473-515."""
-        import os
         path = self.config.model_path
         try:
             st = os.stat(path)
@@ -1208,7 +1220,7 @@ class InferenceEngine:
             "model": self.spec.variant,
             # WHICH artifact is live (canary fleets serve different files
             # per shard; hot-swap visibility): file basename + hash prefix.
-            "model_file": _os.path.basename(self.config.model_path or ""),
+            "model_file": os.path.basename(self.config.model_path or ""),
             "model_sha": (self._model_hash or "")[:12],
             "model_size": str(self.model_size),
             # Current serve size (= model_size unless an adaptive ladder

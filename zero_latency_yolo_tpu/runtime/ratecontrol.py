@@ -17,6 +17,12 @@ loop (5 s cadence) and broadcasts whatever fps this returns. AIMD shape:
   alone is blind to the exact mode this feature targets: shed frames never
   produce a result, so they contribute NO latency sample; a server
   steady-state shedding half its offered load can report a healthy p99.
+  The drop signal carries a LATCH: if cutting all the way to the floor
+  leaves the fraction high while p99 stays healthy for `floor_probe_ticks`
+  ticks, the sheds evidently do not respond to client rate (a
+  hint-ignoring or misbehaving sender — the caller already excludes
+  oversized-frame sheds at the source) — the drop signal disarms and p99
+  alone governs until the fraction clears the recovery band once.
 - decrease: overloaded  ->  hint = max(min_fps, 0.8 x current per-client
   rate), at most once per `decrease_cooldown` ticks (the rolling-p99
   window lags the load change; back-to-back cuts would overshoot to the
@@ -44,7 +50,8 @@ class RateController:
     def __init__(self, slo_ms: float, min_fps: int, target_fps: float,
                  decrease: float = 0.8, increase_frac: float = 0.1,
                  recover_frac: float = 0.7, decrease_cooldown: int = 2,
-                 drop_frac_slo: float = 0.05, restore_ticks: int = 3):
+                 drop_frac_slo: float = 0.05, restore_ticks: int = 3,
+                 floor_probe_ticks: int = 6):
         self.slo_ms = float(slo_ms)
         self.min_fps = max(int(min_fps), 1)
         self.target_fps = max(float(target_fps), float(self.min_fps))
@@ -54,10 +61,20 @@ class RateController:
         self.decrease_cooldown = max(int(decrease_cooldown), 1)
         self.drop_frac_slo = float(drop_frac_slo)
         self.restore_ticks = max(int(restore_ticks), 0)
+        self.floor_probe_ticks = max(int(floor_probe_ticks), 1)
         self.hint: Optional[int] = None
         self._tick = 0
         self._last_decrease = -10 ** 9
         self._restore_left = 0
+        self._floor_ticks = 0
+        # Drop-signal latch: cuts all the way to the floor that leave the
+        # drop fraction high while p99 stays healthy mean the sheds do not
+        # respond to client rate (a hint-ignoring or misbehaving sender).
+        # The signal then disarms — p99 alone governs — until the fraction
+        # clears the recovery band once (fresh information re-arms it).
+        # Without this, one bad client pins every well-behaved one at
+        # min_fps forever: its drops are invariant under everyone's cuts.
+        self._drop_armed = True
 
     def tick(self, p99_ms: Optional[float],
              per_client_rx_fps: Optional[float],
@@ -75,17 +92,38 @@ class RateController:
             return None
         p99 = float(p99_ms or 0.0)
         drops = float(drop_frac or 0.0)
-        if p99 > self.slo_ms or drops > self.drop_frac_slo:
+        p99_healthy = p99 < self.recover_frac * self.slo_ms
+        drops_healthy = drops < self.recover_frac * self.drop_frac_slo
+        if drops_healthy:
+            self._drop_armed = True  # cleared once: future rises are real
+        lat_over = p99 > self.slo_ms
+        drop_over = self._drop_armed and drops > self.drop_frac_slo
+        if lat_over or drop_over:
             self._restore_left = 0
-            if (self.hint is not None
-                    and self._tick - self._last_decrease < self.decrease_cooldown):
-                return self.hint  # cooldown: hold, keep re-broadcasting
-            base = float(self.hint) if self.hint is not None else (
-                per_client_rx_fps if per_client_rx_fps and per_client_rx_fps > 0
-                else self.target_fps)
-            self.hint = max(self.min_fps, int(base * self.decrease))
-            self._last_decrease = self._tick
-            return self.hint
+            if (not lat_over and p99_healthy and self.hint == self.min_fps):
+                # Drop-only overload, already at the floor, p99 healthy:
+                # count toward the latch (see __init__) instead of holding
+                # the floor forever.
+                self._floor_ticks += 1
+                if self._floor_ticks < self.floor_probe_ticks:
+                    return self.hint
+                self._drop_armed = False
+                self._floor_ticks = 0
+                # Fall through to the recovery path below this tick.
+            else:
+                self._floor_ticks = 0
+                if (self.hint is not None and self._tick - self._last_decrease
+                        < self.decrease_cooldown):
+                    return self.hint  # cooldown: hold, keep re-broadcasting
+                base = float(self.hint) if self.hint is not None else (
+                    per_client_rx_fps
+                    if per_client_rx_fps and per_client_rx_fps > 0
+                    else self.target_fps)
+                self.hint = max(self.min_fps, int(base * self.decrease))
+                self._last_decrease = self._tick
+                return self.hint
+        else:
+            self._floor_ticks = 0
         if self.hint is None:
             if self._restore_left > 0:
                 # Post-recovery: keep re-broadcasting the full rate — the
@@ -94,8 +132,7 @@ class RateController:
                 self._restore_left -= 1
                 return int(self.target_fps)
             return None
-        if (p99 < self.recover_frac * self.slo_ms
-                and drops < self.recover_frac * self.drop_frac_slo):
+        if p99_healthy and (drops_healthy or not self._drop_armed):
             nxt = self.hint + max(1, int(self.hint * self.increase_frac))
             if nxt >= self.target_fps:
                 self.hint = None  # restored: uncontrolled operation

@@ -1180,8 +1180,13 @@ class DetectionServer:
                     # Shed frames never produce a latency sample, so the
                     # drop fraction is the only overload signal in the
                     # steady-shedding mode this controller exists for.
-                    drop_frac = (self.engine.frames_dropped.rate(5.0)
-                                 / offered) if offered > 0 else 0.0
+                    # Oversized sheds are excluded: they are client
+                    # misconfig, invariant under rate cuts — counting them
+                    # would pin every well-behaved client at the floor.
+                    load_drops = max(
+                        self.engine.frames_dropped.rate(5.0)
+                        - self.engine.frames_oversized.rate(5.0), 0.0)
+                    drop_frac = (load_drops / offered) if offered > 0 else 0.0
                     fps = self._rate_ctl.tick(
                         st["detect_latency"].get("p99_ms"),
                         offered / max(len(self._sessions), 1),
@@ -1292,6 +1297,9 @@ class DetectionServer:
             "rate_control": ({
                 "slo_ms": self._rate_ctl.slo_ms,
                 "min_fps": self._rate_ctl.min_fps,
+                # The full-rate value restores broadcast — consumers
+                # classify a received hint as throttled iff below this.
+                "target_fps": self._rate_ctl.target_fps,
                 "hint_fps": self._rate_ctl.hint,
                 "updates_sent": self.rate_updates_sent.value,
             } if self._rate_ctl is not None else None),
