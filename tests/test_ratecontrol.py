@@ -190,3 +190,35 @@ def test_floor_probe_latch_unpins_load_invariant_drops():
     assert rc.tick(2.0, 20.0, drop_frac=0.0) is None
     # ...a fresh drop surge is fresh information and cuts again.
     assert rc.tick(2.0, 20.0, drop_frac=0.5) == 16
+
+
+def test_controller_invariants_under_random_inputs():
+    """Property sweep: whatever the input sequence (NaN-free floats, Nones,
+    spikes), the controller never emits a hint outside [min_fps,
+    target_fps], never holds internal state outside that range, and never
+    cuts twice within the cooldown."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rc = RateController(slo_ms=8.0, min_fps=12, target_fps=60,
+                        decrease_cooldown=2)
+    last_cut_tick = None
+    prev_hint = None
+    for tick in range(3000):
+        p99 = (None if rng.rand() < 0.1
+               else float(rng.choice([0.5, 3.0, 7.5, 9.0, 40.0, 400.0])))
+        rate = None if rng.rand() < 0.1 else float(rng.uniform(0.0, 120.0))
+        drops = float(rng.choice([0.0, 0.01, 0.04, 0.08, 0.5, 0.9]))
+        fps = rc.tick(p99, rate, drop_frac=drops)
+        if fps is not None:
+            assert 12 <= fps <= 60, (tick, fps)
+        if rc.hint is not None:
+            assert 12 <= rc.hint < 60, (tick, rc.hint)
+        cut = (prev_hint is not None and rc.hint is not None
+               and rc.hint < prev_hint) or (prev_hint is None
+                                            and rc.hint is not None)
+        if cut:
+            if last_cut_tick is not None:
+                assert tick - last_cut_tick >= 2, (tick, last_cut_tick)
+            last_cut_tick = tick
+        prev_hint = rc.hint

@@ -81,6 +81,9 @@ async function tick(){
         (s.engine.serve_size !== s.engine.model_size
           ? ' → ' + s.engine.serve_size : '') +
         (s.engine.simulation === 'true' ? ' (SIM)' : '')],
+      // WHICH artifact (canary fleets, hot-swap visibility).
+      ['artifact', s.engine.model_file +
+        (s.engine.model_sha ? ' #' + s.engine.model_sha : '')],
     ];
     if (s.device_stall_s > (s.device_stall_warn_s || 5.0))
       cards.push(['DEVICE STALLED (s)', s.device_stall_s.toFixed(1)]);
