@@ -327,3 +327,107 @@ def test_frozen_slot_notification_mechanics():
     assert cache.write_keyframe(2, synthetic_frame(64, 64, seed=5))
     assert 2 not in cache.drain_frozen()
     assert cache.frozen_clients() == [1]
+
+
+def test_zero_area_frames_rejected_everywhere():
+    """A 0-width/height 'frame' must not defeat the cache's (0,0) no-frame
+    sentinel (has_frame would go true with no pixels, serving the
+    zero-initialized slot through inference), nor classify as raw in the
+    decoder (expected_raw == 0 == len(data))."""
+    cache = DeviceFrameCache(num_slots=1, height=64, width=64)
+    assert not cache.write_keyframe(1, np.zeros((0, 64, 3), np.uint8))
+    assert not cache.write_keyframe(1, np.zeros((64, 0, 3), np.uint8))
+    assert not cache.has_frame(1)
+    with pytest.raises(FrameDecodeError, match="zero-area"):
+        decode_frame_payload(b"", 0, 480)
+    with pytest.raises(FrameDecodeError, match="zero-area"):
+        decode_frame_payload(b"", 480, 0)
+
+
+def test_roi_magic_wins_over_raw_length_coincidence():
+    """A ROIIMG payload whose byte length coincidentally equals
+    width*height*3 must decode as the region update, not as a raw keyframe
+    of garbage (the magic+header+JPEG chain is the stronger discriminator)."""
+    region = synthetic_frame(16, 16, seed=3)
+    payload = (build_roi_header(4, 8, 16, 16, 64)
+               + encode_jpeg(region, quality=90))
+    # Pad to a multiple of 3 (libjpeg tolerates trailing bytes) and pick a
+    # frame header whose raw size equals the payload length exactly.
+    payload += b"\x00" * ((-len(payload)) % 3)
+    width, height = len(payload) // 3, 1
+    decoded = decode_frame_payload(payload, width, height)
+    assert decoded.roi is not None
+    assert (decoded.roi.x, decoded.roi.y) == (4, 8)
+    assert decoded.pixels.shape == (16, 16, 3)
+
+
+def test_keyframe_flush_chunks_instead_of_padding_to_slot_cap():
+    """17 pending keyframes on a 64-slot cache flush as ceil(17/16) = 2
+    dispatches of <= 16 frames — NOT one dispatch padded to 64 whole-slot
+    frames (3.7x the upload bytes of the real frames, under the lock)."""
+    import jax.numpy as jnp
+    from zero_latency_yolo_tpu.ops.roi import _gather
+
+    cache = DeviceFrameCache(num_slots=64, height=16, width=16)
+    frames = {}
+    for cid in range(1, 18):
+        f = synthetic_frame(16, 16, seed=cid)
+        frames[cid] = f
+        assert cache.write_keyframe(cid, f)
+    cache.run_locked(lambda c: c)  # flush
+    assert cache.flushes == 2
+    assert cache.writes_flushed == 17
+    for cid in (1, 9, 17):
+        slot = cache.slot(cid)
+        got = np.asarray(_gather(cache._cache, jnp.asarray([slot])))[0]
+        np.testing.assert_array_equal(got, frames[cid])
+
+
+def test_flush_device_failure_freezes_touched_slots(monkeypatch):
+    """A device/relay exception mid-flush consumes the queued writes; the
+    touched slots must freeze (serve the last consistent frame, refuse
+    deltas, REQUEST_KEYFRAME via drain_frozen) instead of silently pasting
+    later deltas over a frame with holes."""
+    import zero_latency_yolo_tpu.ops.roi as roi_mod
+
+    cache = DeviceFrameCache(num_slots=4, height=32, width=32)
+    base = synthetic_frame(32, 32, seed=1)
+    assert cache.write_keyframe(1, base)
+    assert cache.write_keyframe(2, synthetic_frame(32, 32, seed=2))
+    cache.run_locked(lambda c: c)  # apply cleanly
+    assert not cache.frozen_clients()
+
+    # Queue one ROI for client 1, then make the paste program blow up.
+    assert cache.write_roi(1, synthetic_frame(8, 8, seed=3), 4, 4)
+
+    def boom(*a, **k):
+        raise RuntimeError("relay wedged")
+    monkeypatch.setattr(roi_mod, "_paste_many", boom)
+    with pytest.raises(RuntimeError, match="relay wedged"):
+        cache.run_locked(lambda c: c)
+    monkeypatch.undo()
+
+    # Client 1's slot is frozen: deltas refused (but accepted-and-dropped),
+    # REQUEST_KEYFRAME queued.
+    assert cache.frozen_clients() == [1]
+    assert cache.drain_frozen() == [1]
+    shed_before = cache.writes_shed
+    assert cache.write_roi(1, synthetic_frame(8, 8, seed=4), 0, 0)
+    assert cache.writes_shed == shed_before + 1
+    # The failed program donated the cache buffer: the next device touch
+    # revives it (fresh zeroed cache) and freezes EVERY active slot for
+    # keyframe re-anchor — client 2's content is gone with the buffer.
+    cache.run_locked(lambda c: c)
+    assert set(cache.frozen_clients()) == {1, 2}
+    assert cache.drain_frozen() == [2]  # 1 was already requested
+    # Fresh keyframes re-anchor and unfreeze, and the cache serves again.
+    f1 = synthetic_frame(32, 32, seed=5)
+    assert cache.write_keyframe(1, f1)
+    assert cache.write_keyframe(2, synthetic_frame(32, 32, seed=6))
+    cache.run_locked(lambda c: c)
+    assert not cache.frozen_clients()
+    import jax.numpy as jnp
+    from zero_latency_yolo_tpu.ops.roi import _gather
+    got = np.asarray(_gather(cache._cache,
+                             jnp.asarray([cache.slot(1)])))[0]
+    np.testing.assert_array_equal(got, f1)

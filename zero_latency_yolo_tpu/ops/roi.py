@@ -30,37 +30,49 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _bucket(n: int, rungs: Tuple[int, ...], cap: int,
+            cap_exclusive: bool = False) -> int:
+    """Smallest ladder rung >= n that fits under the cap, else the cap —
+    the ONE ladder-pick rule behind every padded write shape here (three
+    hand-rolled copies of it had already drifted on cap semantics)."""
+    for b in rungs:
+        if n <= b and (b < cap if cap_exclusive else b <= cap):
+            return b
+    return cap
+
+
 def _roi_bucket(n: int, full: int) -> int:
-    """Coarse ROI edge buckets: 16, 32, 128, or the full cache extent.
+    """Coarse ROI edge buckets: 16, 32, 128, clamped at the cache extent.
 
     The 16px bucket matters through bandwidth-constrained host links (the
     axon relay moves ~20-36 MB/s): small ROI cadences padded to 32px
     quadruple the upload bytes and saturate the link at 64 streams."""
-    for b in (16, 32, 128):
-        if n <= b:
-            return b
-    return full
+    return _bucket(n, (16, 32, 128), full)
 
 
 def _count_bucket(n: int, cap: int) -> int:
     """Write-batch count buckets: 16, 64, or the cap — bounds per-flush
-    padding waste to ~2x while keeping the compiled-program grid small."""
-    for b in (16, 64):
-        if n <= b and b < cap:
-            return b
-    return cap
+    padding waste to ~2x while keeping the compiled-program grid small.
+    (cap-exclusive: a 64-slot cache's cap IS the chunk, rung 64 would
+    duplicate it as a distinct program.)"""
+    return _bucket(n, (16, 64), cap, cap_exclusive=True)
+
+
+# Keyframe flush chunk: bounds one _paste_full_many program (and its padded
+# H2D upload) to 16 whole-slot frames; a connect storm flushes in ceil(n/16)
+# dispatches instead of padding to the full slot count (~3.7x the bytes of
+# the real frames through a 20 MB/s relay, under the cache lock).
+_KF_CHUNK = 16
 
 
 def _kf_bucket(n: int, cap: int) -> int:
-    """Keyframe-batch count buckets: 1, 4, 16, or all slots. Bucket 1 keeps
-    the steady-state single-keyframe write exact (a whole slot frame per pad
-    entry is the costliest padding in the system); the fixed ladder keeps
-    the program count at four — an exact count minted one program per
-    distinct keyframe count, a compile storm on cold servers."""
-    for b in (1, 4, 16):
-        if n <= b and b <= cap:
-            return b
-    return cap
+    """Keyframe-batch count buckets: 1, 4, 16 (= the flush chunk), or the
+    slot cap when smaller. Bucket 1 keeps the steady-state single-keyframe
+    write exact (a whole slot frame per pad entry is the costliest padding
+    in the system); the fixed ladder keeps the program count small — an
+    exact count minted one program per distinct keyframe count, a compile
+    storm on cold servers."""
+    return _bucket(n, (1, 4, _KF_CHUNK), cap)
 
 
 def _paste_body(cache: jnp.ndarray, slot: jnp.ndarray, region: jnp.ndarray,
@@ -142,9 +154,17 @@ class DeviceFrameCache:
         self.num_slots = num_slots
         self.height = height
         self.width = width
+        self._sharding = sharding
         cache = jnp.zeros((num_slots, height, width, 3), jnp.uint8)
         self._cache = (jax.device_put(cache, sharding)
                        if sharding is not None else cache)
+        # Set when a donated write program failed mid-flush: the donation
+        # may have invalidated the buffer, so the next device touch
+        # re-allocates a zeroed cache (and freezes every active slot for
+        # keyframe re-anchor) instead of serving from a deleted array
+        # forever. Lazy, so a wedged device isn't poked from the except
+        # path itself.
+        self._cache_dead = False
         self._free = list(range(num_slots))
         self._slot_of: Dict[int, int] = {}
         self._dims: Dict[int, Tuple[int, int]] = {}
@@ -240,7 +260,11 @@ class DeviceFrameCache:
         the efficient form anyway. A keyframe supersedes everything queued
         for its slot."""
         h, w = frame.shape[:2]
-        if h > self.height or w > self.width:
+        if h <= 0 or w <= 0 or h > self.height or w > self.width:
+            # Zero-area frames would set dims to e.g. (480, 0) and defeat
+            # the (0, 0) no-frame sentinel: has_frame() would go true for a
+            # client with no pixels, serving the zero-initialized slot
+            # through inference every frame.
             return False
         with self._lock:
             # Slot resolution and mutation under ONE lock hold: resolving
@@ -319,25 +343,77 @@ class DeviceFrameCache:
         per-slot submission order) as batched device programs. Caller holds
         self._lock. Writes are grouped by ROI bucket class, regions padded
         to the class bucket and counts to power-of-two buckets (chunked at
-        _chunk) so the compiled-program grid stays bounded."""
+        _chunk) so the compiled-program grid stays bounded.
+
+        A device/relay exception mid-flush (a documented routine failure
+        mode here) consumes the queued writes it was applying; silently
+        continuing would later paste deltas over a frame with holes. The
+        except path freezes every slot that had anything pending — each
+        serves its last consistent flushed frame and refuses deltas until
+        its client re-anchors with a keyframe (REQUEST_KEYFRAME goes out
+        via drain_frozen) — then re-raises for the caller's error path."""
+        self._revive_cache_locked()
+        if not self._pending_kf and not self._pending:
+            return
+        touched = set(self._pending_kf) | {p[0] for p in self._pending}
+        try:
+            self._flush_writes_locked()
+        except Exception:
+            self._freeze_slots_locked(touched)
+            self._pending = []
+            self._pending_kf = {}
+            self._pending_bytes = 0
+            # The failed program donated the cache buffer; it may now be
+            # invalid. Re-allocate lazily at the next device touch.
+            self._cache_dead = True
+            raise
+
+    def _freeze_slots_locked(self, slots) -> None:
+        active = set(self._slot_of.values())
+        for s in set(slots) & active:
+            if s not in self._needs_kf:
+                self._needs_kf.add(s)
+                self._newly_frozen.append(s)
+
+    def _revive_cache_locked(self) -> None:
+        """Re-allocate the cache after a failed donated flush (see
+        _cache_dead). Every active slot's content is zeros now — freeze
+        them all so clients re-anchor with keyframes."""
+        if not self._cache_dead:
+            return
+        cache = jnp.zeros((self.num_slots, self.height, self.width, 3),
+                          jnp.uint8)
+        self._cache = (jax.device_put(cache, self._sharding)
+                       if self._sharding is not None else cache)
+        self._freeze_slots_locked(set(self._slot_of.values()))
+        self._cache_dead = False
+
+    def _flush_writes_locked(self) -> None:
         if self._pending_kf:
             kf = self._pending_kf
             self._pending_kf = {}
             items = sorted(kf.items())
-            k = _kf_bucket(len(items), self.num_slots)
-            frames = np.zeros((k, self.height, self.width, 3), np.uint8)
-            slots = np.zeros((k,), np.int32)
-            for i, (slot, frame) in enumerate(items):
-                h, w = frame.shape[:2]
-                frames[i, :h, :w] = frame
-                slots[i] = slot
-            for i in range(len(items), k):
-                slots[i] = slots[0]  # pad: rewrite slot 0 with its own frame
-                frames[i] = frames[0]
-            self._cache = _paste_full_many(self._cache, jnp.asarray(frames),
-                                           jnp.asarray(slots))
-            self.flushes += 1
-            self.writes_flushed += len(items)
+            # Chunked (not padded to the slot cap): 17 pending keyframes
+            # must upload ~17 frames in two dispatches, not num_slots
+            # frames in one — whole-slot pad entries are the costliest
+            # padding in the system.
+            chunk = min(_KF_CHUNK, self.num_slots)
+            while items:
+                part, items = items[:chunk], items[chunk:]
+                k = _kf_bucket(len(part), self.num_slots)
+                frames = np.zeros((k, self.height, self.width, 3), np.uint8)
+                slots = np.zeros((k,), np.int32)
+                for i, (slot, frame) in enumerate(part):
+                    h, w = frame.shape[:2]
+                    frames[i, :h, :w] = frame
+                    slots[i] = slot
+                for i in range(len(part), k):
+                    slots[i] = slots[0]  # pad: rewrite slot 0 w/ its frame
+                    frames[i] = frames[0]
+                self._cache = _paste_full_many(
+                    self._cache, jnp.asarray(frames), jnp.asarray(slots))
+                self.flushes += 1
+                self.writes_flushed += len(part)
         # Group pending writes by ROI bucket class BEFORE chunking: one
         # full-frame region co-pending with 127 16px diffs used to inflate
         # the whole chunk to full extent (128x padded upload bytes — ~3s of
@@ -349,8 +425,8 @@ class DeviceFrameCache:
         if self._pending:
             slot_cls: Dict[int, Tuple[int, int]] = {}
             for p in self._pending:
-                c = (min(_roi_bucket(p[3], self.height), self.height),
-                     min(_roi_bucket(p[4], self.width), self.width))
+                c = (_roi_bucket(p[3], self.height),
+                     _roi_bucket(p[4], self.width))
                 prev = slot_cls.get(p[0], (0, 0))
                 slot_cls[p[0]] = (max(prev[0], c[0]), max(prev[1], c[1]))
             groups: Dict[Tuple[int, int], list] = {}
@@ -484,15 +560,16 @@ class DeviceFrameCache:
                         if (count, bh, bw) not in probed:
                             probed.add((count, bh, bw))
                             self._probe_locked(count, bh, bw)
-            # Keyframe scatter at the single-slot bucket AND the full-slot
-            # bucket (the connect-storm shape: N clients priming at once —
-            # left cold, its first compile outlasts client liveness through
-            # a relayed TPU). Device-side zeros: no H2D; free slots only,
+            # Keyframe scatter at every rung the chunked flush can mint
+            # (1/4/16, clamped at the slot cap — a cold connect-storm
+            # shape's first compile outlasts client liveness through a
+            # relayed TPU). Device-side zeros: no H2D; free slots only,
             # since the scatter rewrites whole slot frames.
             if self._free:
                 free_slot = jnp.full((1,), self._free[0], jnp.int32)
-                for k in sorted({_kf_bucket(n, self.num_slots)
-                                 for n in (1, 4, 16, self.num_slots)}):
+                for k in sorted({_kf_bucket(min(n, self.num_slots),
+                                            self.num_slots)
+                                 for n in (1, 4, _KF_CHUNK)}):
                     slots = jnp.broadcast_to(free_slot, (k,))
                     self._cache = _paste_full_many(
                         self._cache,
@@ -516,8 +593,3 @@ class DeviceFrameCache:
         with self._lock:
             self._flush_locked()
             return fn(self._cache)
-
-    def device_cache(self) -> jnp.ndarray:
-        with self._lock:
-            self._flush_locked()
-            return self._cache

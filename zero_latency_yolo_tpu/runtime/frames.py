@@ -46,14 +46,23 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
 def decode_frame_payload(data: bytes, width: int, height: int) -> DecodedFrame:
     """Classify and decode a FRAME_DATA payload.
 
-    - exactly width*height*3 bytes  -> raw RGB888 (reference-compatible path)
     - 'ROIIMG' prefix               -> JPEG region update at (x, y)
+    - exactly width*height*3 bytes  -> raw RGB888 (reference-compatible path)
     - JPEG SOI (0xFFD8)             -> full-frame keyframe
+
+    The ROI magic is tested BEFORE the raw-length heuristic: a region
+    update whose byte length coincidentally equals width*height*3 must not
+    silently decode as a full keyframe of garbage (the 6-byte magic +
+    validated header + mandatory JPEG decode is a far stronger
+    discriminator than a length equality). The raw path stays ahead of the
+    SOI sniff, though: raw pixel data legitimately starts with 0xFFD8
+    (bright content), while a JPEG keyframe landing on exactly the raw
+    byte length has no realistic path.
     """
-    expected_raw = width * height * 3
-    if len(data) == expected_raw:
-        return DecodedFrame(
-            pixels=np.frombuffer(data, np.uint8).reshape(height, width, 3))
+    if width <= 0 or height <= 0:
+        # A zero-area "frame" would defeat the cache's (0,0) no-frame
+        # sentinel downstream and serve garbage slots through inference.
+        raise FrameDecodeError(f"zero-area frame header: {width}x{height}")
     roi = parse_roi_header(data)
     if roi is not None:
         region = _decode_jpeg(data[ROI_HEADER_SIZE:])
@@ -62,6 +71,9 @@ def decode_frame_payload(data: bytes, width: int, height: int) -> DecodedFrame:
                 f"ROI header {roi.width}x{roi.height} != decoded "
                 f"{region.shape[1]}x{region.shape[0]}")
         return DecodedFrame(pixels=region, roi=roi)
+    if len(data) == width * height * 3:
+        return DecodedFrame(
+            pixels=np.frombuffer(data, np.uint8).reshape(height, width, 3))
     if len(data) >= 2 and data[0] == 0xFF and data[1] == 0xD8:
         pixels = _decode_jpeg(data)
         if pixels.shape[:2] != (height, width):
