@@ -24,7 +24,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..config import CLASS_HEAD, CLASS_CT, CLASS_T, GameConfig
+from ..config import CLASS_HEAD, CLASS_T, GameConfig
 from ..protocol import Detection
 from .tracker import MultiObjectTracker
 
@@ -37,11 +37,11 @@ class ClientState:
     game_id: int = 1
     tracker: Optional[MultiObjectTracker] = None
     last_detections: List[Detection] = field(default_factory=list)
-    last_update_ms: float = 0.0
-    # Serializes tracker mutation (process_detections on the batcher path)
-    # against tracker state reads (predict_motion on the query path) — the
-    # tracker's meta/X arrays shrink in update() and an unsynchronized
-    # reader can index a dropped row.
+    # Serializes tracker mutation (process_detections on the result path —
+    # the asyncio event-loop thread; the batcher hops results there via
+    # call_soon_threadsafe) against tracker state reads (predict_motion on
+    # the query path) — the tracker's meta/X arrays shrink in update() and
+    # an unsynchronized reader can index a dropped row.
     tracker_lock: threading.Lock = field(default_factory=threading.Lock)
 
 
@@ -62,14 +62,22 @@ class GameAdapter:
         self._fresh_ids = itertools.count(1)
 
     # ------------------------------------------------------------- lifecycle
+    def _new_state(self, client_id: int, screen_width: int,
+                   screen_height: int, game_id: int) -> ClientState:
+        """The ONE ClientState constructor — register and reset must mint
+        identically-configured trackers or a STOP/START-cycled client
+        silently diverges from a fresh one."""
+        return ClientState(
+            client_id=client_id, screen_width=screen_width,
+            screen_height=screen_height, game_id=game_id,
+            tracker=MultiObjectTracker(max_age_ms=self.max_tracking_age_ms)
+            if self.enable_tracking else None)
+
     def register_client(self, client_id: int, screen_width: int = 800,
                         screen_height: int = 600, game_id: int = 1) -> None:
         with self._lock:
-            self._clients[client_id] = ClientState(
-                client_id=client_id, screen_width=screen_width,
-                screen_height=screen_height, game_id=game_id,
-                tracker=MultiObjectTracker(max_age_ms=self.max_tracking_age_ms)
-                if self.enable_tracking else None)
+            self._clients[client_id] = self._new_state(
+                client_id, screen_width, screen_height, game_id)
 
     def unregister_client(self, client_id: int) -> None:
         with self._lock:
@@ -83,11 +91,8 @@ class GameAdapter:
             st = self._clients.get(client_id)
             if st is None:
                 return
-            self._clients[client_id] = ClientState(
-                client_id=client_id, screen_width=st.screen_width,
-                screen_height=st.screen_height, game_id=st.game_id,
-                tracker=MultiObjectTracker(max_age_ms=self.max_tracking_age_ms)
-                if self.enable_tracking else None)
+            self._clients[client_id] = self._new_state(
+                client_id, st.screen_width, st.screen_height, st.game_id)
 
     def client_count(self) -> int:
         with self._lock:
@@ -100,32 +105,36 @@ class GameAdapter:
         with self._lock:
             state = self._clients.get(client_id)
         if state is None:
-            return detections
+            # Evicted between the session lookup and this call: still ship
+            # shaped boxes (head_size_factor is adapter-wide, not
+            # per-client) with the reference's fresh-id fallback — an
+            # in-flight frame must not leave the pipeline unshaped.
+            for d in detections:
+                if d.track_id == 0:
+                    d.track_id = next(self._fresh_ids)
+            return [self._shape(d) for d in detections]
         now_ms = time.monotonic() * 1000.0 if now_ms is None else now_ms
 
-        if state.tracker is not None and detections:
-            boxes = np.array([[d.x, d.y, d.width, d.height] for d in detections],
-                             np.float32)
-            classes = np.array([d.class_id for d in detections], np.int64)
-            confs = np.array([d.confidence for d in detections], np.float32)
-            ts = max((d.timestamp for d in detections), default=0)
+        if state.tracker is not None:
+            if detections:
+                boxes = np.array(
+                    [[d.x, d.y, d.width, d.height] for d in detections],
+                    np.float32)
+                classes = np.array([d.class_id for d in detections], np.int64)
+                confs = np.array([d.confidence for d in detections],
+                                 np.float32)
+                ts = max(d.timestamp for d in detections)
+            else:
+                boxes = np.zeros((0, 4), np.float32)
+                classes = np.zeros(0, np.int64)
+                confs = np.zeros(0, np.float32)
+                # Wire timestamps are epoch ms everywhere (packets.now_ms,
+                # frame stamps); now_ms here is the tracker's monotonic
+                # clock — using it on the wire would mix time bases.
+                ts = int(time.time() * 1000.0)
             with state.tracker_lock:
                 tracked = state.tracker.update(boxes, classes, confs,
                                                now_ms=now_ms)
-            detections = [
-                Detection(x=float(b[0]), y=float(b[1]), width=float(b[2]),
-                          height=float(b[3]), confidence=c, class_id=k,
-                          track_id=tid, timestamp=ts)
-                for b, c, k, tid in tracked]
-        elif state.tracker is not None and not detections:
-            with state.tracker_lock:
-                tracked = state.tracker.update(
-                    np.zeros((0, 4), np.float32), np.zeros(0, np.int64),
-                    np.zeros(0, np.float32), now_ms=now_ms)
-            # Wire timestamps are epoch ms everywhere (packets.now_ms, frame
-            # stamps); now_ms here is the tracker's monotonic clock — using
-            # it on the wire would mix time bases within one stream.
-            ts = int(time.time() * 1000.0)
             detections = [
                 Detection(x=float(b[0]), y=float(b[1]), width=float(b[2]),
                           height=float(b[3]), confidence=c, class_id=k,
@@ -140,8 +149,13 @@ class GameAdapter:
 
         detections = [self._shape(d) for d in detections]
         with self._lock:
-            state.last_detections = detections
-            state.last_update_ms = now_ms
+            # Identity re-check (same pattern as the decode queue's
+            # session re-check): a reset/unregister raced this frame —
+            # don't write results onto the replacement state's clean
+            # table; the frame itself still ships (one frame of ids from
+            # the discarded tracker, then the fresh table takes over).
+            if self._clients.get(client_id) is state:
+                state.last_detections = detections
         return detections
 
     def _shape(self, d: Detection) -> Detection:
@@ -154,15 +168,23 @@ class GameAdapter:
     # -------------------------------------------------------------- queries
     def best_target(self, client_id: int) -> Optional[Detection]:
         """Nearest-to-screen-center among target classes; heads weighted 0.5×
-        distance (reference cs16_game_adapter.cpp:71-109). Data query only."""
+        distance (reference cs16_game_adapter.cpp:71-109). Data query only.
+
+        Distance is measured in PIXELS via the client's registered screen
+        dims — the reference's metric. Normalized-coordinate distance
+        inverts the ranking on non-square screens (a 16:9 display
+        compresses y: equal normalized offsets are very different pixel
+        offsets)."""
         with self._lock:
             state = self._clients.get(client_id)
             dets = list(state.last_detections) if state else []
+            sw = float(state.screen_width) if state else 1.0
+            sh = float(state.screen_height) if state else 1.0
         best, best_dist = None, float("inf")
         for d in dets:
             if d.class_id not in self.TARGET_CLASSES:
                 continue
-            dist = float(np.hypot(d.x - 0.5, d.y - 0.5))
+            dist = float(np.hypot((d.x - 0.5) * sw, (d.y - 0.5) * sh))
             if d.class_id == CLASS_HEAD:
                 dist *= 0.5
             if dist < best_dist:

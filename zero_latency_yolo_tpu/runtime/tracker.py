@@ -16,18 +16,25 @@ linear_sum_assignment — a real replacement for `cv::hungarian`).
 
 Matches the reference's intended semantics (kalman_tracker.cpp):
 - process/measurement noise defaults 1e-2 / 5e-2 / 1e-1 (:22-25)
-- confidence EMA 0.7·old + 0.3·new (:130)
-- expiry when silent > max_age/2 or age > max_age (:167-171)
+- confidence EMA 0.7·old + 0.3·new (:130) — maintained on the TRACK and
+  served on coast frames; matched frames deliberately ship the raw
+  measured box + confidence (zero added latency on live detections; the
+  KF state exists for association, coasting, and predict_motion)
+- expiry when silent > max_age/2 (:167-171's silence rule; the absolute-age
+  half is a deliberate deviation, see update())
 - min_hits=3 before a track is "confirmed"; coasted predictions for
   confirmed-but-unmatched tracks at 0.9× confidence (:273-354)
 - IoU gate 0.3 on matches (:265-271)
+- the bank is bounded (max_tracks) — association runs on the result path
+  of the event loop, so a jittery detector must not grow NxM Hungarian
+  cost without limit
 """
 
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
 
 import numpy as np
 from scipy.optimize import linear_sum_assignment
@@ -55,7 +62,6 @@ class Track:
     class_id: int
     confidence: float
     hits: int = 1
-    created_ms: float = 0.0
     last_update_ms: float = 0.0
 
 
@@ -108,9 +114,14 @@ class MultiObjectTracker:
 
     def __init__(self, max_age_ms: float = 500.0, min_hits: int = 3,
                  iou_threshold: float = 0.3, process_noise: float = 1e-2,
-                 meas_noise: float = 5e-2) -> None:
+                 meas_noise: float = 5e-2, max_tracks: int = 64) -> None:
         self.max_age_ms = float(max_age_ms)
         self.min_hits = int(min_hits)
+        # Bank bound: the wire caps at 32 detections/frame, so 64 covers
+        # live targets + a full coasting generation; past that, a jittery
+        # detector is minting tracks it will never confirm, and the NxM
+        # association cost lands on the latency-critical result path.
+        self.max_tracks = max(int(max_tracks), 1)
         self.iou_threshold = float(iou_threshold)
         self.q = process_noise
         self.r = meas_noise
@@ -152,8 +163,7 @@ class MultiObjectTracker:
         self.X = np.vstack([self.X, x[None]])
         self.P = np.concatenate([self.P, (np.eye(8) * 1e-1)[None]], axis=0)
         self.meta.append(Track(track_id=self._next_id, class_id=class_id,
-                               confidence=conf, created_ms=now_ms,
-                               last_update_ms=now_ms))
+                               confidence=conf, last_update_ms=now_ms))
         self._next_id += 1
 
     def _drop(self, keep_mask: np.ndarray) -> None:
@@ -216,6 +226,22 @@ class MultiObjectTracker:
         keep = np.ones(len(self.meta), bool)
         for i, t in enumerate(self.meta):
             if now_ms - t.last_update_ms > self.max_age_ms / 2:
+                keep[i] = False
+
+        # Bound the bank (docstring contract): a jittery detector minting
+        # low-IoU/class-flapping detections would otherwise grow the
+        # Hungarian cost matrix without limit on the event-loop result
+        # path. Keep matched-this-frame first, then confirmed, then most
+        # recently updated.
+        if int(keep.sum()) > self.max_tracks:
+            matched_now = {int(r) for r in matched_det}
+            order = sorted(
+                (int(i) for i in np.nonzero(keep)[0]),
+                key=lambda i: (i in matched_now,
+                               self.meta[i].hits >= self.min_hits,
+                               self.meta[i].last_update_ms),
+                reverse=True)
+            for i in order[self.max_tracks:]:
                 keep[i] = False
 
         out: List[Tuple[np.ndarray, float, int, int]] = []
