@@ -95,38 +95,56 @@ int zl_udp_open(int port, int rcvbuf, int sndbuf) {
     return zl_udp_open2(port, rcvbuf, sndbuf, 0);
 }
 
-int zl_udp_recv_batch(int fd, uint8_t* arena, int arena_cap,
-                      ZlPacketDesc* pkts, int max_pkts, int timeout_ms) {
-    if (max_pkts > ZL_RECV_BATCH_MAX) max_pkts = ZL_RECV_BATCH_MAX;
+// Shared intake prologue: poll, slot the arena, one recvmmsg. Fills the
+// file-scope thread_local g_msgs/g_addrs for the caller to read back.
+// Returns n datagrams (0 = timeout/empty), or -errno. ONE copy of this —
+// a fix applied to v1 and missed in v2 (or vice versa) silently splits
+// their intake behavior.
+static thread_local mmsghdr g_msgs[ZL_RECV_BATCH_MAX];
+static thread_local iovec g_iovs[ZL_RECV_BATCH_MAX];
+static thread_local sockaddr_in g_addrs[ZL_RECV_BATCH_MAX];
+
+static int zl_recv_prologue(int fd, uint8_t* arena, int arena_cap,
+                            int* max_pkts, int timeout_ms, int* slot_out) {
+    if (*max_pkts > ZL_RECV_BATCH_MAX) *max_pkts = ZL_RECV_BATCH_MAX;
+    // Guard the slot division: these are extern-C ABI entry points; a bad
+    // caller value must be -EINVAL, not a process-fatal SIGFPE.
+    if (*max_pkts <= 0 || arena_cap <= 0) return -EINVAL;
     pollfd pfd{fd, POLLIN, 0};
     int pr = ::poll(&pfd, 1, timeout_ms);
     if (pr < 0) return errno == EINTR ? 0 : -errno;
     if (pr == 0) return 0;
 
-    static thread_local mmsghdr msgs[ZL_RECV_BATCH_MAX];
-    static thread_local iovec iovs[ZL_RECV_BATCH_MAX];
-    static thread_local sockaddr_in addrs[ZL_RECV_BATCH_MAX];
-
-    const int slot = arena_cap / max_pkts;
-    for (int i = 0; i < max_pkts; i++) {
-        iovs[i].iov_base = arena + i * slot;
-        iovs[i].iov_len = slot;
-        std::memset(&msgs[i], 0, sizeof(mmsghdr));
-        msgs[i].msg_hdr.msg_iov = &iovs[i];
-        msgs[i].msg_hdr.msg_iovlen = 1;
-        msgs[i].msg_hdr.msg_name = &addrs[i];
-        msgs[i].msg_hdr.msg_namelen = sizeof(sockaddr_in);
+    const int slot = arena_cap / *max_pkts;
+    for (int i = 0; i < *max_pkts; i++) {
+        g_iovs[i].iov_base = arena + i * slot;
+        g_iovs[i].iov_len = slot;
+        std::memset(&g_msgs[i], 0, sizeof(mmsghdr));
+        g_msgs[i].msg_hdr.msg_iov = &g_iovs[i];
+        g_msgs[i].msg_hdr.msg_iovlen = 1;
+        g_msgs[i].msg_hdr.msg_name = &g_addrs[i];
+        g_msgs[i].msg_hdr.msg_namelen = sizeof(sockaddr_in);
     }
-    int n = ::recvmmsg(fd, msgs, max_pkts, MSG_DONTWAIT, nullptr);
+    int n = ::recvmmsg(fd, g_msgs, *max_pkts, MSG_DONTWAIT, nullptr);
     if (n < 0) {
         int e = errno;
         return (e == EAGAIN || e == EWOULDBLOCK || e == EINTR) ? 0 : -e;
     }
+    *slot_out = slot;
+    return n;
+}
+
+int zl_udp_recv_batch(int fd, uint8_t* arena, int arena_cap,
+                      ZlPacketDesc* pkts, int max_pkts, int timeout_ms) {
+    int slot = 0;
+    int n = zl_recv_prologue(fd, arena, arena_cap, &max_pkts, timeout_ms,
+                             &slot);
+    if (n <= 0) return n;
     for (int i = 0; i < n; i++) {
         pkts[i].offset = static_cast<uint32_t>(i * slot);
-        pkts[i].length = msgs[i].msg_len;
-        pkts[i].ip_be = addrs[i].sin_addr.s_addr;
-        pkts[i].port_be = addrs[i].sin_port;
+        pkts[i].length = g_msgs[i].msg_len;
+        pkts[i].ip_be = g_addrs[i].sin_addr.s_addr;
+        pkts[i].port_be = g_addrs[i].sin_port;
         pkts[i]._pad = 0;
     }
     return n;
@@ -182,31 +200,12 @@ static bool zl_peer_known(const uint64_t* peers, int n_peers, uint64_t key) {
 int zl_udp_recv_batch2(int fd, uint8_t* arena, int arena_cap,
                        ZlPacketDesc2* pkts, int max_pkts, int timeout_ms,
                        const uint64_t* peers, int n_peers, int do_ack) {
-    if (max_pkts > ZL_RECV_BATCH_MAX) max_pkts = ZL_RECV_BATCH_MAX;
-    pollfd pfd{fd, POLLIN, 0};
-    int pr = ::poll(&pfd, 1, timeout_ms);
-    if (pr < 0) return errno == EINTR ? 0 : -errno;
-    if (pr == 0) return 0;
-
-    static thread_local mmsghdr msgs[ZL_RECV_BATCH_MAX];
-    static thread_local iovec iovs[ZL_RECV_BATCH_MAX];
-    static thread_local sockaddr_in addrs[ZL_RECV_BATCH_MAX];
-
-    const int slot = arena_cap / max_pkts;
-    for (int i = 0; i < max_pkts; i++) {
-        iovs[i].iov_base = arena + i * slot;
-        iovs[i].iov_len = slot;
-        std::memset(&msgs[i], 0, sizeof(mmsghdr));
-        msgs[i].msg_hdr.msg_iov = &iovs[i];
-        msgs[i].msg_hdr.msg_iovlen = 1;
-        msgs[i].msg_hdr.msg_name = &addrs[i];
-        msgs[i].msg_hdr.msg_namelen = sizeof(sockaddr_in);
-    }
-    int n = ::recvmmsg(fd, msgs, max_pkts, MSG_DONTWAIT, nullptr);
-    if (n < 0) {
-        int e = errno;
-        return (e == EAGAIN || e == EWOULDBLOCK || e == EINTR) ? 0 : -e;
-    }
+    int slot = 0;
+    int n = zl_recv_prologue(fd, arena, arena_cap, &max_pkts, timeout_ms,
+                             &slot);
+    if (n <= 0) return n;
+    mmsghdr* msgs = g_msgs;
+    sockaddr_in* addrs = g_addrs;
 
     static thread_local uint8_t ack_buf[ZL_RECV_BATCH_MAX * ZL_ACK_SIZE];
     static thread_local mmsghdr ack_msgs[ZL_RECV_BATCH_MAX];
@@ -261,7 +260,12 @@ int zl_udp_recv_batch2(int fd, uint8_t* arena, int arena_cap,
     if (n_acks > 0) {
         int sent = 0;
         while (sent < n_acks) {
-            int r = ::sendmmsg(fd, ack_msgs + sent, n_acks - sent, 0);
+            // MSG_DONTWAIT: this runs on the INTAKE thread. A full SNDBUF
+            // must drop the ACK tail to the Python fallback, not block the
+            // one thread doing recvmmsg — stalled intake drops frames for
+            // every client, a far worse trade than a late ACK.
+            int r = ::sendmmsg(fd, ack_msgs + sent, n_acks - sent,
+                               MSG_DONTWAIT);
             if (r <= 0) break;  // best-effort: retransmit covers losses
             sent += r;
         }
@@ -308,7 +312,11 @@ int zl_udp_send_batch(int fd, const uint8_t* arena, const ZlSendDesc* descs,
             msgs[i].msg_hdr.msg_name = &addrs[i];
             msgs[i].msg_hdr.msg_namelen = sizeof(sockaddr_in);
         }
-        int r = ::sendmmsg(fd, msgs, chunk, 0);
+        // MSG_DONTWAIT: result bursts run on the asyncio event-loop thread
+        // — a full SNDBUF must surface as a partial send (the caller
+        // single-retries the boundary message), not block the loop that
+        // handles every control packet and heartbeat.
+        int r = ::sendmmsg(fd, msgs, chunk, MSG_DONTWAIT);
         if (r < 0) {
             int e = errno;
             return done > 0 ? done : -e;

@@ -128,9 +128,17 @@ HAVE_NATIVE_UDP_REUSEPORT = (HAVE_NATIVE_UDP
 _OPEN_REUSEPORT = 1  # zl_udp_open2 flags bit 0
 
 
+def _pack_addr(addr: Addr) -> Tuple[int, int]:
+    """(ip_be, port_be), network byte order — the ONE addr packing used for
+    descriptors, sends, and the peer-key table (which must agree with the C
+    side's zl_peer_known key math)."""
+    return (struct.unpack("=I", socket.inet_aton(addr[0]))[0],
+            socket.htons(addr[1]))
+
+
 def _addr_key(addr: Addr) -> int:
-    ip_be = struct.unpack("=I", socket.inet_aton(addr[0]))[0]
-    return (ip_be << 16) | socket.htons(addr[1])
+    ip_be, port_be = _pack_addr(addr)
+    return (ip_be << 16) | port_be
 
 
 class NativeUdpTransport:
@@ -179,10 +187,12 @@ class NativeUdpTransport:
         self._peers = (ctypes.c_uint64 * len(keys))(*keys)
 
     # ---------------------------------------------------------------- sends
-    def sendto(self, data: bytes, addr: Addr) -> None:
-        ip_be = struct.unpack("=I", socket.inet_aton(addr[0]))[0]
-        port_be = socket.htons(addr[1])
-        self._lib.zl_udp_send(self.fd, data, len(data), ip_be, port_be)
+    def sendto(self, data: bytes, addr: Addr) -> int:
+        """Single send; returns bytes sent or -errno (callers that count
+        tx must check — see send_many's honest-counter contract)."""
+        ip_be, port_be = _pack_addr(addr)
+        return int(self._lib.zl_udp_send(self.fd, data, len(data),
+                                         ip_be, port_be))
 
     def send_many(self, items: Sequence[Tuple[bytes, Addr]]
                   ) -> Tuple[int, int]:
@@ -191,9 +201,14 @@ class NativeUdpTransport:
         (packets_sent, bytes_sent) — only what actually left the socket, so
         the caller's tx counters stay honest under partial sends."""
         if not HAVE_NATIVE_UDP_V2:
+            sent = nbytes = 0
             for data, addr in items:
-                self.sendto(data, addr)
-            return len(items), sum(len(d) for d, _ in items)
+                if self.sendto(data, addr) >= 0:
+                    sent += 1
+                    nbytes += len(data)
+                else:
+                    self.dropped += 1
+            return sent, nbytes
         sent_total = 0
         bytes_total = 0
         i = 0
@@ -209,15 +224,16 @@ class NativeUdpTransport:
                 d = self._send_descs[n]
                 d.offset = off
                 d.length = len(data)
-                d.ip_be = struct.unpack("=I", socket.inet_aton(addr[0]))[0]
-                d.port_be = socket.htons(addr[1])
+                d.ip_be, d.port_be = _pack_addr(addr)
                 off += len(data)
                 n += 1
             if n == 0:  # single oversized packet: fall back
-                self.sendto(*chunk[0])
+                if self.sendto(*chunk[0]) >= 0:
+                    sent_total += 1
+                    bytes_total += len(chunk[0][0])
+                else:
+                    self.dropped += 1
                 i += 1
-                sent_total += 1
-                bytes_total += len(chunk[0][0])
                 continue
             r = self._lib.zl_udp_send_batch(self.fd, self._send_arena,
                                             self._send_descs, n)
@@ -236,10 +252,7 @@ class NativeUdpTransport:
             sent_total += r
             bytes_total += sum(len(d) for d, _ in chunk[:r])
             data, addr = items[i + r]
-            rc = self._lib.zl_udp_send(
-                self.fd, data, len(data),
-                struct.unpack("=I", socket.inet_aton(addr[0]))[0],
-                socket.htons(addr[1]))
+            rc = self.sendto(data, addr)
             if rc >= 0:
                 sent_total += 1
                 bytes_total += len(data)
@@ -252,6 +265,16 @@ class NativeUdpTransport:
         self._running = False
         if self._thread:
             self._thread.join(timeout=2.0)
+            if self._thread.is_alive():
+                # The drain thread is wedged in on_batch (handler stuck on
+                # a lock?). Closing the fd now would race its poll/recvmmsg
+                # against a NUMBER THE KERNEL MAY REUSE — a later socket
+                # with the same fd would have its datagrams consumed by
+                # this zombie loop. Leak one fd instead; say so loudly.
+                log.warning("native drain thread still running after 2s; "
+                            "leaking fd %d instead of closing it under "
+                            "the live loop", self.fd)
+                return
         self._lib.zl_udp_close(self.fd)
 
     # ----------------------------------------------------------------- recv
@@ -261,21 +284,35 @@ class NativeUdpTransport:
         else:
             self._drain_loop_v1()
 
+    def _recv_error(self, n: int, consec: int) -> bool:
+        """Shared error policy for the drain loops. Returns True when the
+        loop should EXIT: EBADF is not transient (the fd is gone — spinning
+        logs ~8.6M lines/day), and 500 consecutive failures (~5 s at the
+        10 ms backoff) means nothing is recovering either."""
+        log.warning("native recv error: errno=%d", -n)
+        if -n == 9 or consec >= 500:  # EBADF / persistent
+            log.error("native recv failure persists (errno=%d, %d "
+                      "consecutive); drain thread exiting", -n, consec)
+            return True
+        time.sleep(0.01)  # no busy-spin while transient errors clear
+        return False
+
     def _drain_loop_v2(self) -> None:
         arena = self._arena
         descs = self._descs2
         base = ctypes.addressof(arena)
+        consec_errs = 0
         while self._running:
             peers = self._peers  # snapshot: set_peers swaps the whole array
             n = self._lib.zl_udp_recv_batch2(
                 self.fd, arena, ARENA_CAP, descs, MAX_PKTS, 100,
                 peers, len(peers), 1)
             if n < 0:
-                log.warning("native recv error: errno=%d", -n)
-                # A persistent error (closed/errored fd) would otherwise
-                # busy-spin this thread at 100% CPU and flood the log.
-                time.sleep(0.01)
+                consec_errs += 1
+                if self._recv_error(n, consec_errs):
+                    return
                 continue
+            consec_errs = 0
             if n == 0:
                 continue
             batch: List[Datagram] = []
@@ -298,13 +335,16 @@ class NativeUdpTransport:
         arena = self._arena
         descs = self._descs
         base = ctypes.addressof(arena)
+        consec_errs = 0
         while self._running:
             n = self._lib.zl_udp_recv_batch(
                 self.fd, arena, ARENA_CAP, descs, MAX_PKTS, 100)
             if n < 0:
-                log.warning("native recv error: errno=%d", -n)
-                time.sleep(0.01)  # no busy-spin on persistent fd errors
+                consec_errs += 1
+                if self._recv_error(n, consec_errs):
+                    return
                 continue
+            consec_errs = 0
             if n == 0:
                 continue
             batch: List[Datagram] = []
