@@ -117,6 +117,18 @@ class AnalyticsConfig:
     stats_interval_sec: int = 60
     save_stats_to_file: bool = True
     stats_file: str = "logs/stats.json"
+    # Dataset capture (runtime/capture.py): non-empty enables recording
+    # sampled served keyframes + their detections as a YOLO-convention
+    # directory (train/data.py's input format) — the serve -> fine-tune ->
+    # hot-swap flywheel. Labels are the model's own confidence-gated
+    # output (self-training data, not ground truth).
+    capture_dir: str = ""
+    # Every Nth full keyframe per client is recorded.
+    capture_sample_every: int = 30
+    # Disk bound for the capture directory (resumes across restarts).
+    capture_max_images: int = 1000
+    # Detections below this confidence are excluded from label files.
+    capture_min_confidence: float = 0.25
 
 
 @dataclass
@@ -287,6 +299,19 @@ class ServerConfig:
         _merge(cfg.logging, j.get("logging"))
         _merge(cfg.detection, j.get("detection"))
         _merge(cfg.analytics, j.get("analytics"))
+        if cfg.analytics.capture_dir:
+            # Same fail-at-load stance as the tpu gates: a zero sampling
+            # stride or a NaN confidence gate would only surface as a
+            # silently-poisoned capture set.
+            if int(cfg.analytics.capture_sample_every) < 1:
+                raise ValueError("analytics.capture_sample_every must be >= 1")
+            if int(cfg.analytics.capture_max_images) < 1:
+                raise ValueError("analytics.capture_max_images must be >= 1")
+            conf = float(cfg.analytics.capture_min_confidence)
+            if not (conf == conf and 0.0 <= conf <= 1.0):
+                raise ValueError(
+                    f"analytics.capture_min_confidence={conf!r} must be a "
+                    "finite value in [0, 1]")
         if isinstance(j.get("game_adapters"), dict):
             for name, game_j in j["game_adapters"].items():
                 if not isinstance(game_j, dict):

@@ -52,6 +52,7 @@ from ..utils.logging import get_logger
 from ..utils.stats import Counter, RollingStats
 from ..ops.roi import DeviceFrameCache
 from .adapters import GameAdapter, get_adapter
+from .capture import DatasetCapture
 from .engine import (EngineResult, InferenceEngine, InferenceRequest,
                      create_engine)
 from .frames import DecodedFrame, FrameDecodeError, decode_frame_payload
@@ -224,6 +225,17 @@ class DetectionServer:
         self._trace_every = int(config.tpu.trace_sample_every)
         self._trace_seen = 0
         self._traces: deque = deque(maxlen=256)
+        # Dataset capture (runtime/capture.py): sampled served keyframes +
+        # detections recorded in the YOLO-dir layout train/data.py reads —
+        # the serve -> fine-tune -> hot-swap flywheel. Host-side only:
+        # decode-worker stash, event-loop pairing, dedicated writer thread.
+        self._capture: Optional[DatasetCapture] = None
+        if config.analytics.capture_dir:
+            self._capture = DatasetCapture(
+                config.analytics.capture_dir,
+                sample_every=config.analytics.capture_sample_every,
+                max_images=config.analytics.capture_max_images,
+                min_confidence=config.analytics.capture_min_confidence)
 
     # ================================================================ lifecycle
     async def start(self, warmup: bool = False) -> None:
@@ -353,6 +365,8 @@ class DetectionServer:
         if self._transport:
             self._transport.close()
             self._transport = None
+        if self._capture is not None:
+            self._capture.stop()
 
     # ============================================================== rx path
     def _on_native_batch(self, batch) -> None:
@@ -826,6 +840,8 @@ class DetectionServer:
         self.batcher.remove_client(client_id)
         if self.device_cache is not None:
             self.device_cache.release(client_id)
+        if self._capture is not None:
+            self._capture.evict_client(client_id)
 
     def _release_stream(self, client_id: int) -> None:
         """STOP_STREAM: free the serving resources (queued frames, device
@@ -910,6 +926,12 @@ class DetectionServer:
                 log.debug("ROI update without device cache; dropped")
                 return
             request.data = decoded.pixels
+        if self._capture is not None and decoded.roi is None:
+            # Full frames only: ROI-reconstructed frames live in HBM and a
+            # readback here would ride the device lane; keyframes are the
+            # natural sample anyway (one per cadence, complete pixels).
+            self._capture.offer_keyframe(session.client_id, frame_id,
+                                         decoded.pixels)
         request.enqueue_t = (recv_t if recv_t is not None
                              else time.perf_counter())
         self.batcher.submit(request)
@@ -951,6 +973,11 @@ class DetectionServer:
             session = self._sessions.get(res.client_id)
             if session is None:
                 continue
+            if self._capture is not None:
+                # Pre-adapter: the model's own boxes, before domain shaping
+                # (head shrink) rewrites them for the wire.
+                self._capture.on_result(res.client_id, res.frame_id,
+                                        res.detections)
             dets = self.adapter.process_detections(res.client_id, res.detections)
             dets = dets[:32]
             if native.HAVE_NATIVE:
@@ -1315,6 +1342,8 @@ class DetectionServer:
             } if self.device_cache is not None else None),
             "engine": self.engine.status(),
             "adapter": self.adapter.status(),
+            "capture": (self._capture.status()
+                        if self._capture is not None else None),
             "sessions": {
                 str(cid): {
                     "addr": f"{s.addr[0]}:{s.addr[1]}",
