@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Offline detection CLI: run a weight artifact over images / directories /
+video files with the EXACT deployed inference path (letterbox geometry,
+forward + decode, class-weighted NMS) — no server required.
+
+The reference had no offline tooling at all (detection only ran inside the
+UDP server, src/server/main.cpp); this is the "try the model on a file"
+surface its users get from ultralytics' own CLI:
+
+    python scripts/detect.py --weights artifacts/yolov8n_trained_416.npz \
+        photo.jpg frames_dir/ clip.mp4 [--save-dir out/] [--labels-dir lb/]
+
+One JSON line per frame on stdout: {"source", "width", "height",
+"detections": [{"class", "confidence", "cx", "cy", "w", "h"}]} with boxes
+center-format, normalized to the ORIGINAL frame (the wire Detection
+convention, protocol/packets.py). --save-dir writes annotated copies;
+--labels-dir writes YOLO-convention label files next to nothing else, so a
+directory of images becomes a self-labeled dataset (the offline twin of the
+server's analytics.capture_dir flywheel).
+
+Relay-safe: forces CPU by default (--platform tpu to opt in); a single
+fixed batch shape -> exactly one XLA program.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+
+
+def iter_sources(paths, video_stride):
+    """Yield (source_name, rgb_frame) over images, image dirs and videos."""
+    import cv2
+    for p in paths:
+        if os.path.isdir(p):
+            names = sorted(n for n in os.listdir(p)
+                           if n.lower().endswith(IMAGE_EXTS))
+            for n in names:
+                fp = os.path.join(p, n)
+                bgr = cv2.imread(fp, cv2.IMREAD_COLOR)
+                if bgr is None:
+                    print(f"# skipping undecodable image {fp}",
+                          file=sys.stderr)
+                    continue
+                yield fp, cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        elif p.lower().endswith(VIDEO_EXTS):
+            cap = cv2.VideoCapture(p)
+            if not cap.isOpened():
+                print(f"# skipping unopenable video {p}", file=sys.stderr)
+                continue
+            i = 0
+            while True:
+                ok, bgr = cap.read()
+                if not ok:
+                    break
+                if i % video_stride == 0:
+                    yield f"{p}#frame{i}", cv2.cvtColor(bgr,
+                                                        cv2.COLOR_BGR2RGB)
+                i += 1
+            cap.release()
+        else:
+            bgr = cv2.imread(p, cv2.IMREAD_COLOR)
+            if bgr is None:
+                raise SystemExit(f"cannot decode {p!r} (not an image; "
+                                 f"videos need an extension in {VIDEO_EXTS})")
+            yield p, cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+
+
+def annotate(rgb, dets, names=None):
+    import cv2
+    out = cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR).copy()
+    h, w = out.shape[:2]
+    for d in dets:
+        x1 = int((d["cx"] - d["w"] / 2) * w)
+        y1 = int((d["cy"] - d["h"] / 2) * h)
+        x2 = int((d["cx"] + d["w"] / 2) * w)
+        y2 = int((d["cy"] + d["h"] / 2) * h)
+        cv2.rectangle(out, (x1, y1), (x2, y2), (0, 220, 0), 2)
+        label = (names[d["class"]] if names and d["class"] < len(names)
+                 else str(d["class"]))
+        cv2.putText(out, f"{label} {d['confidence']:.2f}",
+                    (x1, max(y1 - 4, 12)), cv2.FONT_HERSHEY_SIMPLEX,
+                    0.5, (0, 220, 0), 1, cv2.LINE_AA)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(
+        description="offline detection over images/dirs/videos")
+    ap.add_argument("inputs", nargs="+",
+                    help="image files, image directories, video files")
+    ap.add_argument("--weights", required=True, help=".npz/.pt/.onnx artifact")
+    ap.add_argument("--size", type=int, default=416,
+                    help="letterbox target (32-multiple)")
+    ap.add_argument("--conf", type=float, default=0.5)
+    ap.add_argument("--nms", type=float, default=0.45)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--video-stride", type=int, default=1,
+                    help="process every Nth video frame")
+    ap.add_argument("--save-dir", default="",
+                    help="write annotated copies here")
+    ap.add_argument("--labels-dir", default="",
+                    help="write YOLO-convention label files here "
+                         "(self-labeling a directory of images)")
+    ap.add_argument("--names", default="",
+                    help="comma-separated class names for annotations")
+    ap.add_argument("--platform", default="cpu",
+                    help="'cpu' (default, relay-safe) or 'tpu'")
+    args = ap.parse_args()
+    if args.size <= 0 or args.size % 32:
+        raise SystemExit("--size must be a positive multiple of 32")
+    if args.batch < 1 or args.video_stride < 1:
+        raise SystemExit("--batch and --video-stride must be >= 1")
+
+    import jax
+    if args.platform and args.platform != "tpu":
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from zero_latency_yolo_tpu.models.weights import (
+        from_onnx, infer_spec_from_params, load_params, load_torch_checkpoint,
+    )
+    from zero_latency_yolo_tpu.models.yolov8 import forward_decoded
+    from zero_latency_yolo_tpu.ops import nms as nms_ops
+    from zero_latency_yolo_tpu.train.data import letterbox_image
+
+    if args.weights.endswith(".npz"):
+        params = load_params(args.weights)
+    elif args.weights.endswith((".pt", ".pth")):
+        params = load_torch_checkpoint(args.weights)
+    elif args.weights.endswith(".onnx"):
+        params = from_onnx(args.weights)
+    else:
+        raise SystemExit(f"unknown weight format: {args.weights}")
+    spec = infer_spec_from_params(params)
+    names = [n.strip() for n in args.names.split(",")] if args.names else None
+    cw = jnp.ones((spec.num_classes,), jnp.float32)
+    size, batch = args.size, args.batch
+
+    @jax.jit
+    def run(x, scale, pad, wh):
+        pred = forward_decoded(params, spec, x)
+        return nms_ops.postprocess_batch(
+            pred, cw, jnp.float32(args.conf), jnp.float32(args.nms),
+            scale, pad, wh)
+
+    for d in (args.save_dir, args.labels_dir):
+        if d:
+            os.makedirs(d, exist_ok=True)
+
+    def flush(bufs):
+        n = len(bufs)
+        if not n:
+            return
+        x = np.zeros((batch, size, size, 3), np.float32)
+        scale = np.ones((batch,), np.float32)
+        pad = np.zeros((batch, 2), np.float32)
+        wh = np.ones((batch, 2), np.float32)
+        for i, (_src, rgb) in enumerate(bufs):
+            lb, s, px, py = letterbox_image(rgb, size)
+            x[i] = lb.astype(np.float32) / 255.0
+            scale[i] = s
+            pad[i] = (px, py)
+            wh[i] = (rgb.shape[1], rgb.shape[0])
+        out = run(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(pad),
+                  jnp.asarray(wh))
+        boxes = np.asarray(out["boxes"])
+        scores = np.asarray(out["scores"])
+        classes = np.asarray(out["classes"])
+        counts = np.asarray(out["count"])
+        for i, (src, rgb) in enumerate(bufs):
+            k = int(counts[i])
+            dets = [{
+                "class": int(classes[i, j]),
+                "confidence": round(float(scores[i, j]), 4),
+                "cx": round(float(boxes[i, j, 0]), 6),
+                "cy": round(float(boxes[i, j, 1]), 6),
+                "w": round(float(boxes[i, j, 2]), 6),
+                "h": round(float(boxes[i, j, 3]), 6),
+            } for j in range(k)]
+            print(json.dumps({"source": src,
+                              "width": int(rgb.shape[1]),
+                              "height": int(rgb.shape[0]),
+                              "detections": dets}), flush=True)
+            stem = os.path.splitext(os.path.basename(src.split("#")[0]))[0]
+            suffix = src.split("#")[1] if "#" in src else ""
+            stem = f"{stem}_{suffix}" if suffix else stem
+            if args.save_dir:
+                import cv2
+                cv2.imwrite(os.path.join(args.save_dir, stem + ".jpg"),
+                            annotate(rgb, dets, names))
+            if args.labels_dir:
+                with open(os.path.join(args.labels_dir, stem + ".txt"),
+                          "w") as f:
+                    for d in dets:
+                        f.write(f"{d['class']} {d['cx']:.6f} {d['cy']:.6f} "
+                                f"{d['w']:.6f} {d['h']:.6f}\n")
+        bufs.clear()
+
+    bufs = []
+    n_frames = 0
+    for src, rgb in iter_sources(args.inputs, args.video_stride):
+        bufs.append((src, rgb))
+        n_frames += 1
+        if len(bufs) == batch:
+            flush(bufs)
+    flush(bufs)
+    if not n_frames:
+        raise SystemExit("no decodable inputs found")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
