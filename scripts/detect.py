@@ -33,48 +33,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
-VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
-
-
-def iter_sources(paths, video_stride):
-    """Yield (source_name, rgb_frame) over images, image dirs and videos."""
-    import cv2
-    for p in paths:
-        if os.path.isdir(p):
-            names = sorted(n for n in os.listdir(p)
-                           if n.lower().endswith(IMAGE_EXTS))
-            for n in names:
-                fp = os.path.join(p, n)
-                bgr = cv2.imread(fp, cv2.IMREAD_COLOR)
-                if bgr is None:
-                    print(f"# skipping undecodable image {fp}",
-                          file=sys.stderr)
-                    continue
-                yield fp, cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-        elif p.lower().endswith(VIDEO_EXTS):
-            cap = cv2.VideoCapture(p)
-            if not cap.isOpened():
-                print(f"# skipping unopenable video {p}", file=sys.stderr)
-                continue
-            i = 0
-            while True:
-                ok, bgr = cap.read()
-                if not ok:
-                    break
-                if i % video_stride == 0:
-                    yield f"{p}#frame{i}", cv2.cvtColor(bgr,
-                                                        cv2.COLOR_BGR2RGB)
-                i += 1
-            cap.release()
-        else:
-            bgr = cv2.imread(p, cv2.IMREAD_COLOR)
-            if bgr is None:
-                raise SystemExit(f"cannot decode {p!r} (not an image; "
-                                 f"videos need an extension in {VIDEO_EXTS})")
-            yield p, cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-
-
 def annotate(rgb, dets, names=None):
     import cv2
     out = cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR).copy()
@@ -131,6 +89,7 @@ def main() -> int:
     )
     from zero_latency_yolo_tpu.models.yolov8 import forward_decoded
     from zero_latency_yolo_tpu.ops import nms as nms_ops
+    from zero_latency_yolo_tpu.runtime.media import iter_frames
     from zero_latency_yolo_tpu.train.data import letterbox_image
 
     if args.weights.endswith(".npz"):
@@ -208,11 +167,15 @@ def main() -> int:
 
     bufs = []
     n_frames = 0
-    for src, rgb in iter_sources(args.inputs, args.video_stride):
-        bufs.append((src, rgb))
-        n_frames += 1
-        if len(bufs) == batch:
-            flush(bufs)
+    try:
+        # Generator: decode errors surface during iteration.
+        for src, rgb in iter_frames(args.inputs, args.video_stride):
+            bufs.append((src, rgb))
+            n_frames += 1
+            if len(bufs) == batch:
+                flush(bufs)
+    except ValueError as e:
+        raise SystemExit(str(e))
     flush(bufs)
     if not n_frames:
         raise SystemExit("no decodable inputs found")

@@ -64,7 +64,13 @@ class SimClient:
         self.game_id = game_id
         self.faults = faults
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        self.sock.bind(("127.0.0.1", 0))
+        # Loopback-bind for local servers (test hygiene: nothing off-host
+        # can spoof results into an assertion); wildcard otherwise so the
+        # client works against remote servers (scripts/stream_client.py).
+        bind_host = ("127.0.0.1"
+                     if server_addr[0] in ("127.0.0.1", "localhost")
+                     else "0.0.0.0")
+        self.sock.bind((bind_host, 0))
         self.sock.settimeout(timeout)
         self.server_info = None
         self.results: List[DetectionResultPacket] = []
