@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Offline detection CLI: run a weight artifact over images / directories /
-video files with the EXACT deployed inference path (letterbox geometry,
-forward + decode, class-weighted NMS) — no server required.
+video files through the deployed inference functions (forward + DFL decode,
+class-weighted NMS; host letterbox with the serving geometry and gray fill)
+— no server required. Compute is f32 here; serving configs may run bf16, so
+scores can differ at the last decimal near thresholds.
 
 The reference had no offline tooling at all (detection only ran inside the
 UDP server, src/server/main.cpp); this is the "try the model on a file"
@@ -85,21 +87,17 @@ def main() -> int:
     import jax.numpy as jnp
 
     from zero_latency_yolo_tpu.models.weights import (
-        from_onnx, infer_spec_from_params, load_params, load_torch_checkpoint,
+        infer_spec_from_params, load_artifact,
     )
     from zero_latency_yolo_tpu.models.yolov8 import forward_decoded
     from zero_latency_yolo_tpu.ops import nms as nms_ops
     from zero_latency_yolo_tpu.runtime.media import iter_frames
     from zero_latency_yolo_tpu.train.data import letterbox_image
 
-    if args.weights.endswith(".npz"):
-        params = load_params(args.weights)
-    elif args.weights.endswith((".pt", ".pth")):
-        params = load_torch_checkpoint(args.weights)
-    elif args.weights.endswith(".onnx"):
-        params = from_onnx(args.weights)
-    else:
-        raise SystemExit(f"unknown weight format: {args.weights}")
+    try:
+        params = load_artifact(args.weights)
+    except ValueError as e:
+        raise SystemExit(str(e))
     spec = infer_spec_from_params(params)
     names = [n.strip() for n in args.names.split(",")] if args.names else None
     cw = jnp.ones((spec.num_classes,), jnp.float32)
@@ -125,7 +123,9 @@ def main() -> int:
         pad = np.zeros((batch, 2), np.float32)
         wh = np.ones((batch, 2), np.float32)
         for i, (_src, rgb) in enumerate(bufs):
-            lb, s, px, py = letterbox_image(rgb, size)
+            # fill=114: the serving letterbox's gray pad (ops/preprocess
+            # FILL) so offline confidences match what the server computes.
+            lb, s, px, py = letterbox_image(rgb, size, fill=114)
             x[i] = lb.astype(np.float32) / 255.0
             scale[i] = s
             pad[i] = (px, py)
@@ -150,7 +150,11 @@ def main() -> int:
                               "width": int(rgb.shape[1]),
                               "height": int(rgb.shape[0]),
                               "detections": dets}), flush=True)
-            stem = os.path.splitext(os.path.basename(src.split("#")[0]))[0]
+            # Path-derived stem (separators -> "_"): same-named inputs from
+            # different directories must not overwrite each other's labels.
+            path_part = src.split("#")[0]
+            stem = os.path.splitext(os.path.normpath(path_part))[0]
+            stem = stem.replace(os.sep, "_").lstrip("._")
             suffix = src.split("#")[1] if "#" in src else ""
             stem = f"{stem}_{suffix}" if suffix else stem
             if args.save_dir:

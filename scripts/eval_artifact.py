@@ -49,19 +49,15 @@ def main() -> int:
         jax.config.update("jax_platforms", args.platform)
 
     from zero_latency_yolo_tpu.models.weights import (
-        infer_spec_from_params, load_torch_checkpoint, from_onnx, load_params,
+        infer_spec_from_params, load_artifact,
     )
     from zero_latency_yolo_tpu.train.eval import evaluate
     from zero_latency_yolo_tpu.train.loop import synthetic_batches
 
-    if args.weights.endswith(".npz"):
-        params = load_params(args.weights)
-    elif args.weights.endswith((".pt", ".pth")):
-        params = load_torch_checkpoint(args.weights)
-    elif args.weights.endswith(".onnx"):
-        params = from_onnx(args.weights)
-    else:
-        raise SystemExit(f"unknown weight format: {args.weights}")
+    try:
+        params = load_artifact(args.weights)
+    except ValueError as e:
+        raise SystemExit(str(e))
     spec = infer_spec_from_params(params)
 
     if args.data:

@@ -89,6 +89,10 @@ def main() -> int:
     fh, fw = first.shape[:2]
     client = SimClient((host, int(port)), screen_width=fw, screen_height=fh,
                        game_id=args.game_id)
+    # Long-running peer: bound the latency-sample window (percentiles cover
+    # the most recent ~100k results); the results list itself is drained in
+    # the loop below so hours of streaming stay at constant memory.
+    client.max_latency_samples = 100_000
     info = client.connect()
     client.start_receiver()
     print(f"# connected to {args.server} (server id {info.info.server_id}, "
@@ -101,7 +105,6 @@ def main() -> int:
     t0 = time.perf_counter()
     t_end = t0 + args.duration if args.duration > 0 else float("inf")
     nxt = t0
-    printed = 0
     rc = 0
     try:
         frame = first
@@ -125,10 +128,12 @@ def main() -> int:
             nxt += 1.0 / max(rate, 0.1)
             if nxt < time.perf_counter() - 0.5:
                 nxt = time.perf_counter()  # don't burst after a stall
+            # Drain results every tick (bounded memory over --loop runs);
+            # results_total keeps the lifetime count for the exit stats.
+            with client._lock:
+                new = client.results[:]
+                client.results.clear()
             if args.print_dets:
-                with client._lock:
-                    new = client.results[printed:]
-                    printed = len(client.results)
                 for r in new:
                     print(json.dumps({
                         "frame_id": r.frame_id,
@@ -142,25 +147,34 @@ def main() -> int:
                 frame = next(src)
             except StopIteration:
                 break
+            except ValueError as e:  # unopenable directly-named source
+                raise SystemExit(str(e))
     except KeyboardInterrupt:
         rc = 130
     finally:
         elapsed = time.perf_counter() - t0
         time.sleep(0.2)  # let trailing results land
-        lat = np.asarray(client.result_latencies_ms or [0.0])
+        with client._lock:
+            lat = np.asarray(client.result_latencies_ms, np.float64)
+            n_results = client.results_total
+        have_lat = lat.size > 0
         stats = {
             "elapsed_s": round(elapsed, 2),
             "frames_pushed": pushed,
             "frames_skipped": driver.skipped,
             "keyframes": driver.keyframes_sent,
             "roi_updates": driver.roi_sent,
-            "results": len(client.results),
-            "e2e_p50_ms": round(float(np.percentile(lat, 50)), 2),
-            "e2e_p99_ms": round(float(np.percentile(lat, 99)), 2),
+            "results": n_results,
+            # null, not 0.0, when nothing came back: a dead server must not
+            # read as perfect latency.
+            "e2e_p50_ms": round(float(np.percentile(lat, 50)), 2)
+            if have_lat else None,
+            "e2e_p99_ms": round(float(np.percentile(lat, 99)), 2)
+            if have_lat else None,
             "keyframe_requests_seen": client.keyframe_requests_seen,
             "config_updates_seen": client.config_updates_seen,
             "rehandshakes": driver.rehandshakes,
-            "served_fps": round(len(client.results) / elapsed, 1)
+            "served_fps": round(n_results / elapsed, 1)
             if elapsed > 0 else 0.0,
         }
         client.stop()

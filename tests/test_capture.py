@@ -123,6 +123,33 @@ def test_capture_pending_bound_and_eviction(tmp_path):
         cap.stop()
 
 
+def test_capture_pending_bytes_bound(tmp_path, monkeypatch):
+    """The pending stash is bounded by BYTES, not just count: client-chosen
+    wire geometry (u16 w/h) can make one frame many MB."""
+    import zero_latency_yolo_tpu.runtime.capture as capture_mod
+    big = np.zeros((200, 200, 3), np.uint8)  # 120 KB each
+    monkeypatch.setattr(capture_mod, "PENDING_BYTES_CAP", 4 * big.nbytes)
+    cap = DatasetCapture(str(tmp_path), sample_every=1, max_images=1000)
+    try:
+        for fid in range(10):
+            cap.offer_keyframe(1, fid, big)
+        assert len(cap._pending) == 4  # bytes cap binds before PENDING_CAP
+        assert cap._pending_bytes <= 4 * big.nbytes
+        assert cap.pending_evicted == 6
+        st = cap.status()
+        assert st["pending_bytes"] == cap._pending_bytes
+        # Re-offering an already-pending frame must not double-count bytes.
+        cap.offer_keyframe(1, 9, big)
+        assert cap._pending_bytes <= 4 * big.nbytes
+        # Pairing a result releases its bytes.
+        cap.on_result(1, 9, [])
+        assert cap._pending_bytes <= 3 * big.nbytes
+        cap.evict_client(1)
+        assert cap._pending_bytes == 0
+    finally:
+        cap.stop()
+
+
 def test_capture_label_clamping(tmp_path):
     cap = DatasetCapture(str(tmp_path), sample_every=1, max_images=10,
                          min_confidence=0.0)

@@ -82,3 +82,30 @@ def test_detect_rejects_bad_args(weights, media):
          str(media / "imgs")], capture_output=True, text=True, env=env,
         timeout=120)
     assert r.returncode != 0 and "multiple of 32" in r.stderr
+
+
+def test_detect_same_basename_different_dirs_no_collision(weights, tmp_path):
+    """Same-named inputs from different directories must not overwrite each
+    other's label/annotated files (stems derive from the full path)."""
+    import cv2
+    rng = np.random.default_rng(1)
+    for d in ("a", "b"):
+        (tmp_path / d).mkdir()
+        arr = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+        cv2.imwrite(str(tmp_path / d / "img.png"), arr)
+    labels = tmp_path / "lb"
+    rows = _run(["--weights", weights, str(tmp_path / "a"),
+                 str(tmp_path / "b"), "--size", "64", "--conf", "0.01",
+                 "--labels-dir", str(labels)])
+    assert len(rows) == 2
+    assert len(os.listdir(labels)) == 2  # one label file per input
+
+
+def test_iter_frames_direct_unopenable_video_raises(tmp_path):
+    """A directly-named undecodable video fails loudly (exit != 0), even
+    when other inputs produced frames."""
+    from zero_latency_yolo_tpu.runtime.media import iter_frames
+    bad = tmp_path / "nope.mp4"
+    bad.write_bytes(b"not a video")
+    with pytest.raises(ValueError, match="cannot open video"):
+        list(iter_frames([str(bad)]))

@@ -77,3 +77,53 @@ def test_client_config_defaults_and_parse():
     assert cfg.compression.use_roi_encoding
     assert cfg.network_settings.timeout_ms == 2500
     assert cfg.network_settings.reconnect_attempts == 3
+
+
+def test_simclient_long_run_memory_bounds():
+    """Long-running peers stay at constant memory: latency samples honor
+    max_latency_samples, _sent_at prunes stale never-answered frames, and
+    results_total survives a caller draining `results`."""
+    from zero_latency_yolo_tpu.protocol import (
+        Detection, DetectionResultPacket,
+    )
+    from zero_latency_yolo_tpu.runtime.simulator import SimClient
+
+    import socket
+    import time
+
+    c = SimClient(("127.0.0.1", 1))  # never handshaken; rx loop only
+    c.max_latency_samples = 100
+    try:
+        c.start_receiver()
+        # Feed 250 results through the REAL rx loop; each has a matching
+        # _sent_at entry so a latency sample is recorded.
+        srv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        with c._lock:
+            for i in range(1, 251):
+                c._sent_at[i] = time.perf_counter()
+        addr = c.sock.getsockname()
+        for i in range(1, 251):
+            pkt = DetectionResultPacket(frame_id=i, frame_timestamp=0,
+                                        detections=[Detection()])
+            srv.sendto(pkt.serialize(), addr)
+        deadline = time.time() + 5.0
+        while c.results_total < 250 and time.time() < deadline:
+            time.sleep(0.02)
+        srv.close()
+        c._running = False
+        assert c.results_total == 250
+        assert len(c.result_latencies_ms) <= 100
+        # Stale-entry prune in _send_frame: force the dict over the bound
+        # with old timestamps and push one frame through the send path.
+        with c._lock:
+            c._sent_at = {i: time.perf_counter() - 120.0 for i in range(9000)}
+        c._send_frame(b"x" * 12, 2, 2, True)  # port-1 target: fire-and-forget
+        with c._lock:
+            assert len(c._sent_at) < 9000  # stale entries pruned
+        # results_total is a lifetime counter, immune to draining.
+        with c._lock:
+            c.results.clear()
+        assert c.results_total == 250 and not c.results
+    finally:
+        c._running = False
+        c.sock.close()

@@ -73,6 +73,20 @@ def load_params(path: str) -> Params:
         return unflatten({k: z[k] for k in z.files})
 
 
+def load_artifact(path: str) -> Params:
+    """Load a weight artifact by extension: .npz (native), .pt/.pth
+    (ultralytics checkpoint/state_dict), .onnx (exported graph) — the one
+    dispatch shared by every CLI that accepts `--weights`."""
+    if path.endswith(".npz"):
+        return load_params(path)
+    if path.endswith((".pt", ".pth")):
+        return load_torch_checkpoint(path)
+    if path.endswith(".onnx"):
+        return from_onnx(path)
+    raise ValueError(f"unknown weight format: {path} "
+                     "(expected .npz, .pt/.pth or .onnx)")
+
+
 def file_sha256(path: str) -> str:
     """Model-file hash for the hot-reload watcher
     (reference src/inference/onnx_engine.cpp:1087-1124)."""

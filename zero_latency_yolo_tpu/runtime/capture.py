@@ -21,8 +21,9 @@ event loop, file IO on one dedicated daemon writer — nothing here ever
 touches the device lane or blocks the dispatch thread. Both hot hooks are
 a dict op under a small lock; JPEG encode happens on the writer.
 
-Bounds: a pending-frame dict capped at PENDING_CAP (frames whose results
-never arrive — shed batches, evicted clients — age out by insertion
+Bounds: a pending-frame dict capped by count (PENDING_CAP) AND bytes
+(PENDING_BYTES_CAP — wire geometry is client-chosen, so count alone is not
+a memory bound; frames whose results never arrive age out by insertion
 order), a bounded write queue that SHEDS under disk pressure (counter,
 never backpressure), and `max_images` as the disk bound, resumable across
 restarts (existing images are counted at init).
@@ -43,9 +44,12 @@ from ..utils.logging import get_logger
 
 log = get_logger("capture")
 
-# Frames stashed awaiting their detection result. 64 full frames at
-# 800x600x3 is ~90 MB worst-case — bounded regardless of client count.
+# Frames stashed awaiting their detection result: bounded by COUNT and by
+# BYTES (wire w/h are u16, so a single sub-64KB JPEG datagram can decode to
+# a multi-MB frame — a count bound alone is not a memory bound). Oldest
+# entries age out first; evictions are counted, never fatal.
 PENDING_CAP = 64
+PENDING_BYTES_CAP = 96 * 1024 * 1024
 WRITE_QUEUE_CAP = 16
 
 
@@ -72,6 +76,7 @@ class DatasetCapture:
         self._run_id = int(time.time())
         self._lock = threading.Lock()
         self._pending: "OrderedDict[Tuple[int, int], np.ndarray]" = OrderedDict()
+        self._pending_bytes = 0
         self._per_client_seen: Dict[int, int] = {}
         self._queue: "queue.Queue[Optional[Tuple[int, int, np.ndarray, np.ndarray]]]" = (
             queue.Queue(maxsize=WRITE_QUEUE_CAP))
@@ -98,9 +103,16 @@ class DatasetCapture:
             self._per_client_seen[client_id] = seen + 1
             if seen % self.sample_every:
                 return
+            old = self._pending.pop((client_id, frame_id), None)
+            if old is not None:
+                self._pending_bytes -= old.nbytes
             self._pending[(client_id, frame_id)] = pixels
-            while len(self._pending) > PENDING_CAP:
-                self._pending.popitem(last=False)
+            self._pending_bytes += pixels.nbytes
+            while self._pending and (len(self._pending) > PENDING_CAP
+                                     or self._pending_bytes
+                                     > PENDING_BYTES_CAP):
+                _, dropped = self._pending.popitem(last=False)
+                self._pending_bytes -= dropped.nbytes
                 self.pending_evicted += 1
 
     def on_result(self, client_id: int, frame_id: int, detections) -> None:
@@ -111,6 +123,8 @@ class DatasetCapture:
         """
         with self._lock:
             pixels = self._pending.pop((client_id, frame_id), None)
+            if pixels is not None:
+                self._pending_bytes -= pixels.nbytes
         if pixels is None:
             return
         rows = [(int(d.class_id), float(d.x), float(d.y),
@@ -126,7 +140,7 @@ class DatasetCapture:
         with self._lock:
             self._per_client_seen.pop(client_id, None)
             for key in [k for k in self._pending if k[0] == client_id]:
-                del self._pending[key]
+                self._pending_bytes -= self._pending.pop(key).nbytes
 
     # -------------------------------------------------------------- writer
     def _write_loop(self) -> None:
@@ -176,12 +190,14 @@ class DatasetCapture:
     def status(self) -> Dict[str, object]:
         with self._lock:
             pending = len(self._pending)
+            pending_bytes = self._pending_bytes
         return {
             "dir": self.directory,
             "written": self.written,
             "max_images": self.max_images,
             "full": self.written >= self.max_images,
             "pending": pending,
+            "pending_bytes": pending_bytes,
             "pending_evicted": self.pending_evicted,
             "write_drops": self.write_drops,
             "write_errors": self.write_errors,

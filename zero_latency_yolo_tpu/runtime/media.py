@@ -60,8 +60,9 @@ def iter_frames(paths: Sequence[str], video_stride: int = 1,
         elif p.lower().endswith(VIDEO_EXTS):
             cap = cv2.VideoCapture(p)
             if not cap.isOpened():
-                print(f"# skipping unopenable video {p}", file=sys.stderr)
-                continue
+                # Directly-named files fail loudly (same contract as the
+                # image branch below): a typo'd path must not exit 0.
+                raise ValueError(f"cannot open video {p!r}")
             i = 0
             while True:
                 ok, bgr = cap.read()

@@ -74,9 +74,16 @@ class SimClient:
         self.sock.settimeout(timeout)
         self.server_info = None
         self.results: List[DetectionResultPacket] = []
+        # Lifetime count, immune to callers draining/clearing `results`
+        # (scripts/stream_client.py drains to stay bounded over long runs).
+        self.results_total = 0
         # Server-originated COMMAND packets seen by the receiver (bounded).
         self.commands: List[CommandPacket] = []
         self.result_latencies_ms: List[float] = []
+        # Long-running callers set this to bound the latency-sample list
+        # (percentiles then cover the most recent window); None = keep all
+        # samples (loadtest/soak runs are time-bounded and want every one).
+        self.max_latency_samples: Optional[int] = None
         # Server-initiated stream control (REQUEST_KEYFRAME after a shed
         # froze our cache slot): the next capture must be a keyframe.
         self.keyframe_requested = False
@@ -151,9 +158,13 @@ class SimClient:
                 now = time.perf_counter()
                 with self._lock:
                     self.results.append(pkt)
+                    self.results_total += 1
                     t0 = self._sent_at.pop(pkt.frame_id, None)
                     if t0 is not None:
                         self.result_latencies_ms.append((now - t0) * 1e3)
+                        cap = self.max_latency_samples
+                        if cap and len(self.result_latencies_ms) > cap:
+                            del self.result_latencies_ms[:-cap // 2]
                 self._result_event.set()
             elif pkt.TYPE == PacketType.ERROR:
                 from ..protocol import ErrorCode
@@ -325,6 +336,13 @@ class SimClient:
                 keyframe=keyframe, data=payload).serialize()
         with self._lock:
             self._sent_at[fid] = time.perf_counter()
+            # Frames whose results never arrive (shed batches, eviction)
+            # would otherwise accumulate forever on a long-running client.
+            if len(self._sent_at) > 8192:
+                cutoff = time.perf_counter() - 60.0
+                stale = [k for k, t in self._sent_at.items() if t < cutoff]
+                for k in stale:
+                    del self._sent_at[k]
         self._send(raw)
         return fid
 

@@ -101,10 +101,12 @@ def read_labels(path: Optional[str], num_classes: Optional[int] = None
     return np.asarray(rows, np.float32).reshape(-1, 5)
 
 
-def letterbox_image(img: np.ndarray, size: int) -> Tuple[np.ndarray, float,
-                                                         int, int]:
+def letterbox_image(img: np.ndarray, size: int, fill: int = 0
+                    ) -> Tuple[np.ndarray, float, int, int]:
     """Letterbox an HWC uint8 image to (size, size); returns (out, scale,
-    pad_x, pad_y) with the serving preprocess's geometry (integer paste)."""
+    pad_x, pad_y) with the serving preprocess's geometry (integer paste).
+    fill=114 matches the serving letterbox's gray pad (ops/preprocess.FILL);
+    training keeps the historical zero pad (trained artifacts bake it in)."""
     cv2 = _require_cv2()
     h, w = img.shape[:2]
     scale = min(size / h, size / w)
@@ -113,7 +115,7 @@ def letterbox_image(img: np.ndarray, size: int) -> Tuple[np.ndarray, float,
     resized = cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
     pad_y = (size - new_h) // 2
     pad_x = (size - new_w) // 2
-    out = np.zeros((size, size, 3), np.uint8)
+    out = np.full((size, size, 3), np.uint8(fill), np.uint8)
     out[pad_y:pad_y + new_h, pad_x:pad_x + new_w] = resized
     return out, scale, pad_x, pad_y
 
