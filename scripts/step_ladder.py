@@ -46,11 +46,13 @@ def main():
         int(b) for b in os.environ.get("ZLT_LADDER",
                                        "2,4,8,16,32,64").split(","))
 
+    topk = int(os.environ.get("ZLT_LADDER_TOPK", "256"))
     cfg = ServerConfig.from_dict({
         "confidence_threshold": 0.5, "nms_threshold": 0.45,
         "detection": {"model_width": size, "model_height": size},
         "tpu": {"variant": variant, "num_classes": 4, "dtype": "bfloat16",
                 "batch_buckets": sorted(batches),
+                "pre_nms_topk": topk,
                 "frame_buckets": [[bh, bw]]},
     })
     spec = get_spec(variant, 4)
@@ -78,8 +80,11 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"# batch={batch} FAILED: {type(e).__name__}: {e}",
                   file=sys.stderr)
-    print(json.dumps({"ladder": ladder, "variant": variant, "size": size,
-                      "device": str(jax.devices()[0])}))
+    out = {"ladder": ladder, "variant": variant, "size": size,
+           "device": str(jax.devices()[0])}
+    if topk != 256:
+        out["pre_nms_topk"] = topk
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
