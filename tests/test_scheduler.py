@@ -79,6 +79,48 @@ def test_supersede_counts_drops():
     assert b.queue_depth() == 0
 
 
+def test_max_queue_zero_clamped():
+    """max_queue_size <= 0 clamps to 1 at construction — submit() must not
+    IndexError popping an empty deque on every frame."""
+    b = ContinuousBatcher(SimulationEngine(_cfg()), lambda r: None,
+                          max_batch=2, max_queue_per_client=0)
+    assert b.max_queue == 1
+    assert b.submit(_req(1, 1)) is True
+    assert [r.frame_id for r in b._collect()] == [1]
+
+
+def test_max_inflight_one_means_no_pipelining():
+    """max_inflight=1 must drain to ZERO after each dispatch (the configured
+    no-pipelining discipline), not silently run at depth 2."""
+    import time
+
+    b = ContinuousBatcher(SimulationEngine(_cfg()), lambda r: None,
+                          max_batch=2, batch_window_ms=1.0, max_inflight=1)
+    drains = []
+    orig = b._complete_n
+
+    def spy(k):
+        drains.append((k, len(b._inflight)))
+        return orig(k)
+
+    b._complete_n = spy
+    b.start()
+    try:
+        for fid in range(6):
+            b.submit(_req(1, fid))
+            time.sleep(0.02)
+        time.sleep(0.3)
+    finally:
+        b.stop()
+    assert len(b._inflight) == 0
+    # Every drain call either cleared the whole inflight deque or was the
+    # loop-top single completion — the deque never held a batch ACROSS a
+    # dispatch (k always covers the full depth at drain time).
+    full_drains = [(k, n) for k, n in drains if n >= 1]
+    assert full_drains, drains
+    assert all(k >= n for k, n in full_drains), drains
+
+
 def test_deep_inflight_pipeline_real_compute():
     """End-to-end batcher pipeline at max_inflight=8 with REAL device
     compute over the cached path: drain-to-one completion, staging/free-list

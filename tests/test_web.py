@@ -98,14 +98,20 @@ def test_http_end_to_end(tmp_path):
 
 def test_metricsz_prometheus_format(tmp_path):
     """/metricsz flattens the numeric status leaves into Prometheus text;
-    strings and per-session rows (unbounded label cardinality) are skipped."""
+    numeric-looking STRINGS export too (the engine status map is all-string
+    by the reference getStatus() contract); non-numeric strings and
+    per-session rows (unbounded label cardinality) are skipped."""
     status = {
         "server": "zero_latency_yolo_tpu",          # string -> skipped
         "clients": 3,
         "served_fps": 123.5,
         "transport": {"packets_received": 42, "rx_pps": 7.0},
         "detect_latency": {"p99 ms": 6.25},          # key sanitized
-        "engine": {"simulation": "true"},            # string -> skipped
+        # The engine subtree is all-string by design: numeric strings MUST
+        # still export or the endpoint is blind to engine health.
+        "engine": {"simulation": "true", "inferences": "1234",
+                   "pipeline_p99_ms": "6.44", "model": "n.npz",
+                   "bad": "nan"},
         "frame_cache": None,                         # absent tree tolerated
         "sessions": {"1": {"frames": 9}},            # skipped wholesale
         "paused": True,                              # bool -> 0/1
@@ -121,6 +127,11 @@ def test_metricsz_prometheus_format(tmp_path):
     assert metrics["zlt_transport_packets_received"] == "42"
     assert metrics["zlt_detect_latency_p99_ms"] == "6.25"
     assert metrics["zlt_paused"] == "1"
+    assert metrics["zlt_engine_inferences"] == "1234"
+    assert metrics["zlt_engine_pipeline_p99_ms"] == "6.44"
+    assert "zlt_engine_simulation" not in metrics  # non-numeric string
+    assert "zlt_engine_model" not in metrics
+    assert "zlt_engine_bad" not in metrics         # nan never exported
     assert not any(k.startswith("zlt_sessions") for k in metrics)
     assert not any(k.startswith("zlt_server") for k in metrics)
 

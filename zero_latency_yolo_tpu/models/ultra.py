@@ -250,18 +250,29 @@ def export_onnx(model: UltralyticsTwin, path: str, size: int) -> None:
     ModelProto in C++ (`graph._export_onnx`) but then imports onnx solely
     to splice in onnxscript custom functions — which this model has none
     of. Bypass that one post-pass so the genuinely torch-serialized bytes
-    reach disk unmodified."""
-    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+    reach disk unmodified. The module path is torch-internal and moves
+    between releases — on a torch where it's gone (or where `onnx` IS
+    installed and the post-pass just works), export unpatched."""
+    try:
+        from torch.onnx._internal.torchscript_exporter import (
+            onnx_proto_utils,
+        )
+    except ImportError:
+        onnx_proto_utils = None
     model = model.eval()
     dummy = torch.zeros(1, 3, size, size)
-    orig = onnx_proto_utils._add_onnxscript_fn
-    onnx_proto_utils._add_onnxscript_fn = lambda model_bytes, _ops: model_bytes
+    orig = (onnx_proto_utils._add_onnxscript_fn
+            if onnx_proto_utils is not None else None)
+    if onnx_proto_utils is not None:
+        onnx_proto_utils._add_onnxscript_fn = (
+            lambda model_bytes, _ops: model_bytes)
     try:
         torch.onnx.export(model, (dummy,), path, input_names=["images"],
                           output_names=["output0"], opset_version=12,
                           dynamo=False)
     finally:
-        onnx_proto_utils._add_onnxscript_fn = orig
+        if onnx_proto_utils is not None:
+            onnx_proto_utils._add_onnxscript_fn = orig
 
 
 def decoded_reference(model: UltralyticsTwin, x_nhwc: np.ndarray) -> np.ndarray:

@@ -56,7 +56,12 @@ class ContinuousBatcher:
             log.warning("max_batch clamped %d -> %d (engine batch buckets %s)",
                         max_batch, self.max_batch, engine.batch_buckets)
         self.batch_window_ms = batch_window_ms
-        self.max_queue = max_queue_per_client
+        # Clamp like max_inflight: max_queue <= 0 would make submit()'s
+        # drop-oldest loop popleft an EMPTY deque on every frame.
+        self.max_queue = max(int(max_queue_per_client), 1)
+        if self.max_queue != max_queue_per_client:
+            log.warning("max_queue_size clamped %r -> %d",
+                        max_queue_per_client, self.max_queue)
         self.device_cache = device_cache
         self.max_inflight = max(int(max_inflight), 1)
         self._queues: "OrderedDict[int, deque]" = OrderedDict()
@@ -263,8 +268,12 @@ class ContinuousBatcher:
             # the link RTT, so completing (max_inflight-1) batches per
             # readback raises the served ceiling by that factor. At the
             # default depth 2 this is exactly complete-the-previous-batch.
+            # max_inflight=1 means NO pipelining (debugging a wedged
+            # device): drain to zero, not one, or the configured
+            # discipline silently runs at depth 2.
             if len(self._inflight) >= self.max_inflight:
-                self._complete_n(len(self._inflight) - 1)
+                keep = 1 if self.max_inflight > 1 else 0
+                self._complete_n(len(self._inflight) - keep)
 
     @staticmethod
     def _ready(pending) -> bool:

@@ -222,6 +222,15 @@ class ManagementApi:
         def emit(prefix: str, val) -> None:
             if isinstance(val, bool):
                 val = int(val)
+            elif isinstance(val, str):
+                # The engine's status map is all-string by design (the
+                # reference's getStatus() contract, onnx_engine.cpp:279-312)
+                # — numeric-looking strings must still export as series.
+                try:
+                    val = float(val) if ("." in val or "e" in val.lower()
+                                         ) else int(val)
+                except ValueError:
+                    return
             if isinstance(val, (int, float)):
                 if math.isfinite(val):
                     lines.append(f"{prefix} {val}")
@@ -271,10 +280,22 @@ class ManagementApi:
         if not body or len(body) > MAX_UPLOAD:
             return 400, {"error": "empty or oversized upload"}
         os.makedirs(self.models_dir, exist_ok=True)
-        tmp = os.path.join(self.models_dir, name + ".uploading")
-        with open(tmp, "wb") as f:
-            f.write(body)
-        os.replace(tmp, os.path.join(self.models_dir, name))
+        # Unique temp per request: concurrent uploads of the same name must
+        # not interleave into one file and publish corrupt bytes to the
+        # SHA-256 hot-swap watcher. os.replace keeps the publish atomic.
+        import tempfile
+        fd, tmp = tempfile.mkstemp(prefix=name + ".", suffix=".uploading",
+                                   dir=self.models_dir)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(body)
+            os.replace(tmp, os.path.join(self.models_dir, name))
+        except Exception:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         hot_swap = (self.active_model is None or name == self.active_model)
         if not hot_swap:
             log.warning("model uploaded as %r but the watcher monitors %r — "

@@ -16,26 +16,7 @@ import numpy as np
 
 from ..models.yolov8 import ModelSpec, forward_decoded
 from ..ops import nms as nms_ops
-
-
-def _iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    iw = np.maximum(0, np.minimum(a[:, None, 2], b[None, :, 2]) -
-                    np.maximum(a[:, None, 0], b[None, :, 0]))
-    ih = np.maximum(0, np.minimum(a[:, None, 3], b[None, :, 3]) -
-                    np.maximum(a[:, None, 1], b[None, :, 1]))
-    inter = iw * ih
-    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
-    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-    return inter / np.maximum(area_a[:, None] + area_b[None] - inter, 1e-9)
-
-
-def _xywh_to_xyxy(x: np.ndarray) -> np.ndarray:
-    out = x.copy()
-    out[:, 0] = x[:, 0] - x[:, 2] / 2
-    out[:, 1] = x[:, 1] - x[:, 3] / 2
-    out[:, 2] = x[:, 0] + x[:, 2] / 2
-    out[:, 3] = x[:, 1] + x[:, 3] / 2
-    return out
+from ..utils.geometry import iou_matrix_cxcywh
 
 
 def average_precision(scored: List[Tuple[float, bool]], n_gt: int) -> float:
@@ -83,7 +64,7 @@ def match_detections(pred_boxes: np.ndarray, pred_scores: np.ndarray,
                      ) -> List[Tuple[float, bool]]:
     """Greedy score-ordered matching of one image's single-class detections."""
     order = np.argsort(-pred_scores)
-    iou = (_iou_xyxy(_xywh_to_xyxy(pred_boxes), _xywh_to_xyxy(gt_boxes))
+    iou = (iou_matrix_cxcywh(pred_boxes, gt_boxes)
            if len(gt_boxes) else None)
     return _greedy_match(order, iou, pred_scores, iou_thresh)
 
@@ -147,7 +128,7 @@ def evaluate(params, spec: ModelSpec, images: np.ndarray, targets: np.ndarray,
                 sel = classes[bi, :k] == c
                 pb, ps = boxes[bi, :k][sel], scores[bi, :k][sel]
                 order = np.argsort(-ps)
-                iou = (_iou_xyxy(_xywh_to_xyxy(pb), _xywh_to_xyxy(gt_c))
+                iou = (iou_matrix_cxcywh(pb, gt_c)
                        if len(gt_c) else None)
                 for thr in ladder:
                     res = _greedy_match(order, iou, ps, thr)
