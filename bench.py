@@ -181,12 +181,18 @@ def _device_sweep_child() -> None:
                (128, "letterbox_mxu", "cached"),
                (128, "letterbox_mxu", "cached_int8")))
 
+    # pre_nms_topk 128: the shipped 64-stream example configs' value,
+    # measured −4/−5.5% step at batch 128/32 vs the 256 library default in
+    # a same-session A/B (416, round 3); accuracy holds even at eval conf
+    # 0.25 (mAP50 −0.001, recall −0.007 on the 64-image gate). The bench
+    # measures the executable those configs serve.
     cfg = ServerConfig.from_dict({
         "confidence_threshold": 0.5,
         "nms_threshold": 0.45,
         "detection": {"model_width": size, "model_height": size},
         "tpu": {"variant": variant, "num_classes": 4, "dtype": "bfloat16",
                 "batch_buckets": sorted({b for b, _, _ in combos}),
+                "pre_nms_topk": 128,
                 "frame_buckets": [[bh, bw]]},
     })
     spec = get_spec(variant, 4)
@@ -246,16 +252,20 @@ def _host_path_loadtest(results):
     MEASURED step-vs-batch ladder (synthetic-step harness). The server's own
     detect p99 then measures host path + real queueing + the measured step —
     on this host's CPU, free of the dev relay's link RTT that drowns the
-    live row. Ladder source: artifacts/step_ladder.json (scripts/
-    step_ladder.py on the chip), topped up with this run's measured rows."""
+    live row. Ladder source: artifacts/step_ladder_topk128.json (the
+    shipped configs' pre_nms_topk; scripts/step_ladder.py on the chip),
+    falling back to the topk-256 step_ladder.json, topped up with this
+    run's measured rows."""
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
     ladder = {}
-    try:
-        with open(os.path.join(here, "artifacts", "step_ladder.json")) as f:
-            ladder = dict(json.load(f).get("ladder", {}))
-    except Exception:  # noqa: BLE001 — fall back to this run's rows
-        pass
+    for name in ("step_ladder_topk128.json", "step_ladder.json"):
+        try:
+            with open(os.path.join(here, "artifacts", name)) as f:
+                ladder = dict(json.load(f).get("ladder", {}))
+            break
+        except Exception:  # noqa: BLE001 — fall back to this run's rows
+            continue
     for (batch, _mode, source), r in results.items():
         if source == "cached" and str(batch) not in ladder:
             ladder[str(batch)] = round(r["step_ms"], 3)
@@ -366,13 +376,15 @@ def _last_committed_chip_numbers():
     prior context — `value` stays 0.0 when nothing ran on hardware."""
     here = os.path.dirname(os.path.abspath(__file__))
     out = {}
-    try:
-        with open(os.path.join(here, "artifacts", "step_ladder.json")) as f:
-            lad = json.load(f)
-        out["step_ladder_ms"] = lad.get("ladder")
-        out["step_ladder_device"] = lad.get("device")
-    except Exception:  # noqa: BLE001
-        pass
+    for name in ("step_ladder_topk128.json", "step_ladder.json"):
+        try:
+            with open(os.path.join(here, "artifacts", name)) as f:
+                lad = json.load(f)
+            out["step_ladder_ms"] = lad.get("ladder")
+            out["step_ladder_device"] = lad.get("device")
+            break
+        except Exception:  # noqa: BLE001
+            continue
     for prev in ("BENCH_r02.json", "BENCH_r01.json"):
         try:
             with open(os.path.join(here, prev)) as f:
@@ -428,12 +440,14 @@ def _gate_rows():
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
     art = os.path.join(here, "artifacts")
+    dp2_ladder = ("step_ladder_topk128.json" if os.path.exists(
+        os.path.join(art, "step_ladder_topk128.json")) else "step_ladder.json")
     rows = [
         # Full BASELINE load on ONE chip: the 320 serve rung at the
         # example config's topk 128 (configs/examples/server-64stream-320).
         ("full_64x60_320rung", "n320_topk128_step_ladder.json", 64),
-        # dp=2 per-chip share at full accuracy (416).
-        ("dp2_share_32x60_416", "step_ladder.json", 32),
+        # dp=2 per-chip share at full accuracy (416, shipped topk).
+        ("dp2_share_32x60_416", dp2_ladder, 32),
     ]
     dur = "4" if SMOKE else "15"
     attempts = 1 if SMOKE else 2
@@ -493,6 +507,7 @@ def _report(results, variant, size, live=None, host_path=None,
         "preprocess": best_mode,
         "frame_source": best_source,
         "avg_step_ms": round(best["step_ms"], 2),
+        "pre_nms_topk": 128,
         "device": device,
     }
     # The latency-optimal configuration (batch 32 + short window) alongside

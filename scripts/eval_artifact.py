@@ -42,6 +42,9 @@ def main() -> int:
     ap.add_argument("--iou", type=float, default=0.5)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--topk", type=int, default=0,
+                    help="pre-NMS top-k (0 = library default 256); A/B the\n"
+                         "serving configs' truncation at eval conf")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +76,7 @@ def main() -> int:
     t0 = time.perf_counter()
     metrics = evaluate(params, spec, images, targets, conf_thresh=args.conf,
                        nms_thresh=args.nms, iou_thresh=args.iou,
-                       batch=args.batch)
+                       batch=args.batch, topk=args.topk or None)
     print(json.dumps({
         "weights": args.weights, "variant": spec.variant,
         "num_classes": spec.num_classes, "size": args.size,

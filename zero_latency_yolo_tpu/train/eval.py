@@ -76,7 +76,8 @@ def evaluate(params, spec: ModelSpec, images: np.ndarray, targets: np.ndarray,
              conf_thresh: float = 0.25, nms_thresh: float = 0.45,
              iou_thresh: float = 0.5, batch: int = 8,
              class_weights: Optional[np.ndarray] = None,
-             dtype=jnp.float32) -> Dict[str, float]:
+             dtype=jnp.float32,
+             topk: Optional[int] = None) -> Dict[str, float]:
     """AP over an eval set: the primary threshold plus the COCO IoU ladder.
 
     images:  (N, S, S, 3) float in [0,1] (already letterboxed/square)
@@ -98,9 +99,10 @@ def evaluate(params, spec: ModelSpec, images: np.ndarray, targets: np.ndarray,
         scale = jnp.ones((b,), jnp.float32)
         pad = jnp.zeros((b, 2), jnp.float32)
         wh = jnp.full((b, 2), float(s), jnp.float32)
+        kw = {} if topk is None else {"topk": int(topk)}
         return nms_ops.postprocess_batch(
             pred, cw, jnp.float32(conf_thresh), jnp.float32(nms_thresh),
-            scale, pad, wh)
+            scale, pad, wh, **kw)
 
     ladder = tuple(sorted({float(iou_thresh), *COCO_IOU_LADDER}))
     per_class: Dict[float, Dict[int, List[Tuple[float, bool]]]] = {
