@@ -67,7 +67,9 @@ def main() -> int:
     ap.add_argument("--video-stride", type=int, default=1,
                     help="process every Nth video frame")
     ap.add_argument("--save-dir", default="",
-                    help="write annotated copies here")
+                    help="write annotated copies here (video sources write "
+                         "ONE annotated .mp4 each instead of per-frame "
+                         "stills; stride-skipped frames are omitted)")
     ap.add_argument("--labels-dir", default="",
                     help="write YOLO-convention label files here "
                          "(self-labeling a directory of images)")
@@ -153,14 +155,32 @@ def main() -> int:
             # Path-derived stem (separators -> "_"): same-named inputs from
             # different directories must not overwrite each other's labels.
             path_part = src.split("#")[0]
-            stem = os.path.splitext(os.path.normpath(path_part))[0]
-            stem = stem.replace(os.sep, "_").lstrip("._")
+            base = os.path.splitext(os.path.normpath(path_part))[0]
+            base = base.replace(os.sep, "_").lstrip("._")
             suffix = src.split("#")[1] if "#" in src else ""
-            stem = f"{stem}_{suffix}" if suffix else stem
+            stem = f"{base}_{suffix}" if suffix else base
             if args.save_dir:
                 import cv2
-                cv2.imwrite(os.path.join(args.save_dir, stem + ".jpg"),
-                            annotate(rgb, dets, names))
+                ann = annotate(rgb, dets, names)
+                if suffix:
+                    # Video frame: append to ONE annotated video per source
+                    # (processed frames only; stride-skipped ones omitted).
+                    vw = video_writers.get(path_part)
+                    if vw is None:
+                        cap = cv2.VideoCapture(path_part)
+                        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+                        cap.release()
+                        fps = max(float(fps or 30.0) / args.video_stride, 1.0)
+                        vw = cv2.VideoWriter(
+                            os.path.join(args.save_dir,
+                                         base + "_annotated.avi"),
+                            cv2.VideoWriter_fourcc(*"MJPG"), fps,
+                            (rgb.shape[1], rgb.shape[0]))
+                        video_writers[path_part] = vw
+                    vw.write(ann)
+                else:
+                    cv2.imwrite(os.path.join(args.save_dir, stem + ".jpg"),
+                                ann)
             if args.labels_dir:
                 with open(os.path.join(args.labels_dir, stem + ".txt"),
                           "w") as f:
@@ -170,6 +190,7 @@ def main() -> int:
         bufs.clear()
 
     bufs = []
+    video_writers = {}
     n_frames = 0
     try:
         # Generator: decode errors surface during iteration.
@@ -178,9 +199,12 @@ def main() -> int:
             n_frames += 1
             if len(bufs) == batch:
                 flush(bufs)
+        flush(bufs)
     except ValueError as e:
         raise SystemExit(str(e))
-    flush(bufs)
+    finally:
+        for vw in video_writers.values():
+            vw.release()
     if not n_frames:
         raise SystemExit("no decodable inputs found")
     return 0

@@ -75,6 +75,25 @@ def test_detect_video_stride(weights, media):
     assert [r["source"].split("#")[1] for r in rows] == ["frame0", "frame3"]
 
 
+def test_detect_video_annotated_output(weights, media, tmp_path):
+    """A video source with --save-dir writes ONE annotated video (processed
+    frames only), not per-frame stills."""
+    import cv2
+    save = tmp_path / "ann"
+    _run(["--weights", weights, str(media / "clip.avi"),
+          "--size", "64", "--conf", "0.01", "--video-stride", "2",
+          "--save-dir", str(save)])
+    outs = os.listdir(save)
+    assert len(outs) == 1 and outs[0].endswith("_annotated.avi")
+    cap = cv2.VideoCapture(str(save / outs[0]))
+    assert cap.isOpened()
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 3  # frames 0, 2, 4 of the 6-frame clip
+
+
 def test_detect_rejects_bad_args(weights, media):
     env = dict(os.environ, PYTHONPATH=REPO)
     r = subprocess.run(
