@@ -448,6 +448,9 @@ def _gate_rows():
         ("full_64x60_320rung", "n320_topk128_step_ladder.json", 64),
         # dp=2 per-chip share at full accuracy (416, shipped topk).
         ("dp2_share_32x60_416", dp2_ladder, 32),
+        # BASELINE config 4: yolov8s@640, 16 streams (no sub-8ms SLO of its
+        # own; the row records full-rate service + measured p99).
+        ("cfg4_16x60_s640", "s640_step_ladder.json", 16),
     ]
     dur = "4" if SMOKE else "15"
     attempts = 1 if SMOKE else 2
