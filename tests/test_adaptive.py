@@ -402,3 +402,65 @@ def test_set_config_adaptive_slo_over_the_wire(tmp_path):
     finally:
         c.stop()
         h.stop()
+
+
+def test_serve_sizes_above_model_size_dropped():
+    """Rungs larger than the configured model size are dropped at
+    construction: the policy only trades resolution DOWN — a healthy server
+    must never upshift ABOVE the operator's baseline (and warmup must not
+    compile programs nothing should run)."""
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(6), spec, folded=True)
+    eng = InferenceEngine(_cfg(serve_sizes=[32, 64, 96], batch_buckets=[1],
+                               adaptive_slo_ms=8.0), params=params)
+    assert eng.serve_sizes == (64, 32)
+    # Upshift from the top rung has nowhere to go.
+    eng.adaptive_slo_ms = 100.0
+    _prime(eng, 1.0)
+    eng._adapt_cool = 7
+    eng._adapt_next_check = 0.0
+    eng._maybe_adapt()
+    assert eng._serve_size == 64
+
+
+def test_runtime_slo_enable_allowed_in_synthetic_harness():
+    """The warm-rung guard is a device concern: the synthetic-step harness
+    (exists precisely to exercise this policy over per-size ladders) never
+    acquires a device lane and must accept a runtime enable. Plain
+    model-less simulation keeps the guard (a hot-swap to real compute would
+    leave rungs cold) — pinned by test_set_config_adaptive_slo_over_the_wire."""
+    from zero_latency_yolo_tpu.runtime.engine import SimulationEngine
+    eng = SimulationEngine(_cfg(synthetic_step_profiles={
+        "64": {"1": 5.0}, "32": {"1": 3.0}}))
+    assert eng.synthetic_step_ms > 0
+    assert eng.update_adaptive_slo(8.0)
+    eng._apply_staged_slo()
+    assert eng.adaptive_slo_ms == 8.0
+    # Plain simulation (no synthetic profile): refused.
+    eng2 = SimulationEngine(_cfg())
+    assert not eng2.update_adaptive_slo(8.0)
+
+
+def test_runtime_slo_enable_resets_stats_window():
+    """_adapt_stats gathers samples even while the policy is off; a runtime
+    enable judged on pre-enable samples (a spike that already ended) would
+    trigger a spurious downshift."""
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(7), spec, folded=True)
+    eng = InferenceEngine(_cfg(batch_buckets=[1], adaptive_slo_ms=8.0),
+                          params=params)
+    eng.warmup(batches=[1], buckets=[(96, 96)])
+    _prime(eng, 500.0, n=64)  # stale pre-enable spike
+    assert eng.update_adaptive_slo(12.0)
+    eng._apply_staged_slo()
+    assert eng._adapt_stats.snapshot()["count"] == 0
+
+
+def test_simulation_engine_ignores_mesh_config():
+    """SimulationEngine must never touch the accelerator backend, even when
+    the config (copied from a real deployment) asks for a serving mesh."""
+    from zero_latency_yolo_tpu.runtime.engine import SimulationEngine
+    eng = SimulationEngine(_cfg(mesh_data=2, mesh_model=1))
+    assert eng.mesh is None and eng.simulation
+    # Batch buckets keep the configured values (no mesh-divisibility filter).
+    assert eng.batch_buckets == (1, 2)

@@ -91,6 +91,23 @@ def test_device_cache_path_matches_host_path(engine):
         assert a.class_id == b.class_id
 
 
+def test_dispatch_cached_rejects_unbucketed_shapes(engine):
+    """Programs are keyed by (batch bucket, frame bucket); the cached path
+    trusts the caller's gather, so a request-driven shape must fail loudly
+    instead of silently minting one XLA program per distinct N."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    bad_batch = jnp.zeros((3, 96, 96, 3), jnp.uint8)  # 3 not a batch bucket
+    with pytest.raises(ValueError, match="compile-storm"):
+        engine.dispatch_cached([_req(1, 1)] * 3, bad_batch,
+                               np.array([64] * 3), np.array([96] * 3))
+    bad_bucket = jnp.zeros((1, 64, 64, 3), jnp.uint8)  # not a frame bucket
+    with pytest.raises(ValueError, match="compile-storm"):
+        engine.dispatch_cached([_req(1, 1)], bad_bucket,
+                               np.array([64]), np.array([64]))
+
+
 def test_hot_reload(tmp_path):
     spec = get_spec("yolov8p", 4)
     p1 = init_params(jax.random.PRNGKey(1), spec, folded=True)

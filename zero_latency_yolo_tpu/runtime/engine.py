@@ -184,6 +184,14 @@ class InferenceEngine:
         # model serves any 32-multiple size from the same params; programs
         # are keyed by size and the CURRENT size is dispatch-lane state.
         ladder = {int(s) for s in getattr(tpu, "serve_sizes", ()) or ()}
+        too_big = {s for s in ladder if s > self.model_size}
+        if too_big:
+            # The policy only trades resolution DOWN from the configured
+            # size; a larger rung would let a healthy server upshift ABOVE
+            # the operator's baseline (and warm programs nothing should run).
+            log.warning("tpu.serve_sizes rungs %s exceed model size %d — "
+                        "dropped", sorted(too_big), self.model_size)
+            ladder -= too_big
         self.serve_sizes = tuple(sorted(ladder | {self.model_size},
                                         reverse=True))
         self._serve_size = self.model_size
@@ -196,8 +204,12 @@ class InferenceEngine:
         self._adapt_cool = 0
         self.size_downshifts = 0
         self.size_upshifts = 0
-        # Runtime SLO change staged for the dispatch lane (update_adaptive_slo).
+        # Runtime SLO change staged for the dispatch lane
+        # (update_adaptive_slo). The lock makes stage/consume atomic: an
+        # unlocked read-then-clear on the dispatch lane could silently
+        # discard a concurrent update the client was already ACKed for.
         self._staged_slo: Optional[float] = None
+        self._slo_lock = threading.Lock()
         # Rungs that have compiled programs (set by warmup): runtime SLO
         # enabling is refused while rungs are cold — a first downshift must
         # never be a cold XLA compile under pressure.
@@ -210,6 +222,7 @@ class InferenceEngine:
         self.batch_buckets = tuple(tpu.batch_buckets)
         self.frame_buckets = tuple(tuple(b) for b in tpu.frame_buckets)
         self.pre_nms_topk = int(tpu.pre_nms_topk)
+        self.max_inflight = max(int(getattr(tpu, "max_inflight", 2)), 1)
         nms_cfg = getattr(tpu, "nms", "auto")
         if nms_cfg == "auto":
             # The XLA scan is the default: it compiles everywhere, including
@@ -631,28 +644,40 @@ class InferenceEngine:
                 log.warning("adaptive_slo_ms ignored: no tpu.serve_sizes "
                             "ladder configured")
                 return False
-            if not set(self.serve_sizes) <= set(self._warmed_sizes):
+            # Cold-compile guard is a DEVICE concern. The synthetic harness
+            # (synthetic_step_ms > 0 — exists precisely to exercise this
+            # policy over per-size ladders) never acquires a device lane, so
+            # it has nothing to warm. Plain model-less simulation KEEPS the
+            # guard: a later hot-swap to real compute would leave every rung
+            # cold with the policy already armed.
+            if (self.synthetic_step_ms <= 0
+                    and not set(self.serve_sizes) <= set(self._warmed_sizes)):
                 log.warning("adaptive_slo_ms ignored: serve-size rungs were "
                             "not warmed (boot with adaptive_slo_ms > 0)")
                 return False
-        self._staged_slo = slo_ms
+        with self._slo_lock:
+            self._staged_slo = slo_ms
         return True
 
     def _apply_staged_slo(self) -> None:
         """Dispatch lane only (called from _current_params and
         _maybe_adapt): apply a runtime SLO change atomically with the
         policy state it governs."""
-        staged = self._staged_slo
-        if staged is None:
-            return
-        self._staged_slo = None
+        with self._slo_lock:
+            staged = self._staged_slo
+            if staged is None:
+                return
+            self._staged_slo = None
         self.adaptive_slo_ms = staged
         self._adapt_hot = 0
         self._adapt_cool = 0
+        # Fresh window: _adapt_stats gathers samples even while the policy
+        # is off, and judging a runtime enable on pre-enable samples (e.g. a
+        # spike that already ended) would trigger a spurious downshift.
+        self._adapt_stats = RollingStats(window=256)
         if staged <= 0:
-            # Back to the configured serving size — NOT serve_sizes[0]: the
-            # ladder may contain rungs larger than model_width that were
-            # never warmed (a cold compile under live traffic otherwise).
+            # Back to the configured serving size (= serve_sizes[0]: larger
+            # rungs are dropped at construction).
             self._serve_size = self.model_size
         log.info("adaptive SLO now %.1f ms (serve size %d)",
                  self.adaptive_slo_ms, self._serve_size)
@@ -801,8 +826,19 @@ class InferenceEngine:
         if self._simulating():
             return self._sim_pending(requests)
         t0 = time.perf_counter()
-        batch = frames.shape[0]
-        bucket = (frames.shape[1], frames.shape[2])
+        batch = int(frames.shape[0])
+        bucket = (int(frames.shape[1]), int(frames.shape[2]))
+        # Shape discipline (CLAUDE.md invariant): programs are keyed by
+        # (batch bucket, frame bucket). dispatch() pads/buckets for its
+        # callers; this device-resident path trusts the caller's gather, so
+        # a request-driven shape here would silently mint one XLA program
+        # per distinct N — fail loudly instead.
+        if batch not in self.batch_buckets or bucket not in self.frame_buckets:
+            raise ValueError(
+                f"dispatch_cached shape (batch={batch}, bucket={bucket}) is "
+                f"not a configured (batch bucket, frame bucket) pair "
+                f"{self.batch_buckets} x {self.frame_buckets} — gather to a "
+                f"bucket first (per-request shapes compile-storm)")
         return self._dispatch_device(frames, jnp.asarray(heights),
                                      jnp.asarray(widths), requests, batch,
                                      bucket, t0)
@@ -832,7 +868,7 @@ class InferenceEngine:
             shw_d = jnp.asarray(shw)
         out = step(params, cache, shw_d,
                    self._class_weights, self._conf, self._iou)
-        _start_host_copy(out)
+        self._maybe_start_host_copy(out)
         return PendingBatch(requests=requests, out=out, t0=t0, n=len(requests))
 
     def _dispatch_device(self, frames, heights, widths,
@@ -843,8 +879,17 @@ class InferenceEngine:
         # donate_argnums invalidates the device copy, not the numpy staging.
         out = step(params, frames, heights, widths,
                    self._class_weights, self._conf, self._iou)
-        _start_host_copy(out)
+        self._maybe_start_host_copy(out)
         return PendingBatch(requests=requests, out=out, t0=t0, n=len(requests))
+
+    def _maybe_start_host_copy(self, out) -> None:
+        """Overlap the packed output's D2H with the next batch's compute —
+        but only at pipeline depth <= 2, where complete() will consume those
+        bytes. At deeper inflight the scheduler drains through the concat
+        path (complete_many), which re-reads everything in ONE readback: a
+        per-batch copy there ships the same bytes over the link twice."""
+        if self.max_inflight <= 2:
+            _start_host_copy(out)
 
     def _sim_pending(self, requests: List[InferenceRequest]) -> "PendingBatch":
         """Simulated dispatch. In synthetic-step mode the batch also gets a
@@ -1018,7 +1063,7 @@ class InferenceEngine:
             results.append(EngineResult(
                 client_id=r.client_id, frame_id=r.frame_id,
                 timestamp=r.timestamp, detections=dets,
-                infer_ms=infer_ms, queue_ms=max(q_ms, 0.0),
+                infer_ms=infer_ms, queue_ms=q_ms,
                 recv_t=r.enqueue_t,
                 decode_ms=max((r.decoded_t - r.enqueue_t) * 1e3, 0.0),
                 batch_n=pending.n))
@@ -1261,7 +1306,12 @@ class SimulationEngine(InferenceEngine):
                  preprocess_mode: Optional[str] = None) -> None:
         import dataclasses
         cfg = dataclasses.replace(config)
-        cfg.tpu = dataclasses.replace(cfg.tpu, quantize_int8=False)
+        # mesh=1x1: params={} keeps self.simulation False through
+        # super().__init__, so a mesh config would reach jax.devices() —
+        # backend init this engine's contract forbids (on a relayed TPU
+        # that can wedge a model-less protocol-test boot for minutes).
+        cfg.tpu = dataclasses.replace(cfg.tpu, quantize_int8=False,
+                                      mesh_data=1, mesh_model=1)
         super().__init__(cfg, params={}, preprocess_mode=preprocess_mode)
         self.simulation = True
         self.warmed = True
