@@ -522,3 +522,76 @@ def test_stream_control_pause_resume_stop(harness):
         assert harness.status()["frames_paused"] >= 2
     finally:
         c.stop()
+
+
+def test_karn_rtt_sampling_and_backoff(harness):
+    """Karn's algorithm: an ACK for a RETRANSMITTED packet is ambiguous
+    (original or copy?) and must not feed the RTT estimator — a near-zero
+    sample collapses the RTO and burns retries on high-latency paths. The
+    retransmit wait backs off exponentially per retry."""
+    import time as _t
+
+    from zero_latency_yolo_tpu.protocol import AckPacket
+    from zero_latency_yolo_tpu.runtime.server import (
+        ClientSession, PendingPacket,
+    )
+
+    s = ClientSession(client_id=1, addr=("127.0.0.1", 1))
+    # Fresh packet: sampled.
+    s.pending[7] = PendingPacket(data=b"x", addr=s.addr,
+                                 sent_at=_t.monotonic() - 0.3)
+    harness._handle_ack(AckPacket(acked_sequence=7), s)
+    assert s.srtt is not None and 0.25 < s.srtt < 0.4
+    srtt_before = s.srtt
+    # Retransmitted packet: ACK clears it but never feeds the estimator.
+    s.pending[8] = PendingPacket(data=b"x", addr=s.addr,
+                                 sent_at=_t.monotonic(), retries=1)
+    harness._handle_ack(AckPacket(acked_sequence=8), s)
+    assert 8 not in s.pending
+    assert s.srtt == srtt_before
+    # Backoff arithmetic: the per-retry wait doubles, capped at 2 s.
+    s.rto = 0.2
+    waits = [min(s.rto * (1 << r), 2.0) for r in range(5)]
+    assert waits == [0.2, 0.4, 0.8, 1.6, 2.0]
+
+
+def test_http_header_line_cap(harness):
+    """A client trickling header lines forever must not hold the management
+    port open (slowloris): the server gives up after the header cap."""
+    import json as _json
+    import socket as _socket
+
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent/model.npz",
+        "port": PORT + 71, "web_port": PORT + 72, "max_clients": 2,
+        "tpu": {"batch_window_ms": 1.0, "frame_buckets": [[128, 128]],
+                "batch_buckets": [1]},
+    })
+    h = ServerHarness(cfg)
+    h.start()
+    try:
+        # Legitimate request works.
+        sock = _socket.create_connection(("127.0.0.1", PORT + 72), timeout=5)
+        sock.sendall(b"GET /statusz HTTP/1.1\r\nHost: x\r\n\r\n")
+        data = sock.recv(65536)
+        sock.close()
+        assert data.startswith(b"HTTP/1.1 200")
+        # 200 junk header lines: connection is dropped without a response
+        # (the cap fires long before the per-line timeouts accumulate).
+        sock = _socket.create_connection(("127.0.0.1", PORT + 72), timeout=5)
+        sock.settimeout(10)
+        sock.sendall(b"GET /statusz HTTP/1.1\r\n")
+        sock.sendall(b"".join(b"X-Junk-%d: y\r\n" % i for i in range(200)))
+        got = b""
+        try:
+            while True:
+                chunk = sock.recv(4096)
+                if not chunk:
+                    break
+                got += chunk
+        except OSError:
+            pass
+        sock.close()
+        assert got == b""  # no response to the slowloris attempt
+    finally:
+        h.stop()

@@ -206,10 +206,13 @@ class DetectionServer:
         self.results_sent = Counter()  # rate => live served fps
         self.keyframe_requests = Counter()  # REQUEST_KEYFRAME commands sent
         self.frames_paused = Counter()  # frames shed at ingest while paused
+        self.cache_rejects = Counter()  # keyframes the device cache refused
+        self._cache_reject_log_at = 0.0  # rate limit for the warning
         self.unknown_sender_naks = Counter()  # ERRORs to sessionless senders
         self._unknown_nak: Dict[Addr, float] = {}  # per-addr NAK rate limit
         self._nak_prune_at = 0.0  # full-table prune throttle (flood posture)
         self._draining = False  # stop() in progress: refuse new handshakes
+        self._recovering = False  # single-flight socket recovery guard
         self.detect_latency = RollingStats()  # frame recv -> result sent
         self.frames_received = Counter()  # FRAME_DATA ingest (offered rate)
         self.rate_updates_sent = Counter()  # CONFIG_UPDATE broadcasts
@@ -354,8 +357,22 @@ class DetectionServer:
                     pass
         self.batcher.stop()
         if self._decode_threads:
+            import queue as _queue
             for q in self._decode_queues:
-                q.put(None)
+                # Never block the event loop on a full decode queue (a
+                # worker can be wedged behind the cache lock for the length
+                # of a relayed-TPU stall, and the drain thread keeps
+                # refilling): make room by dropping queued frames — the
+                # server is stopping, their results are already moot.
+                while True:
+                    try:
+                        q.put_nowait(None)
+                        break
+                    except _queue.Full:
+                        try:
+                            q.get_nowait()
+                        except _queue.Empty:
+                            pass
             for t in self._decode_threads:
                 t.join(timeout=2.0)
             self._decode_threads = []
@@ -396,6 +413,7 @@ class DetectionServer:
             # so per-packet inc()s directly delay the next drain.
             fast_n = 0
             fast_bytes = 0
+            fast_frames = 0
             for item in batch:
                 data, addr, hdr, pre_acked = item
                 try:
@@ -411,8 +429,10 @@ class DetectionServer:
                                 self.bad_packets.inc()
                                 continue
                             fid, fts, w, h, keyframe, off = parsed
+                            fast_frames += 1
                             self._handle_frame_fast(session, fid, fts, w, h,
-                                                    keyframe, data[off:])
+                                                    keyframe, data[off:],
+                                                    count_offered=False)
                             continue
                 except Exception:  # noqa: BLE001
                     self.bad_packets.inc()
@@ -424,6 +444,8 @@ class DetectionServer:
                 self.bytes_received.inc(fast_bytes)
                 self.packets_sent.inc(fast_n)   # the C-side 26B ACKs
                 self.bytes_sent.inc(26 * fast_n)
+            if fast_frames:
+                self.frames_received.inc(fast_frames)
             if not rest:
                 return
         def deliver(batch=rest):
@@ -519,7 +541,9 @@ class DetectionServer:
             if session is not None and len(data) >= 26:
                 acked = int.from_bytes(data[22:26], "little")
                 pending = session.pending.pop(acked, None)
-                if pending is not None:
+                if pending is not None and pending.retries == 0:
+                    # Karn: an ACK for a retransmitted packet is ambiguous
+                    # (original or copy?) — sampling it can collapse the RTO.
                     session.observe_rtt(time.monotonic() - pending.sent_at)
             return
         if session is not None and not pre_acked:
@@ -673,7 +697,9 @@ class DetectionServer:
         if session is None:
             return
         pending = session.pending.pop(pkt.acked_sequence, None)
-        if pending is not None:
+        if pending is not None and pending.retries == 0:
+            # Karn: never sample RTT from retransmitted packets (see the
+            # fast-path ACK handler).
             session.observe_rtt(time.monotonic() - pending.sent_at)
 
     def _handle_client_info(self, pkt: ClientInfoPacket, addr: Addr) -> None:
@@ -693,6 +719,11 @@ class DetectionServer:
         existing = self._by_addr.get(addr)
         if existing is not None:
             session = self._sessions[existing]
+            changed = ((info.screen_width or session.screen_width,
+                        info.screen_height or session.screen_height,
+                        info.game_id)
+                       != (session.screen_width, session.screen_height,
+                           session.game_id))
             session.screen_width = info.screen_width or session.screen_width
             session.screen_height = info.screen_height or session.screen_height
             session.game_id = info.game_id
@@ -701,6 +732,15 @@ class DetectionServer:
             # reusing the addr:port would be ACKed but never served.
             session.paused = False
             client_id = existing
+            if changed:
+                # Refresh the adapter registration: best_target ranks by
+                # pixel distance from the session's screen dims, so a
+                # restart at a new resolution (or game) must reach adapter
+                # state. Unchanged retries (lost SERVER_INFO) keep their
+                # live tracker instead of churning it.
+                self.adapter.register_client(client_id, session.screen_width,
+                                             session.screen_height,
+                                             info.game_id)
         elif len(self._sessions) >= self.config.max_clients:
             self._send_raw(ErrorPacket(
                 error_code=ErrorCode.SERVER_FULL,
@@ -809,8 +849,14 @@ class DetectionServer:
 
     def _handle_frame_fast(self, session: ClientSession, frame_id: int,
                            frame_ts: int, width: int, height: int,
-                           keyframe: bool, payload: bytes) -> None:
-        self.frames_received.inc()  # offered rate feed for rate control
+                           keyframe: bool, payload: bytes,
+                           count_offered: bool = True) -> None:
+        # Offered-rate feed for rate control. The drain thread batches this
+        # counter across the recvmmsg batch (count_offered=False there) —
+        # a per-packet lock here would undo _on_native_batch's one-inc-per-
+        # batch discipline on the thread that gates the next drain.
+        if count_offered:
+            self.frames_received.inc()
         if session.paused:
             # PAUSE/STOP_STREAM: shed before decode/device work. All three
             # FRAME_DATA ingest paths (drain-thread fast path, validated
@@ -918,8 +964,20 @@ class DetectionServer:
                     return
             else:
                 if not cache.write_keyframe(session.client_id, decoded.pixels):
-                    log.warning("frame cache full/oversized (client %d)",
-                                session.client_id)
+                    # Counted (visible to /statusz and operators) and
+                    # rate-limited: a misconfigured client streaming
+                    # oversized keyframes at 60 fps must not emit 60
+                    # warnings/s of formatting work on the decode worker.
+                    self.cache_rejects.inc()
+                    now = time.monotonic()
+                    if now - self._cache_reject_log_at > 5.0:
+                        self._cache_reject_log_at = now
+                        log.warning(
+                            "frame cache refused keyframe (client %d, "
+                            "%dx%d): no free slot or frame exceeds the "
+                            "slot bucket (%d rejects total)",
+                            session.client_id, width, height,
+                            self.cache_rejects.value)
                     return
         else:
             if decoded.roi is not None:
@@ -947,7 +1005,13 @@ class DetectionServer:
     def _send_raw(self, data: bytes, addr: Addr) -> None:
         if self._transport is None:
             return
-        self._transport.sendto(data, addr)
+        rc = self._transport.sendto(data, addr)
+        if rc is not None and rc < 0:
+            # Native transport surfaces -errno (ENOBUFS/EAGAIN bursts):
+            # count the drop honestly instead of reporting healthy tx
+            # while packets die at the socket.
+            self.send_drops.inc()
+            return
         self.packets_sent.inc()
         self.bytes_sent.inc(len(data))
 
@@ -1102,7 +1166,13 @@ class DetectionServer:
                     continue
                 for seq in list(session.pending.keys()):
                     p = session.pending.get(seq)
-                    if p is None or now - p.sent_at < session.rto:
+                    # RFC6298 5.5: exponential RTO backoff per retry (capped
+                    # at the same 2 s ceiling as the base RTO) — a fixed
+                    # interval re-burns retries while the real ACK is still
+                    # in flight on high-latency paths.
+                    if p is None or (now - p.sent_at
+                                     < min(session.rto * (1 << p.retries),
+                                           2.0)):
                         continue
                     if p.retries >= max_retries:
                         del session.pending[seq]
@@ -1203,7 +1273,13 @@ class DetectionServer:
                 })
                 if self._rate_ctl is not None:
                     prev = self._rate_ctl.hint
-                    offered = self.frames_received.rate(5.0)
+                    # Paused sessions' frames are shed at ingest and can
+                    # never produce a drop OR a latency sample — leaving
+                    # them in `offered` dilutes drop_frac (and the per-
+                    # client rate below) until real overload hides behind
+                    # paused traffic.
+                    offered = max(self.frames_received.rate(5.0)
+                                  - self.frames_paused.rate(5.0), 0.0)
                     # Shed frames never produce a latency sample, so the
                     # drop fraction is the only overload signal in the
                     # steady-shedding mode this controller exists for.
@@ -1274,25 +1350,37 @@ class DetectionServer:
                 log.exception("model watcher failed")
 
     def _schedule_socket_recovery(self) -> None:
-        if self._loop and self._running:
+        # Single-flight: a burst of error_received callbacks must not stack
+        # recovery tasks — each extra task would re-bind after the first one
+        # succeeded (leaking reuseport group members, or raising EADDRINUSE).
+        if self._loop and self._running and not self._recovering:
+            self._recovering = True
             self._loop.create_task(self._recover_socket())
 
     async def _recover_socket(self) -> None:
         """Close and re-create the datagram endpoint in place
         (reference reliable_udp.cpp:492-509)."""
-        if self._transport:
-            self._transport.close()
-            self._transport = None
-        await asyncio.sleep(0.05)
         try:
-            # reuse_port: rejoin the reuseport group, not a plain bind — a
-            # plain bind would EADDRINUSE against the surviving fleet shards.
-            await self._loop.create_datagram_endpoint(
-                lambda: _Protocol(self), local_addr=("0.0.0.0", self.port),
-                reuse_port=self.config.network.reuse_port or None)
-            log.warning("socket recovered on udp/%d", self.port)
-        except OSError:
-            log.exception("socket recovery failed")
+            if self._transport:
+                self._transport.close()
+                self._transport = None
+            await asyncio.sleep(0.05)
+            if not self._running:
+                # stop() ran while we slept: re-binding now would hold the
+                # port past shutdown (EADDRINUSE for the next boot).
+                return
+            try:
+                # reuse_port: rejoin the reuseport group, not a plain bind —
+                # a plain bind would EADDRINUSE against surviving shards.
+                await self._loop.create_datagram_endpoint(
+                    lambda: _Protocol(self),
+                    local_addr=("0.0.0.0", self.port),
+                    reuse_port=self.config.network.reuse_port or None)
+                log.warning("socket recovered on udp/%d", self.port)
+            except OSError:
+                log.exception("socket recovery failed")
+        finally:
+            self._recovering = False
 
     # =============================================================== status
     def status(self) -> Dict[str, object]:
@@ -1311,6 +1399,7 @@ class DetectionServer:
                 "bytes_received": self.bytes_received.value,
                 "bytes_sent": self.bytes_sent.value,
                 "retransmits": self.retransmits.value,
+            "cache_rejects": self.cache_rejects.value,
                 "send_drops": self.send_drops.value,
                 "bad_packets": self.bad_packets.value,
                 "unknown_sender_naks": self.unknown_sender_naks.value,
@@ -1365,12 +1454,17 @@ class DetectionServer:
             method = parts[0].decode("ascii", "replace").upper()
             path = parts[1].decode("utf-8", "replace")
             content_length = 0
-            while True:
+            # Header cap: each readline gets a fresh 5 s timeout, so without
+            # a line bound a client trickling one garbage header every ~4 s
+            # holds the fd/coroutine forever (slowloris on the mgmt port).
+            for _ in range(64):
                 line = await asyncio.wait_for(reader.readline(), timeout=5.0)
                 if line in (b"\r\n", b"\n", b""):
                     break
                 if line.lower().startswith(b"content-length:"):
                     content_length = int(line.split(b":", 1)[1].strip() or 0)
+            else:
+                return  # >64 header lines: not a legitimate client
             body = b""
             if method == "POST" and 0 < content_length <= 256 * 1024 * 1024:
                 body = await asyncio.wait_for(
@@ -1407,11 +1501,15 @@ class DetectionServer:
         return len(self._sessions)
 
 
-async def serve(config: Optional[ServerConfig] = None) -> DetectionServer:
-    """Convenience entry: build, warm up, start."""
+async def serve(config: Optional[ServerConfig] = None,
+                warmup: bool = True) -> DetectionServer:
+    """Convenience entry: build, warm up, start. Warmup pre-compiles every
+    serving program before the batcher runs (main() does the same) — a cold
+    embedder would otherwise stall its first live batches on XLA compiles;
+    pass warmup=False to skip (tests, simulation mode)."""
     config = config or ServerConfig.load()
     server = DetectionServer(config)
-    await server.start()
+    await server.start(warmup=warmup)
     return server
 
 
