@@ -269,19 +269,94 @@ def test_flush_groups_by_bucket_class(monkeypatch):
     assert img2[0, 16].tolist() == [10] * 3
     assert img2[100, 100].tolist() == [0] * 3
 
-    # A slot with writes in TWO classes: ALL its writes are promoted to the
-    # slot's largest class so overlap ordering (last wins) survives the
-    # grouping.
+    # A slot with writes in TWO classes: runs split at class transitions
+    # and flush in phase order, so overlap ordering (last wins) survives
+    # WITHOUT promoting the small write to the large class (the promotion
+    # inflated a slot's co-pending small diffs to full extent).
     shapes.clear()
     a = np.full((100, 100, 3), 60, np.uint8)     # bucket 128
     b = np.full((8, 8, 3), 70, np.uint8)         # bucket 16, overlaps a
     assert cache.write_roi(1, a, 0, 0)
     assert cache.write_roi(1, b, 0, 0)
     frames, _, _ = cache.gather([1])
-    assert len(shapes) == 1 and shapes[0][1:3] == (128, 128)
+    assert [s[1:3] for s in shapes] == [(128, 128), (16, 16)]
     img = np.asarray(frames[0])
     assert img[0, 0].tolist() == [70] * 3        # later small write wins
     assert img[50, 50].tolist() == [60] * 3
+
+    # Order survives a small->large->small alternation too (three runs).
+    shapes.clear()
+    assert cache.write_roi(1, np.full((8, 8, 3), 80, np.uint8), 0, 0)
+    assert cache.write_roi(1, a, 0, 0)           # overwrites the 80s
+    assert cache.write_roi(1, np.full((8, 8, 3), 90, np.uint8), 4, 4)
+    frames, _, _ = cache.gather([1])
+    assert [s[1:3] for s in shapes] == [(16, 16), (128, 128), (16, 16)]
+    img = np.asarray(frames[0])
+    assert img[0, 0].tolist() == [60] * 3        # run 2 covered run 1
+    assert img[4, 4].tolist() == [90] * 3        # run 3 on top
+
+
+def test_full_extent_roi_uses_fine_count_ladder(monkeypatch):
+    """A lone full-frame ROI must not pad its upload 16x: the full-extent
+    class flushes on the keyframe-style count ladder (1/4/16/cap)."""
+    import zero_latency_yolo_tpu.ops.roi as roi_mod
+    shapes = []
+    real = roi_mod._paste_many
+
+    def recording(cache, regions, meta):
+        shapes.append(tuple(int(d) for d in regions.shape))
+        return real(cache, regions, meta)
+
+    monkeypatch.setattr(roi_mod, "_paste_many", recording)
+    cache = DeviceFrameCache(num_slots=4, height=64, width=96)
+    assert cache.write_keyframe(1, np.zeros((64, 96, 3), np.uint8))
+    cache.gather([1])
+    shapes.clear()
+    assert cache.write_roi(1, np.full((60, 90, 3), 5, np.uint8), 0, 0)
+    frames, _, _ = cache.gather([1])
+    assert shapes == [(1, 64, 96, 3)]  # exact count, no 16x pad
+    assert np.asarray(frames[0])[30, 30].tolist() == [5] * 3
+
+
+def test_write_rejects_malformed_arrays():
+    """Shape/dtype validation happens at ENQUEUE: a malformed array inside
+    the batched flush is indistinguishable from a device failure there, and
+    that recovery path re-zeros the whole cache (every client re-anchors)."""
+    cache = DeviceFrameCache(num_slots=2, height=64, width=64)
+    gray = np.zeros((32, 32), np.uint8)             # no channel axis
+    f32 = np.zeros((32, 32, 3), np.float32)          # wrong dtype
+    assert not cache.write_keyframe(1, gray)
+    assert not cache.write_keyframe(1, f32)
+    assert cache.write_keyframe(1, np.zeros((64, 64, 3), np.uint8))
+    assert not cache.write_roi(1, gray, 0, 0)
+    assert not cache.write_roi(1, f32, 0, 0)
+    assert not cache.write_roi(1, np.zeros((0, 4, 3), np.uint8), 0, 0)
+    # The cache still flushes fine after the rejections.
+    frames, _, _ = cache.gather([1])
+    assert np.asarray(frames[0]).shape == (64, 64, 3)
+
+
+def test_empty_jpeg_payload_stays_in_decode_contract():
+    """A wire-reachable ROIIMG header with no JPEG body must raise
+    FrameDecodeError (cv2.imdecode on an empty buffer RAISES on this cv2),
+    keeping the server's bad-packet accounting instead of a traceback."""
+    hdr = build_roi_header(4, 4, 8, 8, 64)
+    with pytest.raises(FrameDecodeError):
+        decode_frame_payload(hdr, 64, 64)
+    with pytest.raises(FrameDecodeError):
+        decode_frame_payload(b"", 0, 0)
+
+
+def test_apply_diff_aliases_roi_paste():
+    """Difference-frame updates carry changed-region PIXELS in the
+    reference encoding (screen_capture.cpp:470-538), so apply_diff pastes
+    exactly like write_roi."""
+    cache = DeviceFrameCache(num_slots=2, height=32, width=32)
+    assert cache.write_keyframe(1, np.zeros((32, 32, 3), np.uint8))
+    assert cache.apply_diff(1, np.full((8, 8, 3), 9, np.uint8), 4, 4)
+    frames, _, _ = cache.gather([1])
+    img = np.asarray(frames[0])
+    assert img[4, 4].tolist() == [9] * 3 and img[0, 0].tolist() == [0] * 3
 
 
 def test_warm_covers_full_roi_bucket_ladder(monkeypatch):

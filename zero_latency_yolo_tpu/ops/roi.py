@@ -259,6 +259,13 @@ class DeviceFrameCache:
         relayed TPU transports, and one batched write program per window is
         the efficient form anyway. A keyframe supersedes everything queued
         for its slot."""
+        if frame.ndim != 3 or frame.shape[2] != 3 or frame.dtype != np.uint8:
+            # Reject malformed arrays at ENQUEUE: a broadcast error inside
+            # the batched flush is indistinguishable from a device failure
+            # there, and the recovery path (freeze every touched slot,
+            # re-zero the donated cache) costs every co-resident stream its
+            # frame for one caller's host bug.
+            return False
         h, w = frame.shape[:2]
         if h <= 0 or w <= 0 or h > self.height or w > self.width:
             # Zero-area frames would set dims to e.g. (480, 0) and defeat
@@ -290,7 +297,12 @@ class DeviceFrameCache:
         """Queue a decoded (rh, rw, 3) region paste at (x, y) for the
         client's cached frame. Applied (in order) by one batched device
         program at the next flush — no per-write device dispatch."""
+        if (region.ndim != 3 or region.shape[2] != 3
+                or region.dtype != np.uint8):
+            return False  # see write_keyframe: validate at enqueue
         rh, rw = region.shape[:2]
+        if rh <= 0 or rw <= 0:
+            return False
         with self._lock:
             # Slot resolved under the same lock hold as the append (see
             # write_keyframe: the check-then-relock gap let a stale paste
@@ -419,30 +431,42 @@ class DeviceFrameCache:
         # the whole chunk to full extent (128x padded upload bytes — ~3s of
         # link time through a 20 MB/s relay for what is one region's worth
         # of pixels). Writes to different slots commute (each paste touches
-        # only its own slot), so classes can flush in any order; per-slot
-        # ordering is preserved by forcing ALL of a slot's writes into that
-        # slot's LARGEST class (within a class the submission order stays).
+        # only its own slot); per-slot ordering is preserved by splitting a
+        # slot's writes into RUNS at class-transition boundaries and
+        # flushing groups in (phase, class) order — a slot's later run
+        # always lands after its earlier one, while a lone full-extent
+        # region no longer inflates the slot's co-pending small diffs to
+        # full extent (the previous force-into-largest-class grouping paid
+        # that inflation WITHIN one slot).
         if self._pending:
-            slot_cls: Dict[int, Tuple[int, int]] = {}
+            groups: Dict[Tuple[int, Tuple[int, int]], list] = {}
+            slot_phase: Dict[int, int] = {}
+            slot_last: Dict[int, Tuple[int, int]] = {}
             for p in self._pending:
                 c = (_roi_bucket(p[3], self.height),
                      _roi_bucket(p[4], self.width))
-                prev = slot_cls.get(p[0], (0, 0))
-                slot_cls[p[0]] = (max(prev[0], c[0]), max(prev[1], c[1]))
-            groups: Dict[Tuple[int, int], list] = {}
-            for p in self._pending:
-                groups.setdefault(slot_cls[p[0]], []).append(p)
+                if slot_last.get(p[0]) != c:
+                    slot_phase[p[0]] = slot_phase.get(p[0], -1) + 1
+                    slot_last[p[0]] = c
+                groups.setdefault((slot_phase[p[0]], c), []).append(p)
             self._pending = []
         else:
             groups = {}
-        for (bh, bw), pending in sorted(groups.items()):
+        for (_phase, (bh, bw)), pending in sorted(groups.items()):
             while pending:
                 pend = pending[:self._chunk]
                 pending = pending[self._chunk:]
                 # Coarse shape buckets: ROI programs are keyed by (k, bh, bw);
                 # through a remote-compile relay every new shape costs tens of
                 # seconds, so the grid is {16, 64, cap} x {16, 32, 128, full}.
-                k = _count_bucket(len(pend), self._chunk)
+                # The FULL-extent class uses the keyframe-style fine count
+                # ladder instead: whole-frame regions are the costliest pad
+                # entries in the system, and a lone full-frame ROI would
+                # otherwise upload 16x its bytes.
+                if (bh, bw) == (self.height, self.width):
+                    k = _kf_bucket(len(pend), self._chunk)
+                else:
+                    k = _count_bucket(len(pend), self._chunk)
                 regions = np.zeros((k, bh, bw, 3), np.uint8)
                 meta = np.zeros((k, 5), np.int32)  # slot, y, x, rh, rw
                 for i, (slot, y, x, rh, rw, region) in enumerate(pend):
@@ -555,7 +579,15 @@ class DeviceFrameCache:
                     # their larger counts only mint once >16 same-class
                     # writes pend in one window, by which point the
                     # persistent compile cache usually has them.
-                    counts = ((16, 64, self._chunk) if bh == bw else (16,))
+                    if (bh, bw) == (self.height, self.width):
+                        # Full-extent class flushes on the fine keyframe
+                        # count ladder (see _flush_writes_locked).
+                        counts = tuple(sorted(
+                            {_kf_bucket(n, self._chunk)
+                             for n in (1, 4, _KF_CHUNK, self._chunk)}))
+                    else:
+                        counts = ((16, 64, self._chunk) if bh == bw
+                                  else (16,))
                     for count in counts:
                         if (count, bh, bw) not in probed:
                             probed.add((count, bh, bw))

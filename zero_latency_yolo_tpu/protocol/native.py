@@ -50,9 +50,27 @@ def _build() -> bool:
         return False
 
 
+def _sources_newer_than_so() -> bool:
+    try:
+        so_m = os.path.getmtime(_SO_PATH)
+        return any(
+            os.path.getmtime(os.path.join(_NATIVE_DIR, n)) > so_m
+            for n in os.listdir(_NATIVE_DIR)
+            if n.endswith((".c", ".cpp", ".h", "Makefile")))
+    except OSError:
+        return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
-    if not os.path.exists(_SO_PATH) and not _build():
-        return None
+    if not os.path.exists(_SO_PATH):
+        if not _build():
+            return None
+    elif _sources_newer_than_so():
+        # An edited codec.cpp must not silently keep serving the stale
+        # binary (the wire format is byte-frozen; a fix that never loads
+        # is worse than a build failure). Best-effort: a failed rebuild
+        # falls back to the existing .so with the warning from _build.
+        _build()
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError as e:
@@ -138,6 +156,12 @@ def build_frame_data(frame_id: int, frame_ts: int, w: int, h: int,
                      ts_ms: int) -> bytes:
     """FRAME_DATA with the CRC computed in C++ — the client-side hot path
     (a pure-Python CRC over every 60 FPS payload dominates client CPU)."""
+    if not HAVE_FRAME_BUILDER:
+        # A stale .so can have HAVE_NATIVE without this symbol: raise the
+        # module's descriptive error, not a bare ctypes AttributeError.
+        raise RuntimeError(
+            "native codec lacks zl_build_frame_data (stale libzlcodec.so; "
+            "run `make native`) — gate callers on HAVE_FRAME_BUILDER")
     buf = ctypes.create_string_buffer(22 + 17 + len(payload))
     n = _require_lib().zl_build_frame_data(
         buf, frame_id, frame_ts, w, h, 1 if keyframe else 0,

@@ -37,7 +37,17 @@ class FrameDecodeError(ValueError):
 def _decode_jpeg(data: bytes) -> np.ndarray:
     if not _HAS_CV2:
         raise FrameDecodeError("JPEG payload but cv2 unavailable")
-    arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    if not data:
+        # cv2.imdecode on an empty buffer RAISES cv2.error (assertion) on
+        # this cv2 instead of returning None — a wire-reachable payload
+        # (ROIIMG header with no JPEG body) must stay inside the
+        # FrameDecodeError contract, not traceback past the server's
+        # bad-packet accounting.
+        raise FrameDecodeError("empty JPEG payload")
+    try:
+        arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    except cv2.error as e:
+        raise FrameDecodeError(f"JPEG decode failed: {e}") from e
     if arr is None:
         raise FrameDecodeError("JPEG decode failed")
     return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
