@@ -64,7 +64,8 @@ def test_letterbox_geometry_matches_serving():
     assert out.shape == (S, S, 3)
     assert scale == pytest.approx(0.8)
     assert (pad_x, pad_y) == (0, 16)
-    assert np.all(out[:16] == 0) and np.all(out[48:] == 0)  # zero fill
+    # Serving-gray fill (ops/preprocess.FILL = 114/255).
+    assert np.all(out[:16] == 114) and np.all(out[48:] == 114)
     assert np.all(out[16:48] == 200)
 
 
@@ -79,7 +80,9 @@ def test_load_sample_remaps_boxes_exactly(dataset):
     y0, y1 = int((0.5 - 0.25 / 2) * S), int((0.5 + 0.25 / 2) * S)
     x0, x1 = int((0.5 - 0.5 / 2) * S), int((0.5 + 0.5 / 2) * S)
     assert img[(y0 + y1) // 2, (x0 + x1) // 2, 0] > 150  # class-0 red fill
-    assert np.all(img[:16] == 0)
+    # Pad rows carry the SERVING letterbox fill (ops/preprocess.FILL gray),
+    # not black: a fine-tune must see serving-time pad pixels.
+    assert np.all(img[:16] == 114)
 
 
 def test_negative_sample_all_padding(dataset):
@@ -275,5 +278,5 @@ def test_coco_to_yolo_subdir_names_and_rerun(tmp_path):
     coco["images"].append({"id": 3, "file_name": "p1_a.png",
                            "width": 10, "height": 10})
     ann.write_text(json.dumps(coco))
-    with pytest.raises(ValueError, match="flatten"):
+    with pytest.raises(ValueError, match="both map to output"):
         coco_to_yolo(str(ann), str(src2), str(tmp_path / "out2"))

@@ -109,12 +109,32 @@ class CheckpointManager:
                    "step": template.step}
             if template.ema_params is not None:
                 tpl["ema_params"] = template.ema_params
-            restored = self._mgr.restore(
-                target, args=ocp.args.StandardRestore(tpl))
+            try:
+                restored = self._mgr.restore(
+                    target, args=ocp.args.StandardRestore(tpl))
+            except Exception:  # noqa: BLE001 — EMA-presence mismatch
+                if "ema_params" not in tpl:
+                    raise
+                # Resuming WITH --ema from a checkpoint saved without it:
+                # restore the rest and seed the EMA from the restored
+                # params (the standard EMA init) instead of aborting.
+                del tpl["ema_params"]
+                restored = self._mgr.restore(
+                    target, args=ocp.args.StandardRestore(tpl))
+                restored["ema_params"] = restored["params"]
+                import logging
+                logging.getLogger("zlt.train").warning(
+                    "checkpoint %d has no EMA state; --ema resumes with "
+                    "EMA seeded from the restored params", target)
+            ema = restored.get("ema_params")
+            if ema is None and template.ema_params is not None:
+                # JAX arrays are immutable: sharing leaves with params is a
+                # correct EMA seed (updates build fresh trees).
+                ema = restored["params"]
             return TrainState(params=restored["params"],
                               opt_state=restored["opt_state"],
                               step=restored["step"],
-                              ema_params=restored.get("ema_params"))
+                              ema_params=ema)
         return self._restore_npz(template, target)
 
     def _restore_npz(self, template: TrainState, step: int) -> TrainState:
@@ -130,6 +150,15 @@ class CheckpointManager:
         if os.path.exists(ema_path):
             with np.load(ema_path) as z:
                 ema = unflatten({k: z[k] for k in z.files})
+            if template.ema_params is None:
+                # The run did not request --ema: carrying the file's EMA
+                # would silently re-enable tracking the user turned off.
+                ema = None
+        elif template.ema_params is not None:
+            # --ema resume from a checkpoint saved without it: seed from
+            # the restored params (standard EMA init) instead of silently
+            # disabling the requested EMA for the whole continued run.
+            ema = params
         import jax.numpy as jnp
         return TrainState(params=jax.tree.map(jnp.asarray, params),
                           opt_state=opt_state,

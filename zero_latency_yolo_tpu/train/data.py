@@ -14,7 +14,7 @@ training" and "fine-tune on your own data".
 
 Geometry: images are letterboxed to the square train size with the SAME
 parameters the serving preprocess uses (ops/preprocess.letterbox_params:
-scale = min(S/h, S/w), centered pad, zero fill) and the boxes are remapped
+scale = min(S/h, S/w), centered pad, 114-gray fill) and the boxes are remapped
 into letterboxed coordinates — a model fine-tuned here sees exactly the
 serving-time geometry. Host-side the paste lands on integer pixels (the
 device kernel samples at fractional pads; the difference is bounded by half
@@ -97,16 +97,23 @@ def read_labels(path: Optional[str], num_classes: Optional[int] = None
             if num_classes is not None and not 0 <= cls < num_classes:
                 raise ValueError(f"{path}:{ln}: class {cls:g} outside "
                                  f"[0, {num_classes})")
+            if not all(np.isfinite(v) and 0.0 <= v <= 1.0 for v in vals):
+                # One NaN coordinate silently NaNs the whole training loss
+                # (CIoU of a NaN GT) with nothing pointing at the bad file.
+                raise ValueError(f"{path}:{ln}: box values must be finite "
+                                 f"and normalized to [0, 1], got {line!r}")
             rows.append((cls, *vals))
     return np.asarray(rows, np.float32).reshape(-1, 5)
 
 
-def letterbox_image(img: np.ndarray, size: int, fill: int = 0
+def letterbox_image(img: np.ndarray, size: int, fill: int = 114
                     ) -> Tuple[np.ndarray, float, int, int]:
     """Letterbox an HWC uint8 image to (size, size); returns (out, scale,
-    pad_x, pad_y) with the serving preprocess's geometry (integer paste).
-    fill=114 matches the serving letterbox's gray pad (ops/preprocess.FILL);
-    training keeps the historical zero pad (trained artifacts bake it in)."""
+    pad_x, pad_y) with the serving preprocess's geometry (integer paste)
+    AND its gray pad (ops/preprocess.FILL = 114/255): a model fine-tuned on
+    non-square data must see serving-time pad pixels, not black borders.
+    (The committed artifacts trained on square synthetic data — no pad
+    pixels existed — so the default flip is behavior-neutral for them.)"""
     cv2 = _require_cv2()
     h, w = img.shape[:2]
     scale = min(size / h, size / w)
@@ -219,11 +226,16 @@ def coco_to_yolo(ann_file: str, images_dir: str, out_dir: str,
     for im in imgs.values():
         flat = im["file_name"].replace(os.sep, "_").replace("/", "_")
         other = flat_names.get(flat)
-        if other is not None and other != im["file_name"]:
+        if other is not None:
+            # Covers BOTH collision modes: distinct names flattening to one
+            # output name AND two distinct image records sharing one
+            # file_name (a merged annotation file) — either way the second
+            # label write would silently replace the first image's boxes.
             raise ValueError(
-                f"distinct images {other!r} and {im['file_name']!r} both "
-                f"flatten to {flat!r}; rename one in the annotation file")
-        flat_names[flat] = im["file_name"]
+                f"images id={other[1]} ({other[0]!r}) and id={im['id']} "
+                f"({im['file_name']!r}) both map to output {flat!r}; "
+                f"deduplicate the annotation file")
+        flat_names[flat] = (im["file_name"], im["id"])
         im["_flat_name"] = flat
     n = 0
     for im_id, im in imgs.items():

@@ -8,6 +8,7 @@ class with greedy IoU matching (VOC-style, all-point interpolation).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -72,6 +73,23 @@ def match_detections(pred_boxes: np.ndarray, pred_scores: np.ndarray,
 COCO_IOU_LADDER = tuple(round(0.5 + 0.05 * i, 2) for i in range(10))
 
 
+@partial(jax.jit, static_argnames=("spec", "size", "dtype", "topk"))
+def _eval_forward(params, x, cw, conf, nms, *, spec: ModelSpec, size: int,
+                  dtype, topk: Optional[int]):
+    """Module-level jitted eval step with params as an ARGUMENT: a closure
+    jitted inside evaluate() baked the weights in as compile-time constants
+    and recompiled on every call — the compare scripts call evaluate once
+    per checkpoint, paying a full (relayed) recompile each time."""
+    pred = forward_decoded(params, spec, x, dtype=dtype)
+    b = x.shape[0]
+    scale = jnp.ones((b,), jnp.float32)
+    pad = jnp.zeros((b, 2), jnp.float32)
+    wh = jnp.full((b, 2), float(size), jnp.float32)
+    kw = {} if topk is None else {"topk": int(topk)}
+    return nms_ops.postprocess_batch(pred, cw, conf, nms, scale, pad, wh,
+                                     **kw)
+
+
 def evaluate(params, spec: ModelSpec, images: np.ndarray, targets: np.ndarray,
              conf_thresh: float = 0.25, nms_thresh: float = 0.45,
              iou_thresh: float = 0.5, batch: int = 8,
@@ -92,17 +110,10 @@ def evaluate(params, spec: ModelSpec, images: np.ndarray, targets: np.ndarray,
     cw = jnp.asarray(class_weights if class_weights is not None
                      else np.ones(nc), jnp.float32)
 
-    @jax.jit
     def run(x):
-        pred = forward_decoded(params, spec, x, dtype=dtype)
-        b = x.shape[0]
-        scale = jnp.ones((b,), jnp.float32)
-        pad = jnp.zeros((b, 2), jnp.float32)
-        wh = jnp.full((b, 2), float(s), jnp.float32)
-        kw = {} if topk is None else {"topk": int(topk)}
-        return nms_ops.postprocess_batch(
-            pred, cw, jnp.float32(conf_thresh), jnp.float32(nms_thresh),
-            scale, pad, wh, **kw)
+        return _eval_forward(params, x, cw, jnp.float32(conf_thresh),
+                             jnp.float32(nms_thresh), spec=spec, size=int(s),
+                             dtype=dtype, topk=topk)
 
     ladder = tuple(sorted({float(iou_thresh), *COCO_IOU_LADDER}))
     per_class: Dict[float, Dict[int, List[Tuple[float, bool]]]] = {

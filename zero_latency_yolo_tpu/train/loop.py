@@ -296,8 +296,12 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
     def _batches_for(s: int):
         if data and os.path.isdir(data):
             from .data import yolo_dir_batches
+            # Multiscale keeps one loader (and potentially one resident
+            # decoded cache) PER ladder size: split the memory budget so
+            # the total stays at one loader's bound, not N_sizes x it.
             src_it = yolo_dir_batches(data, batch, s, max_boxes=max_boxes,
-                                      num_classes=num_classes)
+                                      num_classes=num_classes,
+                                      cache_mb=2048 // max(len(sizes), 1))
         elif data:
             if len(sizes) > 1:
                 raise ValueError(".npz shards are fixed-shape; multiscale "
@@ -331,7 +335,10 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
         else:
             state, metrics = step_fn(state, jnp.asarray(images),
                                      jnp.asarray(targets))
-        step_num = int(state.step)
+        # Host-side step arithmetic: int(state.step) is a blocking device
+        # readback (through a relayed TPU ~1 s each), which would serialize
+        # every step; device values are only touched on log/ckpt steps.
+        step_num = start + i + 1
         if step_num % log_every == 0 or step_num == steps:
             loss = float(metrics["loss"])
             rate = step_num - start and (step_num - start) / (time.perf_counter() - t0)
