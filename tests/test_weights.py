@@ -283,3 +283,77 @@ def test_load_model_adopts_file_geometry(tmp_path):
     params, got, sim = load_model(path, "yolov8n", 4)  # wrong config
     assert not sim
     assert got.variant == "yolov8p" and got.num_classes == 6
+
+
+def test_infer_spec_recovers_non_eighth_widths():
+    """Width inversion must not rely on the stem alone: divisible-rounding
+    collides 0.2 with 0.25 at ch(64); deeper rungs disambiguate."""
+    from zero_latency_yolo_tpu.models.weights import infer_spec_from_params
+    from zero_latency_yolo_tpu.models.yolov8 import get_spec, init_params
+    spec = get_spec("yolov8-d0.33-w0.2", 4)
+    params = init_params(0, spec, folded=True, device=False)
+    inf = infer_spec_from_params(params)
+    # Exact channel geometry recovered (the label's w may differ in
+    # representation; fits() guarantees every ch() matches).
+    for base in (64, 128, 256, 512, 1024):
+        assert inf.ch(base) == spec.ch(base)
+    assert inf.num_classes == 4
+
+
+def test_init_params_device_false_is_numpy():
+    """device=False keeps the tree host-side (the watcher-thread shape
+    introspection must not put H2D traffic on a second device lane)."""
+    import jax
+    import numpy as np
+    from zero_latency_yolo_tpu.models.yolov8 import get_spec, init_params
+    p = init_params(0, get_spec("yolov8p", 4), folded=True, device=False)
+    leaves = jax.tree.leaves(p)
+    assert leaves and all(isinstance(x, np.ndarray) for x in leaves)
+
+
+def test_torch_checkpoint_refuses_pickled_objects(tmp_path, monkeypatch):
+    """weights_only=False unpickles arbitrary code and the upload endpoint +
+    watcher auto-load .pt files: pickled objects are refused by default."""
+    import torch
+
+    from zero_latency_yolo_tpu.models.weights import load_torch_checkpoint
+
+    path = tmp_path / "evil.pt"
+    # object() is not on torch's weights_only allowlist (a stand-in for any
+    # pickled class, e.g. a full ultralytics nn.Module checkpoint).
+    torch.save({"model": object()}, str(path))
+    monkeypatch.delenv("ZLT_TRUST_PICKLE", raising=False)
+    with pytest.raises(ValueError, match="pickled objects"):
+        load_torch_checkpoint(str(path))
+
+
+def test_fold_batchnorm_folds_existing_bias():
+    """A conv carrying BOTH a bias and BN stats folds as beta+(b-mean)*scale
+    (dropping b silently produced wrong outputs for converted checkpoints)."""
+    import numpy as np
+
+    from zero_latency_yolo_tpu.models.yolov8 import BN_EPS, fold_batchnorm
+    rng = np.random.default_rng(0)
+    node = {"w": rng.standard_normal((1, 1, 2, 3)).astype(np.float32),
+            "b": rng.standard_normal(3).astype(np.float32),
+            "bn": {"gamma": rng.uniform(0.5, 1.5, 3).astype(np.float32),
+                   "beta": rng.standard_normal(3).astype(np.float32),
+                   "mean": rng.standard_normal(3).astype(np.float32),
+                   "var": rng.uniform(0.5, 1.5, 3).astype(np.float32)}}
+    out = fold_batchnorm({"m": node})["m"]
+    scale = node["bn"]["gamma"] / np.sqrt(node["bn"]["var"] + BN_EPS)
+    want_b = node["bn"]["beta"] + (node["b"] - node["bn"]["mean"]) * scale
+    np.testing.assert_allclose(np.asarray(out["b"]), want_b, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["w"]),
+                               node["w"] * scale, rtol=1e-6)
+
+
+def test_unflatten_gap_raises_clearly():
+    """A filtered export missing one indexed entry must say so, not KeyError
+    into the simulation-mode fallback."""
+    import numpy as np
+
+    from zero_latency_yolo_tpu.models.weights import unflatten
+    flat = {"m/1/w": np.zeros(1), "m/2/w": np.zeros(1)}  # index 0 missing
+    with pytest.raises(ValueError, match="non-contiguous"):
+        unflatten(flat)

@@ -57,6 +57,14 @@ def unflatten(flat: Dict[str, np.ndarray]) -> Params:
             return node
         keys = list(node.keys())
         if keys and all(k.isdigit() for k in keys):
+            missing = [str(i) for i in range(len(keys)) if str(i) not in node]
+            if missing:
+                # A filtered/optimized export with a gap (e.g. index 0
+                # pruned) must say so, not KeyError into the blanket
+                # simulation-mode fallback.
+                raise ValueError(
+                    f"non-contiguous indexed checkpoint entries: have "
+                    f"{sorted(keys)}, missing {missing}")
             return [listify(node[str(i)]) for i in range(len(keys))]
         return {k: listify(v) for k, v in node.items()}
 
@@ -169,7 +177,22 @@ def _bn_arrays_to_tree(params: Params) -> Params:
 
 def load_torch_checkpoint(path: str) -> Params:
     import torch
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # pickled objects present
+        # weights_only=False unpickles ARBITRARY code — and the dashboard's
+        # model-upload + hot-reload watcher auto-load .pt files, so a
+        # default-unsafe load here is remote code execution for anyone who
+        # can reach the management port. Full ultralytics checkpoints
+        # (pickled nn.Modules) need an explicit operator opt-in.
+        if os.environ.get("ZLT_TRUST_PICKLE") == "1":
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+        else:
+            raise ValueError(
+                f"{path} contains pickled objects (a full ultralytics "
+                f"checkpoint?). Load only tensor checkpoints by default; "
+                f"export a state_dict / .onnx instead, or set "
+                f"ZLT_TRUST_PICKLE=1 if you trust this file. ({e})") from e
     if hasattr(obj, "state_dict"):
         sd = obj.state_dict()
     elif isinstance(obj, dict) and "model" in obj and hasattr(obj["model"], "state_dict"):
@@ -289,11 +312,13 @@ def from_onnx(path: str) -> Params:
 # ---------------------------------------------------------------------------
 
 def _expected_shapes(spec: ModelSpec, folded: bool) -> Dict[str, Tuple[int, ...]]:
-    # int seed => pure-NumPy init: this runs on the model-watcher thread
-    # (maybe_reload -> load_model), where a PRNGKey would put device ops on
-    # a second lane concurrent with the batcher's dispatches — the
-    # single-device-lane discipline scheduler.py documents.
-    ref = init_params(0, spec, folded=folded)
+    # int seed + device=False => pure-NumPy init with NO H2D transfers:
+    # this runs on the model-watcher thread (maybe_reload -> load_model),
+    # where device traffic would put a second lane concurrent with the
+    # batcher's dispatches — the single-device-lane discipline scheduler.py
+    # documents (and a whole-model transfer through the relay is seconds,
+    # repeated per candidate spec by infer_spec_from_params).
+    ref = init_params(0, spec, folded=folded, device=False)
     return {k: tuple(np.shape(v)) for k, v in flatten(ref).items()}
 
 
@@ -346,10 +371,18 @@ def infer_spec_from_params(params: Params) -> ModelSpec:
                          max_channels=mc, reg_max=reg_max)
         if fits(spec):
             return spec
-    # Parametric point: width from the stem (ch(64) = divisible(64*w) is
-    # exact at w = c64/64), depth from the bottleneck counts, channel cap
-    # from the deepest rung.
+    # Parametric point: candidate widths inverted from EVERY ladder rung —
+    # the stem alone (c64/64, 1/8 resolution) cannot recover widths like
+    # 0.2 (divisible-rounding collides with 0.25); deeper rungs invert at
+    # 1/64+ resolution and fits() is exact, so trying all candidates is
+    # safe. Depth from the bottleneck counts, channel cap from the deepest
+    # rung.
     from .yolov8 import _depth
+    width_cands = []
+    for c, base in zip(observed, (64, 128, 256, 512, 1024)):
+        cand = c / base
+        if cand not in width_cands:
+            width_cands.append(cand)
     w = c64 / 64.0
     # Depth: counts give an equivalence class of multiples; prefer the
     # canonical representatives (n3/3, n6/6) so a d0.17 artifact reports
@@ -358,14 +391,15 @@ def infer_spec_from_params(params: Params) -> ModelSpec:
               [x / 100.0 for x in range(5, 201)]
               if _depth(3, round(dd, 2)) == n3
               and _depth(6, round(dd, 2)) == n6), None)
-    for mc in (1024, int(round(observed[-1] / w))):
-        if d is None:
-            break
-        name = f"yolov8-d{d:g}-w{w:g}-mc{mc}"
-        spec = ModelSpec(variant=name, num_classes=nc, depth=d, width=w,
-                         max_channels=mc, reg_max=reg_max)
-        if fits(spec):
-            return spec
+    for w in width_cands:
+        for mc in (1024, int(round(observed[-1] / w))):
+            if d is None:
+                break
+            name = f"yolov8-d{d:g}-w{w:g}-mc{mc}"
+            spec = ModelSpec(variant=name, num_classes=nc, depth=d, width=w,
+                             max_channels=mc, reg_max=reg_max)
+            if fits(spec):
+                return spec
     raise ValueError(
         f"params have an unrecognized geometry: stem {c64}, ladder "
         f"{ladder}, bottlenecks ({n3},{n6}), nc {nc}")
@@ -386,14 +420,7 @@ def load_model(path: str, variant: str = "yolov8n", num_classes: int = 4,
 
     spec = get_spec(variant, num_classes)
     try:
-        if path.endswith(".npz"):
-            params = load_params(path)
-        elif path.endswith((".pt", ".pth")):
-            params = load_torch_checkpoint(path)
-        elif path.endswith(".onnx"):
-            params = from_onnx(path)
-        else:
-            raise ValueError(f"unknown weight format: {path}")
+        params = load_artifact(path)  # one extension dispatch, shared
         mismatch = spec_shape_mismatch(params, spec)
         if mismatch:
             inferred = infer_spec_from_params(params)
@@ -403,7 +430,10 @@ def load_model(path: str, variant: str = "yolov8n", num_classes: int = 4,
                 mismatch[0], inferred.variant, inferred.num_classes)
             spec = inferred
         return params, spec, False
-    except Exception:  # noqa: BLE001 — any failure => simulation mode
+    except Exception as e:  # noqa: BLE001 — any failure => simulation mode
+        logging.getLogger("zlt.weights").warning(
+            "model %s not loadable (%s: %s) — simulation mode",
+            path, type(e).__name__, e)
         # int seed => NumPy init (this path also runs on the watcher thread).
         params = init_params(seed, spec, folded=True)
         return params, spec, True

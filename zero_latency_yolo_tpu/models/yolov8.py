@@ -136,17 +136,17 @@ def _init_conv(rng, cin: int, cout: int, k: int, folded: bool, bias: bool = Fals
     (w + b); folded=False emits training form (w + bn stats)."""
     std = math.sqrt(2.0 / (cin * k * k))
     w = (rng.standard_normal((k, k, cin, cout)) * std).astype(np.float32)
-    p: Params = {"w": jnp.asarray(w)}
+    p: Params = {"w": w}
     if folded or bias:
-        p["b"] = jnp.zeros((cout,), jnp.float32)
+        p["b"] = np.zeros((cout,), np.float32)
     if not folded and not bias:
         p["bn"] = {
-            "gamma": jnp.ones((cout,), jnp.float32),
-            "beta": jnp.zeros((cout,), jnp.float32),
-            "mean": jnp.zeros((cout,), jnp.float32),
+            "gamma": np.ones((cout,), np.float32),
+            "beta": np.zeros((cout,), np.float32),
+            "mean": np.zeros((cout,), np.float32),
             # Non-trivial running_var so BN folding is exercised by tests.
-            "var": jnp.asarray(
-                np.abs(rng.standard_normal(cout)).astype(np.float32) * 0.5 + 0.5),
+            "var": np.abs(rng.standard_normal(cout)).astype(np.float32)
+            * 0.5 + 0.5,
         }
     return p
 
@@ -190,10 +190,15 @@ def _init_detect(rng, spec: ModelSpec, folded: bool) -> Params:
     return {"cv2": cv2, "cv3": cv3}
 
 
-def init_params(key, spec: ModelSpec, folded: bool = True) -> Params:
+def init_params(key, spec: ModelSpec, folded: bool = True,
+                device: bool = True) -> Params:
     """Random-initialized parameter pytree (layer keys match ultralytics
     indices). `key` may be a jax PRNG key or an int seed; initialization runs
-    on host NumPy (deterministic, no per-shape XLA compiles)."""
+    on host NumPy (deterministic, no per-shape XLA compiles). device=False
+    returns the NumPy tree untransferred — shape introspection on the
+    model-watcher thread must not put H2D traffic on a second device lane
+    (a whole model through the relayed TPU is seconds of transfer, and a
+    second lane concurrent with the batcher wedges the relay)."""
     if isinstance(key, int):
         seed = key
     else:
@@ -219,6 +224,8 @@ def init_params(key, spec: ModelSpec, folded: bool = True) -> Params:
     p["m19"] = _init_conv(rng, ch(512), ch(512), 3, folded)
     p["m21"] = _init_c2f(rng, ch(512) + ch(1024), ch(1024), _depth(3, d), folded)
     p["m22"] = _init_detect(rng, spec, folded)
+    if device:
+        p = jax.tree.map(jnp.asarray, p)
     return p
 
 
@@ -237,7 +244,12 @@ def fold_batchnorm(params: Params, eps: float = BN_EPS) -> Params:
             if "bn" in node and "w" in node:
                 bn = node["bn"]
                 scale = bn["gamma"] / jnp.sqrt(bn["var"] + eps)
-                return {"w": node["w"] * scale, "b": bn["beta"] - bn["mean"] * scale}
+                # A pre-existing conv bias folds as (b - mean)*scale + beta
+                # (ultralytics convs are bias-free, but a converted
+                # checkpoint carrying both must not silently lose it).
+                b0 = node.get("b", 0.0)
+                return {"w": node["w"] * scale,
+                        "b": bn["beta"] + (b0 - bn["mean"]) * scale}
             return {k: fold(v) for k, v in node.items()}
         if isinstance(node, list):
             return [fold(v) for v in node]
