@@ -29,6 +29,8 @@
 static_assert(__BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__,
               "ZLTY codec requires a little-endian host");
 
+#include "codec.h"
+
 extern "C" {
 
 static const uint32_t ZL_MAGIC = 0x59544C5AU;  // "ZLTY"
@@ -37,13 +39,27 @@ static const int ZL_HEADER_SIZE = 22;
 static const int ZL_CRC_OFFSET = 20;
 static const int ZL_DETECTION_SIZE = 40;
 
-static uint16_t crc16_update(uint16_t crc, const uint8_t* data, size_t size) {
-    for (size_t i = 0; i < size; i++) {
-        crc ^= static_cast<uint16_t>(data[i]) << 8;
+// Table-driven CRC-16/CCITT-FALSE (poly 0x1021): byte-identical to the
+// bit-at-a-time form but ~8x cheaper — the intake thread CRCs EVERY
+// inbound payload (zl_udp_recv_batch2), where per-byte shift loops ate
+// recvmmsg drain headroom at full load on small hosts.
+static uint16_t g_crc_table[256];
+static const bool g_crc_init = [] {
+    for (int b = 0; b < 256; b++) {
+        uint16_t crc = static_cast<uint16_t>(b << 8);
         for (int j = 0; j < 8; j++) {
             crc = (crc & 0x8000) ? static_cast<uint16_t>((crc << 1) ^ 0x1021)
                                  : static_cast<uint16_t>(crc << 1);
         }
+        g_crc_table[b] = crc;
+    }
+    return true;
+}();
+
+static uint16_t crc16_update(uint16_t crc, const uint8_t* data, size_t size) {
+    for (size_t i = 0; i < size; i++) {
+        crc = static_cast<uint16_t>((crc << 8)
+                                    ^ g_crc_table[(crc >> 8) ^ data[i]]);
     }
     return crc;
 }
@@ -52,12 +68,7 @@ uint16_t zl_crc16(const uint8_t* data, size_t size) {
     return crc16_update(0xFFFF, data, size);
 }
 
-struct ZlHeader {
-    uint8_t type;
-    uint16_t length;
-    uint32_t sequence;
-    uint64_t timestamp;
-};
+// ZlHeader lives in codec.h (shared with udp.cpp — see the header note).
 
 // Returns 0 ok; 1 too small; 2 bad magic/version; 3 bad length; 4 bad CRC.
 int zl_validate_packet(const uint8_t* data, size_t size, ZlHeader* out) {

@@ -20,8 +20,7 @@
 
 extern "C" {
 uint16_t zl_crc16(const uint8_t*, size_t);
-struct ZlHeader { uint8_t type; uint16_t length; uint32_t sequence; uint64_t timestamp; };
-int zl_validate_packet(const uint8_t*, size_t, ZlHeader*);
+#include "codec.h"  // ZlHeader + zl_validate_packet (one definition)
 int zl_build_ack(uint8_t*, uint32_t, uint32_t, uint64_t);
 int zl_build_heartbeat(uint8_t*, uint32_t, uint32_t, uint64_t);
 int zl_build_detection_result(uint8_t*, uint32_t, uint64_t, const float*,

@@ -33,17 +33,7 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
-// From codec.cpp (same shared object).
-struct ZlHeader {
-    uint8_t type;
-    uint16_t length;
-    uint32_t sequence;
-    uint64_t timestamp;
-};
-extern "C" int zl_validate_packet(const uint8_t* data, size_t size,
-                                  ZlHeader* out);
-extern "C" int zl_build_ack(uint8_t* out, uint32_t acked_seq, uint32_t seq,
-                            uint64_t ts);
+#include "codec.h"  // ZlHeader + codec prototypes (same shared object)
 
 extern "C" {
 
@@ -60,7 +50,10 @@ struct ZlPacketDesc {
 static const int ZL_OPEN_REUSEPORT = 1;
 
 int zl_udp_open2(int port, int rcvbuf, int sndbuf, int flags) {
-    int fd = ::socket(AF_INET, SOCK_DGRAM, 0);
+    // SOCK_CLOEXEC: Python sockets are close-on-exec by default (PEP 446);
+    // without it this fd leaks into forked children (ffmpeg, make) and a
+    // lingering child keeps the port bound across server restarts.
+    int fd = ::socket(AF_INET, SOCK_DGRAM | SOCK_CLOEXEC, 0);
     if (fd < 0) return -errno;
     // NOTE: no SO_REUSEADDR — on UDP it lets a second instance bind the
     // same port and silently steal all traffic; the server's port-busy
@@ -333,13 +326,17 @@ int zl_udp_send(int fd, const uint8_t* data, int len,
     addr.sin_family = AF_INET;
     addr.sin_addr.s_addr = ip_be;
     addr.sin_port = port_be;
-    ssize_t sent = ::sendto(fd, data, len, 0,
+    // MSG_DONTWAIT: single sends run on the asyncio event-loop thread
+    // (ACKs, heartbeats, the send_many boundary retry) — a full SNDBUF
+    // must surface as -EAGAIN (counted as a send drop), never block the
+    // loop that handles every control packet.
+    ssize_t sent = ::sendto(fd, data, len, MSG_DONTWAIT,
                             reinterpret_cast<sockaddr*>(&addr), sizeof(addr));
     return sent < 0 ? -errno : static_cast<int>(sent);
 }
 
 void zl_udp_close(int fd) {
-    ::close(fd);
+    if (fd >= 0) ::close(fd);
 }
 
 }  // extern "C"

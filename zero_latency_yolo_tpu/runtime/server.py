@@ -1309,6 +1309,10 @@ class DetectionServer:
                                 self._rate_ctl.slo_ms, drop_frac, fps,
                                 "" if self._rate_ctl.hint is not None
                                 else " (restored)")
+                if st["transport"].get("rx_dead"):
+                    log.error("native transport is RX-DEAD (recv thread "
+                              "exited on a permanent error): clients will "
+                              "time out — restart this server/shard")
                 stall = float(st.get("device_stall_s") or 0.0)
                 if stall > DEVICE_STALL_WARN_S:
                     # The device lane stopped completing (TPU preemption /
@@ -1400,6 +1404,9 @@ class DetectionServer:
                 "bytes_sent": self.bytes_sent.value,
                 "retransmits": self.retransmits.value,
             "cache_rejects": self.cache_rejects.value,
+            # Native drain thread gave up on a permanent recv failure:
+            # tx works, nothing is ever read — restart the shard.
+            "rx_dead": bool(getattr(self._transport, "rx_dead", False)),
                 "send_drops": self.send_drops.value,
                 "bad_packets": self.bad_packets.value,
                 "unknown_sender_naks": self.unknown_sender_naks.value,

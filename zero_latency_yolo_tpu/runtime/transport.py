@@ -21,6 +21,7 @@ its asyncio datagram endpoint.
 from __future__ import annotations
 
 import ctypes
+import errno
 import socket
 import struct
 import threading
@@ -175,6 +176,10 @@ class NativeUdpTransport:
         # reference each iteration — assignment is atomic under the GIL.
         self._peers = (ctypes.c_uint64 * 0)()
         self.dropped = 0  # packets skipped by send_many on send errors
+        # Set when the drain thread gave up on a permanent recv failure:
+        # tx still works but nothing is ever read — the server surfaces
+        # this instead of letting clients silently time out.
+        self.rx_dead = False
         self._running = True
         self._thread = threading.Thread(target=self._drain_loop,
                                         name="zlt-native-udp", daemon=True)
@@ -262,6 +267,8 @@ class NativeUdpTransport:
         return sent_total, bytes_total
 
     def close(self) -> None:
+        if self.fd < 0:
+            return  # idempotent: a second close must not touch a reused fd
         self._running = False
         if self._thread:
             self._thread.join(timeout=2.0)
@@ -274,8 +281,10 @@ class NativeUdpTransport:
                 log.warning("native drain thread still running after 2s; "
                             "leaking fd %d instead of closing it under "
                             "the live loop", self.fd)
+                self.fd = -1  # never re-enter; the fd is deliberately leaked
                 return
         self._lib.zl_udp_close(self.fd)
+        self.fd = -1
 
     # ----------------------------------------------------------------- recv
     def _drain_loop(self) -> None:
@@ -284,15 +293,23 @@ class NativeUdpTransport:
         else:
             self._drain_loop_v1()
 
+    _PERMANENT_ERRNOS = (errno.EBADF, errno.ENOTSOCK, errno.EINVAL)
+
     def _recv_error(self, n: int, consec: int) -> bool:
         """Shared error policy for the drain loops. Returns True when the
-        loop should EXIT: EBADF is not transient (the fd is gone — spinning
-        logs ~8.6M lines/day), and 500 consecutive failures (~5 s at the
-        10 ms backoff) means nothing is recovering either."""
+        loop should EXIT: EBADF/ENOTSOCK/EINVAL are not transient (the fd
+        is gone or reused as something else — spinning logs ~8.6M
+        lines/day AND the zombie poll interferes with the fd's new owner),
+        and 500 consecutive failures (~5 s at the 10 ms backoff) means
+        nothing is recovering either. Sets rx_dead so the server can
+        SURFACE a one-sided outage (tx keeps working while nothing is ever
+        read) instead of clients silently timing out."""
         log.warning("native recv error: errno=%d", -n)
-        if -n == 9 or consec >= 500:  # EBADF / persistent
+        if -n in self._PERMANENT_ERRNOS or consec >= 500:
             log.error("native recv failure persists (errno=%d, %d "
-                      "consecutive); drain thread exiting", -n, consec)
+                      "consecutive); drain thread exiting — transport is "
+                      "RX-DEAD (restart the server/shard)", -n, consec)
+            self.rx_dead = True
             return True
         time.sleep(0.01)  # no busy-spin while transient errors clear
         return False
