@@ -34,10 +34,24 @@ MODEL_AXIS = "model"
 def make_mesh(data: int = 1, model: int = 1,
               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Build a (data, model) mesh. data*model must equal len(devices)."""
+    explicit = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     if data * model != len(devices):
         raise ValueError(
             f"mesh {data}x{model} != {len(devices)} devices")
+    if not explicit:
+        # Topology-aware grid: jax.devices() enumeration order does not
+        # make consecutive devices ICI neighbors on real slices, and the
+        # 'model' axis carries the collective-heavy tensor-parallel
+        # traffic. mesh_utils picks an ICI-adjacent layout; fall back to
+        # the naive reshape where it cannot (virtual CPU devices).
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_device_mesh((data, model),
+                                                devices=devices)
+            return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+        except Exception:  # noqa: BLE001 — e.g. host-platform devices
+            pass
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

@@ -18,7 +18,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.yolov8 import ModelSpec, forward_raw
-from ..parallel.mesh import DATA_AXIS, param_shardings, make_mesh
+from ..parallel.mesh import DATA_AXIS, param_shardings
 from .loss import detection_loss, distill_loss
 
 Params = Dict[str, Any]
@@ -92,6 +92,13 @@ def make_train_step(spec: ModelSpec, tx: optax.GradientTransformation,
         return loss, metrics
 
     def train_step(state: TrainState, images, targets, teacher_params=None):
+        if teacher_spec is not None and teacher_params is None:
+            # Fail at trace time with a REAL message — forward_raw(None)
+            # otherwise dies deep in the conv stack.
+            raise ValueError(
+                "this train step was built with teacher_spec (distill "
+                "mode): call it as step(state, images, targets, "
+                "teacher_params)")
         teacher_outs = None
         if teacher_spec is not None:
             teacher_outs = [
