@@ -18,9 +18,10 @@ class _FakeClient:
         self.sent.append(("key", frame.shape))
         return self._fid
 
-    def send_roi_update(self, region, x, y, quality=85):
+    def send_roi_update(self, region, x, y, full_width=None, quality=85):
         self._fid += 1
         self.sent.append(("roi", region.shape, x, y))
+        self.last_full_width = full_width
         return self._fid
 
 

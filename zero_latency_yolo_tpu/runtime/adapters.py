@@ -37,6 +37,11 @@ class ClientState:
     game_id: int = 1
     tracker: Optional[MultiObjectTracker] = None
     last_detections: List[Detection] = field(default_factory=list)
+    # Last client-supplied frame timestamp (epoch ms): coast-only frames
+    # stamp with THIS stream's clock, not the server's (mixing two hosts'
+    # epoch clocks made Detection.timestamp jump backwards on every
+    # coast-only frame for skewed clients).
+    last_frame_ts: int = 0
     # Serializes tracker mutation (process_detections on the result path —
     # the asyncio event-loop thread; the batcher hops results there via
     # call_soon_threadsafe) against tracker state reads (predict_motion on
@@ -124,14 +129,17 @@ class GameAdapter:
                 confs = np.array([d.confidence for d in detections],
                                  np.float32)
                 ts = max(d.timestamp for d in detections)
+                state.last_frame_ts = ts
             else:
                 boxes = np.zeros((0, 4), np.float32)
                 classes = np.zeros(0, np.int64)
                 confs = np.zeros(0, np.float32)
                 # Wire timestamps are epoch ms everywhere (packets.now_ms,
                 # frame stamps); now_ms here is the tracker's monotonic
-                # clock — using it on the wire would mix time bases.
-                ts = int(time.time() * 1000.0)
+                # clock. Prefer the stream's OWN last frame stamp so one
+                # time source covers consecutive results; fall back to the
+                # server clock only before any stamped frame arrived.
+                ts = state.last_frame_ts or int(time.time() * 1000.0)
             with state.tracker_lock:
                 tracked = state.tracker.update(boxes, classes, confs,
                                                now_ms=now_ms)

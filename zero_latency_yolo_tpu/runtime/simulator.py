@@ -20,10 +20,10 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..protocol import (
-    AckPacket, ClientInfo, ClientInfoPacket, CommandPacket,
-    ConfigUpdatePacket, DetectionResultPacket, FrameDataPacket,
+    AckPacket, ClientInfo, ClientInfoPacket, CommandPacket, CommandType,
+    ConfigUpdatePacket, DetectionResultPacket, ErrorCode, FrameDataPacket,
     HeartbeatPacket, PacketType, ProtocolError, ServerInfoPacket,
-    build_roi_header, parse_header, parse_packet,
+    build_roi_header, parse_packet,
 )
 from ..protocol import native
 from .frames import encode_jpeg
@@ -167,7 +167,6 @@ class SimClient:
                             del self.result_latencies_ms[:-cap // 2]
                 self._result_event.set()
             elif pkt.TYPE == PacketType.ERROR:
-                from ..protocol import ErrorCode
                 self.errors_seen += 1
                 if pkt.error_code == ErrorCode.TIMEOUT:
                     # Unknown-sender NAK: our session is gone server-side
@@ -195,7 +194,6 @@ class SimClient:
                     self.server_disconnected = False
                 self._handshake_event.set()
             elif pkt.TYPE == PacketType.COMMAND:
-                from ..protocol import CommandType
                 # Server commands arrive reliable: ACK so retransmits stop.
                 try:
                     self._send(AckPacket(
@@ -262,11 +260,9 @@ class SimClient:
 
     def disconnect(self) -> None:
         """Send a DISCONNECT command so the server frees the session."""
-        from ..protocol import CommandType
         self.send_command(CommandType.DISCONNECT)
 
     def send_command(self, command_type: int, data: bytes = b"") -> None:
-        from ..protocol import CommandPacket
         try:
             self._send(CommandPacket(command_type=command_type,
                                      command_data=data).serialize())
@@ -276,19 +272,15 @@ class SimClient:
     # Stream control (COMMAND types the reference declared but never
     # handled, types.h:94-103 — the rebuild's server implements them).
     def pause_stream(self) -> None:
-        from ..protocol import CommandType
         self.send_command(CommandType.PAUSE_STREAM)
 
     def resume_stream(self) -> None:
-        from ..protocol import CommandType
         self.send_command(CommandType.RESUME_STREAM)
 
     def start_stream(self) -> None:
-        from ..protocol import CommandType
         self.send_command(CommandType.START_STREAM)
 
     def stop_stream(self) -> None:
-        from ..protocol import CommandType
         self.send_command(CommandType.STOP_STREAM)
 
     def stop(self) -> None:
@@ -322,7 +314,7 @@ class SimClient:
                     timestamp: Optional[int] = None) -> int:
         self._frame_id += 1
         fid = self._frame_id
-        ts = timestamp or int(time.time() * 1000)
+        ts = int(time.time() * 1000) if timestamp is None else timestamp
         # Native frame builder when available: the pure-Python CRC over
         # every payload dominates client CPU at 60 FPS (the reference
         # client computed its CRC in C++ too, protocol.h:441-466).
@@ -338,10 +330,14 @@ class SimClient:
             self._sent_at[fid] = time.perf_counter()
             # Frames whose results never arrive (shed batches, eviction)
             # would otherwise accumulate forever on a long-running client.
+            # Insertion order IS time order, so pop stale entries from the
+            # FRONT until the first fresh one — O(stale), not a full scan
+            # per send (a shed-heavy loadtest grows this dict to ~fps*60).
             if len(self._sent_at) > 8192:
                 cutoff = time.perf_counter() - 60.0
-                stale = [k for k, t in self._sent_at.items() if t < cutoff]
-                for k in stale:
+                for k in list(self._sent_at):
+                    if self._sent_at[k] >= cutoff:
+                        break
                     del self._sent_at[k]
         self._send(raw)
         return fid
@@ -458,8 +454,12 @@ class StreamDriver:
                 self.skipped += 1
                 return None
             x, y, rw, rh = region
+            # full_width from the PUSHED frame: a client registered at the
+            # constructor-default 800x600 but streaming other geometry must
+            # not stamp ROI headers with the stale registration dims.
             fid = self.client.send_roi_update(
-                frame[y:y + rh, x:x + rw], x, y, quality=self.quality)
+                frame[y:y + rh, x:x + rw], x, y,
+                full_width=frame.shape[1], quality=self.quality)
             self.roi_sent += 1
             # _prev tracks what the SERVER has: the old frame with only the
             # sent region replaced. Adopting the whole captured frame would
@@ -469,7 +469,10 @@ class StreamDriver:
             prev[y:y + rh, x:x + rw] = frame[y:y + rh, x:x + rw]
             self._prev = prev
             return fid
-        self._prev = frame
+        # COPY: callers may reuse their capture buffer (cv2 cap.read(buf));
+        # holding a reference would make every later diff compare the
+        # buffer against itself and silently drop all inter-keyframe motion.
+        self._prev = frame.copy()
         return fid
 
 

@@ -224,11 +224,11 @@ class MultiObjectTracker:
         # Hungarian cost matrix without limit on the event-loop result
         # path. Keep matched-this-frame first, then confirmed, then most
         # recently updated.
+        matched_rows = {int(r) for r in matched_det}
         if int(keep.sum()) > self.max_tracks:
-            matched_now = {int(r) for r in matched_det}
             order = sorted(
                 (int(i) for i in np.nonzero(keep)[0]),
-                key=lambda i: (i in matched_now,
+                key=lambda i: (i in matched_rows,
                                self.meta[i].hits >= self.min_hits,
                                self.meta[i].last_update_ms),
                 reverse=True)
@@ -241,7 +241,6 @@ class MultiObjectTracker:
             out.append((boxes[c_i].copy(), float(confidences[c_i]),
                         int(classes[c_i]), t.track_id))
         # Coasted predictions for confirmed tracks unmatched this frame.
-        matched_rows = set(int(r) for r in matched_det)
         for i, t in enumerate(self.meta):
             if i in matched_rows or not keep[i]:
                 continue
