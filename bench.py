@@ -224,6 +224,7 @@ def _live_loadtest():
            "--streams", "64", "--fps", "60", "--duration", "12",
            "--variant", "yolov8n", "--size", "416",
            "--warmup-timeout", "900", "--max-inflight", "32"]
+    proc = None
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=1500, cwd=here)
@@ -243,6 +244,12 @@ def _live_loadtest():
     except Exception as e:  # noqa: BLE001
         print(f"# live loadtest failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+        if proc is not None and proc.stderr:
+            # The subprocess's own last lines say WHY (connect timeout
+            # during a relay-wedged prime vs a real crash) — without them
+            # a transient wedge is indistinguishable from a regression.
+            for ln in proc.stderr.strip().splitlines()[-4:]:
+                print(f"#   loadtest stderr: {ln}", file=sys.stderr)
         return None
 
 
