@@ -159,3 +159,40 @@ def test_tpu_enum_values_validated():
         "act": "pallas_interpret", "stem": "s2d",
         "preprocess": "stretch", "dtype": "float32"}})
     assert cfg.tpu.c2f == "split" and cfg.tpu.select == "perlevel"
+
+
+def test_load_time_gates_reject_bad_values():
+    """Fail-at-load, not at first trace: NaN/oversized thresholds, non-32
+    model sizes, malformed buckets, numeric strings, and unreachable
+    adaptive ladders are all rejected (or coerced) by from_dict."""
+    import math
+
+    import pytest
+
+    from zero_latency_yolo_tpu.config import ServerConfig
+
+    with pytest.raises(ValueError, match="confidence_threshold"):
+        ServerConfig.from_dict({"confidence_threshold": math.nan})
+    with pytest.raises(ValueError, match="nms_threshold"):
+        ServerConfig.from_dict({"nms_threshold": 5.0})
+    with pytest.raises(ValueError, match="multiple of 32"):
+        ServerConfig.from_dict({"detection": {"model_width": 400,
+                                              "model_height": 400}})
+    with pytest.raises(ValueError, match="batch_buckets"):
+        ServerConfig.from_dict({"tpu": {"batch_buckets": []}})
+    with pytest.raises(ValueError, match="frame_buckets"):
+        ServerConfig.from_dict({"tpu": {"frame_buckets": [[600, 800, 3]]}})
+    with pytest.raises(ValueError, match="adaptive_slo_ms"):
+        ServerConfig.from_dict({"tpu": {"adaptive_slo_ms": math.nan,
+                                        "serve_sizes": [320]}})
+    # A ladder whose only extra rung exceeds model_width is unreachable
+    # (the engine drops it) — the gate must see through that.
+    with pytest.raises(ValueError, match="not above"):
+        ServerConfig.from_dict({
+            "detection": {"model_width": 416, "model_height": 416},
+            "tpu": {"adaptive_slo_ms": 10.0, "serve_sizes": [512]}})
+    # Numeric strings parse by meaning; junk raises.
+    cfg = ServerConfig.from_dict({"target_fps": "60", "max_clients": "10"})
+    assert cfg.target_fps == 60 and cfg.max_clients == 10
+    with pytest.raises(ValueError, match="not a number"):
+        ServerConfig.from_dict({"target_fps": "sixty"})

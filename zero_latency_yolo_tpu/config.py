@@ -295,9 +295,25 @@ class ServerConfig:
             cfg.network.port = int(j["port"])
         if "web_port" in j:
             cfg.network.web_port = int(j["web_port"])
+        # Thresholds range+NaN gate at LOAD — the SET_CONFIG runtime path
+        # gates these (server.py), but a bad server.json was an unguarded
+        # back door: a NaN confidence blanks every detection while the
+        # server reports healthy (CLAUDE.md invariant).
+        for name in ("confidence_threshold", "nms_threshold"):
+            v = float(getattr(cfg, name))
+            if not (v == v and 0.0 <= v <= 1.0):
+                raise ValueError(f"{name}={v!r} must be finite in [0, 1]")
         _merge(cfg.network, j.get("network"))
         _merge(cfg.logging, j.get("logging"))
         _merge(cfg.detection, j.get("detection"))
+        # The primary serving size obeys the SAME /32 anchor-grid constraint
+        # the serve_sizes gate below enforces for the ladder.
+        for name in ("model_width", "model_height"):
+            mv = int(getattr(cfg.detection, name))
+            if mv <= 0 or mv % 32:
+                raise ValueError(
+                    f"detection.{name}={mv} must be a positive multiple "
+                    "of 32 (the FPN downsamples to /32)")
         _merge(cfg.analytics, j.get("analytics"))
         if cfg.analytics.capture_dir:
             # Same fail-at-load stance as the tpu gates: a zero sampling
@@ -340,11 +356,44 @@ class ServerConfig:
                     raise ValueError(
                         f"tpu.serve_sizes entry {s!r} must be a positive "
                         "multiple of 32")
-            if cfg.tpu.adaptive_slo_ms and len(
-                    set(cfg.tpu.serve_sizes) | {cfg.detection.model_width}) < 2:
+            aslo = float(cfg.tpu.adaptive_slo_ms)
+            if not (aslo == aslo and 0.0 <= aslo < 1e6):  # NaN-proof gate
+                raise ValueError(
+                    f"tpu.adaptive_slo_ms={cfg.tpu.adaptive_slo_ms!r} must "
+                    "be a finite ms value >= 0")
+            # Count only REACHABLE rungs: the engine drops serve_sizes
+            # above model_width (the policy never upshifts past the
+            # configured size), so a ladder of larger rungs would pass
+            # here and then silently disable adaptive serving.
+            reachable = {int(v) for v in cfg.tpu.serve_sizes
+                         if int(v) <= int(cfg.detection.model_width)}
+            if aslo and len(
+                    reachable | {int(cfg.detection.model_width)}) < 2:
                 raise ValueError(
                     "tpu.adaptive_slo_ms needs a serve_sizes ladder with at "
-                    "least one size besides detection.model_width")
+                    "least one size besides (and not above) "
+                    "detection.model_width")
+            # Bucket shape discipline at load: serving programs are keyed
+            # by (batch bucket, frame bucket) — an empty or malformed
+            # ladder otherwise crashes the batcher thread at first
+            # dispatch, not the boot.
+            bb = tuple(int(b) for b in cfg.tpu.batch_buckets)
+            if not bb or any(b <= 0 for b in bb):
+                raise ValueError(
+                    f"tpu.batch_buckets={cfg.tpu.batch_buckets!r} must be "
+                    "a non-empty list of positive integers")
+            cfg.tpu.batch_buckets = bb
+            fb = []
+            for entry in cfg.tpu.frame_buckets:
+                pair = tuple(int(v) for v in entry)
+                if len(pair) != 2 or any(v <= 0 for v in pair):
+                    raise ValueError(
+                        f"tpu.frame_buckets entry {entry!r} must be a "
+                        "[height, width] pair of positive integers")
+                fb.append(pair)
+            if not fb:
+                raise ValueError("tpu.frame_buckets must not be empty")
+            cfg.tpu.frame_buckets = tuple(fb)
             # Rate control: same fail-at-load stance as the enums below —
             # a negative/NaN SLO or a zero fps floor would only surface as
             # a wedged monitor tick or clients commanded to 0 fps.
@@ -498,6 +547,16 @@ def _coerce(val: Any, cur: Any) -> Any:
         return int(val)
     if isinstance(cur, float) and isinstance(val, (int, float)):
         return float(val)
+    if isinstance(cur, (int, float)) and isinstance(val, str):
+        # A hand-edited "60" must parse by meaning (the bool branch already
+        # does); junk must fail AT LOAD, not as a TypeError in struct
+        # packing or a comparison at runtime.
+        try:
+            return int(val) if isinstance(cur, int) else float(val)
+        except ValueError:
+            raise ValueError(
+                f"config value {val!r} is not a number (field default "
+                f"{cur!r})") from None
     if isinstance(cur, tuple) and isinstance(val, (list, tuple)):
         return tuple(val)
     return val

@@ -27,9 +27,13 @@ class RollingStats:
             self._count += 1
 
     def snapshot(self) -> Dict[str, float]:
+        # Copy under the lock, sort OUTSIDE it: record() runs on the
+        # dispatch lane, and sorting 1000 samples inside the shared mutex
+        # on every /statusz poll added jitter to the latency being measured.
         with self._lock:
-            vals = sorted(self._samples)
+            vals = list(self._samples)
             n = self._count
+        vals.sort()
         if not vals:
             return {"count": 0, "avg_ms": 0.0, "p50_ms": 0.0, "p99_ms": 0.0, "max_ms": 0.0}
         def pct(p: float) -> float:
@@ -73,6 +77,11 @@ class Counter:
             return self._value
 
     def rate(self, window_s: float = 1.0) -> float:
+        # The bin deque holds ~60 s of history (600 x 0.1 s): clamp the
+        # window to what the bins can actually cover, or a larger ask
+        # silently undercounts (bins gone, span still derived from the
+        # full window).
+        window_s = min(window_s, self._bins.maxlen * self._BIN_S)
         now = time.monotonic()
         cutoff = int((now - window_s) / self._BIN_S)
         # Divide by the span the included bins actually cover (the window
