@@ -222,3 +222,11 @@ def test_controller_invariants_under_random_inputs():
                 assert tick - last_cut_tick >= 2, (tick, last_cut_tick)
             last_cut_tick = tick
         prev_hint = rc.hint
+
+
+def test_first_cut_clamped_under_target():
+    """A bursting client's measured rx above target_fps must not seed a
+    'throttle' hint that RAISES everyone's rate during overload."""
+    rc = RateController(slo_ms=8.0, min_fps=12, target_fps=60)
+    hint = rc.tick(400.0, 110.0)  # p99 over SLO, rx 110 > target 60
+    assert hint is not None and 12 <= hint < 60

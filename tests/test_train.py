@@ -382,3 +382,32 @@ def test_train_step_bench_cli_smoke():
     row = doc["rows"][0]
     assert row["batch"] == 1 and row["step_ms"] > 0
     assert np.isfinite(row["final_loss"])
+
+
+def test_tal_assigner_trains_finite():
+    """The opt-in TAL assigner path (make_train_step(assigner='tal')) was
+    shipped without coverage: one step must produce finite loss/grads and
+    positive matches, including a crowded pair of overlapping GTs (the
+    post-conflict normalization case)."""
+    import jax
+    import numpy as np
+    import optax
+
+    from zero_latency_yolo_tpu.models.yolov8 import get_spec, init_params
+    from zero_latency_yolo_tpu.train.step import (
+        init_train_state, make_train_step)
+
+    spec = get_spec("yolov8p", 4)
+    params = init_params(3, spec, folded=False)
+    state = init_train_state(params, optax.sgd(1e-3))
+    step = make_train_step(spec, optax.sgd(1e-3), (64, 64), assigner="tal")
+    images = np.random.default_rng(0).uniform(
+        0, 1, (2, 64, 64, 3)).astype(np.float32)
+    targets = np.full((2, 4, 5), -1, np.float32)
+    targets[:, 0] = [0, 0.5, 0.5, 0.3, 0.4]
+    targets[:, 1] = [1, 0.55, 0.5, 0.3, 0.4]  # overlapping second GT
+    state, metrics = step(state, images, targets)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["num_pos"]) > 0
+    leaves = jax.tree.leaves(state.params)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)

@@ -119,7 +119,12 @@ class RateController:
                     per_client_rx_fps
                     if per_client_rx_fps and per_client_rx_fps > 0
                     else self.target_fps)
-                self.hint = max(self.min_fps, int(base * self.decrease))
+                # Clamp UNDER target_fps: a measured rx above the target
+                # (bursting client) must not seed a "throttle" hint that
+                # RAISES everyone's rate during overload.
+                self.hint = max(self.min_fps,
+                                min(int(base * self.decrease),
+                                    int(self.target_fps) - 1))
                 self._last_decrease = self._tick
                 return self.hint
         else:

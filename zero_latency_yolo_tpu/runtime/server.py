@@ -1290,9 +1290,15 @@ class DetectionServer:
                         self.engine.frames_dropped.rate(5.0)
                         - self.engine.frames_oversized.rate(5.0), 0.0)
                     drop_frac = (load_drops / offered) if offered > 0 else 0.0
+                    active = sum(1 for sess in self._sessions.values()
+                                 if not sess.paused)
                     fps = self._rate_ctl.tick(
                         st["detect_latency"].get("p99_ms"),
-                        offered / max(len(self._sessions), 1),
+                        # Per-ACTIVE-client rate: offered already excludes
+                        # paused frames, so dividing by all sessions would
+                        # underestimate active clients and overshoot the
+                        # seeded first cut.
+                        offered / max(active, 1),
                         drop_frac=drop_frac)
                     if fps is not None and self._sessions:
                         blob = ConfigUpdatePacket(

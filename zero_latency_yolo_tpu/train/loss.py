@@ -152,14 +152,20 @@ def detection_loss(spec: ModelSpec, outs: Sequence[jnp.ndarray],
         best_gt = jnp.argmax(m_masked, axis=-1)     # (B, A)
         is_pos = jnp.any(pos, axis=-1)              # (B, A)
         # Soft target scores: normalize per GT so its best anchor's target
-        # equals that GT's best IoU.
-        pos_metric = jnp.where(pos, metric, 0.0)
+        # equals that GT's best IoU — over the POST-conflict assignment
+        # (ultralytics semantics): a GT whose best anchor was stolen by
+        # another GT must normalize by its surviving anchors' values, or
+        # crowded-scene GTs train with deflated cls/box targets.
+        owner = (jax.nn.one_hot(best_gt, pos.shape[-1], dtype=jnp.bool_)
+                 & is_pos[..., None])
+        final = pos & owner                          # (B, A, M)
+        pos_metric = jnp.where(final, metric, 0.0)
         max_t = jnp.max(pos_metric, axis=1)         # (B, M)
-        max_iou = jnp.max(jnp.where(pos, iou, 0.0), axis=1)  # (B, M)
+        max_iou = jnp.max(jnp.where(final, iou, 0.0), axis=1)  # (B, M)
         norm = max_iou / (max_t + 1e-9)             # (B, M)
         t_at_anchor = jnp.take_along_axis(
             pos_metric, best_gt[..., None], axis=-1)[..., 0]  # (B, A)
-        n_at_anchor = jax.vmap(lambda g, idx: g[idx])(norm, best_gt)
+        n_at_anchor = jnp.take_along_axis(norm, best_gt, axis=1)  # (B, A)
         score = jnp.where(is_pos, t_at_anchor * n_at_anchor, 0.0)  # (B, A)
     elif assigner == "center":
         radius = center_radius * strides[None, :, None]
@@ -173,8 +179,9 @@ def detection_loss(spec: ModelSpec, outs: Sequence[jnp.ndarray],
     else:
         raise ValueError(f"unknown assigner {assigner!r}")
 
-    m_box = jax.vmap(lambda g, idx: g[idx])(gt_box_px, best_gt)  # (B, A, 4)
-    m_cls = jax.vmap(lambda g, idx: g[idx])(gt_cls, best_gt)     # (B, A)
+    m_box = jnp.take_along_axis(gt_box_px, best_gt[..., None],
+                                axis=1)                          # (B, A, 4)
+    m_cls = jnp.take_along_axis(gt_cls, best_gt, axis=1)         # (B, A)
 
     num_pos = jnp.maximum(jnp.sum(is_pos.astype(jnp.float32)), 1.0)
     # Loss normalizer: sum of target scores (TAL) == num_pos for "center".
