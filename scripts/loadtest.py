@@ -83,6 +83,11 @@ def build_config(args, model_path: str) -> dict:
             # the Stream pacing loop honors the broadcast hints.
             "rate_control_slo_ms": args.rate_control_slo,
             "rate_control_min_fps": args.rate_control_min_fps,
+            # Host-tail A/B knobs (utils/gcstats.py): library default unless
+            # explicitly forced on/off from the CLI.
+            **({"gc_tune": args.gc_tune == "on"}
+               if args.gc_tune != "default" else {}),
+            "gil_switch_interval_ms": args.switch_interval_ms,
         },
     }
 
@@ -214,6 +219,12 @@ def main() -> None:
                     help="> 0: server->client AIMD rate control SLO (ms); "
                          "streams honor the CONFIG_UPDATE fps hints")
     ap.add_argument("--rate-control-min-fps", type=int, default=15)
+    ap.add_argument("--gc-tune", choices=("default", "on", "off"),
+                    default="default",
+                    help="force the server's tpu.gc_tune posture (A/B)")
+    ap.add_argument("--switch-interval-ms", type=float, default=0.0,
+                    help="server tpu.gil_switch_interval_ms (0 = interpreter"
+                         " default 5 ms)")
     ap.add_argument("--client-nice", type=int, default=10,
                     help="niceness ADDED to this (client) process so the "
                          "server wins the CPU on small co-located hosts; "
@@ -376,6 +387,16 @@ def main() -> None:
                 eng.get("synthetic_host_avg_ms", "nan"))
             report["host_overhead_p99_ms"] = float(
                 eng.get("synthetic_host_p99_ms", "nan"))
+        if st.get("host_gc"):
+            # GC pause pressure during the run (utils/gcstats.py): the
+            # host-tail A/B's explanatory variable next to the p99 it moves.
+            report["gc_pause_p99_ms"] = st["host_gc"].get("pause_p99_ms")
+            report["gc_pause_max_ms"] = st["host_gc"].get("pause_max_ms")
+            report["gc_pause_total_ms"] = st["host_gc"].get("pause_total_ms")
+            report["gc_collections"] = (
+                int(st["host_gc"].get("collections_g0", 0))
+                + int(st["host_gc"].get("collections_g1", 0))
+                + int(st["host_gc"].get("collections_g2", 0)))
         if args.adaptive_profiles:
             eng = st["engine"]
             report["serve_size"] = int(eng.get("serve_size", 0))

@@ -196,3 +196,27 @@ def test_load_time_gates_reject_bad_values():
     assert cfg.target_fps == 60 and cfg.max_clients == 10
     with pytest.raises(ValueError, match="not a number"):
         ServerConfig.from_dict({"target_fps": "sixty"})
+
+
+def test_gc_tune_and_switch_interval_gates():
+    """tpu.gc_tune coerces bool-strings by meaning; the GIL switch interval
+    is NaN-proof range-gated at load (a NaN would silently disable the GIL
+    tuning; a huge value would wreck thread scheduling)."""
+    import math
+
+    import pytest
+
+    from zero_latency_yolo_tpu.config import ServerConfig
+
+    cfg = ServerConfig.from_dict({"tpu": {"gc_tune": "false"}})
+    assert cfg.tpu.gc_tune is False
+    cfg = ServerConfig.from_dict({"tpu": {"gc_tune": "true",
+                                          "gil_switch_interval_ms": "1.5"}})
+    assert cfg.tpu.gc_tune is True
+    assert cfg.tpu.gil_switch_interval_ms == 1.5
+    with pytest.raises(ValueError, match="gil_switch_interval_ms"):
+        ServerConfig.from_dict({"tpu": {"gil_switch_interval_ms": math.nan}})
+    with pytest.raises(ValueError, match="gil_switch_interval_ms"):
+        ServerConfig.from_dict({"tpu": {"gil_switch_interval_ms": -1}})
+    with pytest.raises(ValueError, match="gil_switch_interval_ms"):
+        ServerConfig.from_dict({"tpu": {"gil_switch_interval_ms": 500}})

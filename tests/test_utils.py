@@ -109,3 +109,46 @@ def test_bench_fallback_context_schema():
     assert all(float(v) > 0 for v in ctx["step_ladder_ms"].values())
     pr = ctx.get("prior_round")
     assert pr and pr["value"] > 0 and pr["unit"] == "frames/sec/chip"
+
+
+def test_gc_pause_tracker_and_tuning():
+    """GC pause observability (utils/gcstats.py): the tracker sees real
+    collections with real durations; tune_for_latency freezes tenure and
+    widens thresholds; untune restores interpreter defaults."""
+    import gc
+
+    from zero_latency_yolo_tpu.utils import gcstats
+
+    tracker = gcstats.GcPauseTracker().install()
+    try:
+        # Provoke real cyclic garbage + an explicit full collection.
+        for _ in range(100):
+            a, b = [], []
+            a.append(b)
+            b.append(a)
+        gc.collect()
+        st = tracker.status()
+        assert st["collections_g2"] >= 1
+        assert st["pause_max_ms"] > 0.0
+        assert st["pause_total_ms"] >= st["pause_max_ms"]
+        assert st["thresholds"] == list(gc.get_threshold())
+
+        before = gc.get_freeze_count()
+        applied = gcstats.tune_for_latency()
+        assert gc.get_freeze_count() > before
+        assert gc.get_threshold() == gcstats.LATENCY_THRESHOLDS
+        assert applied["frozen"] == gc.get_freeze_count()
+    finally:
+        tracker.uninstall()
+        gcstats.untune()
+    assert gc.get_threshold() == (700, 10, 10)
+    assert tracker._cb not in gc.callbacks
+
+
+def test_gc_tracker_uninstall_idempotent():
+    from zero_latency_yolo_tpu.utils import gcstats
+    t = gcstats.GcPauseTracker().install()
+    t.uninstall()
+    t.uninstall()  # second uninstall must not raise
+    import gc
+    assert t._cb not in gc.callbacks

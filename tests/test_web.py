@@ -257,3 +257,71 @@ def test_trace_sample_every_config_gate():
         ServerConfig.from_dict({"tpu": {"trace_sample_every": -1}})
     cfg = ServerConfig.from_dict({"tpu": {"trace_sample_every": 8}})
     assert cfg.tpu.trace_sample_every == 8
+
+
+def test_profilez_routes(tmp_path):
+    """POST /profilez runs the wired capture fn; GET reports status; the
+    unwired API 404s; bad/busy captures map to 400/409."""
+    calls = []
+
+    def fake_capture(seconds):
+        calls.append(seconds)
+        if seconds > 10:
+            return {"error": "seconds must be in [0.05, 30.0]"}
+        if seconds == 5.0:
+            return {"error": "a profile capture is already in flight"}
+        return {"ok": True, "dir": str(tmp_path), "seconds": seconds,
+                "files": [{"name": "t.xplane.pb", "size": 10}]}
+
+    api = ManagementApi(status_fn=lambda: {}, models_dir=str(tmp_path),
+                        logs_dir=str(tmp_path),
+                        profile_fn=fake_capture,
+                        profile_status_fn=lambda: {"capturing": False,
+                                                   "last": None})
+    code, payload = _call(api, "GET", "/profilez")
+    assert code == 200 and payload == {"capturing": False, "last": None}
+    code, payload = _call(api, "POST", "/profilez?seconds=0.5")
+    assert code == 200 and payload["ok"] and calls == [0.5]
+    # default window when the query is absent
+    code, payload = _call(api, "POST", "/profilez")
+    assert code == 200 and calls == [0.5, 2.0]
+    assert _call(api, "POST", "/profilez?seconds=99")[0] == 400
+    assert _call(api, "POST", "/profilez?seconds=5")[0] == 409
+    assert _call(api, "POST", "/profilez?seconds=abc")[0] == 400
+
+    bare = ManagementApi(status_fn=lambda: {}, models_dir=str(tmp_path),
+                         logs_dir=str(tmp_path))
+    assert _call(bare, "GET", "/profilez")[0] == 404
+    assert _call(bare, "POST", "/profilez?seconds=1")[0] == 404
+
+
+def test_profile_capture_real(tmp_path):
+    """utils.profiling.capture writes a real XPlane trace of live device
+    work (CPU backend here) and is single-flight."""
+    import threading
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zero_latency_yolo_tpu.utils import profiling
+
+    assert "error" in profiling.capture(0.0, str(tmp_path))  # below min_s
+    assert "error" in profiling.capture(99.0, str(tmp_path))  # above max_s
+
+    started = threading.Event()
+
+    def busy():
+        started.set()
+        for _ in range(20):
+            np.asarray(jnp.arange(512.0).sum())
+
+    t = threading.Thread(target=busy)
+    t.start()
+    started.wait()
+    out = profiling.capture(0.3, str(tmp_path))
+    t.join()
+    assert out.get("ok"), out
+    assert out["files"], "capture produced no trace files"
+    status = profiling.capture_status()
+    assert status["capturing"] is False
+    assert status["last"]["dir"] == out["dir"]

@@ -243,6 +243,15 @@ class TpuConfig:
     # (onnx_engine.cpp:615-618); this keeps that capability without a log
     # write per frame. 0 = off (no overhead beyond one int check).
     trace_sample_every: int = 0
+    # Host-tail GC posture (utils/gcstats.py), applied after warmup:
+    # gc.freeze() of all boot-time tenure + wider young-gen thresholds.
+    # CPython cyclic GC pauses are stop-the-world for every serving thread;
+    # measured effect on the wire-to-wire p99 in docs/BENCH_NOTES.md.
+    gc_tune: bool = True
+    # > 0 shortens the GIL switch interval (default 5 ms) so the batcher
+    # waits at most this long behind a GIL-holding decode/send. Only
+    # meaningful where server threads share cores.
+    gil_switch_interval_ms: float = 0.0
 
 
 # Closed value sets for TpuConfig's layout/impl enums (validated in
@@ -406,6 +415,11 @@ class ServerConfig:
                 raise ValueError("tpu.rate_control_min_fps must be >= 1")
             if int(cfg.tpu.trace_sample_every) < 0:
                 raise ValueError("tpu.trace_sample_every must be >= 0")
+            swi = float(cfg.tpu.gil_switch_interval_ms)
+            if not (swi == swi and 0.0 <= swi <= 100.0):  # NaN-proof gate
+                raise ValueError(
+                    f"tpu.gil_switch_interval_ms={swi!r} must be a finite ms "
+                    "value in [0, 100]")
             # Layout/impl enums fail FAST at load: a typo ("Split", "splt",
             # "perLevel") would otherwise silently serve the default layout
             # and the operator's intended measured win never happens. Same

@@ -163,13 +163,21 @@ class DetectionServer:
         # reconstructed from log scraping like the reference's web plane
         # (web/server.js:198-248).
         self._status_history: deque = deque(maxlen=120)
+        from ..utils import profiling as _profiling
+        _trace_dir = _os.path.join(
+            _os.path.dirname(config.logging.log_file) or "logs", "jax-trace")
         self.management = ManagementApi(
             status_fn=self.status,
             history_fn=lambda: list(self._status_history),
             traces_fn=lambda: list(self._traces),
             models_dir=_os.path.dirname(config.model_path) or "models",
             logs_dir=_os.path.dirname(config.logging.log_file) or "logs",
-            active_model=_os.path.basename(config.model_path))
+            active_model=_os.path.basename(config.model_path),
+            # On-demand XPlane capture of the live process (POST /profilez):
+            # start/stop touch no device state; the capture sleep runs on the
+            # management worker thread while the batcher keeps serving.
+            profile_fn=lambda s: _profiling.capture(s, _trace_dir),
+            profile_status_fn=_profiling.capture_status)
         # Frame decode offload (config worker_threads, reference
         # server/config.h:316): JPEG/ROI decode runs off the packet thread.
         # N workers shard by client id (cid % N -> one FIFO queue each):
@@ -194,6 +202,12 @@ class DetectionServer:
         self._http_server = None
         self._running = False
         self.port: Optional[int] = None
+
+        # Always-on GC pause observability: cyclic-GC collections pause every
+        # serving thread; their size/frequency must be visible where the p99
+        # is read (/statusz host.gc), not inferred.
+        from ..utils.gcstats import GcPauseTracker
+        self._gc_tracker = GcPauseTracker().install()
 
         # Transport counters (reference reliable_udp.h:269-275).
         self.packets_received = Counter()
@@ -313,6 +327,20 @@ class DetectionServer:
             # mid-traffic (host-path loadtests would time the compile, not
             # the path).
             await asyncio.to_thread(self.device_cache.warm)
+        applied = {}
+        if self.config.tpu.gc_tune:
+            # Post-warmup: every compiled program / pool / session table
+            # alive now is process-lifetime tenure — freeze it out of the
+            # cyclic GC's scan set before the first frame arrives
+            # (utils/gcstats.py; measured host-tail effect in BENCH_NOTES).
+            from ..utils import gcstats
+            applied.update(gcstats.tune_for_latency())
+        if self.config.tpu.gil_switch_interval_ms > 0:
+            import sys as _sys
+            _sys.setswitchinterval(self.config.tpu.gil_switch_interval_ms / 1e3)
+            applied["switch_interval_ms"] = self.config.tpu.gil_switch_interval_ms
+        if applied:
+            log.info("host latency tuning applied: %s", applied)
         self.batcher.start()
         self._mgmt_task = asyncio.create_task(self._management_loop())
         self._watch_task = asyncio.create_task(self._model_watch_loop())
@@ -384,6 +412,10 @@ class DetectionServer:
             self._transport = None
         if self._capture is not None:
             self._capture.stop()
+        # gc.callbacks is process-global: leaving the hook installed across
+        # many server lifetimes (tests, rolling restarts in-process) would
+        # stack dead observers on every collection.
+        self._gc_tracker.uninstall()
 
     # ============================================================== rx path
     def _on_native_batch(self, batch) -> None:
@@ -1444,6 +1476,9 @@ class DetectionServer:
             } if self.device_cache is not None else None),
             "engine": self.engine.status(),
             "adapter": self.adapter.status(),
+            # Host GC pauses stop ALL serving threads — surfaced next to the
+            # latency they inflate (utils/gcstats.py; tpu.gc_tune posture).
+            "host_gc": self._gc_tracker.status(),
             "capture": (self._capture.status()
                         if self._capture is not None else None),
             "sessions": {

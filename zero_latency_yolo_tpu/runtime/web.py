@@ -18,6 +18,12 @@ Here the management API lives in-process with direct access to live state:
                                         (tpu.trace_sample_every; the
                                         reference's per-frame DEBUG timing,
                                         onnx_engine.cpp:615-618)
+    GET  /profilez                      capture status + last capture summary
+    POST /profilez?seconds=N            on-demand XPlane profiler capture of
+                                        the LIVE serving process (bounded,
+                                        single-flight); trace dir under
+                                        logs/jax-trace for TensorBoard /
+                                        trace_analyze.py --analyze-only
 
 Implemented on asyncio streams — no web framework dependency. The dashboard
 HTML itself is optional and not rebuilt; every consumer of the reference's
@@ -152,10 +158,14 @@ class ManagementApi:
                  models_dir: str = "models", logs_dir: str = "logs",
                  active_model: Optional[str] = None,
                  history_fn: Optional[Callable[[], list]] = None,
-                 traces_fn: Optional[Callable[[], list]] = None) -> None:
+                 traces_fn: Optional[Callable[[], list]] = None,
+                 profile_fn: Optional[Callable[[float], Dict]] = None,
+                 profile_status_fn: Optional[Callable[[], Dict]] = None) -> None:
         self.status_fn = status_fn
         self.history_fn = history_fn
         self.traces_fn = traces_fn
+        self.profile_fn = profile_fn
+        self.profile_status_fn = profile_status_fn
         self.models_dir = models_dir
         self.logs_dir = logs_dir
         # Basename of the file the SHA-256 watcher actually monitors
@@ -201,6 +211,24 @@ class ManagementApi:
                     return 200, {"__text__": self._prometheus_metrics()}
                 if route == "/api/client/version":
                     return 200, CLIENT_VERSION
+                if route == "/profilez":
+                    if self.profile_status_fn is None:
+                        return 404, {"error": "profiling not wired"}
+                    return 200, self.profile_status_fn()
+            if method == "POST" and route == "/profilez":
+                # Blocks for the capture window — worker thread, never the
+                # event loop that serves datagrams.
+                if self.profile_fn is None:
+                    return 404, {"error": "profiling not wired"}
+                try:
+                    seconds = float(query.get("seconds", "2"))
+                except ValueError:
+                    return 400, {"error": "seconds must be a number"}
+                result = await asyncio.to_thread(self.profile_fn, seconds)
+                if result.get("ok"):
+                    return 200, result
+                busy = "in flight" in str(result.get("error", ""))
+                return (409 if busy else 400), result
             return await asyncio.to_thread(self._handle_file_route, method,
                                            route, query, body)
         except Exception as e:  # noqa: BLE001
