@@ -77,6 +77,12 @@ def run_row(ladder, label, window_ms, rate, streams, duration,
     b = ContinuousBatcher(eng, on_result, max_batch=max(buckets),
                           batch_window_ms=window_ms, max_inflight=inflight)
     b.start()
+    # Same host posture the real server applies post-warmup (tpu.gc_tune):
+    # CPython GC pauses stop the batcher too, and this harness exists to
+    # measure scheduling+queueing, not the interpreter's collector
+    # (measured ~2-3x detect-p99 noise cut — BENCH_NOTES host-tail section).
+    from zero_latency_yolo_tpu.utils.gcstats import tune_for_latency
+    tune_for_latency()
     data = np.zeros((32, 32, 3), np.uint8)
     period = 1.0 / rate
     t_end = time.perf_counter() + duration
