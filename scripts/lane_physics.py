@@ -83,6 +83,8 @@ def run_row(ladder, label, window_ms, rate, streams, duration,
     # (measured ~2-3x detect-p99 noise cut — BENCH_NOTES host-tail section).
     from zero_latency_yolo_tpu.utils.gcstats import tune_for_latency
     tune_for_latency()
+    from zero_latency_yolo_tpu.utils.stats import cpu_times, steal_pct
+    steal0 = cpu_times()
     data = np.zeros((32, 32, 3), np.uint8)
     period = 1.0 / rate
     t_end = time.perf_counter() + duration
@@ -112,7 +114,10 @@ def run_row(ladder, label, window_ms, rate, streams, duration,
                detect_avg_ms=round(float(a.mean()), 2),
                detect_p50_ms=round(float(np.percentile(a, 50)), 2),
                detect_p99_ms=round(float(np.percentile(a, 99)), 2),
-               dropped=eng.frames_dropped.value)
+               dropped=eng.frames_dropped.value,
+               # Hypervisor steal over the row (shared-VM diagnostic: 5-10%
+               # steal measurably inflates the tail — BENCH_NOTES).
+               cpu_steal_pct=steal_pct(steal0, cpu_times()))
     if adaptive is not None:
         row.update(serve_size=eng._serve_size,
                    downshifts=eng.size_downshifts,

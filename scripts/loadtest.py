@@ -321,6 +321,8 @@ def main() -> None:
         end_t = start_t + args.duration
         threads = [threading.Thread(target=s.run, args=(start_t, end_t),
                                     daemon=True) for s in streams]
+        from zero_latency_yolo_tpu.utils.stats import cpu_times, steal_pct
+        steal0 = cpu_times()
         t_wall0 = time.perf_counter()
         for t in threads:
             t.start()
@@ -328,6 +330,7 @@ def main() -> None:
             t.join()
         time.sleep(1.0)  # drain tail results
         wall = time.perf_counter() - t_wall0 - 0.5 - 1.0
+        steal_now = steal_pct(steal0, cpu_times())
 
         st = wait_statusz(statusz, 30)
         total_sent = sum(s.sent for s in streams)
@@ -355,6 +358,10 @@ def main() -> None:
             "served_fps": round(total_results / wall, 1),
             "server_detect_avg_ms": st["detect_latency"].get("avg_ms"),
             "server_detect_p99_ms": st["detect_latency"].get("p99_ms"),
+            # Hypervisor CPU steal over the timed window: 5-10% steal was
+            # measured inflating the 8x60 p99 by multiple ms on this VM —
+            # without this field, inflated rows look like regressions.
+            "cpu_steal_pct": steal_now,
             "engine_pipeline_p99_ms": float(st["engine"]["pipeline_p99_ms"]),
             "engine_e2e_p99_ms": float(st["engine"]["e2e_p99_ms"]),
             "engine_avg_batch": float(st["engine"]["avg_batch"]),

@@ -152,3 +152,16 @@ def test_gc_tracker_uninstall_idempotent():
     t.uninstall()  # second uninstall must not raise
     import gc
     assert t._cb not in gc.callbacks
+
+
+def test_cpu_steal_helpers():
+    from zero_latency_yolo_tpu.utils.stats import cpu_times, steal_pct
+    a = cpu_times()
+    assert a is None or (isinstance(a, list) and len(a) >= 8)
+    # Synthetic snapshots: 10 units of steal over 140 total elapsed.
+    before = [100, 0, 50, 1000, 0, 0, 0, 5, 0, 0]
+    after = [150, 0, 70, 1060, 0, 0, 0, 15, 0, 0]
+    assert steal_pct(before, after) == round(100.0 * 10 / 140, 1)
+    assert steal_pct(None, after) is None
+    assert steal_pct(before, before) is None  # zero elapsed -> undefined
+    assert steal_pct([1, 2], after) is None   # malformed snapshot

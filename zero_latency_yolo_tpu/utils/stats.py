@@ -92,6 +92,28 @@ class Counter:
             return sum(n for b, n in self._bins if b > cutoff) / span
 
 
+def cpu_times() -> Optional[list]:
+    """First /proc/stat cpu line as ints (user..guest_nice); None off-Linux.
+    Snapshot pair feeds steal_pct — hypervisor CPU steal measurably inflates
+    latency tails on shared VMs (docs/BENCH_NOTES.md host-tail section), and
+    a measurement row without the steal number looks like a regression."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return [int(v) for v in parts[1:]] if parts[:1] == ["cpu"] else None
+    except (OSError, ValueError):
+        return None
+
+
+def steal_pct(before: Optional[list], after: Optional[list]) -> Optional[float]:
+    """Steal share (%) of total CPU time between two cpu_times snapshots."""
+    if not before or not after or len(before) < 8 or len(after) < 8:
+        return None
+    total = sum(after) - sum(before)
+    steal = after[7] - before[7]
+    return round(100.0 * steal / total, 1) if total > 0 else None
+
+
 class Stopwatch:
     """Context-manager timer recording into a RollingStats (milliseconds)."""
 
