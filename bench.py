@@ -494,6 +494,9 @@ def _gate_rows():
             "dropped": rep.get("dropped"),
             "best_of": len(reps),
             "p99_runs_ms": [r.get("detect_p99_ms") for r in reps],
+            # Shared-VM diagnostic: an inflated row at high steal is the
+            # hypervisor, not a regression (BENCH_NOTES host-tail section).
+            "cpu_steal_pct": rep.get("cpu_steal_pct"),
         }
         print(f"# gate row [{label}]: served {rep.get('served_fps')} "
               f"fps, detect p99 {rep.get('detect_p99_ms')} ms "
