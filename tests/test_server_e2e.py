@@ -226,6 +226,17 @@ def test_status_snapshot(harness):
     assert st["server"] == "zero_latency_yolo_tpu"
     assert st["transport"]["packets_received"] > 0
     assert "engine" in st and st["engine"]["simulation"] == "true"
+    # GC observability + the post-warmup posture (tpu.gc_tune defaults on):
+    # the server must surface pause pressure and actually hold the tuned
+    # thresholds while serving (utils/gcstats.py).
+    import gc
+
+    from zero_latency_yolo_tpu.utils.gcstats import LATENCY_THRESHOLDS
+    hg = st["host_gc"]
+    assert hg["thresholds"] == list(LATENCY_THRESHOLDS)
+    assert gc.get_threshold() == LATENCY_THRESHOLDS
+    assert hg["frozen"] > 0
+    assert hg["pause_total_ms"] >= 0.0
 
 
 def test_config_update_applies_thresholds(harness):

@@ -35,7 +35,7 @@ from typing import Dict, Optional
 
 from .stats import RollingStats
 
-# Measured default (docs/BENCH_NOTES.md): gen0 33x the CPython default —
+# Measured default (docs/BENCH_NOTES.md): gen0 ~36x the CPython default —
 # young collections at serving allocation rates were the pause *count*
 # driver; gen1/gen2 ratios keep full collections rare but not disabled
 # (unbounded cycle growth is worse than a bounded pause).
