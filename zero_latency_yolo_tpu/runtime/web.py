@@ -93,6 +93,8 @@ async function tick(){
     ];
     if (s.device_stall_s > (s.device_stall_warn_s || 5.0))
       cards.push(['DEVICE STALLED (s)', s.device_stall_s.toFixed(1)]);
+    if (s.host_gc && s.host_gc.pause_max_ms > 20)
+      cards.push(['gc pause max ms', s.host_gc.pause_max_ms.toFixed(1)]);
     document.getElementById('cards').innerHTML = cards.map(
       c => `<div class="card"><div class="k">${c[0]}</div><div class="v">${c[1]}</div></div>`).join('');
     const rows = Object.entries(s.sessions || {}).map(([id, x]) =>
