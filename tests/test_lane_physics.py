@@ -29,3 +29,42 @@ def test_lane_physics_row_smoke():
     # regression sheds most of the offered rate, not a few percent.
     served = row["served_fps"] * duration
     assert row["dropped"] < 0.25 * (served + row["dropped"]), row
+
+
+def test_loadtest_build_config_gc_knobs():
+    """The loadtest harness's --gc-tune tri-state maps to the server config
+    faithfully: 'default' leaves the library default (no key override),
+    'on'/'off' force it; the GIL switch interval passes through."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "loadtest.py")
+    spec = importlib.util.spec_from_file_location("loadtest_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import argparse
+
+    def mkargs(**over):
+        base = dict(streams=2, fps=10.0, port=1, web_port=2, size=64,
+                    variant="yolov8p", dtype="bfloat16", bucket_h=96,
+                    bucket_w=96, window_ms=1.0, max_inflight=2,
+                    synthetic_step_ms=0.0, synthetic_profile="",
+                    adaptive_profiles=None, adaptive_slo=8.0,
+                    rate_control_slo=0.0, rate_control_min_fps=15,
+                    gc_tune="default", switch_interval_ms=0.0)
+        base.update(over)
+        return argparse.Namespace(**base)
+
+    from zero_latency_yolo_tpu.config import ServerConfig
+
+    cfg = ServerConfig.from_dict(mod.build_config(mkargs(), "/m.npz"))
+    assert cfg.tpu.gc_tune is True  # library default untouched
+    cfg = ServerConfig.from_dict(mod.build_config(mkargs(gc_tune="off"),
+                                                  "/m.npz"))
+    assert cfg.tpu.gc_tune is False
+    cfg = ServerConfig.from_dict(mod.build_config(
+        mkargs(gc_tune="on", switch_interval_ms=1.5), "/m.npz"))
+    assert cfg.tpu.gc_tune is True
+    assert cfg.tpu.gil_switch_interval_ms == 1.5
