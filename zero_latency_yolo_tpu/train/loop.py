@@ -228,7 +228,13 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
             warmup_steps=max(int(warmup_steps), 0),
             decay_steps=max(int(steps), int(warmup_steps) + 1),
             end_value=0.05 * lr)
-    tx = optax.adamw(lr, weight_decay=1e-4)
+    # Global-norm gradient clipping (the ultralytics recipe clips at 10.0):
+    # one pathological batch otherwise derails a short fine-tune for good —
+    # measured: the yolov8s->yolov8n distill run spiked to loss 59 at step
+    # 90/300 unclipped and finished at mAP 0.38 vs 0.89 baseline
+    # (docs/BENCH_NOTES.md distillation-stability note).
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.adamw(lr, weight_decay=1e-4))
     state = init_train_state(params, tx, ema=ema)
 
     # Knowledge distillation: a (usually larger) trained artifact steers the
