@@ -220,3 +220,21 @@ def test_gc_tune_and_switch_interval_gates():
         ServerConfig.from_dict({"tpu": {"gil_switch_interval_ms": -1}})
     with pytest.raises(ValueError, match="gil_switch_interval_ms"):
         ServerConfig.from_dict({"tpu": {"gil_switch_interval_ms": 500}})
+
+
+def test_bind_address_gates():
+    from zero_latency_yolo_tpu.config import ServerConfig
+    cfg = ServerConfig.from_dict({})
+    assert cfg.network.bind_address == "0.0.0.0"
+    assert cfg.network.web_bind_address == "0.0.0.0"
+    cfg = ServerConfig.from_dict(
+        {"network": {"bind_address": "127.0.0.1",
+                     "web_bind_address": "10.0.0.5"}})
+    assert cfg.network.bind_address == "127.0.0.1"
+    assert cfg.network.web_bind_address == "10.0.0.5"
+    import pytest
+    for bad in ("example.com", "::1", "256.1.2.3 junk", 17):
+        with pytest.raises(ValueError):
+            ServerConfig.from_dict({"network": {"bind_address": bad}})
+    with pytest.raises(ValueError):
+        ServerConfig.from_dict({"network": {"web_bind_address": "nope"}})

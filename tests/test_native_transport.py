@@ -222,3 +222,31 @@ def test_send_many_partial_send_skips_only_failed():
     finally:
         t._lib = tr._codec._LIB  # restore before close()
         t.close()
+
+
+def test_native_bind_address_scoped():
+    """zl_udp_open3 binds an explicit interface; garbage addresses are
+    -EINVAL, never a silent INADDR_ANY listen."""
+    import socket as _socket
+
+    from zero_latency_yolo_tpu.runtime.transport import (
+        HAVE_NATIVE_UDP_BIND_ADDR, NativeUdpTransport)
+    if not HAVE_NATIVE_UDP_BIND_ADDR:
+        pytest.skip(".so predates zl_udp_open3")
+    got = []
+    t = NativeUdpTransport(PORT + 40, 1 << 20, 1 << 20,
+                           lambda batch: got.extend(batch),
+                           bind_address="127.0.0.1")
+    try:
+        s = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        s.sendto(b"x" * 8, ("127.0.0.1", PORT + 40))
+        s.close()
+        deadline = time.monotonic() + 3.0
+        while time.monotonic() < deadline and not got:
+            time.sleep(0.02)
+        assert got and got[0][0] == b"x" * 8
+    finally:
+        t.close()
+    with pytest.raises(OSError):
+        NativeUdpTransport(PORT + 41, 1 << 20, 1 << 20, lambda b: None,
+                           bind_address="not-an-ip")

@@ -606,3 +606,38 @@ def test_http_header_line_cap(harness):
         assert got == b""  # no response to the slowloris attempt
     finally:
         h.stop()
+
+
+def test_bind_address_scopes_udp_and_web():
+    """network.bind_address / web_bind_address scope the serving socket and
+    the management plane to one interface (the reference hardcoded
+    INADDR_ANY for both). Loopback-bound server serves normally."""
+    import json as _json
+    import socket as _socket
+
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent/model.npz",
+        "port": PORT + 81, "web_port": PORT + 82, "max_clients": 2,
+        "network": {"bind_address": "127.0.0.1",
+                    "web_bind_address": "127.0.0.1"},
+        "tpu": {"batch_window_ms": 1.0, "frame_buckets": [[128, 128]],
+                "batch_buckets": [1]},
+    })
+    h = ServerHarness(cfg)
+    server = h.start()
+    c = _client(server.port)
+    try:
+        c.connect()
+        c.start_receiver()
+        c.send_raw_frame(synthetic_frame(96, 64))
+        assert c.wait_results(1, timeout=5)
+        sock = _socket.create_connection(("127.0.0.1", PORT + 82), timeout=5)
+        sock.sendall(b"GET /statusz HTTP/1.1\r\nHost: x\r\n\r\n")
+        data = sock.recv(65536)
+        sock.close()
+        assert data.startswith(b"HTTP/1.1 200")
+        body = data.split(b"\r\n\r\n", 1)[1]
+        assert _json.loads(body)["clients"] == 1
+    finally:
+        c.stop()
+        h.stop()

@@ -53,6 +53,13 @@ class NetworkConfig:
     # The multi-core/multi-chip scale-out mode (scripts/serve_fleet.py);
     # disables the port+1 fallback so every shard stays on the fleet port.
     reuse_port: bool = False
+    # Interface-scoped binds (dotted IPv4; default = all interfaces). The
+    # UDP serving socket and the management HTTP plane get separate knobs:
+    # the common split is UDP public, statusz/dashboard on 127.0.0.1 behind
+    # a reverse proxy. Validated at load (a typo must not silently listen
+    # everywhere). The reference hardcoded INADDR_ANY for both.
+    bind_address: str = "0.0.0.0"
+    web_bind_address: str = "0.0.0.0"
 
 
 @dataclass
@@ -313,6 +320,20 @@ class ServerConfig:
             if not (v == v and 0.0 <= v <= 1.0):
                 raise ValueError(f"{name}={v!r} must be finite in [0, 1]")
         _merge(cfg.network, j.get("network"))
+        # Fail-at-load gate: a malformed bind address would otherwise fall
+        # through to INADDR_ANY (native tier) or raise mid-boot (asyncio).
+        import socket as _socket
+        for name in ("bind_address", "web_bind_address"):
+            addr = getattr(cfg.network, name)
+            if not isinstance(addr, str):
+                raise ValueError(f"network.{name} must be a string")
+            if addr:
+                try:
+                    _socket.inet_aton(addr)
+                except OSError:
+                    raise ValueError(
+                        f"network.{name}={addr!r} must be a dotted IPv4 "
+                        "address (the wire tier is IPv4)") from None
         _merge(cfg.logging, j.get("logging"))
         _merge(cfg.detection, j.get("detection"))
         # The primary serving size obeys the SAME /32 anchor-grid constraint

@@ -11,6 +11,9 @@
 //   zl_udp_open2(port, rcvbuf, sndbuf, flags) -> as above; flags bit 0 sets
 //       SO_REUSEPORT (kernel flow-hash sharding across N server processes —
 //       every binder must opt in, so it cannot steal a normal bind)
+//   zl_udp_open3(ip, port, rcvbuf, sndbuf, flags) -> as above, bound to a
+//       specific IPv4 address (NULL/"" = INADDR_ANY); -EINVAL on a
+//       non-IPv4-dotted string
 //   zl_udp_recv_batch(fd, arena, arena_cap, pkts, max_pkts, timeout_ms)
 //       -> n packets written (0 on timeout, -errno on error)
 //   zl_udp_recv_batch2(...)  -> as above, but each datagram is ZLTY-validated
@@ -49,7 +52,8 @@ struct ZlPacketDesc {
 
 static const int ZL_OPEN_REUSEPORT = 1;
 
-int zl_udp_open2(int port, int rcvbuf, int sndbuf, int flags) {
+int zl_udp_open3(const char* ip, int port, int rcvbuf, int sndbuf,
+                 int flags) {
     // SOCK_CLOEXEC: Python sockets are close-on-exec by default (PEP 446);
     // without it this fd leaks into forked children (ffmpeg, make) and a
     // lingering child keeps the port bound across server restarts.
@@ -75,6 +79,15 @@ int zl_udp_open2(int port, int rcvbuf, int sndbuf, int flags) {
     sockaddr_in addr{};
     addr.sin_family = AF_INET;
     addr.sin_addr.s_addr = htonl(INADDR_ANY);
+    if (ip != nullptr && ip[0] != '\0') {
+        // Interface-scoped bind (network.bind_address). inet_pton rejects
+        // anything but dotted IPv4 — a hostname or IPv6 literal must fail
+        // here, not bind INADDR_ANY and silently listen everywhere.
+        if (::inet_pton(AF_INET, ip, &addr.sin_addr) != 1) {
+            ::close(fd);
+            return -EINVAL;
+        }
+    }
     addr.sin_port = htons(static_cast<uint16_t>(port));
     if (::bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0) {
         int e = errno;
@@ -84,8 +97,12 @@ int zl_udp_open2(int port, int rcvbuf, int sndbuf, int flags) {
     return fd;
 }
 
+int zl_udp_open2(int port, int rcvbuf, int sndbuf, int flags) {
+    return zl_udp_open3(nullptr, port, rcvbuf, sndbuf, flags);
+}
+
 int zl_udp_open(int port, int rcvbuf, int sndbuf) {
-    return zl_udp_open2(port, rcvbuf, sndbuf, 0);
+    return zl_udp_open3(nullptr, port, rcvbuf, sndbuf, 0);
 }
 
 // Shared intake prologue: poll, slot the arena, one recvmmsg. Fills the

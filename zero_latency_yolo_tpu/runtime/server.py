@@ -286,13 +286,16 @@ class DetectionServer:
                     self._transport = NativeUdpTransport(
                         p, self.config.network.recv_buffer_size,
                         self.config.network.send_buffer_size,
-                        self._on_native_batch, reuse_port=reuse)
+                        self._on_native_batch, reuse_port=reuse,
+                        bind_address=self.config.network.bind_address)
                 else:
                     # reuse_port=True sets SO_REUSEPORT before bind (the
                     # fleet shard group); a plain bind holding the port
                     # still raises EADDRINUSE either way.
                     await self._loop.create_datagram_endpoint(
-                        lambda: _Protocol(self), local_addr=("0.0.0.0", p),
+                        lambda: _Protocol(self),
+                        local_addr=(self.config.network.bind_address
+                                    or "0.0.0.0", p),
                         reuse_port=reuse or None)
                 self.port = p
                 break
@@ -312,7 +315,9 @@ class DetectionServer:
         if self.config.network.web_port:
             try:
                 self._http_server = await asyncio.start_server(
-                    self._handle_http, "0.0.0.0", self.config.network.web_port)
+                    self._handle_http,
+                    self.config.network.web_bind_address or "0.0.0.0",
+                    self.config.network.web_port)
             except OSError:
                 log.warning("statusz port %d busy; endpoint disabled",
                             self.config.network.web_port)
@@ -1416,7 +1421,8 @@ class DetectionServer:
                 # a plain bind would EADDRINUSE against surviving shards.
                 await self._loop.create_datagram_endpoint(
                     lambda: _Protocol(self),
-                    local_addr=("0.0.0.0", self.port),
+                    local_addr=(self.config.network.bind_address
+                                or "0.0.0.0", self.port),
                     reuse_port=self.config.network.reuse_port or None)
                 log.warning("socket recovered on udp/%d", self.port)
             except OSError:

@@ -104,6 +104,16 @@ def _bind_udp_open2_symbol(lib: ctypes.CDLL) -> bool:
         return False
 
 
+def _bind_udp_open3_symbol(lib: ctypes.CDLL) -> bool:
+    try:
+        lib.zl_udp_open3.restype = ctypes.c_int
+        lib.zl_udp_open3.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        return True
+    except AttributeError:
+        return False
+
+
 def _bind_udp_v2_symbols(lib: ctypes.CDLL) -> bool:
     try:
         lib.zl_udp_recv_batch2.restype = ctypes.c_int
@@ -126,6 +136,9 @@ HAVE_NATIVE_UDP_V2 = HAVE_NATIVE_UDP and _bind_udp_v2_symbols(_codec._LIB)
 # builds lack it; the server falls back to the asyncio endpoint then).
 HAVE_NATIVE_UDP_REUSEPORT = (HAVE_NATIVE_UDP
                              and _bind_udp_open2_symbol(_codec._LIB))
+# Interface-scoped binds (network.bind_address) need zl_udp_open3.
+HAVE_NATIVE_UDP_BIND_ADDR = (HAVE_NATIVE_UDP
+                             and _bind_udp_open3_symbol(_codec._LIB))
 _OPEN_REUSEPORT = 1  # zl_udp_open2 flags bit 0
 
 
@@ -148,21 +161,31 @@ class NativeUdpTransport:
 
     def __init__(self, port: int, recv_buffer: int, send_buffer: int,
                  on_batch: Callable[[List[Datagram]], None],
-                 reuse_port: bool = False) -> None:
+                 reuse_port: bool = False, bind_address: str = "") -> None:
         if not HAVE_NATIVE_UDP:
             raise RuntimeError("native UDP symbols unavailable")
         if reuse_port and not HAVE_NATIVE_UDP_REUSEPORT:
             raise RuntimeError(
                 "native transport .so predates zl_udp_open2; rebuild with "
                 "`make native` for reuse_port sharding")
+        scoped = bind_address not in ("", "0.0.0.0")
+        if scoped and not HAVE_NATIVE_UDP_BIND_ADDR:
+            raise RuntimeError(
+                "native transport .so predates zl_udp_open3; rebuild with "
+                "`make native` for network.bind_address")
         self._lib = _codec._LIB
-        if reuse_port:
+        flags = _OPEN_REUSEPORT if reuse_port else 0
+        if scoped:
+            fd = self._lib.zl_udp_open3(bind_address.encode(), port,
+                                        recv_buffer, send_buffer, flags)
+        elif reuse_port:
             fd = self._lib.zl_udp_open2(port, recv_buffer, send_buffer,
-                                        _OPEN_REUSEPORT)
+                                        flags)
         else:
             fd = self._lib.zl_udp_open(port, recv_buffer, send_buffer)
         if fd < 0:
-            raise OSError(-fd, f"zl_udp_open({port}) failed")
+            raise OSError(-fd, f"zl_udp_open({bind_address or '*'}:{port}) "
+                               "failed")
         self.fd = fd
         self.port = port
         self.on_batch = on_batch
