@@ -233,8 +233,22 @@ def test_bind_address_gates():
     assert cfg.network.bind_address == "127.0.0.1"
     assert cfg.network.web_bind_address == "10.0.0.5"
     import pytest
-    for bad in ("example.com", "::1", "256.1.2.3 junk", 17):
+    # "127.1" is the aton-shorthand trap: inet_aton accepts it but the
+    # native tier's inet_pton does not — the gate must reject it too.
+    for bad in ("example.com", "::1", "256.1.2.3 junk", "127.1", 17):
         with pytest.raises(ValueError):
             ServerConfig.from_dict({"network": {"bind_address": bad}})
     with pytest.raises(ValueError):
         ServerConfig.from_dict({"network": {"web_bind_address": "nope"}})
+
+
+def test_web_auth_token_gates():
+    from zero_latency_yolo_tpu.config import ServerConfig
+    assert ServerConfig.from_dict({}).network.web_auth_token == ""
+    cfg = ServerConfig.from_dict(
+        {"network": {"web_auth_token": "hunter2hunter2"}})
+    assert cfg.network.web_auth_token == "hunter2hunter2"
+    import pytest
+    for bad in ("short", "has space8", 12345678):
+        with pytest.raises(ValueError, match="web_auth_token"):
+            ServerConfig.from_dict({"network": {"web_auth_token": bad}})

@@ -641,3 +641,52 @@ def test_bind_address_scopes_udp_and_web():
     finally:
         c.stop()
         h.stop()
+
+
+def test_web_auth_token_e2e():
+    """The raw-HTTP tier parses `Authorization: Bearer <token>` (scheme
+    case-insensitive, bare token accepted) and the POST gate holds at the
+    wire; GET telemetry stays open."""
+    import socket as _socket
+
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent/model.npz",
+        "port": PORT + 83, "web_port": PORT + 84, "max_clients": 2,
+        "network": {"web_auth_token": "hunter2hunter2"},
+        "tpu": {"batch_window_ms": 1.0, "frame_buckets": [[128, 128]],
+                "batch_buckets": [1]},
+    })
+    h = ServerHarness(cfg)
+    h.start()
+
+    def _req(lines: bytes) -> bytes:
+        sock = _socket.create_connection(("127.0.0.1", PORT + 84), timeout=5)
+        sock.sendall(lines)
+        data = b""
+        try:
+            while True:
+                chunk = sock.recv(65536)
+                if not chunk:
+                    break
+                data += chunk
+        except OSError:
+            pass
+        sock.close()
+        return data
+
+    try:
+        assert _req(b"GET /statusz HTTP/1.1\r\nHost: x\r\n\r\n"
+                    ).startswith(b"HTTP/1.1 200")
+        body = b"not-really-weights"
+        post = (b"POST /api/models/upload?name=e2e.npz HTTP/1.1\r\n"
+                b"Host: x\r\nContent-Length: %d\r\n" % len(body))
+        assert _req(post + b"\r\n" + body).startswith(b"HTTP/1.1 401")
+        assert _req(post + b"Authorization: Bearer wrong\r\n\r\n" + body
+                    ).startswith(b"HTTP/1.1 401")
+        ok = _req(post + b"Authorization: bearer hunter2hunter2\r\n\r\n" + body)
+        assert ok.startswith(b"HTTP/1.1 200"), ok[:200]
+        # bare-token form (curl convenience, no Bearer scheme)
+        ok2 = _req(post + b"Authorization: hunter2hunter2\r\n\r\n" + body)
+        assert ok2.startswith(b"HTTP/1.1 200"), ok2[:200]
+    finally:
+        h.stop()

@@ -325,3 +325,38 @@ def test_profile_capture_real(tmp_path):
     status = profiling.capture_status()
     assert status["capturing"] is False
     assert status["last"]["dir"] == out["dir"]
+
+
+def test_post_auth_token(tmp_path):
+    """network.web_auth_token gates every POST route with a constant-time
+    bearer compare; GET telemetry stays open (scope those with
+    web_bind_address). Empty token (default) keeps the open plane."""
+    models = tmp_path / "models"
+    models.mkdir()
+    api = ManagementApi(status_fn=lambda: {"clients": 1},
+                        models_dir=str(models), logs_dir=str(tmp_path),
+                        auth_token="s3cret-token")
+    # GETs open regardless of the token
+    assert _call(api, "GET", "/statusz")[0] == 200
+    assert _call(api, "GET", "/api/models")[0] == 200
+    # POSTs: missing / wrong token -> 401, nothing written
+    code, payload = _call(api, "POST", "/api/models/upload?name=new.npz",
+                          b"weights")
+    assert code == 401 and "web_auth_token" in payload["error"]
+    code, _ = asyncio.run(api.handle(
+        "POST", "/api/models/upload?name=new.npz", b"weights", auth="wrong"))
+    assert code == 401
+    assert not (models / "new.npz").exists()
+    # Right token -> normal route behavior
+    code, _ = asyncio.run(api.handle(
+        "POST", "/api/models/upload?name=new.npz", b"weights",
+        auth="s3cret-token"))
+    assert code == 200
+    assert (models / "new.npz").read_bytes() == b"weights"
+    # /profilez POST is gated too (404-when-unwired must not leak past auth)
+    assert asyncio.run(api.handle("POST", "/profilez", b""))[0] == 401
+    # Default-empty token: open plane (reference parity)
+    open_api = ManagementApi(status_fn=lambda: {}, models_dir=str(models),
+                             logs_dir=str(tmp_path))
+    code, _ = _call(open_api, "POST", "/api/models/upload?name=n2.npz", b"w")
+    assert code == 200

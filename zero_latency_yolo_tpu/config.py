@@ -60,6 +60,11 @@ class NetworkConfig:
     # everywhere). The reference hardcoded INADDR_ANY for both.
     bind_address: str = "0.0.0.0"
     web_bind_address: str = "0.0.0.0"
+    # When set, every management-plane POST (model upload — which hot-swaps
+    # the serving model — log upload, /profilez capture) requires
+    # `Authorization: Bearer <token>`. GET telemetry stays open; scope it
+    # with web_bind_address. Empty (default) = open plane, reference parity.
+    web_auth_token: str = ""
 
 
 @dataclass
@@ -329,11 +334,25 @@ class ServerConfig:
                 raise ValueError(f"network.{name} must be a string")
             if addr:
                 try:
-                    _socket.inet_aton(addr)
+                    # inet_pton, not inet_aton: the native tier (zl_udp_open3)
+                    # validates with inet_pton, which rejects the classic
+                    # shorthand forms aton accepts ("127.1", octal octets).
+                    # The gate must match the strictest tier or the same
+                    # config boots on asyncio and EINVALs on native.
+                    _socket.inet_pton(_socket.AF_INET, addr)
                 except OSError:
                     raise ValueError(
                         f"network.{name}={addr!r} must be a dotted IPv4 "
                         "address (the wire tier is IPv4)") from None
+        tok = cfg.network.web_auth_token
+        if not isinstance(tok, str):
+            raise ValueError("network.web_auth_token must be a string")
+        if tok and (len(tok) < 8 or any(c.isspace() for c in tok)):
+            # A 3-char or whitespace-bearing token is a misconfiguration a
+            # header round-trip would mangle or a prober would brute-force;
+            # fail at load, not at the first rejected upload.
+            raise ValueError("network.web_auth_token must be >=8 chars with "
+                             "no whitespace (or empty to disable auth)")
         _merge(cfg.logging, j.get("logging"))
         _merge(cfg.detection, j.get("detection"))
         # The primary serving size obeys the SAME /32 anchor-grid constraint

@@ -177,7 +177,8 @@ class DetectionServer:
             # start/stop touch no device state; the capture sleep runs on the
             # management worker thread while the batcher keeps serving.
             profile_fn=lambda s: _profiling.capture(s, _trace_dir),
-            profile_status_fn=_profiling.capture_status)
+            profile_status_fn=_profiling.capture_status,
+            auth_token=config.network.web_auth_token)
         # Frame decode offload (config worker_threads, reference
         # server/config.h:316): JPEG/ROI decode runs off the packet thread.
         # N workers shard by client id (cid % N -> one FIFO queue each):
@@ -1508,6 +1509,7 @@ class DetectionServer:
             method = parts[0].decode("ascii", "replace").upper()
             path = parts[1].decode("utf-8", "replace")
             content_length = 0
+            auth = ""
             # Header cap: each readline gets a fresh 5 s timeout, so without
             # a line bound a client trickling one garbage header every ~4 s
             # holds the fd/coroutine forever (slowloris on the mgmt port).
@@ -1517,13 +1519,22 @@ class DetectionServer:
                     break
                 if line.lower().startswith(b"content-length:"):
                     content_length = int(line.split(b":", 1)[1].strip() or 0)
+                elif line.lower().startswith(b"authorization:"):
+                    # "Bearer <token>" (scheme case-insensitive per RFC
+                    # 7235); a bare token is also accepted for curl
+                    # convenience. Decoded as UTF-8 to match the config.
+                    val = line.split(b":", 1)[1].strip()
+                    if val[:7].lower() == b"bearer ":
+                        val = val[7:].strip()
+                    auth = val.decode("utf-8", "replace")
             else:
                 return  # >64 header lines: not a legitimate client
             body = b""
             if method == "POST" and 0 < content_length <= 256 * 1024 * 1024:
                 body = await asyncio.wait_for(
                     reader.readexactly(content_length), timeout=60.0)
-            code, payload = await self.management.handle(method, path, body)
+            code, payload = await self.management.handle(method, path, body,
+                                                         auth=auth)
             if isinstance(payload, dict) and "__html__" in payload:
                 data = payload["__html__"].encode()
                 ctype = "text/html; charset=utf-8"
@@ -1534,7 +1545,8 @@ class DetectionServer:
             else:
                 data = json.dumps(payload, indent=1).encode()
                 ctype = "application/json"
-            reason = {200: "OK", 400: "Bad Request", 404: "Not Found",
+            reason = {200: "OK", 400: "Bad Request", 401: "Unauthorized",
+                      404: "Not Found", 409: "Conflict",
                       500: "Internal Server Error"}.get(code, "OK")
             writer.write(f"HTTP/1.1 {code} {reason}\r\n"
                          f"Content-Type: {ctype}\r\n"

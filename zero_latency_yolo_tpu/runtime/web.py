@@ -28,6 +28,11 @@ Here the management API lives in-process with direct access to live state:
 Implemented on asyncio streams — no web framework dependency. The dashboard
 HTML itself is optional and not rebuilt; every consumer of the reference's
 JSON API finds the same routes here.
+
+Auth: when `network.web_auth_token` is set, every POST route requires
+`Authorization: Bearer <token>` (constant-time compare; 401 otherwise).
+GET routes stay open — they are read-only telemetry; scope them with
+`network.web_bind_address`. The reference's web plane had no auth at all.
 """
 
 from __future__ import annotations
@@ -162,8 +167,15 @@ class ManagementApi:
                  history_fn: Optional[Callable[[], list]] = None,
                  traces_fn: Optional[Callable[[], list]] = None,
                  profile_fn: Optional[Callable[[float], Dict]] = None,
-                 profile_status_fn: Optional[Callable[[], Dict]] = None) -> None:
+                 profile_status_fn: Optional[Callable[[], Dict]] = None,
+                 auth_token: str = "") -> None:
         self.status_fn = status_fn
+        # network.web_auth_token: when set, every POST route (model upload —
+        # which hot-swaps the serving model — log upload, /profilez) requires
+        # `Authorization: Bearer <token>`. GET routes stay open: they are
+        # read-only telemetry, and network.web_bind_address is the knob for
+        # scoping those. Empty (the default) keeps the open-plane behavior.
+        self.auth_token = auth_token
         self.history_fn = history_fn
         self.traces_fn = traces_fn
         self.profile_fn = profile_fn
@@ -176,7 +188,8 @@ class ManagementApi:
         self.active_model = active_model
 
     # ------------------------------------------------------------- routing
-    async def handle(self, method: str, path: str, body: bytes) -> Tuple[int, Dict]:
+    async def handle(self, method: str, path: str, body: bytes,
+                     auth: str = "") -> Tuple[int, Dict]:
         """Status routes answer inline (live in-process state, no I/O); file
         routes (model/log upload, log view) run in a worker thread — a
         256 MB model upload written synchronously would stall the SAME event
@@ -186,6 +199,14 @@ class ManagementApi:
         url = urllib.parse.urlsplit(path)
         route = url.path.rstrip("/") or "/"
         query = dict(urllib.parse.parse_qsl(url.query))
+        if method == "POST" and self.auth_token:
+            # Constant-time compare: the mgmt port may face a network, and a
+            # byte-by-byte reject would leak prefix length to a prober.
+            import hmac
+            if not hmac.compare_digest(auth or "", self.auth_token):
+                return 401, {"error": "unauthorized: POST routes require "
+                                      "'Authorization: Bearer <token>' "
+                                      "(network.web_auth_token)"}
         try:
             if method == "GET":
                 if route == "/dashboard":
