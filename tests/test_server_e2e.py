@@ -690,3 +690,49 @@ def test_web_auth_token_e2e():
         assert ok2.startswith(b"HTTP/1.1 200"), ok2[:200]
     finally:
         h.stop()
+
+
+def test_allow_client_config_off_locks_global_thresholds():
+    """network.allow_client_config=false: a client's SET_CONFIG gets
+    ERROR(INVALID_REQUEST) and the GLOBAL thresholds stay put (one tenant
+    must not be able to blank detections for every stream); read-only
+    GET_CONFIG still answers."""
+    import json as _json
+
+    from zero_latency_yolo_tpu.protocol import CommandType
+
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent/model.npz",
+        "port": PORT + 85, "web_port": 0, "max_clients": 2,
+        "confidence_threshold": 0.5,
+        "network": {"allow_client_config": False},
+        "tpu": {"batch_window_ms": 1.0, "frame_buckets": [[128, 128]],
+                "batch_buckets": [1]},
+    })
+    h = ServerHarness(cfg)
+    server = h.start()
+    c = _client(server.port)
+    try:
+        c.connect()
+        c.start_receiver()
+        c.send_command(CommandType.SET_CONFIG,
+                       b'{"confidence_threshold": 0.99}')
+        deadline = time.monotonic() + 3.0
+        while time.monotonic() < deadline and c.errors_seen == 0:
+            time.sleep(0.05)
+        assert c.errors_seen >= 1
+        assert server.engine.config.confidence_threshold == 0.5
+        c.send_command(CommandType.GET_CONFIG)
+        deadline = time.monotonic() + 3.0
+        echo = None
+        while time.monotonic() < deadline and echo is None:
+            with c._lock:
+                for pkt in c.commands:
+                    if pkt.command_type == CommandType.GET_CONFIG:
+                        echo = pkt
+            time.sleep(0.05)
+        assert echo is not None, "GET_CONFIG must stay read-open"
+        assert _json.loads(echo.command_data)["confidence_threshold"] == 0.5
+    finally:
+        c.stop()
+        h.stop()

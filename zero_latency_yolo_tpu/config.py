@@ -65,6 +65,12 @@ class NetworkConfig:
     # `Authorization: Bearer <token>`. GET telemetry stays open; scope it
     # with web_bind_address. Empty (default) = open plane, reference parity.
     web_auth_token: str = ""
+    # SET_CONFIG over the wire mutates GLOBAL serving thresholds (range-
+    # gated, but a legitimate 0.99 confidence from one client still blanks
+    # detections for every stream). Default on — single-operator parity with
+    # the shipped clients; multi-tenant deployments turn it off and tune via
+    # the (token-gated) management plane. GET_CONFIG stays read-open.
+    allow_client_config: bool = True
 
 
 @dataclass

@@ -820,6 +820,17 @@ class DetectionServer:
         elif pkt.command_type == CommandType.SET_CONFIG:
             # Runtime-tunable subset; thresholds are traced scalars so the
             # update costs no recompiles.
+            if not self.config.network.allow_client_config:
+                # The thresholds are GLOBAL: one tenant raising confidence
+                # to 0.99 blanks detections for every other stream. Multi-
+                # tenant operators disable client writes and tune over the
+                # authenticated management plane instead.
+                self._send_raw(ErrorPacket(
+                    error_code=ErrorCode.INVALID_REQUEST,
+                    message="SET_CONFIG disabled "
+                            "(network.allow_client_config)").serialize(),
+                    session.addr)
+                return
             try:
                 payload = json.loads(pkt.command_data.decode("utf-8"))
                 if not isinstance(payload, dict):
