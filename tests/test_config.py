@@ -252,3 +252,13 @@ def test_web_auth_token_gates():
     for bad in ("short", "has space8", 12345678):
         with pytest.raises(ValueError, match="web_auth_token"):
             ServerConfig.from_dict({"network": {"web_auth_token": bad}})
+    # Non-ASCII survives JSON but travels in an HTTP header — the operator
+    # would lock themselves out of every authenticated POST (ADVICE r3).
+    with pytest.raises(ValueError, match="printable ASCII"):
+        ServerConfig.from_dict({"network": {"web_auth_token": "sécret-token"}})
+    # The shipped example placeholder is publicly known: fail-closed.
+    for placeholder in ("CHANGE-ME-32-chars-minimum-random",
+                        "my-change_me-token"):
+        with pytest.raises(ValueError, match="placeholder"):
+            ServerConfig.from_dict(
+                {"network": {"web_auth_token": placeholder}})

@@ -688,6 +688,13 @@ def test_web_auth_token_e2e():
         # bare-token form (curl convenience, no Bearer scheme)
         ok2 = _req(post + b"Authorization: hunter2hunter2\r\n\r\n" + body)
         assert ok2.startswith(b"HTTP/1.1 200"), ok2[:200]
+        # Invalid-UTF-8 header bytes decode to U+FFFD; the compare must
+        # still answer 401 (a str-mode compare_digest raises TypeError on
+        # non-ASCII and the connection would drop with no response —
+        # ADVICE r3 medium).
+        bad = _req(post + b"Authorization: Bearer \xff\xfe\xfd\r\n\r\n"
+                   + body)
+        assert bad.startswith(b"HTTP/1.1 401"), bad[:200]
     finally:
         h.stop()
 
@@ -721,6 +728,21 @@ def test_allow_client_config_off_locks_global_thresholds():
         while time.monotonic() < deadline and c.errors_seen == 0:
             time.sleep(0.05)
         assert c.errors_seen >= 1
+        assert server.engine.config.confidence_threshold == 0.5
+        # The lock must also cover a RAW CONFIG_UPDATE datagram (type 7):
+        # the wire format is public, so a tenant can craft one directly —
+        # it must hit the same gate as SET_CONFIG (ADVICE r3 high).
+        from zero_latency_yolo_tpu.protocol import ConfigUpdatePacket
+        errors_before = c.errors_seen
+        c._send(ConfigUpdatePacket(
+            settings={"confidence_threshold": 0.99}).serialize())
+        deadline = time.monotonic() + 3.0
+        while (time.monotonic() < deadline
+               and c.errors_seen == errors_before):
+            time.sleep(0.05)
+        assert c.errors_seen > errors_before, (
+            "raw CONFIG_UPDATE must be refused with an ERROR when "
+            "allow_client_config is off")
         assert server.engine.config.confidence_threshold == 0.5
         c.send_command(CommandType.GET_CONFIG)
         deadline = time.monotonic() + 3.0

@@ -359,6 +359,19 @@ class ServerConfig:
             # fail at load, not at the first rejected upload.
             raise ValueError("network.web_auth_token must be >=8 chars with "
                              "no whitespace (or empty to disable auth)")
+        if tok and not all(" " < c <= "~" for c in tok):
+            # HTTP header values are bytes; a non-ASCII token survives JSON
+            # but every Authorization round-trip then depends on client
+            # encoding choices — and the operator locks THEMSELVES out of
+            # the management plane. Printable ASCII only.
+            raise ValueError("network.web_auth_token must be printable ASCII "
+                             "(it travels in an HTTP header)")
+        if tok and "CHANGE-ME" in tok.upper().replace("_", "-"):
+            # The shipped hardened example's placeholder is publicly known;
+            # a copy-paste deploy must not boot "hardened" with it.
+            raise ValueError("network.web_auth_token is the example "
+                             "placeholder — generate a real secret (e.g. "
+                             "`openssl rand -hex 16`)")
         _merge(cfg.logging, j.get("logging"))
         _merge(cfg.detection, j.get("detection"))
         # The primary serving size obeys the SAME /32 anchor-grid constraint

@@ -677,6 +677,16 @@ class DetectionServer:
         if session is None:
             log.debug("config update from unknown peer; ignored")
             return
+        if not self.config.network.allow_client_config:
+            # Same tenant-isolation gate as SET_CONFIG: the wire format is
+            # public, so a crafted type-7 datagram must not reach the GLOBAL
+            # thresholds when the operator locked client writes.
+            self._send_raw(ErrorPacket(
+                error_code=ErrorCode.INVALID_REQUEST,
+                message="CONFIG_UPDATE disabled "
+                        "(network.allow_client_config)").serialize(),
+                session.addr)
+            return
         self._apply_runtime_settings(getattr(pkt, "settings", {}) or {},
                                      session)
 

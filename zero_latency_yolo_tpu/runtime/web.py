@@ -199,15 +199,20 @@ class ManagementApi:
         url = urllib.parse.urlsplit(path)
         route = url.path.rstrip("/") or "/"
         query = dict(urllib.parse.parse_qsl(url.query))
-        if method == "POST" and self.auth_token:
-            # Constant-time compare: the mgmt port may face a network, and a
-            # byte-by-byte reject would leak prefix length to a prober.
-            import hmac
-            if not hmac.compare_digest(auth or "", self.auth_token):
-                return 401, {"error": "unauthorized: POST routes require "
-                                      "'Authorization: Bearer <token>' "
-                                      "(network.web_auth_token)"}
         try:
+            if method == "POST" and self.auth_token:
+                # Constant-time compare over BYTES: str-mode compare_digest
+                # raises TypeError on non-ASCII, and an attacker-sent invalid
+                # UTF-8 header decodes (errors="replace") to U+FFFD — the
+                # reject must be a 401, not an exception that drops the
+                # connection. Inside the try so any surprise still answers.
+                import hmac
+                if not hmac.compare_digest(
+                        (auth or "").encode("utf-8", "surrogatepass"),
+                        self.auth_token.encode("utf-8")):
+                    return 401, {"error": "unauthorized: POST routes require "
+                                          "'Authorization: Bearer <token>' "
+                                          "(network.web_auth_token)"}
             if method == "GET":
                 if route == "/dashboard":
                     return 200, {"__html__": DASHBOARD_HTML}
