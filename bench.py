@@ -434,6 +434,9 @@ def _host_path_summary(host_path):
             # the row shows host saturation, not the serving gate — the
             # `gate` section below is the measurement of record.
             row["client_saturated"] = True
+            row["note"] = ("client harness saturated this 1-core host; "
+                           "latency/drops reflect harness backlog, not "
+                           "serving capacity — see the gate rows")
         out[label] = row
     return out
 
@@ -460,7 +463,7 @@ def _gate_rows():
         ("cfg4_16x60_s640", "s640_step_ladder.json", 16),
     ]
     dur = "4" if SMOKE else "15"
-    attempts = 1 if SMOKE else 2
+    attempts = 1 if SMOKE else 3
     out = {}
     for label, ladder_name, streams in rows:
         ladder = os.path.join(art, ladder_name)
@@ -481,9 +484,13 @@ def _gate_rows():
                       file=sys.stderr)
         if not reps:
             continue
-        # Best-of-N against co-located host noise (this 1-core box also
-        # runs the bench itself); every attempt's p99 is recorded.
-        rep = min(reps, key=lambda r: r.get("detect_p99_ms") or 1e9)
+        # Median-of-N is the row of record (VERDICT r3 weak #4: best-of-N
+        # reads as best-case); the best attempt stays a secondary field and
+        # every attempt's p99 is recorded. Co-located host noise (this
+        # 1-core box also runs the bench itself) is the spread's source.
+        ranked = sorted(reps, key=lambda r: r.get("detect_p99_ms") or 1e9)
+        rep = ranked[(len(ranked) - 1) // 2]  # lower-median for even N
+        best = ranked[0]
         out[label] = {
             "harness": "lane_physics",
             "streams": rep.get("streams"),
@@ -492,14 +499,15 @@ def _gate_rows():
             "detect_avg_ms": rep.get("detect_avg_ms"),
             "detect_p99_ms": rep.get("detect_p99_ms"),
             "dropped": rep.get("dropped"),
-            "best_of": len(reps),
+            "median_of": len(reps),
+            "detect_p99_ms_best": best.get("detect_p99_ms"),
             "p99_runs_ms": [r.get("detect_p99_ms") for r in reps],
             # Shared-VM diagnostic: an inflated row at high steal is the
             # hypervisor, not a regression (BENCH_NOTES host-tail section).
             "cpu_steal_pct": rep.get("cpu_steal_pct"),
         }
         print(f"# gate row [{label}]: served {rep.get('served_fps')} "
-              f"fps, detect p99 {rep.get('detect_p99_ms')} ms "
+              f"fps, detect p99 {rep.get('detect_p99_ms')} ms median "
               f"(runs: {[r.get('detect_p99_ms') for r in reps]})",
               file=sys.stderr)
     return out or None
