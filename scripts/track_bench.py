@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Tracker quality benchmark: synthetic-motion MOT scoring for
+runtime/tracker.py (the reference's orphaned KalmanTracker design,
+src/game/kalman_tracker.cpp:273-354, wired and measured here).
+
+Scene: K targets with constant-velocity motion (wall bounces), observed by
+a simulated detector with box jitter, per-detection miss probability, and
+clutter false positives — the same degradation axes the wire fault
+injector exercises (loss => whole-frame drops, reorder => timestamp
+jitter). Scored per frame by IoU>0.5 Hungarian match against ground truth:
+
+  - mota        1 - (misses + false_positives + id_switches) / gt_boxes
+  - id_switches ground-truth target served under a NEW track id
+  - fragments   coverage interruptions (tracked -> lost -> re-tracked)
+  - mostly_tracked  fraction of targets covered >80% of their life
+  - update_ms_p99   host cost of MultiObjectTracker.update() — it runs on
+                    the event-loop result path, so its tail IS serving tail
+
+Emits one JSON line: {"scenarios": {...}, "frames": N, "targets": K}.
+
+Usage:
+  python scripts/track_bench.py             # full battery (4 scenarios)
+  python scripts/track_bench.py --frames 300 --targets 4   # quick
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from zero_latency_yolo_tpu.runtime.tracker import MultiObjectTracker  # noqa: E402
+from zero_latency_yolo_tpu.utils.geometry import iou_matrix_cxcywh  # noqa: E402
+
+
+def simulate(frames: int, targets: int, seed: int, *, jitter: float,
+             p_miss: float, fp_rate: float, p_drop: float,
+             dt_jitter: float) -> dict:
+    """Run one scenario; returns the metric row."""
+    rng = np.random.default_rng(seed)
+    # Ground truth: constant-velocity targets bouncing in the unit square.
+    pos = rng.uniform(0.15, 0.85, (targets, 2))
+    vel = rng.uniform(-0.004, 0.004, (targets, 2))  # per-frame (≈0.24/s @60)
+    wh = rng.uniform(0.06, 0.12, (targets, 2))
+    classes = rng.integers(0, 2, targets)
+
+    tracker = MultiObjectTracker(max_age_ms=500.0)
+    # Per-target association memory for ID-switch / fragment accounting.
+    last_id = [-1] * targets        # track id last serving this target
+    covered_prev = [False] * targets
+    covered_frames = np.zeros(targets, np.int64)
+    id_switches = 0
+    fragments = 0
+    misses = 0
+    false_pos = 0
+    gt_total = 0
+    update_ms = []
+
+    now_ms = 0.0
+    for f in range(frames):
+        # Advance ground truth.
+        pos += vel
+        bounce = (pos < 0.08) | (pos > 0.92)
+        vel[bounce] *= -1.0
+        pos[:] = np.clip(pos, 0.08, 0.92)
+        now_ms += (1000.0 / 60.0) * (1.0 + rng.uniform(-dt_jitter, dt_jitter))
+
+        gt_boxes = np.concatenate([pos, wh], axis=1)  # (K,4) cxcywh
+        gt_total += targets
+
+        if rng.random() < p_drop:
+            # Whole frame lost on the wire: the tracker simply never sees
+            # it (no update call — the server has nothing to serve).
+            # Coverage accounting: a dropped frame breaks nothing by
+            # itself; the NEXT seen frame decides continuity.
+            misses += targets
+            continue
+
+        # Simulated detector output.
+        det_boxes, det_cls, det_conf, det_src = [], [], [], []
+        for k in range(targets):
+            if rng.random() < p_miss:
+                continue
+            b = gt_boxes[k] + rng.normal(0.0, jitter, 4)
+            det_boxes.append(np.clip(b, 0.0, 1.0))
+            det_cls.append(classes[k])
+            det_conf.append(float(rng.uniform(0.6, 0.95)))
+            det_src.append(k)
+        n_fp = rng.poisson(fp_rate)
+        for _ in range(n_fp):
+            det_boxes.append(np.array([rng.uniform(0.1, 0.9),
+                                       rng.uniform(0.1, 0.9), 0.08, 0.08]))
+            det_cls.append(int(rng.integers(0, 2)))
+            det_conf.append(float(rng.uniform(0.5, 0.7)))
+            det_src.append(-1)
+
+        det_boxes = (np.asarray(det_boxes, np.float32).reshape(-1, 4))
+        t0 = time.perf_counter()
+        out = tracker.update(det_boxes, np.asarray(det_cls, np.int64),
+                             np.asarray(det_conf, np.float32), now_ms=now_ms)
+        update_ms.append((time.perf_counter() - t0) * 1e3)
+
+        # Score: Hungarian IoU>0.5 match of tracker OUTPUT (live + coasted)
+        # against ground truth.
+        if out:
+            out_boxes = np.stack([o[0] for o in out]).astype(np.float32)
+            out_ids = [o[3] for o in out]
+        else:
+            out_boxes = np.zeros((0, 4), np.float32)
+            out_ids = []
+        covered_now = [False] * targets
+        matched_out = set()
+        if len(out_ids):
+            iou = iou_matrix_cxcywh(gt_boxes.astype(np.float32), out_boxes)
+            from scipy.optimize import linear_sum_assignment
+            rows, cols = linear_sum_assignment(1.0 - iou)
+            for r, c in zip(rows, cols):
+                if iou[r, c] < 0.5:
+                    continue
+                matched_out.add(int(c))
+                covered_now[r] = True
+                covered_frames[r] += 1
+                tid = out_ids[c]
+                if last_id[r] >= 0 and tid != last_id[r]:
+                    id_switches += 1
+                if not covered_prev[r] and last_id[r] >= 0:
+                    fragments += 1
+                last_id[r] = tid
+        misses += targets - sum(covered_now)
+        false_pos += len(out_ids) - len(matched_out)
+        covered_prev = covered_now
+
+    mota = 1.0 - (misses + false_pos + id_switches) / max(gt_total, 1)
+    upd = np.asarray(update_ms) if update_ms else np.zeros(1)
+    return {
+        "mota": round(float(mota), 4),
+        "id_switches": int(id_switches),
+        "fragments": int(fragments),
+        "misses": int(misses),
+        "false_positives": int(false_pos),
+        "gt_boxes": int(gt_total),
+        "mostly_tracked": round(
+            float(np.mean(covered_frames / max(frames, 1) > 0.8)), 3),
+        "update_ms_avg": round(float(upd.mean()), 4),
+        "update_ms_p99": round(float(np.percentile(upd, 99)), 4),
+    }
+
+
+SCENARIOS = {
+    # Clean detector: association + id stability floor.
+    "clean": dict(jitter=0.003, p_miss=0.0, fp_rate=0.0, p_drop=0.0,
+                  dt_jitter=0.0),
+    # Realistic detector noise: jitter + 10% misses + clutter.
+    "noisy": dict(jitter=0.006, p_miss=0.10, fp_rate=0.3, p_drop=0.0,
+                  dt_jitter=0.0),
+    # Wire degradation on top (fault-injector axes): 10% frame loss,
+    # ±30% timestamp jitter (reorder/pacing).
+    "lossy_wire": dict(jitter=0.006, p_miss=0.10, fp_rate=0.3, p_drop=0.10,
+                       dt_jitter=0.3),
+    # Stress: heavy occlusion-like misses.
+    "heavy_miss": dict(jitter=0.006, p_miss=0.30, fp_rate=0.3, p_drop=0.0,
+                       dt_jitter=0.0),
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1200)   # 20 s at 60 Hz
+    ap.add_argument("--targets", type=int, default=8)
+    ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--scenario", choices=sorted(SCENARIOS), default=None,
+                    help="run one scenario (default: full battery)")
+    args = ap.parse_args()
+
+    names = [args.scenario] if args.scenario else list(SCENARIOS)
+    out = {}
+    for name in names:
+        # Median-of-seeds on MOTA; counts summed for transparency.
+        reps = [simulate(args.frames, args.targets, seed=100 + s,
+                         **SCENARIOS[name]) for s in range(args.seeds)]
+        reps.sort(key=lambda r: r["mota"])
+        row = dict(reps[len(reps) // 2])
+        row["mota_runs"] = [r["mota"] for r in reps]
+        out[name] = row
+        print(f"# {name}: MOTA {row['mota']} idsw {row['id_switches']} "
+              f"frag {row['fragments']} mt {row['mostly_tracked']} "
+              f"update p99 {row['update_ms_p99']} ms", file=sys.stderr)
+    print(json.dumps({"scenarios": out, "frames": args.frames,
+                      "targets": args.targets, "seeds": args.seeds}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
