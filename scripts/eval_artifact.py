@@ -37,6 +37,15 @@ def main() -> int:
     # the shipped-artifact ranking (docs/BENCH_NOTES artifact table).
     ap.add_argument("--images", type=int, default=64,
                     help="synthetic eval-set size / dataset limit (0 = all)")
+    ap.add_argument("--task", default="blob",
+                    choices=("blob", "crowded", "ood1", "ood2", "ood3"),
+                    help="synthetic eval domain when --data is not given: "
+                         "blob = the training task's distribution (the "
+                         "historical numbers), crowded = dense occlusion "
+                         "task, ood1-3 = the held-out out-of-distribution "
+                         "domain (train/ood.py; textured/cluttered scenes, "
+                         "photometric + JPEG degradation, small/occluded "
+                         "boxes) at increasing severity")
     ap.add_argument("--conf", type=float, default=0.25)
     ap.add_argument("--nms", type=float, default=0.45)
     ap.add_argument("--iou", type=float, default=0.5)
@@ -69,6 +78,14 @@ def main() -> int:
                                      num_classes=spec.num_classes,
                                      limit=args.images or None)
         images = raw.astype(np.float32) / 255
+    elif args.task.startswith("ood"):
+        from zero_latency_yolo_tpu.train.ood import ood_batches
+        images, targets = next(ood_batches(args.images, args.size, seed=777,
+                                           level=int(args.task[3])))
+    elif args.task == "crowded":
+        from zero_latency_yolo_tpu.train.loop import crowded_batches
+        images, targets = next(crowded_batches(args.images, args.size,
+                                               seed=777))
     else:
         images, targets = next(synthetic_batches(args.images, args.size,
                                                  seed=777))
@@ -81,7 +98,7 @@ def main() -> int:
         "weights": args.weights, "variant": spec.variant,
         "num_classes": spec.num_classes, "size": args.size,
         "images": int(len(images)),
-        "data": args.data or "synthetic-777",
+        "data": args.data or f"{args.task}-777",
         "mAP": round(metrics["mAP"], 4),
         "mAP50_95": round(metrics["mAP50_95"], 4),
         "recall": round(metrics["recall"], 4),
