@@ -55,6 +55,11 @@ def main() -> None:
     ap.add_argument("--val-data", default=None,
                     help="YOLO-convention eval directory (defaults to "
                          "--data when given)")
+    ap.add_argument("--mosaic", type=float, default=0.0,
+                    help="mosaic augmentation probability (both stages)")
+    ap.add_argument("--photometric", type=float, default=0.0,
+                    help="photometric augmentation strength (both stages; "
+                         "the OOD-robustness lever, BENCH_NOTES OOD section)")
     ap.add_argument("--distill-from", default=None,
                     help="teacher artifact for knowledge distillation "
                          "(both stages; geometry introspected from file)")
@@ -78,7 +83,8 @@ def main() -> None:
     kd = dict(distill_from=args.distill_from,
               distill_weight=args.distill_weight,
               distill_box_weight=args.distill_box_weight,
-              distill_temp=args.distill_temp)
+              distill_temp=args.distill_temp,
+              mosaic=args.mosaic, photometric=args.photometric)
     t0 = time.perf_counter()
     state = train(variant=args.variant, num_classes=args.classes,
                   size=args.stage1_size, batch=args.batch,

@@ -411,3 +411,24 @@ def test_tal_assigner_trains_finite():
     assert float(metrics["num_pos"]) > 0
     leaves = jax.tree.leaves(state.params)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+
+
+def test_photometric_batches_label_free_and_bounded():
+    """Photometric augmentation: targets pass through untouched, pixels are
+    perturbed but stay in [0,1], and the stream is deterministic per seed."""
+    from zero_latency_yolo_tpu.train.loop import (photometric_batches,
+                                                  synthetic_batches)
+
+    b, size = 4, 64
+    src = list(x for _, x in zip(range(2), synthetic_batches(b, size, seed=9)))
+    it = photometric_batches(iter(src), strength=1.0, seed=5)
+    images, targets = next(it)
+    np.testing.assert_array_equal(targets, src[0][1])
+    assert not np.array_equal(images, src[0][0]), "no perturbation applied"
+    assert images.min() >= 0.0 and images.max() <= 1.0
+    assert images.dtype == np.float32
+    # Deterministic per seed; different seed differs.
+    again, _ = next(photometric_batches(iter(src), strength=1.0, seed=5))
+    np.testing.assert_array_equal(images, again)
+    other, _ = next(photometric_batches(iter(src), strength=1.0, seed=6))
+    assert not np.array_equal(images, other)

@@ -167,6 +167,35 @@ def mosaic_batches(src: Iterator[Tuple[np.ndarray, np.ndarray]],
         yield out_i, out_t
 
 
+def photometric_batches(src: Iterator[Tuple[np.ndarray, np.ndarray]],
+                        strength: float = 1.0, seed: int = 0
+                        ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Photometric augmentation (the ultralytics recipe's hsv_h/s/v analog,
+    label-free): per-image gamma, brightness, per-channel gain, and additive
+    Gaussian noise, each scaled by `strength` (1.0 ≈ the OOD eval domain's
+    level-1 photometric envelope — train/ood.py keeps its held-out seeds, so
+    training with this does not touch the eval distribution's scenes).
+
+    Motivation is measured, not speculative: the r4 OOD re-score showed
+    flat-color-trained artifacts lose 24-56 mAP50 points out of
+    distribution (docs/BENCH_NOTES.md OOD section); photometric jitter is
+    the training-side lever aimed at exactly that gap."""
+    rng = np.random.default_rng(seed)
+    s = float(strength)
+    for images, targets in src:
+        out = images.copy()
+        for i in range(len(out)):
+            img = out[i]
+            img = np.clip(img, 0.0, 1.0) ** rng.uniform(1 - 0.2 * s,
+                                                        1 + 0.25 * s)
+            img *= rng.uniform(1 - 0.15 * s, 1 + 0.1 * s)
+            img *= (1.0 + rng.uniform(-0.08 * s, 0.08 * s, 3)).astype(
+                np.float32)
+            img += rng.normal(0.0, 0.02 * s, img.shape).astype(np.float32)
+            out[i] = np.clip(img, 0.0, 1.0)
+        yield out, targets
+
+
 def npz_batches(pattern: str, batch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     files = sorted(glob.glob(pattern))
     if not files:
@@ -194,7 +223,8 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
           ckpt_every: int = 100, mesh_data: int = 1, mesh_model: int = 1,
           remat: bool = False, init_from: Optional[str] = None,
           ema: bool = False, ema_decay: float = 0.9998,
-          mosaic: float = 0.0, assigner: str = "center",
+          mosaic: float = 0.0, photometric: float = 0.0,
+          assigner: str = "center",
           crowded: bool = False, max_boxes: int = 32,
           multiscale: Optional[Sequence[int]] = None,
           schedule: str = "const", warmup_steps: int = 0,
@@ -320,6 +350,8 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
             src_it = synthetic_batches(batch, s)
         if mosaic > 0:
             src_it = mosaic_batches(src_it, prob=mosaic)
+        if photometric > 0:
+            src_it = photometric_batches(src_it, strength=photometric)
         return src_it
 
     per_size = {s: _batches_for(s) for s in sizes}
@@ -386,6 +418,10 @@ def main() -> None:  # pragma: no cover
                     help="track an EMA of the weights (serve the EMA)")
     ap.add_argument("--mosaic", type=float, default=0.0,
                     help="mosaic augmentation probability (0 disables)")
+    ap.add_argument("--photometric", type=float, default=0.0,
+                    help="photometric augmentation strength (gamma/"
+                         "brightness/channel-gain/noise; 1.0 = the OOD "
+                         "domain's level-1 envelope, 0 disables)")
     ap.add_argument("--assigner", default="center", choices=("tal", "center"))
     ap.add_argument("--schedule", default="const", choices=("const", "cosine"),
                     help="lr schedule: cosine = warmup-cosine decay to 5%% "
@@ -418,7 +454,8 @@ def main() -> None:  # pragma: no cover
           ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,
           mesh_data=args.mesh_data, mesh_model=args.mesh_model,
           remat=args.remat, init_from=args.init_from, ema=args.ema,
-          mosaic=args.mosaic, assigner=args.assigner, crowded=args.crowded,
+          mosaic=args.mosaic, photometric=args.photometric,
+          assigner=args.assigner, crowded=args.crowded,
           max_boxes=args.max_boxes,
           multiscale=([int(s) for s in args.multiscale.split(",")]
                       if args.multiscale else None),
