@@ -459,8 +459,13 @@ def _gate_rows():
         # dp=2 per-chip share at full accuracy (416, shipped topk).
         ("dp2_share_32x60_416", dp2_ladder, 32),
         # BASELINE config 4: yolov8s@640, 16 streams (no sub-8ms SLO of its
-        # own; the row records full-rate service + measured p99).
-        ("cfg4_16x60_s640", "s640_step_ladder.json", 16),
+        # own; the row records full-rate service + measured p99). The
+        # topk-128 ladder matches the shipped config (measured ~null vs
+        # 256 at s-width 640 — BENCH_NOTES config-4 r4 section).
+        ("cfg4_16x60_s640", "s640_topk128_step_ladder.json", 16),
+        # Config 4's adaptive closure: the 512 serve rung the shipped
+        # config's SLO policy downshifts to under pressure (r4).
+        ("cfg4_16x60_s512rung", "s512_step_ladder.json", 16),
     ]
     dur = "4" if SMOKE else "15"
     attempts = 1 if SMOKE else 3
