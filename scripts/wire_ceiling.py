@@ -32,17 +32,18 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 
 
-def load_ladder() -> dict:
+def load_ladder() -> tuple:
     for name in ("step_ladder_topk128.json", "step_ladder.json"):
         p = os.path.join(REPO, "artifacts", name)
         if os.path.exists(p):
             with open(p) as f:
-                return dict(json.load(f)["ladder"])
+                return dict(json.load(f)["ladder"]), name
     raise SystemExit("no committed step ladder found")
 
 
 def run_rung(streams: int, fps: float, duration: float, ladder: dict,
-             external: str = "", port: int = 47788) -> dict:
+             external: str = "", port: int = 47788,
+             web_port: int = 0) -> dict:
     cmd = [sys.executable, os.path.join(HERE, "loadtest.py"),
            "--streams", str(streams), "--fps", str(fps),
            "--duration", str(duration), "--platform", "cpu",
@@ -52,7 +53,12 @@ def run_rung(streams: int, fps: float, duration: float, ladder: dict,
            "--port", str(port),
            "--synthetic-profile", json.dumps(ladder)]
     if external:
+        # Against a fleet, statusz covers ONE shard only (the shards each
+        # have web_port+shard): server-side rows are per-shard, the
+        # client-side fields below cover every stream.
         cmd += ["--external", external]
+        if web_port:
+            cmd += ["--web-port", str(web_port)]
     proc = subprocess.run(cmd, capture_output=True, text=True,
                           timeout=1200, cwd=REPO)
     line = (proc.stdout.strip().splitlines() or [""])[-1]
@@ -63,6 +69,7 @@ def run_rung(streams: int, fps: float, duration: float, ladder: dict,
             f"loadtest {streams}x{fps} emitted no report; stderr tail: "
             f"{proc.stderr.strip().splitlines()[-3:]}")
     nominal = streams * fps
+    wall = rep.get("duration_s") or duration
     out = {
         "streams": streams,
         "offered_fps": rep.get("offered_fps"),
@@ -71,7 +78,15 @@ def run_rung(streams: int, fps: float, duration: float, ladder: dict,
         "detect_avg_ms": rep.get("server_detect_avg_ms"),
         "host_overhead_p99_ms": rep.get("host_overhead_p99_ms"),
         "frames_dropped": rep.get("frames_dropped"),
+        # Client-side truth across ALL streams (the single-vs-fleet
+        # comparison axis: against a fleet the server-side rows above
+        # cover only the scraped shard).
+        "client_e2e_p99_ms": rep.get("client_e2e_p99_ms"),
+        "client_served_fps": round((rep.get("client_samples") or 0) / wall,
+                                   1),
     }
+    if external:
+        out["server_rows_scope"] = "one shard"
     if (rep.get("offered_fps") or 0.0) < 0.95 * nominal:
         out["client_saturated"] = True
     return out
@@ -90,7 +105,7 @@ def main() -> int:
     ap.add_argument("--slo-ms", type=float, default=8.0)
     args = ap.parse_args()
 
-    ladder = load_ladder()
+    ladder, ladder_name = load_ladder()
     rows = []
     streams = args.start
     while streams <= args.max_streams:
@@ -136,12 +151,16 @@ def main() -> int:
         try:
             time.sleep(20)  # shards import + bind + warm
             for row in rows:
+                if row.get("client_saturated"):
+                    break  # the single arm already proved the harness limit
                 fr = run_rung(row["streams"], args.fps, args.duration,
-                              ladder, external="127.0.0.1:47788")
+                              ladder, external="127.0.0.1:47788",
+                              web_port=43100)  # shard 0's web plane
                 fleet_rows.append(fr)
                 print(f"# fleet{args.fleet} {fr['streams']}x{args.fps:.0f}: "
-                      f"p99 {fr['detect_p99_ms']} ms, served "
-                      f"{fr['served_fps']}/{fr['offered_fps']} fps",
+                      f"client e2e p99 {fr['client_e2e_p99_ms']} ms, "
+                      f"client served {fr['client_served_fps']} fps "
+                      f"(shard-0 detect p99 {fr['detect_p99_ms']} ms)",
                       file=sys.stderr)
                 if fr.get("client_saturated"):
                     break
@@ -162,7 +181,7 @@ def main() -> int:
         "method": "real UDP SimClient streams + native transport + decode "
                   "workers + batcher over the committed chip ladder "
                   "(synthetic measured step); 1-core co-located harness",
-        "ladder": "step_ladder_topk128.json",
+        "ladder": ladder_name,
         "fps_per_stream": args.fps,
         "rows": rows,
         "fleet_rows": fleet_rows or None,

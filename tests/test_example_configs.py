@@ -59,7 +59,10 @@ def _load_example(path):
         with tempfile.NamedTemporaryFile("w", suffix=".json",
                                          delete=False) as tf:
             json.dump(j, tf)
-        return ServerConfig.load(tf.name, create_if_missing=False)
+        try:
+            return ServerConfig.load(tf.name, create_if_missing=False)
+        finally:
+            os.unlink(tf.name)
     return ServerConfig.load(path, create_if_missing=False)
 
 
