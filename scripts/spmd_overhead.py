@@ -140,10 +140,23 @@ def main() -> int:
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=4,
-                    help="single-device arm stream count (dp2 arm gets 2x)")
+                    help="single-device arm stream count (dp2 arm gets 2x "
+                         "in equal-per-shard mode)")
     ap.add_argument("--fps", type=float, default=30.0)
     ap.add_argument("--batch", type=int, default=4,
-                    help="single-device max_batch (dp2 arm gets 2x)")
+                    help="single-device max_batch (dp2 arm gets 2x in "
+                         "equal-per-shard mode)")
+    ap.add_argument("--mode", default="equal-per-shard",
+                    choices=("equal-per-shard", "equal-total"),
+                    help="equal-per-shard: dp2 serves 2x streams at 2x "
+                         "batch (equal per-DEVICE compute — the real-"
+                         "hardware comparison, but on a 1-core virtual "
+                         "mesh the second shard's compute serializes and "
+                         "inflates the delta). equal-total: both arms "
+                         "serve the SAME streams/batch (dp2 shards it "
+                         "batch/2 per device) — total compute matches on "
+                         "a shared core, so the delta isolates sharding "
+                         "dispatch + assembly cost.")
     ap.add_argument("--duration", type=float, default=10.0)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -164,8 +177,11 @@ def main() -> int:
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (16, 96, 96, 3), dtype=np.uint8)
 
+    per_shard = args.mode == "equal-per-shard"
+    dp2_batch = 2 * args.batch if per_shard else args.batch
+    dp2_streams = 2 * args.streams if per_shard else args.streams
     single = build_engine(path, 1, args.batch)
-    dp2 = build_engine(path, 2, 2 * args.batch)
+    dp2 = build_engine(path, 2, dp2_batch)
     assert dp2.mesh is not None, "dp2 engine did not build a mesh"
 
     rows = {"single": [], "dp2": []}
@@ -173,8 +189,8 @@ def main() -> int:
         # Interleaved A/B within one window: host drift cancels.
         rows["single"].append(run_arm(single, args.streams, args.fps,
                                       args.batch, args.duration, frames))
-        rows["dp2"].append(run_arm(dp2, 2 * args.streams, args.fps,
-                                   2 * args.batch, args.duration, frames))
+        rows["dp2"].append(run_arm(dp2, dp2_streams, args.fps,
+                                   dp2_batch, args.duration, frames))
         print(f"# rep {rep}: single p99 "
               f"{rows['single'][-1]['detect_p99_ms']} ms, dp2 p99 "
               f"{rows['dp2'][-1]['detect_p99_ms']} ms", file=sys.stderr)
@@ -184,8 +200,8 @@ def main() -> int:
         return vals[(len(vals) - 1) // 2]
 
     out = {
-        "method": "interleaved A/B, real pico compute, production batcher, "
-                  "equal per-shard batch; CPU-mesh-relative",
+        "method": f"interleaved A/B, real pico compute, production "
+                  f"batcher, {args.mode}; CPU-mesh-relative",
         "single": {k: med(k, "single") for k in rows["single"][0]},
         "dp2": {k: med(k, "dp2") for k in rows["dp2"][0]},
         "reps": args.reps,
