@@ -60,6 +60,9 @@ def main() -> None:
     ap.add_argument("--photometric", type=float, default=0.0,
                     help="photometric augmentation strength (both stages; "
                          "the OOD-robustness lever, BENCH_NOTES OOD section)")
+    ap.add_argument("--clutter", type=float, default=0.0,
+                    help="distractor-clutter augmentation strength (both "
+                         "stages; the OOD clutter-axis lever)")
     ap.add_argument("--distill-from", default=None,
                     help="teacher artifact for knowledge distillation "
                          "(both stages; geometry introspected from file)")
@@ -84,7 +87,8 @@ def main() -> None:
               distill_weight=args.distill_weight,
               distill_box_weight=args.distill_box_weight,
               distill_temp=args.distill_temp,
-              mosaic=args.mosaic, photometric=args.photometric)
+              mosaic=args.mosaic, photometric=args.photometric,
+              clutter=args.clutter)
     t0 = time.perf_counter()
     state = train(variant=args.variant, num_classes=args.classes,
                   size=args.stage1_size, batch=args.batch,

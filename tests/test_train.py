@@ -432,3 +432,33 @@ def test_photometric_batches_label_free_and_bounded():
     np.testing.assert_array_equal(images, again)
     other, _ = next(photometric_batches(iter(src), strength=1.0, seed=6))
     assert not np.array_equal(images, other)
+
+
+def test_clutter_batches_labels_safe():
+    """Clutter augmentation: targets pass through untouched, distractors
+    never bury a labeled box (rejection keeps overlap <=20% of the box,
+    stripes are thin), deterministic per seed."""
+    from zero_latency_yolo_tpu.train.loop import (clutter_batches,
+                                                  synthetic_batches)
+
+    b, size = 4, 96
+    src = list(x for _, x in zip(range(2), synthetic_batches(b, size, seed=2)))
+    images, targets = next(clutter_batches(iter(src), strength=1.0, seed=4))
+    np.testing.assert_array_equal(targets, src[0][1])
+    assert not np.array_equal(images, src[0][0])
+    assert images.min() >= 0.0 and images.max() <= 1.0
+    # Every labeled box keeps a majority of its pixels intact.
+    orig = src[0][0]
+    for i in range(b):
+        for t in targets[i]:
+            if t[0] < 0:
+                continue
+            x0 = int((t[1] - t[3] / 2) * size)
+            x1 = max(int((t[1] + t[3] / 2) * size), x0 + 1)
+            y0 = int((t[2] - t[4] / 2) * size)
+            y1 = max(int((t[2] + t[4] / 2) * size), y0 + 1)
+            changed = (images[i, y0:y1, x0:x1]
+                       != orig[i, y0:y1, x0:x1]).any(axis=-1).mean()
+            assert changed <= 0.5, changed
+    again, _ = next(clutter_batches(iter(src), strength=1.0, seed=4))
+    np.testing.assert_array_equal(images, again)

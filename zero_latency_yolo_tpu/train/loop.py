@@ -196,6 +196,59 @@ def photometric_batches(src: Iterator[Tuple[np.ndarray, np.ndarray]],
         yield out, targets
 
 
+def clutter_batches(src: Iterator[Tuple[np.ndarray, np.ndarray]],
+                    strength: float = 1.0, seed: int = 0
+                    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Distractor-clutter augmentation (label-free): paints object-like
+    SHAPES with deliberately ambiguous color codes — low-saturation
+    rectangles and thin stripes — into the background, teaching the model
+    that shape alone is not a detection. This is the training-side lever
+    for the OOD clutter axis the photometric recipe measurably could not
+    close (BENCH_NOTES robust-recipe section: ood2 is dominated by
+    distractor/shape effects).
+
+    Distractors never cover a labeled box by more than ~20% of its area
+    (painting over a label would be label noise, the same rule the OOD
+    domain applies via its visibility accounting); stripes are thin enough
+    to read as texture. Distinct RNG stream from train/ood.py's held-out
+    eval seeds."""
+    rng = np.random.default_rng(seed)
+    s = float(strength)
+    for images, targets in src:
+        out = images.copy()
+        size = out.shape[1]
+        for i in range(len(out)):
+            valid = targets[i][targets[i][:, 0] >= 0]
+            for _ in range(int(rng.integers(1, max(int(4 * s), 2) + 1))):
+                w = rng.uniform(0.05, 0.3)
+                h = rng.uniform(0.05, 0.3)
+                cx, cy = rng.uniform(0.1, 0.9, 2)
+                # Reject a distractor that meaningfully occludes a label.
+                blocked = False
+                for t in valid:
+                    ox = max(0.0, min(cx + w / 2, t[1] + t[3] / 2)
+                             - max(cx - w / 2, t[1] - t[3] / 2))
+                    oy = max(0.0, min(cy + h / 2, t[2] + t[4] / 2)
+                             - max(cy - h / 2, t[2] - t[4] / 2))
+                    if ox * oy > 0.2 * t[3] * t[4]:
+                        blocked = True
+                        break
+                if blocked:
+                    continue
+                x0, x1 = int((cx - w / 2) * size), int((cx + w / 2) * size)
+                y0, y1 = int((cy - h / 2) * size), int((cy + h / 2) * size)
+                level = rng.uniform(0.2, 0.75)
+                col = np.full(3, level, np.float32) \
+                    + rng.uniform(-0.06, 0.06, 3).astype(np.float32)
+                out[i, max(y0, 0):max(y1, 0), max(x0, 0):max(x1, 0)] = col
+            for _ in range(int(rng.integers(0, 3))):  # stripes
+                y = int(rng.uniform(0, 1) * size)
+                t_px = max(int(rng.uniform(0.005, 0.02) * size), 1)
+                out[i, y:y + t_px] = np.clip(
+                    out[i, y:y + t_px] * rng.uniform(0.6, 1.4), 0.0, 1.0)
+        yield np.clip(out, 0.0, 1.0), targets
+
+
 def npz_batches(pattern: str, batch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     files = sorted(glob.glob(pattern))
     if not files:
@@ -224,7 +277,7 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
           remat: bool = False, init_from: Optional[str] = None,
           ema: bool = False, ema_decay: float = 0.9998,
           mosaic: float = 0.0, photometric: float = 0.0,
-          assigner: str = "center",
+          clutter: float = 0.0, assigner: str = "center",
           crowded: bool = False, max_boxes: int = 32,
           multiscale: Optional[Sequence[int]] = None,
           schedule: str = "const", warmup_steps: int = 0,
@@ -350,6 +403,8 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
             src_it = synthetic_batches(batch, s)
         if mosaic > 0:
             src_it = mosaic_batches(src_it, prob=mosaic)
+        if clutter > 0:
+            src_it = clutter_batches(src_it, strength=clutter)
         if photometric > 0:
             src_it = photometric_batches(src_it, strength=photometric)
         return src_it
@@ -422,6 +477,10 @@ def main() -> None:  # pragma: no cover
                     help="photometric augmentation strength (gamma/"
                          "brightness/channel-gain/noise; 1.0 = the OOD "
                          "domain's level-1 envelope, 0 disables)")
+    ap.add_argument("--clutter", type=float, default=0.0,
+                    help="distractor-clutter augmentation strength "
+                         "(ambiguous-color shapes + stripes; the OOD "
+                         "clutter-axis lever, 0 disables)")
     ap.add_argument("--assigner", default="center", choices=("tal", "center"))
     ap.add_argument("--schedule", default="const", choices=("const", "cosine"),
                     help="lr schedule: cosine = warmup-cosine decay to 5%% "
@@ -455,7 +514,7 @@ def main() -> None:  # pragma: no cover
           mesh_data=args.mesh_data, mesh_model=args.mesh_model,
           remat=args.remat, init_from=args.init_from, ema=args.ema,
           mosaic=args.mosaic, photometric=args.photometric,
-          assigner=args.assigner, crowded=args.crowded,
+          clutter=args.clutter, assigner=args.assigner, crowded=args.crowded,
           max_boxes=args.max_boxes,
           multiscale=([int(s) for s in args.multiscale.split(",")]
                       if args.multiscale else None),
