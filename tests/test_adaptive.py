@@ -464,3 +464,75 @@ def test_simulation_engine_ignores_mesh_config():
     assert eng.mesh is None and eng.simulation
     # Batch buckets keep the configured values (no mesh-divisibility filter).
     assert eng.batch_buckets == (1, 2)
+
+
+def test_failed_upshift_probe_arms_exponential_holddown(engine):
+    """Route-flap damping: an upshift that immediately fails (downshift
+    within the probe window) blocks the NEXT upshift exponentially — a
+    decisively-unsustainable upper rung must not oscillate the lane
+    (measured flap: BENCH_NOTES config-4 r4 section)."""
+
+    def _check(ms):
+        _prime(engine, ms)
+        engine._adapt_next_check = 0.0
+        engine._maybe_adapt()
+
+    engine.adaptive_slo_ms = 8.0
+    try:
+        # Down (2 hot checks), then a first upshift probe (8 cool checks).
+        _check(20.0)
+        _check(20.0)
+        assert engine._serve_size == 32
+        for _ in range(8):
+            _check(2.0)
+        assert engine._serve_size == 64
+        assert engine._upshift_fail_streak == 0
+        # The probed rung fails at once: downshift counts as a failed probe
+        # and arms the holddown.
+        _check(20.0)
+        _check(20.0)
+        assert engine._serve_size == 32
+        assert engine._upshift_fail_streak == 1
+        assert engine._upshift_block_until > 0
+        # Margin is wide again, but the holddown blocks the re-probe.
+        for _ in range(10):
+            _check(2.0)
+        assert engine._serve_size == 32, "holddown must block the re-probe"
+        # Once the holddown lapses, probing resumes (load may have fallen).
+        engine._upshift_block_until = 0.0
+        for _ in range(8):
+            _check(2.0)
+        assert engine._serve_size == 64
+        # A second immediate failure doubles the holddown.
+        first_block = 30.0
+        _check(20.0)
+        _check(20.0)
+        assert engine._upshift_fail_streak == 2
+        import time as _t
+        assert (engine._upshift_block_until - _t.perf_counter()
+                > first_block * 1.5)
+    finally:
+        engine.adaptive_slo_ms = 0.0
+        engine._serve_size = 64
+        engine._upshift_fail_streak = 0
+        engine._upshift_block_until = 0.0
+        engine._last_upshift_t = -1e9
+
+
+def test_slo_change_clears_upshift_holddown(engine):
+    engine.adaptive_slo_ms = 8.0
+    engine._upshift_fail_streak = 3
+    engine._upshift_block_until = 1e12
+    try:
+        # Stage directly (update_adaptive_slo also gates on warmed rungs,
+        # which this fixture never compiles); the reset under test lives in
+        # _apply_staged_slo on the policy lane.
+        with engine._slo_lock:
+            engine._staged_slo = 9.0
+        engine._apply_staged_slo()
+        assert engine.adaptive_slo_ms == 9.0
+        assert engine._upshift_fail_streak == 0
+        assert engine._upshift_block_until == 0.0
+    finally:
+        engine.adaptive_slo_ms = 0.0
+        engine._serve_size = 64

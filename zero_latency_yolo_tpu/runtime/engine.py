@@ -171,6 +171,10 @@ def group_by_bucket(frame_buckets: Sequence[Tuple[int, int]],
 
 
 class InferenceEngine:
+    # An upshift answered by a downshift within this window = failed probe
+    # (drives the exponential upshift holddown; see _maybe_adapt).
+    _UPSHIFT_PROBE_S = 10.0
+
     """Synchronous batched compute wrapper; the scheduler owns queues/threads."""
 
     def __init__(self, config: ServerConfig,
@@ -204,6 +208,16 @@ class InferenceEngine:
         self._adapt_cool = 0
         self.size_downshifts = 0
         self.size_upshifts = 0
+        # Upshift holddown (route-flap damping): when an upshift is followed
+        # by a downshift within _UPSHIFT_PROBE_S the upper rung FAILED under
+        # current load, and retrying it every cool streak oscillates the
+        # lane (measured: 640->512 at 16x60 flapped 4 down / 3 up in 40 s,
+        # p99 10.2 ms vs the settled rung's ~3 — BENCH_NOTES config-4 r4).
+        # Each failed probe doubles the holddown, bounded; a genuine load
+        # drop still upshifts once the holddown lapses.
+        self._last_upshift_t = -1e9
+        self._upshift_fail_streak = 0
+        self._upshift_block_until = 0.0
         # Runtime SLO change staged for the dispatch lane
         # (update_adaptive_slo). The lock makes stage/consume atomic: an
         # unlocked read-then-clear on the dispatch lane could silently
@@ -671,6 +685,11 @@ class InferenceEngine:
         self.adaptive_slo_ms = staged
         self._adapt_hot = 0
         self._adapt_cool = 0
+        # A new SLO is a new contract: failed-probe history under the old
+        # SLO must not gate upshifts under the new one.
+        self._last_upshift_t = -1e9
+        self._upshift_fail_streak = 0
+        self._upshift_block_until = 0.0
         # Fresh window: _adapt_stats gathers samples even while the policy
         # is off, and judging a runtime enable on pre-enable samples (e.g. a
         # spike that already ended) would trigger a spurious downshift.
@@ -1099,12 +1118,22 @@ class InferenceEngine:
             self._adapt_cool = 0
             self._adapt_hot += 1
             if self._adapt_hot >= 2 and i + 1 < len(self.serve_sizes):
+                if now - self._last_upshift_t < self._UPSHIFT_PROBE_S:
+                    # The rung we just probed back up to failed: hold the
+                    # next probe off exponentially (30s, 60s, ... capped).
+                    self._upshift_fail_streak += 1
+                    self._upshift_block_until = now + min(
+                        30.0 * (2 ** (self._upshift_fail_streak - 1)), 600.0)
+                else:
+                    self._upshift_fail_streak = 0
                 self._switch_size(self.serve_sizes[i + 1], snap["p99_ms"])
                 self.size_downshifts += 1
         elif snap["p99_ms"] < 0.6 * self.adaptive_slo_ms:
             self._adapt_hot = 0
             self._adapt_cool += 1
-            if self._adapt_cool >= 8 and i > 0:
+            if (self._adapt_cool >= 8 and i > 0
+                    and now >= self._upshift_block_until):
+                self._last_upshift_t = now
                 self._switch_size(self.serve_sizes[i - 1], snap["p99_ms"])
                 self.size_upshifts += 1
         else:
