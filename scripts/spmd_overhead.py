@@ -9,8 +9,14 @@ contain. This script measures that delta directly, CPU-mesh-relative:
 
   arm A  single-device engine, the production ContinuousBatcher, paced
          load of S streams at R fps, max_batch B
-  arm B  tpu.mesh_data=2 engine on a 2-device virtual mesh, 2S streams,
-         max_batch 2B  (equal per-shard batch = equal per-device compute)
+  arm B  tpu.mesh_data=2 engine on a 2-device virtual mesh. Two modes:
+         --mode equal-per-shard (default): 2S streams, max_batch 2B —
+         equal per-DEVICE compute, the real-hardware shape, but on a
+         1-core virtual mesh the second shard's compute SERIALIZES and
+         inflates the delta. --mode equal-total: same S streams and
+         max_batch B as arm A (sharded B/2 per device) — total compute
+         matches on the shared core, so the delta isolates sharding
+         dispatch + assembly cost (the mode the r4 conclusion uses).
 
 Both arms serve REAL pico compute (yolov8p @96, f32) through the exact
 server path: batcher thread -> infer_batch -> packed readback -> result
@@ -178,6 +184,12 @@ def main() -> int:
     frames = rng.integers(0, 256, (16, 96, 96, 3), dtype=np.uint8)
 
     per_shard = args.mode == "equal-per-shard"
+    if not per_shard and args.batch % 2:
+        # The dp2 engine drops odd buckets (mesh divisibility) and would
+        # silently batch at a SMALLER bucket than the single arm,
+        # breaking the equal-total premise.
+        raise SystemExit("--mode equal-total needs an even --batch "
+                         "(the dp2 engine shards it batch/2 per device)")
     dp2_batch = 2 * args.batch if per_shard else args.batch
     dp2_streams = 2 * args.streams if per_shard else args.streams
     single = build_engine(path, 1, args.batch)

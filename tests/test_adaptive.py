@@ -478,6 +478,12 @@ def test_failed_upshift_probe_arms_exponential_holddown(engine):
         engine._maybe_adapt()
 
     engine.adaptive_slo_ms = 8.0
+    # The module-scoped engine carries policy state from earlier tests
+    # (an upshift there would make this test's first downshift read as a
+    # failed probe): start from a clean slate.
+    engine._upshift_fail_streak = 0
+    engine._upshift_block_until = 0.0
+    engine._last_upshift_t = -1e9
     try:
         # Down (2 hot checks), then a first upshift probe (8 cool checks).
         _check(20.0)
@@ -536,3 +542,42 @@ def test_slo_change_clears_upshift_holddown(engine):
     finally:
         engine.adaptive_slo_ms = 0.0
         engine._serve_size = 64
+
+
+def test_cascade_downshift_counts_one_probe_failure():
+    """3+-rung ladders: after a failed upshift probe, the load-driven
+    CASCADE downshifts that follow must not multiply the holddown — one
+    probe, one streak increment."""
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent.npz",
+        "detection": {"model_width": 96, "model_height": 96},
+        "tpu": {"variant": "yolov8p", "num_classes": 4,
+                "batch_buckets": [1], "frame_buckets": [[96, 96]],
+                "serve_sizes": [96, 64, 32],
+                "synthetic_step_profiles": {"96": {"1": 5.0},
+                                            "64": {"1": 3.0},
+                                            "32": {"1": 1.0}}},
+    })
+    eng = InferenceEngine(cfg)
+    eng.adaptive_slo_ms = 8.0
+
+    def _check(ms):
+        for _ in range(32):
+            eng._adapt_stats.record(ms)
+        eng._adapt_next_check = 0.0
+        eng._maybe_adapt()
+
+    _check(20.0)
+    _check(20.0)
+    assert eng._serve_size == 64 and eng._upshift_fail_streak == 0
+    for _ in range(8):
+        _check(2.0)
+    assert eng._serve_size == 96  # probe up
+    _check(20.0)
+    _check(20.0)
+    assert eng._serve_size == 64
+    assert eng._upshift_fail_streak == 1  # the probe failure
+    _check(20.0)
+    _check(20.0)
+    assert eng._serve_size == 32
+    assert eng._upshift_fail_streak == 1, "cascade must not double the streak"

@@ -80,3 +80,22 @@ def test_visibility_rule_drops_buried_boxes():
     counts = (targets[:, :, 0] >= 0).sum(axis=1)
     assert counts.max() <= 8
     assert counts.min() >= 1
+
+
+def test_paint_distractors_stripes_respect_labels():
+    """A stripe band crossing a labeled box must leave the box's pixels
+    untouched (full-width stripes could otherwise bury a small box whose
+    label survives — precision-destroying label noise)."""
+    from zero_latency_yolo_tpu.train.ood import paint_distractors
+
+    rng = np.random.default_rng(0)
+    img = np.full((64, 64, 3), 0.5, np.float32)
+    box = np.array([[0.5, 0.5, 0.25, 0.125]], np.float32)  # rows 28..36
+    before = img.copy()
+    # Stripes only, many draws: some bands will cross the box rows.
+    paint_distractors(rng, img, 0, 50, avoid_boxes=box)
+    x0, x1 = int((0.5 - 0.125) * 64), int((0.5 + 0.125) * 64)
+    y0, y1 = int((0.5 - 0.0625) * 64), int((0.5 + 0.0625) * 64)
+    np.testing.assert_array_equal(img[y0:y1, x0:x1], before[y0:y1, x0:x1])
+    # And stripes DID land elsewhere.
+    assert not np.array_equal(img, before)

@@ -171,11 +171,11 @@ def group_by_bucket(frame_buckets: Sequence[Tuple[int, int]],
 
 
 class InferenceEngine:
+    """Synchronous batched compute wrapper; the scheduler owns queues/threads."""
+
     # An upshift answered by a downshift within this window = failed probe
     # (drives the exponential upshift holddown; see _maybe_adapt).
     _UPSHIFT_PROBE_S = 10.0
-
-    """Synchronous batched compute wrapper; the scheduler owns queues/threads."""
 
     def __init__(self, config: ServerConfig,
                  params: Optional[Dict[str, Any]] = None,
@@ -1114,6 +1114,13 @@ class InferenceEngine:
             return
         self._adapt_next_check = now + 0.5
         i = self.serve_sizes.index(self._serve_size)
+        if (self._last_upshift_t > 0
+                and now - self._last_upshift_t >= self._UPSHIFT_PROBE_S):
+            # The probed rung survived the window: the probe SUCCEEDED —
+            # clear the failure history so the next genuine load drop is
+            # judged fresh.
+            self._upshift_fail_streak = 0
+            self._last_upshift_t = -1e9
         if snap["p99_ms"] > self.adaptive_slo_ms:
             self._adapt_cool = 0
             self._adapt_hot += 1
@@ -1121,11 +1128,14 @@ class InferenceEngine:
                 if now - self._last_upshift_t < self._UPSHIFT_PROBE_S:
                     # The rung we just probed back up to failed: hold the
                     # next probe off exponentially (30s, 60s, ... capped).
+                    # Consume the probe marker — on a 3+-rung ladder the
+                    # CASCADE downshifts that follow are load-driven
+                    # descent, not additional probe failures, and must not
+                    # multiply the holddown.
                     self._upshift_fail_streak += 1
                     self._upshift_block_until = now + min(
                         30.0 * (2 ** (self._upshift_fail_streak - 1)), 600.0)
-                else:
-                    self._upshift_fail_streak = 0
+                    self._last_upshift_t = -1e9
                 self._switch_size(self.serve_sizes[i + 1], snap["p99_ms"])
                 self.size_downshifts += 1
         elif snap["p99_ms"] < 0.6 * self.adaptive_slo_ms:

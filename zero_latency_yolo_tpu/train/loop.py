@@ -197,55 +197,34 @@ def photometric_batches(src: Iterator[Tuple[np.ndarray, np.ndarray]],
 
 
 def clutter_batches(src: Iterator[Tuple[np.ndarray, np.ndarray]],
-                    strength: float = 1.0, seed: int = 0
+                    strength: float = 1.0, seed: int = 11
                     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Distractor-clutter augmentation (label-free): paints object-like
-    SHAPES with deliberately ambiguous color codes — low-saturation
-    rectangles and thin stripes — into the background, teaching the model
-    that shape alone is not a detection. This is the training-side lever
-    for the OOD clutter axis the photometric recipe measurably could not
-    close (BENCH_NOTES robust-recipe section: ood2 is dominated by
-    distractor/shape effects).
+    SHAPES with deliberately ambiguous color codes — the shared
+    train/ood.py painter, so the training clutter matches the eval axis it
+    targets by construction. This is the training-side lever for the OOD
+    clutter axis the photometric recipe measurably could not close
+    (BENCH_NOTES robust-recipe + clutter sections).
 
-    Distractors never cover a labeled box by more than ~20% of its area
-    (painting over a label would be label noise, the same rule the OOD
-    domain applies via its visibility accounting); stripes are thin enough
-    to read as texture. Distinct RNG stream from train/ood.py's held-out
-    eval seeds."""
+    Label safety is the painter's `avoid_boxes` contract: rectangles
+    covering >20% of a labeled box are rejected and stripes skip labeled
+    pixels entirely (a full-width stripe could otherwise bury a small
+    mosaic-cropped box the targets still assert exists). The default seed
+    (11) is distinct from the OOD eval domain's held-out seed (777) and
+    draws a different sequence; eval scenes are never reproduced here."""
+    from .ood import paint_distractors
+
     rng = np.random.default_rng(seed)
     s = float(strength)
     for images, targets in src:
         out = images.copy()
-        size = out.shape[1]
         for i in range(len(out)):
             valid = targets[i][targets[i][:, 0] >= 0]
-            for _ in range(int(rng.integers(1, max(int(4 * s), 2) + 1))):
-                w = rng.uniform(0.05, 0.3)
-                h = rng.uniform(0.05, 0.3)
-                cx, cy = rng.uniform(0.1, 0.9, 2)
-                # Reject a distractor that meaningfully occludes a label.
-                blocked = False
-                for t in valid:
-                    ox = max(0.0, min(cx + w / 2, t[1] + t[3] / 2)
-                             - max(cx - w / 2, t[1] - t[3] / 2))
-                    oy = max(0.0, min(cy + h / 2, t[2] + t[4] / 2)
-                             - max(cy - h / 2, t[2] - t[4] / 2))
-                    if ox * oy > 0.2 * t[3] * t[4]:
-                        blocked = True
-                        break
-                if blocked:
-                    continue
-                x0, x1 = int((cx - w / 2) * size), int((cx + w / 2) * size)
-                y0, y1 = int((cy - h / 2) * size), int((cy + h / 2) * size)
-                level = rng.uniform(0.2, 0.75)
-                col = np.full(3, level, np.float32) \
-                    + rng.uniform(-0.06, 0.06, 3).astype(np.float32)
-                out[i, max(y0, 0):max(y1, 0), max(x0, 0):max(x1, 0)] = col
-            for _ in range(int(rng.integers(0, 3))):  # stripes
-                y = int(rng.uniform(0, 1) * size)
-                t_px = max(int(rng.uniform(0.005, 0.02) * size), 1)
-                out[i, y:y + t_px] = np.clip(
-                    out[i, y:y + t_px] * rng.uniform(0.6, 1.4), 0.0, 1.0)
+            boxes = valid[:, 1:5] if len(valid) else None
+            paint_distractors(rng, out[i],
+                              int(rng.integers(1, max(int(4 * s), 2) + 1)),
+                              int(rng.integers(0, 3)),
+                              avoid_boxes=boxes)
         yield np.clip(out, 0.0, 1.0), targets
 
 

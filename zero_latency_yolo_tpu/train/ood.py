@@ -56,6 +56,68 @@ def _value_noise(rng: np.random.Generator, size: int,
     return acc / amp_total
 
 
+def paint_distractors(rng: np.random.Generator, img: np.ndarray,
+                      n_rects: int, n_stripes: int,
+                      avoid_boxes=None) -> None:
+    """Paint low-saturation distractor rectangles + thin stripes in place:
+    object-like SHAPES whose color code is deliberately ambiguous (no
+    dominant channel) — a color-code detector should reject them.
+
+    Shared by the OOD eval domain (backgrounds, painted BEFORE objects so
+    avoidance is unnecessary) and the `--clutter` training augmentation
+    (painted AFTER labeled objects, so `avoid_boxes` — (M, 4) normalized
+    cxcywh — enforces label safety: rectangles covering >20% of a labeled
+    box are rejected, and stripes skip the labeled boxes' pixels entirely,
+    never burying a label the targets still assert exists). The RNG call
+    sequence with avoid_boxes=None is frozen: the committed OOD eval
+    numbers depend on it."""
+    size = img.shape[0]
+    mask = None
+    if avoid_boxes is not None and len(avoid_boxes):
+        mask = np.zeros((size, size), bool)
+        for bx in avoid_boxes:
+            bx0 = int((bx[0] - bx[2] / 2) * size)
+            bx1 = max(int((bx[0] + bx[2] / 2) * size), bx0 + 1)
+            by0 = int((bx[1] - bx[3] / 2) * size)
+            by1 = max(int((bx[1] + bx[3] / 2) * size), by0 + 1)
+            mask[max(by0, 0):max(by1, 0), max(bx0, 0):max(bx1, 0)] = True
+    for _ in range(n_rects):
+        w = rng.uniform(0.05, 0.3)
+        h = rng.uniform(0.05, 0.3)
+        cx, cy = rng.uniform(0.1, 0.9, 2)
+        if avoid_boxes is not None:
+            blocked = False
+            for bx in avoid_boxes:
+                ox = max(0.0, min(cx + w / 2, bx[0] + bx[2] / 2)
+                         - max(cx - w / 2, bx[0] - bx[2] / 2))
+                oy = max(0.0, min(cy + h / 2, bx[1] + bx[3] / 2)
+                         - max(cy - h / 2, bx[1] - bx[3] / 2))
+                if ox * oy > 0.2 * bx[2] * bx[3]:
+                    blocked = True
+                    break
+            if blocked:
+                continue
+        x0, x1 = int((cx - w / 2) * size), int((cx + w / 2) * size)
+        y0, y1 = int((cy - h / 2) * size), int((cy + h / 2) * size)
+        level = rng.uniform(0.2, 0.75)
+        col = np.full(3, level, np.float32) \
+            + rng.uniform(-0.06, 0.06, 3).astype(np.float32)
+        img[max(y0, 0):max(y1, 0), max(x0, 0):max(x1, 0)] = col
+    for _ in range(n_stripes):
+        y = int(rng.uniform(0, 1) * size)
+        t = max(int(rng.uniform(0.005, 0.02) * size), 1)
+        gain = rng.uniform(0.6, 1.4)
+        if mask is None:
+            img[y:y + t] *= gain
+        else:
+            # Label-safe stripes: a full-width band can bury a small
+            # (mosaic-cropped) labeled box entirely — apply the gain only
+            # OUTSIDE labeled pixels.
+            rows = img[y:y + t]
+            keep = ~mask[y:y + t]
+            rows[keep] = rows[keep] * gain
+
+
 def _paint_background(rng: np.random.Generator, size: int,
                       clutter: bool) -> np.ndarray:
     base = 0.35 + 0.25 * (_value_noise(rng, size) - 0.5)
@@ -63,23 +125,11 @@ def _paint_background(rng: np.random.Generator, size: int,
     # Mild color cast in the texture.
     img *= (1.0 + rng.uniform(-0.08, 0.08, 3)).astype(np.float32)
     if clutter:
-        # Low-saturation distractor rectangles + stripes: object-like
-        # SHAPES whose color code is deliberately ambiguous (no dominant
-        # channel) — a color-code detector should reject them.
-        for _ in range(int(rng.integers(3, 8))):
-            w = rng.uniform(0.05, 0.3)
-            h = rng.uniform(0.05, 0.3)
-            cx, cy = rng.uniform(0.1, 0.9, 2)
-            x0, x1 = int((cx - w / 2) * size), int((cx + w / 2) * size)
-            y0, y1 = int((cy - h / 2) * size), int((cy + h / 2) * size)
-            level = rng.uniform(0.2, 0.75)
-            col = np.full(3, level, np.float32) \
-                + rng.uniform(-0.06, 0.06, 3).astype(np.float32)
-            img[max(y0, 0):max(y1, 0), max(x0, 0):max(x1, 0)] = col
-        for _ in range(int(rng.integers(1, 4))):  # stripes
-            y = int(rng.uniform(0, 1) * size)
-            t = max(int(rng.uniform(0.005, 0.02) * size), 1)
-            img[y:y + t] *= rng.uniform(0.6, 1.4)
+        # Two calls so the count draws stay at their historical positions
+        # in the RNG sequence (rect count -> rects -> stripe count ->
+        # stripes): the committed OOD numbers depend on these scenes.
+        paint_distractors(rng, img, int(rng.integers(3, 8)), 0)
+        paint_distractors(rng, img, 0, int(rng.integers(1, 4)))
     return np.clip(img, 0.0, 1.0)
 
 
