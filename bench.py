@@ -466,9 +466,17 @@ def _gate_rows():
         # Config 4's adaptive closure: the 512 serve rung the shipped
         # config's SLO policy downshifts to under pressure (r4).
         ("cfg4_16x60_s512rung", "s512_step_ladder.json", 16),
+        # Config 4 at its NATIVE 640 point via dp=2: per-chip share of
+        # 16x60 (8 streams/chip; b8 step 5.33 ms vs b16's gate-exceeding
+        # 9.6). The r5 lever battery measured every single-chip lever
+        # short (artifacts/s640_lever_battery_r5.json) — this row is the
+        # 640 closure of record (configs/examples/server-16stream-640-dp2).
+        ("cfg4_dp2_share_8x60_s640", "s640_topk128_step_ladder.json", 8),
     ]
     dur = "4" if SMOKE else "15"
-    attempts = 1 if SMOKE else 3
+    # attempts=5 (was 3): VERDICT r4 weak-#4 — the dp2 row's 2.2x run
+    # spread needs an N=5 distribution before near-gate claims harden.
+    attempts = 1 if SMOKE else 5
     out = {}
     for label, ladder_name, streams in rows:
         ladder = os.path.join(art, ladder_name)

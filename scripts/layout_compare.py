@@ -56,8 +56,10 @@ def main() -> None:
     from zero_latency_yolo_tpu.runtime.engine import InferenceEngine
     from zero_latency_yolo_tpu.utils.bench_util import measure_cached_step
 
-    variant = "yolov8p" if SMOKE else "yolov8n"
-    size = 64 if SMOKE else 416
+    variant = os.environ.get("ZLT_LC_VARIANT",
+                             "yolov8p" if SMOKE else "yolov8n")
+    size = 64 if SMOKE else int(os.environ.get("ZLT_LC_SIZE", "416"))
+    topk = int(os.environ.get("ZLT_LC_TOPK", "256"))
     bh, bw = (96, 96) if SMOKE else (608, 800)
     h, w = (64, 96) if SMOKE else (600, 800)
 
@@ -77,12 +79,14 @@ def main() -> None:
             "tpu": {"variant": variant, "num_classes": 4, "dtype": "bfloat16",
                     "batch_buckets": sorted(set(batches)),
                     "frame_buckets": [[bh, bw]],
+                    "pre_nms_topk": topk,
                     "select": select, "c2f": c2f},
         })
         engines[(select, c2f)] = InferenceEngine(
             cfg, params=params, preprocess_mode="letterbox_mxu")
 
-    out = {"rows": []}
+    out = {"rows": [], "variant": variant, "size": size,
+           "pre_nms_topk": topk}
     for batch in batches:
         frames = rng.integers(0, 256, (batch, bh, bw, 3), dtype=np.uint8)
         for combo in COMBOS:
