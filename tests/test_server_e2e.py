@@ -566,6 +566,92 @@ def test_karn_rtt_sampling_and_backoff(harness):
     assert waits == [0.2, 0.4, 0.8, 1.6, 2.0]
 
 
+def test_reliable_inflight_window(harness):
+    """The reliable-send in-flight window (the reference computed a
+    congestion window but never gated with it — reliable_udp.h:130-151):
+    at most int(cwnd) un-ACKed reliable packets per client, excess SHED
+    (bounded retransmit memory under a non-ACKing peer), AIMD halve on
+    loss / additive growth on clean ACK."""
+    import time as _t
+
+    from zero_latency_yolo_tpu.protocol import (
+        AckPacket, CommandPacket, CommandType,
+    )
+    from zero_latency_yolo_tpu.runtime.server import (
+        REL_WND_INIT, REL_WND_MAX, ClientSession, PendingPacket,
+    )
+
+    s = ClientSession(client_id=999, addr=("127.0.0.1", 9))
+    shed0 = harness.reliable_shed.value
+    for _ in range(50):
+        pkt = CommandPacket(command_type=CommandType.REQUEST_KEYFRAME)
+        harness._send_reliable(pkt.serialize(), s)
+    # Bounded: pending holds exactly the window, the other 42 were shed.
+    assert len(s.pending) == int(REL_WND_INIT)
+    assert harness.reliable_shed.value - shed0 == 50 - int(REL_WND_INIT)
+
+    # Loss events halve multiplicatively — at most once per RTO.
+    now = _t.monotonic()
+    s.backoff_window(now)
+    assert s.cwnd == REL_WND_INIT / 2
+    s.backoff_window(now + s.rto / 2)      # same RTO window: no double cut
+    assert s.cwnd == REL_WND_INIT / 2
+    s.backoff_window(now + 2 * s.rto)
+    s.backoff_window(now + 4 * s.rto)
+    s.backoff_window(now + 8 * s.rto)
+    assert s.cwnd == 1.0                   # floor, never zero
+
+    # Clean ACKs grow the window additively (+1/cwnd per ACK).
+    for seq in list(s.pending.keys()):
+        harness._handle_ack(AckPacket(acked_sequence=seq), s)
+    assert s.cwnd > 1.0
+    assert not s.pending
+
+    # Growth caps at REL_WND_MAX.
+    s.cwnd = REL_WND_MAX
+    s.pending[123456] = PendingPacket(data=b"x", addr=s.addr,
+                                      sent_at=_t.monotonic())
+    s.ack_pending(123456)
+    assert s.cwnd == REL_WND_MAX
+
+
+def test_reliable_window_backoff_once_per_tick(harness):
+    """A management-loop tick that retransmits several overdue packets for
+    one client is ONE loss event: cwnd halves once, not per packet — and
+    unreliable result sends keep flowing while the reliable window is
+    saturated (no head-of-line stall)."""
+    import time as _t
+
+    from zero_latency_yolo_tpu.runtime.server import (
+        REL_WND_INIT, ClientSession, PendingPacket,
+    )
+
+    s = ClientSession(client_id=998, addr=("127.0.0.1", 8))
+    old = _t.monotonic() - 10.0
+    for seq in (1, 2, 3):
+        s.pending[seq] = PendingPacket(data=b"zlt", addr=s.addr, sent_at=old)
+    now = _t.monotonic()
+    # Simulate the management-loop body for this session's pendings.
+    for seq in list(s.pending.keys()):
+        p = s.pending[seq]
+        p.retries += 1
+        p.sent_at = now
+        s.backoff_window(now)
+    assert s.cwnd == REL_WND_INIT / 2      # one halve for the whole burst
+
+    # Saturated window never blocks the unreliable result path: results go
+    # through _send_raw directly (structural), and a reliable send at cap
+    # returns immediately (shed) instead of queueing.
+    t0 = _t.perf_counter()
+    s.cwnd = 1.0
+    from zero_latency_yolo_tpu.protocol import CommandPacket, CommandType
+    for _ in range(1000):
+        harness._send_reliable(
+            CommandPacket(command_type=CommandType.PING).serialize(), s)
+    assert _t.perf_counter() - t0 < 1.0
+    assert len(s.pending) == 3             # unchanged: every new send shed
+
+
 def test_http_header_line_cap(harness):
     """A client trickling header lines forever must not hold the management
     port open (slowloris): the server gives up after the header cap."""

@@ -360,3 +360,99 @@ def test_post_auth_token(tmp_path):
                              logs_dir=str(tmp_path))
     code, _ = _call(open_api, "POST", "/api/models/upload?name=n2.npz", b"w")
     assert code == 200
+
+
+def test_http_malformed_request_fuzz(tmp_path):
+    """Management-plane HTTP fuzz (VERDICT r4 #9): the hand-rolled parser
+    on raw asyncio streams must survive a malformed-request corpus — bad
+    request lines, oversized/garbage headers, unparseable Content-Length,
+    truncated bodies, binary noise, auth edge cases — with no unhandled
+    exception reaching the event loop and the port still serving
+    legitimate requests after every probe. An unauthenticated POST naming
+    a huge Content-Length must be answered WITHOUT the server reading the
+    body (pre-auth body-read gate — memory DoS)."""
+    import socket
+    import threading
+    from zero_latency_yolo_tpu.config import ServerConfig
+    from zero_latency_yolo_tpu.runtime.server import DetectionServer
+
+    port, web_port = 27397, 27398
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent.npz",
+        "port": port, "web_port": web_port, "max_clients": 2,
+        "network": {"web_auth_token": "fuzz-secret-token-1"},
+        "tpu": {"frame_buckets": [[64, 64]], "batch_buckets": [1]},
+    })
+    server = DetectionServer(cfg)
+    loop = asyncio.new_event_loop()
+    t = threading.Thread(target=loop.run_forever, daemon=True)
+    t.start()
+    asyncio.run_coroutine_threadsafe(server.start(), loop).result(10)
+
+    def probe(payload: bytes, expect_reply: bool = False) -> bytes:
+        s = socket.create_connection(("127.0.0.1", web_port), timeout=5)
+        try:
+            s.sendall(payload)
+            s.settimeout(5)
+            try:
+                return s.recv(65536)
+            except socket.timeout:
+                return b""
+        finally:
+            s.close()
+
+    def alive() -> bool:
+        data = probe(b"GET /statusz HTTP/1.1\r\nHost: x\r\n\r\n")
+        return data.startswith(b"HTTP/1.1 200")
+
+    rng_corpus = [
+        b"",                                     # connect-and-close
+        b"\r\n\r\n",
+        b"GARBAGE\r\n\r\n",
+        b"GET\r\n\r\n",                          # no path
+        b"\x00\xff\xfe\x01" * 64 + b"\r\n\r\n",  # binary noise
+        b"GET " + b"/" + b"A" * 70000 + b" HTTP/1.1\r\n\r\n",  # >64 KiB line
+        b"GET /statusz HTTP/1.1\r\n" + b"X: y\r\n" * 100 + b"\r\n",  # >64 hdrs
+        b"POST /api/models/upload HTTP/1.1\r\nContent-Length: abc\r\n\r\n",
+        b"POST /api/models/upload HTTP/1.1\r\nContent-Length: -5\r\n\r\n",
+        b"POST /api/models/upload HTTP/1.1\r\nContent-Length: 10\r\n\r\nab",
+        b"GET /%ff%fe\xc3\x28 HTTP/1.1\r\n\r\n",  # bad UTF-8 path
+        b"POST /profilez HTTP/1.1\r\nAuthorization: \xc3\x28\xff\r\n"
+        b"Content-Length: 0\r\n\r\n",             # invalid-UTF-8 auth
+        b"POST /profilez HTTP/1.1\r\nAuthorization: Bearer\r\n"
+        b"Content-Length: 0\r\n\r\n",             # empty bearer
+        b"OPTIONS * HTTP/1.1\r\n\r\n",
+        b"GET /statusz HTTP/1.0\r\nContent-Length: 999999999999999999999"
+        b"9999999999\r\n\r\n",                    # overflow-scale length
+    ]
+    try:
+        assert alive()
+        for i, payload in enumerate(rng_corpus):
+            probe(payload)
+            assert alive(), f"mgmt port dead after corpus item {i}"
+
+        # Unauthenticated POST with a large Content-Length: the 401 must
+        # arrive while the body was NEVER sent — the server answers from
+        # headers alone instead of buffering attacker bytes.
+        s = socket.create_connection(("127.0.0.1", web_port), timeout=5)
+        try:
+            s.sendall(b"POST /api/models/upload?name=x.npz HTTP/1.1\r\n"
+                      b"Authorization: Bearer wrong-token-000\r\n"
+                      b"Content-Length: 100000000\r\n\r\n")
+            s.settimeout(5)
+            data = s.recv(65536)
+            assert data.startswith(b"HTTP/1.1 401"), data[:64]
+        finally:
+            s.close()
+        assert alive()
+
+        # The right token still works end-to-end after the fuzz battery.
+        data = probe(b"POST /profilez?seconds=0.01 HTTP/1.1\r\n"
+                     b"Authorization: Bearer fuzz-secret-token-1\r\n"
+                     b"Content-Length: 0\r\n\r\n")
+        assert data.startswith(b"HTTP/1.1"), data[:64]
+        assert not data.startswith(b"HTTP/1.1 401"), data[:64]
+    finally:
+        asyncio.run_coroutine_threadsafe(server.stop(), loop).result(10)
+        loop.call_soon_threadsafe(loop.stop)
+        t.join(timeout=5)

@@ -75,6 +75,20 @@ class PendingPacket:
     retries: int = 0
 
 
+# Reliable-send in-flight window (AIMD). The reference computed a TCP-style
+# congestion window per client but never gated sends with it
+# (reference reliable_udp.h:130-151 — declared-but-dead); here it is live:
+# at most int(cwnd) un-ACKed reliable packets may be outstanding per client,
+# sends past the cap are SHED (never queued — every reliable consumer has a
+# retry path: REQUEST_KEYFRAME re-requests while the slot stays frozen, a
+# handshake client re-sends CLIENT_INFO). Growth: +1/cwnd per clean ACK
+# (congestion avoidance); decrease: halve on a loss event (retransmit or
+# retry-exhausted drop), at most once per RTO so one burst isn't multiply
+# punished.
+REL_WND_INIT = 8.0
+REL_WND_MAX = 32.0
+
+
 @dataclass
 class ClientSession:
     client_id: int
@@ -88,6 +102,9 @@ class ClientSession:
     rttvar: float = 0.0
     rto: float = 0.2
     pending: Dict[int, PendingPacket] = field(default_factory=dict)
+    # Reliable-send AIMD window state (see REL_WND_* above).
+    cwnd: float = REL_WND_INIT
+    last_backoff: float = 0.0
     frames_received: int = 0
     results_sent: int = 0
     # Last REQUEST_KEYFRAME command time (rate limit: the freeze event and
@@ -97,6 +114,11 @@ class ClientSession:
     # session are shed at ingest before any decode/device work; the session
     # itself stays registered and heartbeats keep it alive.
     paused: bool = False
+    # Accuracy-SLA floor: this client is never served below this rung while
+    # the adaptive policy downshifts the fleet (0 = follow the fleet rung).
+    # Seeded from detection.min_serve_size; raisable per client over
+    # SET_CONFIG/CONFIG_UPDATE when network.allow_client_config permits.
+    min_serve_size: int = 0
 
     def observe_rtt(self, rtt: float) -> None:
         if self.srtt is None:
@@ -106,6 +128,25 @@ class ClientSession:
             self.rttvar = 0.75 * self.rttvar + 0.25 * abs(self.srtt - rtt)
             self.srtt = 0.875 * self.srtt + 0.125 * rtt
         self.rto = min(max(self.srtt + 4 * self.rttvar, 0.05), 2.0)
+
+    def ack_pending(self, sequence: int) -> None:
+        """Clear an ACKed reliable packet: Karn-gated RTT sample + additive
+        window growth (both ACK paths — fast and object-codec — share this
+        so the AIMD state cannot drift between them)."""
+        pending = self.pending.pop(sequence, None)
+        if pending is None:
+            return
+        if pending.retries == 0:
+            # Karn: an ACK for a retransmitted packet is ambiguous
+            # (original or copy?) — sampling it can collapse the RTO.
+            self.observe_rtt(time.monotonic() - pending.sent_at)
+        self.cwnd = min(self.cwnd + 1.0 / max(self.cwnd, 1.0), REL_WND_MAX)
+
+    def backoff_window(self, now: float) -> None:
+        """Multiplicative decrease on a loss event, at most once per RTO."""
+        if now - self.last_backoff >= self.rto:
+            self.cwnd = max(self.cwnd / 2.0, 1.0)
+            self.last_backoff = now
 
 
 class _Protocol(asyncio.DatagramProtocol):
@@ -217,6 +258,7 @@ class DetectionServer:
         self.bytes_sent = Counter()
         self.retransmits = Counter()
         self.send_drops = Counter()
+        self.reliable_shed = Counter()  # reliable sends shed at a full cwnd
         self.bad_packets = Counter()
         self.results_sent = Counter()  # rate => live served fps
         self.keyframe_requests = Counter()  # REQUEST_KEYFRAME commands sent
@@ -578,11 +620,7 @@ class DetectionServer:
         if ntype == PacketType.ACK:
             if session is not None and len(data) >= 26:
                 acked = int.from_bytes(data[22:26], "little")
-                pending = session.pending.pop(acked, None)
-                if pending is not None and pending.retries == 0:
-                    # Karn: an ACK for a retransmitted packet is ambiguous
-                    # (original or copy?) — sampling it can collapse the RTO.
-                    session.observe_rtt(time.monotonic() - pending.sent_at)
+                session.ack_pending(acked)
             return
         if session is not None and not pre_acked:
             self._send_raw(
@@ -698,10 +736,12 @@ class DetectionServer:
         conf = s.get("confidence_threshold")
         nms = s.get("nms_threshold")
         slo = s.get("adaptive_slo_ms")
+        floor = s.get("min_serve_size")
         try:
             conf_f = float(conf) if conf is not None else None
             nms_f = float(nms) if nms is not None else None
             slo_f = float(slo) if slo is not None else None
+            floor_i = int(floor) if floor is not None else None
         except (TypeError, ValueError):
             log.debug("non-numeric threshold update from client #%d ignored",
                       session.client_id)
@@ -720,6 +760,15 @@ class DetectionServer:
             log.debug("out-of-range adaptive_slo_ms from client #%d ignored",
                       session.client_id)
             return False
+        # Accuracy-SLA floor: PER-CLIENT state (unlike the global
+        # thresholds) — bounded by the model size so a floor the ladder
+        # cannot honor is refused, not silently clamped.
+        if floor_i is not None and not (
+                0 <= floor_i <= self.engine.model_size):
+            log.debug("out-of-range min_serve_size=%r from client #%d "
+                      "ignored (model size %d)", floor, session.client_id,
+                      self.engine.model_size)
+            return False
         # The SLO stages (or refuses) BEFORE the thresholds apply, keeping
         # the all-or-nothing contract: a refused SLO (no ladder / cold
         # rungs) fails the whole update so the client gets an ERROR rather
@@ -730,9 +779,12 @@ class DetectionServer:
                       session.client_id)
             return False
         self.engine.update_thresholds(confidence=conf_f, nms=nms_f)
+        if floor_i is not None:
+            session.min_serve_size = floor_i
         applied = {k: v for k, v in (("confidence_threshold", conf_f),
                                      ("nms_threshold", nms_f),
-                                     ("adaptive_slo_ms", slo_f))
+                                     ("adaptive_slo_ms", slo_f),
+                                     ("min_serve_size", floor_i))
                    if v is not None}
         if applied:
             ignored = sorted(set(s) - set(applied))
@@ -744,11 +796,7 @@ class DetectionServer:
     def _handle_ack(self, pkt: AckPacket, session: Optional[ClientSession]) -> None:
         if session is None:
             return
-        pending = session.pending.pop(pkt.acked_sequence, None)
-        if pending is not None and pending.retries == 0:
-            # Karn: never sample RTT from retransmitted packets (see the
-            # fast-path ACK handler).
-            session.observe_rtt(time.monotonic() - pending.sent_at)
+        session.ack_pending(pkt.acked_sequence)
 
     def _handle_client_info(self, pkt: ClientInfoPacket, addr: Addr) -> None:
         if self._draining:
@@ -801,7 +849,9 @@ class DetectionServer:
                 client_id=client_id, addr=addr,
                 screen_width=info.screen_width or 800,
                 screen_height=info.screen_height or 600,
-                game_id=info.game_id)
+                game_id=info.game_id,
+                min_serve_size=int(
+                    self.config.detection.min_serve_size))
             self._sessions[client_id] = session
             self._by_addr[addr] = client_id
             self.adapter.register_client(client_id, session.screen_width,
@@ -897,6 +947,8 @@ class DetectionServer:
                                            0.0),
                 "serve_size": int(getattr(self.engine, "_serve_size", 0)
                                   or self.config.detection.model_width),
+                # THIS client's accuracy floor (per-session state).
+                "min_serve_size": int(session.min_serve_size),
             }).encode()
             self._send_raw(CommandPacket(
                 command_type=CommandType.GET_CONFIG,
@@ -1002,7 +1054,8 @@ class DetectionServer:
         request = InferenceRequest(
             client_id=session.client_id, frame_id=frame_id,
             timestamp=frame_ts, width=width, height=height,
-            data=None, keyframe=keyframe)
+            data=None, keyframe=keyframe,
+            min_size=session.min_serve_size)
         cache = self.device_cache
         if cache is not None:
             if decoded.roi is not None:
@@ -1075,6 +1128,12 @@ class DetectionServer:
         self.bytes_sent.inc(len(data))
 
     def _send_reliable(self, data: bytes, session: ClientSession) -> None:
+        if len(session.pending) >= int(session.cwnd):
+            # In-flight window full: the peer is not ACKing. Shed — never
+            # queue unboundedly (design invariant; every reliable consumer
+            # has its own retry path, see REL_WND_* above).
+            self.reliable_shed.inc()
+            return
         hdr = parse_header(data)
         session.pending[hdr.sequence] = PendingPacket(
             data=data, addr=session.addr, sent_at=time.monotonic())
@@ -1236,11 +1295,13 @@ class DetectionServer:
                     if p.retries >= max_retries:
                         del session.pending[seq]
                         self.send_drops.inc()
+                        session.backoff_window(now)
                         continue
                     p.retries += 1
                     p.sent_at = now
                     self._send_raw(p.data, p.addr)
                     self.retransmits.inc()
+                    session.backoff_window(now)
 
     def _evict(self, client_id: int, reason: str) -> None:
         session = self._sessions.pop(client_id, None)
@@ -1460,6 +1521,14 @@ class DetectionServer:
             "port": self.port,
             "clients": len(self._sessions),
             "max_clients": self.config.max_clients,
+            # Accuracy-SLA floors in force: how many clients the adaptive
+            # policy must serve above the fleet rung, and the highest floor
+            # (operators see at a glance why two rungs dispatch per cycle).
+            "clients_floored": sum(
+                1 for s in self._sessions.values() if s.min_serve_size > 0),
+            "max_client_floor": max(
+                (s.min_serve_size for s in self._sessions.values()),
+                default=0),
             "queue_depth": self.batcher.queue_depth(),
             "device_stall_s": round(self.batcher.device_stall_s(), 3),
             "device_stall_warn_s": DEVICE_STALL_WARN_S,
@@ -1469,6 +1538,7 @@ class DetectionServer:
                 "bytes_received": self.bytes_received.value,
                 "bytes_sent": self.bytes_sent.value,
                 "retransmits": self.retransmits.value,
+                "reliable_shed": self.reliable_shed.value,
             "cache_rejects": self.cache_rejects.value,
             # Native drain thread gave up on a permanent recv failure:
             # tx works, nothing is ever read — restart the shard.
@@ -1539,7 +1609,11 @@ class DetectionServer:
                 if line in (b"\r\n", b"\n", b""):
                     break
                 if line.lower().startswith(b"content-length:"):
-                    content_length = int(line.split(b":", 1)[1].strip() or 0)
+                    try:
+                        content_length = int(
+                            line.split(b":", 1)[1].strip() or 0)
+                    except ValueError:
+                        return  # unparseable framing: no safe body read
                 elif line.lower().startswith(b"authorization:"):
                     # "Bearer <token>" (scheme case-insensitive per RFC
                     # 7235); a bare token is also accepted for curl
@@ -1551,7 +1625,13 @@ class DetectionServer:
             else:
                 return  # >64 header lines: not a legitimate client
             body = b""
-            if method == "POST" and 0 < content_length <= 256 * 1024 * 1024:
+            if (method == "POST" and 0 < content_length <= 256 * 1024 * 1024
+                    and self.management.auth_ok(auth)):
+                # Auth gates the BODY READ, not just the route: without the
+                # pre-check an unauthenticated client could make the server
+                # buffer 256 MB per connection before its 401 (memory DoS
+                # on the management port). With a bad token the body is
+                # never read; handle() re-checks and answers 401.
                 body = await asyncio.wait_for(
                     reader.readexactly(content_length), timeout=60.0)
             code, payload = await self.management.handle(method, path, body,

@@ -187,6 +187,21 @@ class ManagementApi:
         # but are NOT hot-swapped — the response must say so.
         self.active_model = active_model
 
+    def auth_ok(self, auth: str) -> bool:
+        """True when `auth` authorizes POST routes (always true with auth
+        disabled). The transport calls this BEFORE reading a POST body so
+        an unauthenticated client cannot make the server buffer up to
+        256 MB per connection just by naming a Content-Length — the 401
+        must cost the sender a header, not the server a buffer."""
+        if not self.auth_token:
+            return True
+        import hmac
+        # Constant-time over BYTES (see handle() — surrogatepass keeps
+        # invalid-UTF-8 attacker headers a clean mismatch, not a raise).
+        return hmac.compare_digest(
+            (auth or "").encode("utf-8", "surrogatepass"),
+            self.auth_token.encode("utf-8"))
+
     # ------------------------------------------------------------- routing
     async def handle(self, method: str, path: str, body: bytes,
                      auth: str = "") -> Tuple[int, Dict]:
@@ -200,19 +215,17 @@ class ManagementApi:
         route = url.path.rstrip("/") or "/"
         query = dict(urllib.parse.parse_qsl(url.query))
         try:
-            if method == "POST" and self.auth_token:
-                # Constant-time compare over BYTES: str-mode compare_digest
-                # raises TypeError on non-ASCII, and an attacker-sent invalid
-                # UTF-8 header decodes (errors="replace") to U+FFFD — the
-                # reject must be a 401, not an exception that drops the
-                # connection. Inside the try so any surprise still answers.
-                import hmac
-                if not hmac.compare_digest(
-                        (auth or "").encode("utf-8", "surrogatepass"),
-                        self.auth_token.encode("utf-8")):
-                    return 401, {"error": "unauthorized: POST routes require "
-                                          "'Authorization: Bearer <token>' "
-                                          "(network.web_auth_token)"}
+            if method == "POST" and not self.auth_ok(auth):
+                # Constant-time compare over BYTES (auth_ok): str-mode
+                # compare_digest raises TypeError on non-ASCII, and an
+                # attacker-sent invalid UTF-8 header decodes
+                # (errors="replace") to U+FFFD — the reject must be a 401,
+                # not an exception that drops the connection. Inside the
+                # try so any surprise still answers. (The transport also
+                # pre-checks auth_ok before reading POST bodies.)
+                return 401, {"error": "unauthorized: POST routes require "
+                                      "'Authorization: Bearer <token>' "
+                                      "(network.web_auth_token)"}
             if method == "GET":
                 if route == "/dashboard":
                     return 200, {"__html__": DASHBOARD_HTML}
