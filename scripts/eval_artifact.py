@@ -66,6 +66,14 @@ def main() -> int:
     from zero_latency_yolo_tpu.train.eval import evaluate
     from zero_latency_yolo_tpu.train.loop import synthetic_batches
 
+    if args.images <= 0 and not args.data:
+        # "0 = all" is a --data semantics; for the synthetic/ood/crowded
+        # generators it would flow in as batch=0 and produce an empty eval
+        # set with degenerate metrics (ADVICE r4).
+        raise SystemExit("--images 0 ('all') requires --data; synthetic "
+                         "tasks need an explicit count (>= 64 for "
+                         "comparable numbers — BENCH_NOTES artifact table)")
+
     try:
         params = load_artifact(args.weights)
     except ValueError as e:

@@ -41,7 +41,7 @@ from zero_latency_yolo_tpu.utils.geometry import iou_matrix_cxcywh  # noqa: E402
 
 def simulate(frames: int, targets: int, seed: int, *, jitter: float,
              p_miss: float, fp_rate: float, p_drop: float,
-             dt_jitter: float) -> dict:
+             dt_jitter: float, assoc: str = "motion") -> dict:
     """Run one scenario; returns the metric row."""
     rng = np.random.default_rng(seed)
     # Ground truth: constant-velocity targets bouncing in the unit square.
@@ -50,7 +50,7 @@ def simulate(frames: int, targets: int, seed: int, *, jitter: float,
     wh = rng.uniform(0.06, 0.12, (targets, 2))
     classes = rng.integers(0, 2, targets)
 
-    tracker = MultiObjectTracker(max_age_ms=500.0)
+    tracker = MultiObjectTracker(max_age_ms=500.0, assoc=assoc)
     # Per-target association memory for ID-switch / fragment accounting.
     last_id = [-1] * targets        # track id last serving this target
     covered_prev = [False] * targets
@@ -176,6 +176,10 @@ def main() -> int:
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--scenario", choices=sorted(SCENARIOS), default=None,
                     help="run one scenario (default: full battery)")
+    ap.add_argument("--assoc", choices=("motion", "iou"), default="motion",
+                    help="association mode A/B: motion (default; KF-gated, "
+                         "VERDICT r4 #5) vs iou (reference-intended "
+                         "IoU-only)")
     args = ap.parse_args()
 
     names = [args.scenario] if args.scenario else list(SCENARIOS)
@@ -183,7 +187,8 @@ def main() -> int:
     for name in names:
         # Median-of-seeds on MOTA; counts summed for transparency.
         reps = [simulate(args.frames, args.targets, seed=100 + s,
-                         **SCENARIOS[name]) for s in range(args.seeds)]
+                         assoc=args.assoc, **SCENARIOS[name])
+                for s in range(args.seeds)]
         reps.sort(key=lambda r: r["mota"])
         row = dict(reps[len(reps) // 2])
         row["mota_runs"] = [r["mota"] for r in reps]
@@ -192,7 +197,8 @@ def main() -> int:
               f"frag {row['fragments']} mt {row['mostly_tracked']} "
               f"update p99 {row['update_ms_p99']} ms", file=sys.stderr)
     print(json.dumps({"scenarios": out, "frames": args.frames,
-                      "targets": args.targets, "seeds": args.seeds}))
+                      "targets": args.targets, "seeds": args.seeds,
+                      "assoc": args.assoc}))
     return 0
 
 

@@ -581,3 +581,153 @@ def test_cascade_downshift_counts_one_probe_failure():
     _check(20.0)
     assert eng._serve_size == 32
     assert eng._upshift_fail_streak == 1, "cascade must not double the streak"
+
+
+# ---------------------------------------------------------- accuracy floors
+
+def test_effective_serve_size_snaps_up(engine):
+    """Per-client min_serve_size floors snap UP the warmed ladder — never a
+    cold rung, never below the floor (VERDICT r4 #4: the 320-rung closure
+    measurably costs OOD accuracy; the floor is the operator's knob)."""
+    engine._serve_size = 32
+    try:
+        assert engine.effective_serve_size(0) == 32       # follow the fleet
+        assert engine.effective_serve_size(32) == 32      # floor met
+        assert engine.effective_serve_size(33) == 64      # snap up
+        assert engine.effective_serve_size(64) == 64
+    finally:
+        engine._serve_size = 64
+    # At the top rung the floor is a no-op.
+    assert engine.effective_serve_size(64) == 64
+    assert engine.effective_serve_size(0) == 64
+
+
+def test_floored_request_served_at_higher_rung(engine):
+    """Real compute: with the fleet downshifted to 32, a floor-64 request
+    is served at 64 (its results stamp serve_size=64) while an unfloored
+    one serves at 32 — two programs, one infer_batch call."""
+    engine._serve_size = 32
+    try:
+        ra = _req(1, 1, seed=5)
+        ra.min_size = 64
+        rb = _req(2, 2, seed=6)
+        out = engine.infer_batch([ra, rb])
+        assert len(out) == 2
+        by_cid = {r.client_id: r for r in out}
+        assert by_cid[1].serve_size == 64
+        assert by_cid[2].serve_size == 32
+    finally:
+        engine._serve_size = 64
+
+
+def test_scheduler_splits_batch_by_floor():
+    """Through the REAL batcher: client 1 holds a floor-64 SLA while the
+    fleet rung sits at 32 — every result for client 1 serves at 64, every
+    other client's at 32 (the per-rung synthetic ladders replay each
+    group's own measured step)."""
+    import threading
+    import time as _t
+
+    from zero_latency_yolo_tpu.runtime.scheduler import ContinuousBatcher
+
+    cfg = _cfg(adaptive_slo_ms=8.0,
+               synthetic_step_profiles={"64": {"1": 2.0, "8": 2.0},
+                                        "32": {"1": 1.0, "8": 1.0}},
+               batch_buckets=[1, 8])
+    eng = InferenceEngine(cfg)
+    assert eng.simulation
+    eng._serve_size = 32  # fleet downshifted
+    got = []
+    cv = threading.Condition()
+
+    def on_result(results):
+        with cv:
+            got.extend(results)
+            cv.notify()
+
+    b = ContinuousBatcher(eng, on_result, max_batch=8, batch_window_ms=1.0)
+    b.start()
+    try:
+        for fid in range(6):
+            ra = _req(1, fid)
+            ra.min_size = 64
+            rb = _req(2, fid)
+            b.submit(ra)
+            b.submit(rb)
+            with cv:
+                cv.wait_for(lambda: len(got) >= (fid + 1) * 2, timeout=5)
+        assert len(got) >= 12
+        for r in got:
+            assert r.serve_size == (64 if r.client_id == 1 else 32), \
+                f"client {r.client_id} served at {r.serve_size}"
+    finally:
+        b.stop()
+
+
+def test_min_serve_size_over_the_wire(tmp_path):
+    """SET_CONFIG carrying min_serve_size applies PER-SESSION (not
+    globally), out-of-range floors are refused atomically, and GET_CONFIG
+    echoes the session's floor. The config default seeds new sessions."""
+    import json as _json
+    import sys
+    import time as _t
+    sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/tests")
+    from test_server_e2e import ServerHarness
+    from zero_latency_yolo_tpu.protocol import CommandPacket, CommandType
+    from zero_latency_yolo_tpu.runtime.simulator import SimClient
+
+    cfg = _cfg()
+    cfg.model_path = "/nonexistent.npz"
+    cfg.detection.min_serve_size = 32   # config default for every session
+    cfg.network.port = 27469
+    cfg.network.web_port = 0
+    cfg.use_cpu_affinity = False
+    cfg.use_high_priority = False
+    h = ServerHarness(cfg)
+    server = h.start()
+    c = SimClient(("127.0.0.1", server.port), screen_width=96,
+                  screen_height=64)
+    try:
+        c.connect()
+        c.start_receiver()
+        sess = next(iter(server._sessions.values()))
+        assert sess.min_serve_size == 32  # seeded from the config default
+
+        # Raise this client's floor to the full model size.
+        c._send(CommandPacket(
+            command_type=CommandType.SET_CONFIG,
+            command_data=_json.dumps(
+                {"min_serve_size": 64}).encode()).serialize())
+        deadline = _t.monotonic() + 5
+        while _t.monotonic() < deadline and sess.min_serve_size != 64:
+            _t.sleep(0.05)
+        assert sess.min_serve_size == 64
+
+        # Out-of-range floor (above model size): refused, nothing applied.
+        c._send(CommandPacket(
+            command_type=CommandType.SET_CONFIG,
+            command_data=_json.dumps(
+                {"min_serve_size": 128,
+                 "confidence_threshold": 0.31}).encode()).serialize())
+        _t.sleep(0.5)
+        assert sess.min_serve_size == 64
+        assert server.engine.config.confidence_threshold != 0.31
+
+        # GET_CONFIG echoes the per-session floor; statusz counts it.
+        c._send(CommandPacket(
+            command_type=CommandType.GET_CONFIG).serialize())
+        deadline = _t.monotonic() + 5
+        echo = None
+        while _t.monotonic() < deadline and echo is None:
+            with c._lock:
+                for pkt in c.commands:
+                    if pkt.command_type == CommandType.GET_CONFIG:
+                        echo = _json.loads(pkt.command_data.decode())
+            _t.sleep(0.05)
+        assert echo is not None and echo.get("min_serve_size") == 64
+        st = server.status()
+        assert st["clients_floored"] == 1
+        assert st["max_client_floor"] == 64
+    finally:
+        c.stop()
+        h.stop()

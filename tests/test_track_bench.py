@@ -21,17 +21,20 @@ def _run(name, seed=100):
 
 def test_clean_scene_id_stability():
     r = _run("clean")
-    # A clean detector on 4 crossing targets: near-perfect coverage and
-    # single-digit id switches (crossing swaps are the only failure mode).
-    assert r["mota"] >= 0.90, r
+    # A clean detector on 4 crossing targets: with the calibrated KF
+    # noise + motion-gated association (round 5) the clean scene is
+    # PERFECT — 3/3 seeds measure MOTA 1.0, 0 id switches; gate with a
+    # hair of slack.
+    assert r["mota"] >= 0.99, r
     assert r["misses"] == 0, r
-    assert r["id_switches"] <= 10, r
+    assert r["id_switches"] <= 1, r
     assert r["mostly_tracked"] == 1.0, r
 
 
 def test_noisy_detector_holds():
     r = _run("noisy")
-    assert r["mota"] >= 0.75, r
+    # Measured 0.90-0.92 over 3 seeds at the round-5 defaults (was 0.75).
+    assert r["mota"] >= 0.85, r
     assert r["mostly_tracked"] >= 0.75, r
 
 
@@ -40,7 +43,8 @@ def test_lossy_wire_degrades_gracefully():
     # quality degrades but does not collapse, and every target stays
     # mostly-tracked (coasting + silence-based expiry carry the gaps).
     r = _run("lossy_wire")
-    assert r["mota"] >= 0.60, r
+    # Measured 0.83-0.86 over 3 seeds at the round-5 defaults (was 0.60).
+    assert r["mota"] >= 0.78, r
     assert r["mostly_tracked"] >= 0.75, r
 
 
@@ -49,7 +53,8 @@ def test_coasting_recovers_heavy_misses():
     # before FP/idsw costs; the measured ~0.8 proves coasted predictions
     # actually serve through detector gaps.
     r = _run("heavy_miss")
-    assert r["mota"] > 0.72, r
+    # Measured 0.86-0.91 over 3 seeds at the round-5 defaults (was 0.72).
+    assert r["mota"] > 0.82, r
 
 
 def test_update_cost_bounded():

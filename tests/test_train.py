@@ -447,18 +447,23 @@ def test_clutter_batches_labels_safe():
     np.testing.assert_array_equal(targets, src[0][1])
     assert not np.array_equal(images, src[0][0])
     assert images.min() >= 0.0 and images.max() <= 1.0
-    # Every labeled box keeps a majority of its pixels intact.
-    orig = src[0][0]
-    for i in range(b):
-        for t in targets[i]:
-            if t[0] < 0:
-                continue
-            x0 = int((t[1] - t[3] / 2) * size)
-            x1 = max(int((t[1] + t[3] / 2) * size), x0 + 1)
-            y0 = int((t[2] - t[4] / 2) * size)
-            y1 = max(int((t[2] + t[4] / 2) * size), y0 + 1)
-            changed = (images[i, y0:y1, x0:x1]
-                       != orig[i, y0:y1, x0:x1]).any(axis=-1).mean()
-            assert changed <= 0.5, changed
     again, _ = next(clutter_batches(iter(src), strength=1.0, seed=4))
     np.testing.assert_array_equal(images, again)
+    # Label safety holds CUMULATIVELY and across seeds (ADVICE r4: the
+    # per-rect 20% check at one seed let several rects bury a box
+    # piecewise): over many seeds, rect-painted coverage of every labeled
+    # box stays within the 20% budget plus stripe/rounding slack.
+    orig = src[0][0]
+    for seed in range(8):
+        imgs, tg = next(clutter_batches(iter(src), strength=1.0, seed=seed))
+        for i in range(b):
+            for t in tg[i]:
+                if t[0] < 0:
+                    continue
+                x0 = int((t[1] - t[3] / 2) * size)
+                x1 = max(int((t[1] + t[3] / 2) * size), x0 + 1)
+                y0 = int((t[2] - t[4] / 2) * size)
+                y1 = max(int((t[2] + t[4] / 2) * size), y0 + 1)
+                changed = (imgs[i, y0:y1, x0:x1]
+                           != orig[i, y0:y1, x0:x1]).any(axis=-1).mean()
+                assert changed <= 0.35, (seed, i, changed)

@@ -88,6 +88,14 @@ class DetectionConfig:
     model_height: int = DEFAULT_MODEL_SIZE
     enable_tracking: bool = True
     max_tracking_age_ms: int = 500
+    # Accuracy-SLA floor for adaptive serving (default for every client;
+    # clients may raise their own over SET_CONFIG/CONFIG_UPDATE when
+    # network.allow_client_config permits): the adaptive-resolution policy
+    # never serves a floored client below this rung (snapped UP the
+    # tpu.serve_sizes ladder). 0 = no floor. The 320 rung measurably costs
+    # OOD accuracy (ood2 0.650 -> 0.593 at 416 -> 320, BENCH_NOTES) — this
+    # is the operator's knob over that trade.
+    min_serve_size: int = 0
     class_weights: Dict[str, float] = field(default_factory=lambda: {
         "player_t": 1.0, "player_ct": 1.0, "head": 1.2, "weapon": 0.8,
     })
@@ -366,9 +374,14 @@ class ServerConfig:
             # the management plane. Printable ASCII only.
             raise ValueError("network.web_auth_token must be printable ASCII "
                              "(it travels in an HTTP header)")
-        if tok and "CHANGE-ME" in tok.upper().replace("_", "-"):
+        if tok and (tok == "CHANGE-ME-32-chars-minimum-random"
+                    or tok.upper().replace("_", "-")
+                    .startswith("CHANGE-ME")):
             # The shipped hardened example's placeholder is publicly known;
-            # a copy-paste deploy must not boot "hardened" with it.
+            # a copy-paste deploy must not boot "hardened" with it. Exact
+            # match on the shipped token plus the prefix form — NOT a
+            # substring scan, which would false-positive on a legitimate
+            # random secret that happens to contain "change-me" (ADVICE r4).
             raise ValueError("network.web_auth_token is the example "
                              "placeholder — generate a real secret (e.g. "
                              "`openssl rand -hex 16`)")
@@ -382,6 +395,13 @@ class ServerConfig:
                 raise ValueError(
                     f"detection.{name}={mv} must be a positive multiple "
                     "of 32 (the FPN downsamples to /32)")
+        # Accuracy-SLA floor: 0 (no floor) or a value the ladder can honor.
+        # A floor above the model size could never be served — fail at load.
+        msz = int(cfg.detection.min_serve_size)
+        if msz < 0 or msz > int(cfg.detection.model_width):
+            raise ValueError(
+                f"detection.min_serve_size={msz} must be in "
+                f"[0, detection.model_width={cfg.detection.model_width}]")
         _merge(cfg.analytics, j.get("analytics"))
         if cfg.analytics.capture_dir:
             # Same fail-at-load stance as the tpu gates: a zero sampling

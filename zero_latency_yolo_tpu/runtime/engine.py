@@ -78,6 +78,11 @@ class InferenceRequest:
     height: int
     data: np.ndarray  # (h, w, 3) uint8 RGB
     keyframe: bool = False
+    # Accuracy-SLA floor (client's min_serve_size): the adaptive-resolution
+    # policy may downshift the fleet-wide rung, but THIS request must be
+    # served at a rung >= min_size (0 = follow the fleet). The scheduler
+    # groups a batch by effective rung before dispatching.
+    min_size: int = 0
     enqueue_t: float = field(default_factory=time.perf_counter)
     # Stamped at construction = payload-decode completion (the server later
     # rewinds enqueue_t to datagram arrival, so decoded_t - enqueue_t is the
@@ -102,6 +107,9 @@ class PendingBatch:
     # and the step duration charged to this batch.
     ready_at: Optional[float] = None
     step_ms: float = 0.0
+    # Serve rung this batch ran at (adaptive resolution + per-client
+    # accuracy floors); stamped onto each EngineResult for /debugz traces.
+    serve_size: int = 0
 
     @property
     def is_real_device(self) -> bool:
@@ -126,6 +134,8 @@ class EngineResult:
     # span and the device batch this frame rode in.
     decode_ms: float = 0.0
     batch_n: int = 0
+    # Serve rung the frame was letterboxed to (0 = unknown/simulated-flat).
+    serve_size: int = 0
 
 
 def _pick_bucket(buckets: Sequence[Tuple[int, int]], h: int, w: int
@@ -701,6 +711,22 @@ class InferenceEngine:
         log.info("adaptive SLO now %.1f ms (serve size %d)",
                  self.adaptive_slo_ms, self._serve_size)
 
+    def effective_serve_size(self, min_size: int = 0) -> int:
+        """Per-request serve rung: the policy's current fleet-wide rung,
+        floored by the client's accuracy SLA (detection.min_serve_size /
+        runtime 'min_serve_size'). The floor snaps UP the serve_sizes
+        ladder so dispatch always lands on a warmed rung — never a cold
+        compile under SLO pressure. (Reference analog: per-client
+        CompressionSettings quality negotiation, types.h:58-66 — the
+        operator-grade accuracy knob the adaptive ladder needs because the
+        320 rung measurably costs OOD accuracy; BENCH_NOTES OOD table.)"""
+        size = self._serve_size
+        if min_size and min_size > size:
+            # Ladder is sorted descending; pick the SMALLEST rung >= floor.
+            size = min((s for s in self.serve_sizes if s >= min_size),
+                       default=self.model_size)
+        return size
+
     # --------------------------------------------------------------- infer
     def _simulating(self) -> bool:
         """True when this dispatch should serve simulated detections.
@@ -724,21 +750,24 @@ class InferenceEngine:
         bucket first (dispatch() requires one covering bucket per call —
         mixed portrait/landscape with non-nested buckets has none)."""
         # Group by POSITION, not object identity — the same request object
-        # may legally appear more than once in the list.
-        groups: Dict[Optional[Tuple[int, int]], List[int]] = {}
+        # may legally appear more than once in the list. The group key also
+        # carries the request's effective serve rung (accuracy floors) so a
+        # floored request is never served below its floor on ANY path.
+        groups: Dict[Tuple[Optional[Tuple[int, int]], int], List[int]] = {}
         for i, r in enumerate(requests):
             groups.setdefault(
-                _pick_bucket(self.frame_buckets, r.height, r.width),
+                (_pick_bucket(self.frame_buckets, r.height, r.width),
+                 self.effective_serve_size(r.min_size)),
                 []).append(i)
         out: List[Optional[EngineResult]] = [None] * len(requests)
         cap = max(self.batch_buckets)
-        for idxs in groups.values():
+        for (_bucket, size), idxs in groups.items():
             # Chunk at the largest batch bucket: dispatch() serves at most
             # one bucket's worth of rows per call.
             for j in range(0, len(idxs), cap):
                 part = idxs[j:j + cap]
                 rs = [requests[i] for i in part]
-                res = self.complete(self.dispatch(rs))
+                res = self.complete(self.dispatch(rs, size=size))
                 if len(res) == len(part):  # oversized group: res == [] (shed)
                     for i, e in zip(part, res):
                         out[i] = e
@@ -750,14 +779,17 @@ class InferenceEngine:
         return self.complete(
             self.dispatch_cached(requests, frames, heights, widths))
 
-    def dispatch(self, requests: List[InferenceRequest]) -> "PendingBatch":
+    def dispatch(self, requests: List[InferenceRequest],
+                 size: Optional[int] = None) -> "PendingBatch":
         """Stage + launch one device step; returns immediately with device
         handles. Pair with complete() — the split lets the scheduler keep the
-        next batch's H2D/compute in flight while this one's results convert."""
+        next batch's H2D/compute in flight while this one's results convert.
+        `size` overrides the serve rung (per-client accuracy floors — the
+        scheduler groups by effective_serve_size and passes each group's)."""
         if not requests:
             return PendingBatch(requests=[], out=None, t0=0.0, n=0)
         if self._simulating():
-            return self._sim_pending(requests)
+            return self._sim_pending(requests, size=size)
         t0 = time.perf_counter()
         # Shed frames larger than every configured bucket (reject, never
         # compile on request-controlled shapes).
@@ -832,7 +864,8 @@ class InferenceEngine:
             hs_d = jnp.asarray(heights)
             ws_d = jnp.asarray(widths)
         pending = self._dispatch_device(frames_d, hs_d, ws_d,
-                                        requests, batch, bucket, t0)
+                                        requests, batch, bucket, t0,
+                                        size=size)
         pending.staging_key = key
         pending.staging_buf = staging
         return pending
@@ -864,16 +897,17 @@ class InferenceEngine:
 
     def dispatch_from_cache(self, requests: List[InferenceRequest],
                             cache: jnp.ndarray, slots: np.ndarray,
-                            heights: np.ndarray, widths: np.ndarray
-                            ) -> "PendingBatch":
-        """Single-dispatch path: gather + serve fused into one program."""
+                            heights: np.ndarray, widths: np.ndarray,
+                            size: Optional[int] = None) -> "PendingBatch":
+        """Single-dispatch path: gather + serve fused into one program.
+        `size` overrides the serve rung (per-client accuracy floors)."""
         if self._simulating():
-            return self._sim_pending(requests)
+            return self._sim_pending(requests, size=size)
         t0 = time.perf_counter()
         batch = len(slots)
         bucket = (cache.shape[1], cache.shape[2])
         params = self._current_params()
-        step = self.get_step_cached(batch, bucket)
+        step = self.get_step_cached(batch, bucket, size)
         # One packed (3, B) upload: slots, heights, widths.
         shw = np.stack([np.asarray(slots, np.int32),
                         np.asarray(heights, np.int32),
@@ -888,18 +922,21 @@ class InferenceEngine:
         out = step(params, cache, shw_d,
                    self._class_weights, self._conf, self._iou)
         self._maybe_start_host_copy(out)
-        return PendingBatch(requests=requests, out=out, t0=t0, n=len(requests))
+        return PendingBatch(requests=requests, out=out, t0=t0, n=len(requests),
+                            serve_size=int(size or self._serve_size))
 
     def _dispatch_device(self, frames, heights, widths,
                          requests: List[InferenceRequest], batch: int,
-                         bucket: Tuple[int, int], t0: float) -> "PendingBatch":
+                         bucket: Tuple[int, int], t0: float,
+                         size: Optional[int] = None) -> "PendingBatch":
         params = self._current_params()
-        step = self.get_step(batch, bucket)
+        step = self.get_step(batch, bucket, size)
         # donate_argnums invalidates the device copy, not the numpy staging.
         out = step(params, frames, heights, widths,
                    self._class_weights, self._conf, self._iou)
         self._maybe_start_host_copy(out)
-        return PendingBatch(requests=requests, out=out, t0=t0, n=len(requests))
+        return PendingBatch(requests=requests, out=out, t0=t0, n=len(requests),
+                            serve_size=int(size or self._serve_size))
 
     def _maybe_start_host_copy(self, out) -> None:
         """Overlap the packed output's D2H with the next batch's compute —
@@ -910,17 +947,20 @@ class InferenceEngine:
         if self.max_inflight <= 2:
             _start_host_copy(out)
 
-    def _sim_pending(self, requests: List[InferenceRequest]) -> "PendingBatch":
+    def _sim_pending(self, requests: List[InferenceRequest],
+                     size: Optional[int] = None) -> "PendingBatch":
         """Simulated dispatch. In synthetic-step mode the batch also gets a
         ready_at stamp modelling a serialized device lane (back-to-back
         dispatches queue, one fake step each)."""
         t0 = time.perf_counter()
         pb = PendingBatch(requests=requests, out=None, t0=t0, n=len(requests),
-                          simulated=[self._simulate(r) for r in requests])
+                          simulated=[self._simulate(r) for r in requests],
+                          serve_size=int(size or self._serve_size))
         for er in pb.simulated:
             er.batch_n = len(requests)
+            er.serve_size = pb.serve_size
         if self.synthetic_step_ms > 0:
-            pb.step_ms = self._synthetic_step(len(requests))
+            pb.step_ms = self._synthetic_step(len(requests), pb.serve_size)
             start = max(t0, self._synthetic_last_ready)
             self._synthetic_last_ready = start + pb.step_ms / 1e3
             pb.ready_at = self._synthetic_last_ready
@@ -928,12 +968,13 @@ class InferenceEngine:
                 er.infer_ms = pb.step_ms  # trace shows the replayed step
         return pb
 
-    def _synthetic_step(self, n: int) -> float:
+    def _synthetic_step(self, n: int, size: Optional[int] = None) -> float:
         """Fake-step duration (ms) for an n-request batch: the measured
         ladder entry for the padded batch bucket when a profile is
         configured (next bucket up if the exact one is unlisted), else the
-        flat synthetic_step_ms."""
-        profile = (self.synthetic_profiles.get(self._serve_size)
+        flat synthetic_step_ms. `size` selects the per-rung ladder (floored
+        groups replay their own rung's measured step)."""
+        profile = (self.synthetic_profiles.get(int(size or self._serve_size))
                    or self.synthetic_profile)
         if not profile:
             return self.synthetic_step_ms
@@ -1085,7 +1126,7 @@ class InferenceEngine:
                 infer_ms=infer_ms, queue_ms=q_ms,
                 recv_t=r.enqueue_t,
                 decode_ms=max((r.decoded_t - r.enqueue_t) * 1e3, 0.0),
-                batch_n=pending.n))
+                batch_n=pending.n, serve_size=pending.serve_size))
         self._maybe_adapt()
         return results
 

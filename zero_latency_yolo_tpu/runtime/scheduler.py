@@ -323,6 +323,14 @@ class ContinuousBatcher:
         cached = [r for r in batch if r.data is None]
         hosted = [r for r in batch if r.data is not None]
         out = []
+        # Per-client accuracy floors (min_serve_size): requests whose floor
+        # sits above the fleet-wide adaptive rung must be served at their
+        # own (higher) rung — the batch splits by effective size, one
+        # dispatch per distinct rung. With no floors set this is exactly one
+        # group (the common case costs nothing); floors only differ from
+        # the fleet rung while the SLO policy is downshifted, and every
+        # rung is warmed at every batch bucket when the SLO is armed.
+        eff = self.engine.effective_serve_size
         if cached:
             if cache is None:
                 raise RuntimeError("cached requests but no device cache configured")
@@ -332,13 +340,18 @@ class ContinuousBatcher:
             # fused program, launched under the cache lock (writes donate
             # the cache buffer).
             from .engine import _pick_batch
-            n = len(cached)
-            b = _pick_batch(self.engine.batch_buckets, n)
-            cids = [r.client_id for r in cached]
-            cids += [cids[0]] * (b - n)
-            out.append(cache.dispatch_with(
-                lambda c, s, hs, ws: self.engine.dispatch_from_cache(
-                    cached, c, s, hs, ws), cids))
+            by_size: Dict[int, List[InferenceRequest]] = {}
+            for r in cached:
+                by_size.setdefault(eff(r.min_size), []).append(r)
+            for size, group in by_size.items():
+                n = len(group)
+                b = _pick_batch(self.engine.batch_buckets, n)
+                cids = [r.client_id for r in group]
+                cids += [cids[0]] * (b - n)
+                out.append(cache.dispatch_with(
+                    lambda c, s, hs, ws, g=group, sz=size:
+                        self.engine.dispatch_from_cache(
+                            g, c, s, hs, ws, size=sz), cids))
         if hosted:
             # Group by frame bucket first: with non-nested buckets (e.g.
             # mixed portrait/landscape) no single bucket may cover the whole
@@ -346,5 +359,9 @@ class ContinuousBatcher:
             from .engine import group_by_bucket
             for rs in group_by_bucket(self.engine.frame_buckets,
                                       hosted).values():
-                out.append(self.engine.dispatch(rs))
+                by_size = {}
+                for r in rs:
+                    by_size.setdefault(eff(r.min_size), []).append(r)
+                for size, group in by_size.items():
+                    out.append(self.engine.dispatch(group, size=size))
         return out

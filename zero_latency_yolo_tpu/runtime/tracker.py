@@ -15,7 +15,15 @@ Association: IoU cost matrix + Hungarian assignment (scipy
 linear_sum_assignment — a real replacement for `cv::hungarian`).
 
 Matches the reference's intended semantics (kalman_tracker.cpp):
-- process/measurement noise defaults 1e-2 / 5e-2 / 1e-1 (:22-25)
+- process/measurement noise CALIBRATED to this wire's units (deliberate
+  deviation): the reference's constants (1e-2 / 5e-2 / 1e-1, :22-25) are
+  variances in ITS coordinate scale; applied verbatim to normalized [0,1]
+  boxes a 5e-2 measurement variance is a 0.22 std — near half a screen —
+  and the filter all but ignores detections (measured: heavy-miss MOTA
+  0.57, 211 id switches). Bank defaults are q=5e-2 / r=5e-3, the measured
+  optimum of scripts/track_bench.py's noise sweep (heavy-miss MOTA 0.94,
+  idsw 11 — BENCH_NOTES round-5 tracker section); the single-track
+  KalmanTracker keeps the reference constants for API-parity tests
 - confidence EMA 0.7·old + 0.3·new (:130) — maintained on the TRACK and
   served on coast frames; matched frames deliberately ship the raw
   measured box + confidence (zero added latency on live detections; the
@@ -103,11 +111,29 @@ class KalmanTracker:
 class MultiObjectTracker:
     """Vectorized KF bank + Hungarian association for one client stream."""
 
+    # Motion-gated association constants (assoc="motion", measured in
+    # scripts/track_bench.py — VERDICT r4 #5): chi-squared 99% quantile at
+    # 2 dof for the Mahalanobis rescue gate, the box-scaled center-distance
+    # rescue radius, and the tie-break weight on the IoU cost.
+    _CHI2_99_2DOF = 9.21
+    _RESCUE_NORM_D = 1.0
+    _MOTION_LAMBDA = 0.15
+
     def __init__(self, max_age_ms: float = 500.0, min_hits: int = 3,
-                 iou_threshold: float = 0.3, process_noise: float = 1e-2,
-                 meas_noise: float = 5e-2, max_tracks: int = 64) -> None:
+                 iou_threshold: float = 0.3, process_noise: float = 5e-2,
+                 meas_noise: float = 5e-3, max_tracks: int = 64,
+                 assoc: str = "motion") -> None:
         self.max_age_ms = float(max_age_ms)
         self.min_hits = int(min_hits)
+        # Association mode: "motion" (default) breaks IoU ties with the
+        # KF's own predicted-center distance and rescues sub-IoU matches
+        # the filter predicted well (cuts id switches at crossing density
+        # — measured in BENCH_NOTES); "iou" is the reference's intended
+        # IoU-only association (kalman_tracker.cpp:427-465), kept for
+        # parity A/Bs.
+        if assoc not in ("motion", "iou"):
+            raise ValueError(f"assoc={assoc!r} not in ('motion', 'iou')")
+        self.assoc = assoc
         # Bank bound: the wire caps at 32 detections/frame, so 64 covers
         # live targets + a full coasting generation; past that, a jittery
         # detector is minting tracks it will never confirm, and the NxM
@@ -184,11 +210,44 @@ class MultiObjectTracker:
             # Class-gated association: different classes never match.
             track_cls = np.array([t.class_id for t in self.meta])
             gate = track_cls[:, None] == classes[None, :]
-            cost = 1.0 - np.where(gate, iou, -1.0)
+            if self.assoc == "motion":
+                # Motion-gated association (VERDICT r4 #5): the KF state
+                # the bank already maintains disambiguates what IoU alone
+                # cannot. (a) Tie-break: at crossing density two tracks
+                # overlap one detection with near-equal IoU — adding a
+                # box-scaled predicted-center distance to the cost prefers
+                # the track whose PREDICTION is closest, which encodes the
+                # velocity history. (b) Rescue: a well-predicted target
+                # whose jittered box slipped under the IoU gate would mint
+                # a fresh id (an id switch by construction); admit it when
+                # the center lands within the track's own box scale AND
+                # inside the chi2-99% Mahalanobis ellipse of the position
+                # innovation covariance.
+                diff = (boxes[:, :2].astype(np.float64)[None, :, :]
+                        - self.X[:, None, :2])                    # (N,M,2)
+                S = self.P[:, :2, :2] + np.eye(2) * self.r        # (N,2,2)
+                d2 = np.einsum("nmi,nij,nmj->nm", diff,
+                               np.linalg.inv(S), diff)
+                scale = np.maximum((self.X[:, 2] + self.X[:, 3]) / 4.0,
+                                   1e-3)                          # (N,)
+                norm_d = (np.linalg.norm(diff, axis=-1)
+                          / scale[:, None])                       # (N,M)
+                rescue = ((norm_d <= self._RESCUE_NORM_D)
+                          & (d2 <= self._CHI2_99_2DOF))
+                admit = gate & ((iou >= self.iou_threshold) | rescue)
+                cost = np.where(
+                    admit,
+                    (1.0 - iou) + self._MOTION_LAMBDA
+                    * np.minimum(norm_d, 4.0),
+                    2.0)
+            else:
+                # Reference-intended IoU-only association.
+                admit = gate & (iou >= self.iou_threshold)
+                cost = 1.0 - np.where(gate, iou, -1.0)
             rows, cols = linear_sum_assignment(cost)
             upd_rows, upd_z = [], []
             for r_i, c_i in zip(rows, cols):
-                if iou[r_i, c_i] < self.iou_threshold or not gate[r_i, c_i]:
+                if not admit[r_i, c_i]:
                     continue
                 matched_det[c_i] = r_i
                 upd_rows.append(r_i)

@@ -66,11 +66,12 @@ def paint_distractors(rng: np.random.Generator, img: np.ndarray,
     Shared by the OOD eval domain (backgrounds, painted BEFORE objects so
     avoidance is unnecessary) and the `--clutter` training augmentation
     (painted AFTER labeled objects, so `avoid_boxes` — (M, 4) normalized
-    cxcywh — enforces label safety: rectangles covering >20% of a labeled
-    box are rejected, and stripes skip the labeled boxes' pixels entirely,
-    never burying a label the targets still assert exists). The RNG call
-    sequence with avoid_boxes=None is frozen: the committed OOD eval
-    numbers depend on it."""
+    cxcywh — enforces label safety: each labeled box has a CUMULATIVE 20%
+    coverage budget across all accepted rectangles (several small rects
+    must not together bury a box whose label survives), and stripes skip
+    the labeled boxes' pixels entirely, never burying a label the targets
+    still assert exists). The RNG call sequence with avoid_boxes=None is
+    frozen: the committed OOD eval numbers depend on it."""
     size = img.shape[0]
     mask = None
     if avoid_boxes is not None and len(avoid_boxes):
@@ -81,22 +82,32 @@ def paint_distractors(rng: np.random.Generator, img: np.ndarray,
             by0 = int((bx[1] - bx[3] / 2) * size)
             by1 = max(int((bx[1] + bx[3] / 2) * size), by0 + 1)
             mask[max(by0, 0):max(by1, 0), max(bx0, 0):max(bx1, 0)] = True
+    # Cumulative per-box coverage budget (ADVICE r4): the 20% label-safety
+    # bound holds across ALL accepted rects, not per rect — up to 4 rects
+    # at full strength could otherwise bury half a box piecewise. The
+    # overlap sum can double-count rect intersections; that only makes the
+    # budget conservative.
+    cover = (np.zeros(len(avoid_boxes), np.float32)
+             if avoid_boxes is not None else None)
     for _ in range(n_rects):
         w = rng.uniform(0.05, 0.3)
         h = rng.uniform(0.05, 0.3)
         cx, cy = rng.uniform(0.1, 0.9, 2)
         if avoid_boxes is not None:
             blocked = False
-            for bx in avoid_boxes:
+            ov = np.zeros(len(avoid_boxes), np.float32)
+            for k, bx in enumerate(avoid_boxes):
                 ox = max(0.0, min(cx + w / 2, bx[0] + bx[2] / 2)
                          - max(cx - w / 2, bx[0] - bx[2] / 2))
                 oy = max(0.0, min(cy + h / 2, bx[1] + bx[3] / 2)
                          - max(cy - h / 2, bx[1] - bx[3] / 2))
-                if ox * oy > 0.2 * bx[2] * bx[3]:
+                ov[k] = ox * oy
+                if cover[k] + ov[k] > 0.2 * bx[2] * bx[3]:
                     blocked = True
                     break
             if blocked:
                 continue
+            cover += ov
         x0, x1 = int((cx - w / 2) * size), int((cx + w / 2) * size)
         y0, y1 = int((cy - h / 2) * size), int((cy + h / 2) * size)
         level = rng.uniform(0.2, 0.75)
@@ -143,8 +154,19 @@ def _class_color(rng: np.random.Generator, cls: int) -> np.ndarray:
     return col
 
 
+def jpeg_available() -> bool:
+    """True when cv2 (the wire codec) can run the ood3 JPEG roundtrip."""
+    try:
+        import cv2  # noqa: F401
+        return True
+    except Exception:  # pragma: no cover - cv2 is in-image
+        return False
+
+
 def _jpeg_roundtrip(img: np.ndarray, quality: int) -> np.ndarray:
-    """JPEG encode/decode via cv2 (the wire codec); no-op without cv2."""
+    """JPEG encode/decode via cv2 (the wire codec); no-op without cv2
+    (level-3 callers must gate on jpeg_available() first — a silent no-op
+    here would score ood3 on a measurably easier domain)."""
     try:
         import cv2
     except Exception:  # pragma: no cover - cv2 is in-image
@@ -168,6 +190,13 @@ def ood_batches(batch: int, size: int, max_boxes: int = 12, seed: int = 0,
     occlusion = level >= 2
     clutter = level >= 2
     jpeg = level >= 3
+    if jpeg and not jpeg_available():
+        # Fail loudly (ADVICE r4): a silent JPEG no-op would score ood3 on
+        # a measurably easier domain, and the committed rows would not
+        # reproduce across environments.
+        raise RuntimeError(
+            "ood level 3 requires cv2 for the JPEG roundtrip; refusing to "
+            "score the no-compression domain as ood3")
     noise_sigma = {1: 0.02, 2: 0.03, 3: 0.05}[level]
     while True:
         images = np.empty((batch, size, size, 3), np.float32)
