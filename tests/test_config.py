@@ -256,9 +256,15 @@ def test_web_auth_token_gates():
     # would lock themselves out of every authenticated POST (ADVICE r3).
     with pytest.raises(ValueError, match="printable ASCII"):
         ServerConfig.from_dict({"network": {"web_auth_token": "sécret-token"}})
-    # The shipped example placeholder is publicly known: fail-closed.
+    # The shipped example placeholder is publicly known: fail-closed on
+    # the exact token and the CHANGE-ME… prefix form.
     for placeholder in ("CHANGE-ME-32-chars-minimum-random",
-                        "my-change_me-token"):
+                        "change_me_please_1"):
         with pytest.raises(ValueError, match="placeholder"):
             ServerConfig.from_dict(
                 {"network": {"web_auth_token": placeholder}})
+    # …but NOT on a legitimate random secret that merely CONTAINS the
+    # phrase (ADVICE r4: the substring scan false-positived here).
+    cfg2 = ServerConfig.from_dict(
+        {"network": {"web_auth_token": "my-change_me-token"}})
+    assert cfg2.network.web_auth_token == "my-change_me-token"

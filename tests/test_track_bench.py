@@ -64,3 +64,14 @@ def test_update_cost_bounded():
     r = simulate(120, 16, seed=7, jitter=0.006, p_miss=0.1, fp_rate=2.0,
                  p_drop=0.0, dt_jitter=0.0)
     assert r["update_ms_avg"] < 8.0, r
+
+
+def test_crossing_density_at_wire_cap():
+    # 32 targets (the wire's detection cap) crossing in the unit square:
+    # pure association pressure. Measured 0.991-0.993 MOTA, 2-6 idsw over
+    # 3 seeds at the round-5 defaults.
+    r = _run("crossing_32")
+    assert r["mota"] >= 0.98, r
+    assert r["id_switches"] <= 12, r
+    assert r["mostly_tracked"] == 1.0, r
+    assert r["update_ms_avg"] < 8.0, r

@@ -1226,6 +1226,9 @@ class DetectionServer:
                 "frame_id": res.frame_id,
                 "detections": ndet,
                 "batch": res.batch_n,
+                # Serve rung the frame was letterboxed to (adaptive ladder
+                # + per-client accuracy floors; 0 = flat-simulated).
+                "serve_size": res.serve_size,
                 "decode_ms": round(res.decode_ms, 3),
                 "queue_ms": round(res.queue_ms, 3),
                 "pipeline_ms": round(res.infer_ms, 3),
