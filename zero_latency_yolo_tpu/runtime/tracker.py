@@ -164,14 +164,18 @@ class MultiObjectTracker:
         self.X[:, :4] = np.clip(self.X[:, :4], 0.0, 1.0)
 
     def _update_rows(self, rows: np.ndarray, Z: np.ndarray) -> None:
-        H = np.zeros((4, 8))
-        H[:4, :4] = np.eye(4)
-        for r_i, z in zip(rows, Z):
-            P = self.P[r_i]
-            S = H @ P @ H.T + np.eye(4) * self.r
-            K = P @ H.T @ np.linalg.inv(S)
-            self.X[r_i] = self.X[r_i] + K @ (z - H @ self.X[r_i])
-            self.P[r_i] = (np.eye(8) - K @ H) @ P
+        # Batched KF measurement update over the matched rows: H = [I4 0],
+        # so S = P[:4,:4] + rI and K = P[:, :4] S^-1 without forming H.
+        # One (k,4,4) batched inverse + einsums replace the per-track
+        # Python loop — update() runs on the event-loop result path, and
+        # at the 32-track wire cap the loop was most of its cost.
+        P = self.P[rows]                                  # (k,8,8)
+        S = P[:, :4, :4] + np.eye(4) * self.r             # (k,4,4)
+        K = np.einsum("kij,kjl->kil", P[:, :, :4],
+                      np.linalg.inv(S))                   # (k,8,4)
+        innov = Z - self.X[rows][:, :4]                   # (k,4)
+        self.X[rows] = self.X[rows] + np.einsum("kij,kj->ki", K, innov)
+        self.P[rows] = P - np.einsum("kij,kjl->kil", K, P[:, :4, :])
         self.X[:, :4] = np.clip(self.X[:, :4], 0.0, 1.0)
 
     def _add(self, box: np.ndarray, class_id: int, conf: float, now_ms: float) -> None:
