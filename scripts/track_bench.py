@@ -144,6 +144,10 @@ def simulate(frames: int, targets: int, seed: int, *, jitter: float,
     mota = 1.0 - (misses + false_pos + id_switches) / max(gt_total, 1)
     upd = np.asarray(update_ms) if update_ms else np.zeros(1)
     return {
+        # Authoritative per-row count: scenarios with targets_override
+        # (crossing_32) run at a DIFFERENT density than the battery-wide
+        # --targets the top-level JSON reports.
+        "targets": int(targets),
         "mota": round(float(mota), 4),
         "id_switches": int(id_switches),
         "fragments": int(fragments),

@@ -713,6 +713,34 @@ def test_min_serve_size_over_the_wire(tmp_path):
         assert sess.min_serve_size == 64
         assert server.engine.config.confidence_threshold != 0.31
 
+        # Below the OPERATOR's configured default (32): refused — clients
+        # may only RAISE their floor; lowering would silently void the
+        # documented accuracy SLA (review r5).
+        c._send(CommandPacket(
+            command_type=CommandType.SET_CONFIG,
+            command_data=_json.dumps(
+                {"min_serve_size": 0}).encode()).serialize())
+        _t.sleep(0.5)
+        assert sess.min_serve_size == 64
+        # Lowering back TO the operator default is allowed.
+        c._send(CommandPacket(
+            command_type=CommandType.SET_CONFIG,
+            command_data=_json.dumps(
+                {"min_serve_size": 32}).encode()).serialize())
+        deadline = _t.monotonic() + 5
+        while _t.monotonic() < deadline and sess.min_serve_size != 32:
+            _t.sleep(0.05)
+        assert sess.min_serve_size == 32
+        # (restore for the assertions below)
+        c._send(CommandPacket(
+            command_type=CommandType.SET_CONFIG,
+            command_data=_json.dumps(
+                {"min_serve_size": 64}).encode()).serialize())
+        deadline = _t.monotonic() + 5
+        while _t.monotonic() < deadline and sess.min_serve_size != 64:
+            _t.sleep(0.05)
+        assert sess.min_serve_size == 64
+
         # GET_CONFIG echoes the per-session floor; statusz counts it.
         c._send(CommandPacket(
             command_type=CommandType.GET_CONFIG).serialize())
@@ -731,3 +759,23 @@ def test_min_serve_size_over_the_wire(tmp_path):
     finally:
         c.stop()
         h.stop()
+
+
+def test_floored_samples_do_not_steer_fleet_policy(engine):
+    """A floored group serves ABOVE the fleet rung by operator contract:
+    its (higher) latency must not feed the adaptive window — otherwise the
+    policy ratchets every unfloored client to the bottom rung and blocks
+    upshift forever (review r5)."""
+    engine._serve_size = 32
+    try:
+        engine._adapt_stats = type(engine._adapt_stats)(window=256)
+        ra = _req(1, 1, seed=7)
+        ra.min_size = 64                      # floored above the fleet rung
+        engine.infer_batch([ra])
+        assert engine._adapt_stats.snapshot()["count"] == 0
+        rb = _req(2, 2, seed=8)               # unfloored: fleet-rung sample
+        engine.infer_batch([rb])
+        assert engine._adapt_stats.snapshot()["count"] == 1
+    finally:
+        engine._serve_size = 64
+        engine._adapt_stats = type(engine._adapt_stats)(window=256)

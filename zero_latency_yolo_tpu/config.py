@@ -374,14 +374,12 @@ class ServerConfig:
             # the management plane. Printable ASCII only.
             raise ValueError("network.web_auth_token must be printable ASCII "
                              "(it travels in an HTTP header)")
-        if tok and (tok == "CHANGE-ME-32-chars-minimum-random"
-                    or tok.upper().replace("_", "-")
-                    .startswith("CHANGE-ME")):
+        if tok and tok.upper().replace("_", "-").startswith("CHANGE-ME"):
             # The shipped hardened example's placeholder is publicly known;
-            # a copy-paste deploy must not boot "hardened" with it. Exact
-            # match on the shipped token plus the prefix form — NOT a
-            # substring scan, which would false-positive on a legitimate
-            # random secret that happens to contain "change-me" (ADVICE r4).
+            # a copy-paste deploy must not boot "hardened" with it. Prefix
+            # match (covers the shipped token) — NOT a substring scan,
+            # which would false-positive on a legitimate random secret
+            # that happens to contain "change-me" (ADVICE r4).
             raise ValueError("network.web_auth_token is the example "
                              "placeholder — generate a real secret (e.g. "
                              "`openssl rand -hex 16`)")

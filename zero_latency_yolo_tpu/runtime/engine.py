@@ -1001,7 +1001,12 @@ class InferenceEngine:
                 for r, er in zip(pending.requests, pending.simulated):
                     e2e = (now - r.enqueue_t) * 1e3
                     self.e2e_latency.record(e2e)
-                    self._adapt_stats.record(e2e)
+                    if pending.serve_size <= self._serve_size:
+                        # Floored-group samples don't steer the fleet
+                        # policy (see _convert) — same rule on the
+                        # synthetic lane so the host-path harness
+                        # exercises the policy the server ships.
+                        self._adapt_stats.record(e2e)
                     # Everything that is NOT the (fake) device step: decode
                     # wait + batch window + lane queueing + completion — the
                     # host-path overhead the synthetic harness measures.
@@ -1119,7 +1124,14 @@ class InferenceEngine:
             e2e_ms = (now - r.enqueue_t) * 1e3
             q_ms = max(e2e_ms - infer_ms, 0.0)
             self.e2e_latency.record(e2e_ms)
-            self._adapt_stats.record(e2e_ms)
+            if pending.serve_size <= self._serve_size:
+                # Only fleet-rung samples steer the adaptive policy: a
+                # floored group serves ABOVE the fleet rung by operator
+                # contract — its (necessarily higher) latency is not
+                # something a further fleet downshift can fix, and feeding
+                # it in would ratchet every unfloored client to the bottom
+                # rung and block upshifts forever.
+                self._adapt_stats.record(e2e_ms)
             results.append(EngineResult(
                 client_id=r.client_id, frame_id=r.frame_id,
                 timestamp=r.timestamp, detections=dets,

@@ -761,12 +761,18 @@ class DetectionServer:
                       session.client_id)
             return False
         # Accuracy-SLA floor: PER-CLIENT state (unlike the global
-        # thresholds) — bounded by the model size so a floor the ladder
-        # cannot honor is refused, not silently clamped.
+        # thresholds) — bounded below by the OPERATOR's configured default
+        # (clients may only raise their own floor; a lower value would
+        # silently void the documented accuracy SLA) and above by the
+        # model size (a floor the ladder cannot honor is refused, not
+        # silently clamped).
         if floor_i is not None and not (
-                0 <= floor_i <= self.engine.model_size):
+                int(self.config.detection.min_serve_size)
+                <= floor_i <= self.engine.model_size):
             log.debug("out-of-range min_serve_size=%r from client #%d "
-                      "ignored (model size %d)", floor, session.client_id,
+                      "ignored (allowed [%d, %d])", floor,
+                      session.client_id,
+                      int(self.config.detection.min_serve_size),
                       self.engine.model_size)
             return False
         # The SLO stages (or refuses) BEFORE the thresholds apply, keeping
@@ -1127,17 +1133,21 @@ class DetectionServer:
         self.packets_sent.inc()
         self.bytes_sent.inc(len(data))
 
-    def _send_reliable(self, data: bytes, session: ClientSession) -> None:
+    def _send_reliable(self, data: bytes, session: ClientSession) -> bool:
+        """Returns False when the send was shed at a full in-flight window
+        — callers with their own rate limits/counters must not mark a shed
+        packet as sent (the keyframe-request path re-arms on it)."""
         if len(session.pending) >= int(session.cwnd):
             # In-flight window full: the peer is not ACKing. Shed — never
             # queue unboundedly (design invariant; every reliable consumer
             # has its own retry path, see REL_WND_* above).
             self.reliable_shed.inc()
-            return
+            return False
         hdr = parse_header(data)
         session.pending[hdr.sequence] = PendingPacket(
             data=data, addr=session.addr, sent_at=time.monotonic())
         self._send_raw(data, session.addr)
+        return True
 
     def _on_results_threadsafe(self, results: List[EngineResult]) -> None:
         """Called from the batcher thread; hop onto the loop for sending."""
@@ -1257,10 +1267,14 @@ class DetectionServer:
             session = self._sessions.get(cid)
             if session is None or now - session.last_kf_request < 0.5:
                 continue
+            if not self._send_reliable(CommandPacket(
+                    command_type=CommandType.REQUEST_KEYFRAME).serialize(),
+                    session):
+                # Shed at a full reliable window: do NOT stamp the rate
+                # limit or the counter — the management loop's ~1s frozen
+                # re-request must retry a command that never hit the wire.
+                continue
             session.last_kf_request = now
-            self._send_reliable(CommandPacket(
-                command_type=CommandType.REQUEST_KEYFRAME).serialize(),
-                session)
             self.keyframe_requests.inc()
             log.debug("REQUEST_KEYFRAME -> client #%d (slot frozen)", cid)
 
