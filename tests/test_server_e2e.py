@@ -844,3 +844,31 @@ def test_allow_client_config_off_locks_global_thresholds():
     finally:
         c.stop()
         h.stop()
+
+
+def test_shed_keyframe_request_does_not_burn_rate_limit(harness):
+    """A REQUEST_KEYFRAME shed at a full reliable window must leave the
+    per-session rate limit and the sent-counter untouched, so the
+    management loop's ~1s frozen re-request actually retries (review
+    r5)."""
+    from zero_latency_yolo_tpu.runtime.server import ClientSession, PendingPacket
+
+    s = ClientSession(client_id=997, addr=("127.0.0.1", 7))
+    s.cwnd = 1.0
+    s.pending[1] = PendingPacket(data=b"x", addr=s.addr,
+                                 sent_at=time.monotonic())
+    harness._sessions[997] = s
+    try:
+        kf0 = harness.keyframe_requests.value
+        shed0 = harness.reliable_shed.value
+        harness._send_keyframe_requests([997])
+        assert harness.keyframe_requests.value == kf0      # not counted
+        assert harness.reliable_shed.value == shed0 + 1    # shed counted
+        assert s.last_kf_request == 0.0                    # limiter unarmed
+        # Window opens (ACK clears pending): the re-request goes through.
+        s.ack_pending(1)
+        harness._send_keyframe_requests([997])
+        assert harness.keyframe_requests.value == kf0 + 1
+        assert s.last_kf_request > 0.0
+    finally:
+        harness._sessions.pop(997, None)
