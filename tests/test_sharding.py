@@ -296,3 +296,69 @@ def test_full_server_e2e_on_serving_mesh(tmp_path):
             for a, b in zip(mesh_r[fid], single_r[fid]):
                 np.testing.assert_allclose(a[:5], b[:5], atol=1e-4)
                 assert a[5] == b[5]
+
+
+def test_floored_split_dispatch_on_serving_mesh(tmp_path):
+    """Per-client accuracy floors compose with SPMD serving: a mixed batch
+    splits into one dispatch per effective rung, each group count-buckets
+    to a mesh-conforming bucket, and results match the single-device
+    engine at the same rungs (review r5 coverage gap)."""
+    from zero_latency_yolo_tpu.config import ServerConfig
+    from zero_latency_yolo_tpu.models import save_params
+    from zero_latency_yolo_tpu.runtime.engine import (
+        InferenceEngine, InferenceRequest)
+
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(3), spec, folded=True)
+    path = str(tmp_path / "m.npz")
+    save_params(params, path)
+
+    def cfg(md):
+        return ServerConfig.from_dict({
+            "model_path": path,
+            "confidence_threshold": 0.1,
+            "detection": {"model_width": SIZE, "model_height": SIZE},
+            "tpu": {"variant": "yolov8p", "num_classes": 4,
+                    "dtype": "float32", "pre_nms_topk": 64,
+                    "batch_buckets": [4, 8], "frame_buckets": [[96, 96]],
+                    "serve_sizes": [SIZE, 32], "mesh_data": md},
+        })
+
+    single = InferenceEngine(cfg(1), params=params)
+    meshed = InferenceEngine(cfg(4), params=params)
+    assert meshed.mesh is not None
+    single._serve_size = 32
+    meshed._serve_size = 32
+
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (8, 96, 96, 3), np.uint8)
+
+    def reqs():
+        out = []
+        for i in range(8):
+            r = InferenceRequest(client_id=i + 1, frame_id=i, timestamp=0,
+                                 width=96, height=96, data=frames[i],
+                                 min_size=SIZE if i < 4 else 0)
+            out.append(r)
+        return out
+
+    try:
+        r1 = single.infer_batch(reqs())
+        r2 = meshed.infer_batch(reqs())
+    finally:
+        single._serve_size = SIZE
+        meshed._serve_size = SIZE
+    assert len(r1) == len(r2) == 8
+    by1 = {r.client_id: r for r in r1}
+    by2 = {r.client_id: r for r in r2}
+    for cid in range(1, 9):
+        a, b = by1[cid], by2[cid]
+        # Floored clients served at the model rung, the rest at 32 — on
+        # BOTH engines (the split happens per effective rung).
+        expect = SIZE if cid <= 4 else 32
+        assert a.serve_size == b.serve_size == expect, (cid, a.serve_size,
+                                                        b.serve_size)
+        assert len(a.detections) == len(b.detections)
+        for da, db in zip(a.detections, b.detections):
+            assert da.x == pytest.approx(db.x, abs=1e-5)
+            assert da.class_id == db.class_id
