@@ -779,3 +779,60 @@ def test_floored_samples_do_not_steer_fleet_policy(engine):
     finally:
         engine._serve_size = 64
         engine._adapt_stats = type(engine._adapt_stats)(window=256)
+
+
+def test_stale_rung_completions_stay_out_of_policy_window():
+    """In-flight batches dispatched at the PREVIOUS rung must not fill the
+    freshly-reset post-switch stats window (strict-equality gate): after
+    an upshift, a pipeline of old-rung completions would otherwise
+    pre-judge the probe with samples the new rung never produced
+    (review r5)."""
+    cfg = _cfg(adaptive_slo_ms=8.0,
+               synthetic_step_profiles={"64": {"1": 5.0},
+                                        "32": {"1": 1.0}},
+               batch_buckets=[1])
+    eng = InferenceEngine(cfg)
+    eng._serve_size = 32
+    pb = eng.dispatch([_req(1, 1)])          # dispatched at the 32 rung
+    eng._serve_size = 64                     # upshift lands mid-flight
+    eng._adapt_stats = type(eng._adapt_stats)(window=256)
+    eng.complete(pb)
+    assert eng._adapt_stats.snapshot()["count"] == 0  # stale sample gated
+    pb2 = eng.dispatch([_req(1, 2)])         # post-switch dispatch
+    eng.complete(pb2)
+    assert eng._adapt_stats.snapshot()["count"] == 1
+
+
+def test_dispatch_from_cache_rejects_non_bucket_count():
+    """The fused cached path (the one the live server runs) gets the same
+    shape discipline as dispatch_cached: a slot list that is not a
+    configured batch bucket is refused loudly, never compiled
+    (review r5)."""
+    import jax.numpy as jnp
+
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(9), spec, folded=True)
+    eng = InferenceEngine(_cfg(batch_buckets=[2, 4]), params=params)
+    cache = jnp.zeros((4, 96, 96, 3), jnp.uint8)
+    reqs = [_req(i + 1, i) for i in range(3)]
+    with pytest.raises(ValueError, match="batch bucket"):
+        eng.dispatch_from_cache(
+            reqs, cache, np.arange(3), np.full(3, 72), np.full(3, 96))
+
+
+def test_partial_warmup_does_not_certify_rungs():
+    """warmup() over a SUBSET of the batch-bucket grid must not certify
+    the serve-size rungs for runtime SLO enabling — the guard exists so a
+    first downshift is never a cold compile, and a partial warmup leaves
+    most (batch, size) programs cold (review r5)."""
+    spec = get_spec("yolov8p", 4)
+    params = init_params(jax.random.PRNGKey(10), spec, folded=True)
+    eng = InferenceEngine(_cfg(batch_buckets=[1, 2], adaptive_slo_ms=8.0),
+                          params=params)
+    eng.warmup(batches=[1], buckets=[(96, 96)])   # partial: bucket 2 cold
+    assert eng._warmed_sizes == ()
+    assert not eng.update_adaptive_slo(12.0)
+    # The full grid certifies.
+    eng.warmup(batches=[1, 2], buckets=[(96, 96)])
+    assert set(eng._warmed_sizes) == {32, 64}
+    assert eng.update_adaptive_slo(12.0)

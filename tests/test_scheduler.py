@@ -218,3 +218,72 @@ def test_device_stall_visibility():
     # empty after an idle drain) must be visible too.
     b._dispatching_since = now - 3.0
     assert 2.5 < b.device_stall_s() < 4.0
+
+
+def test_partial_dispatch_failure_keeps_launched_groups():
+    """A batch that splits into several dispatch groups (here: two
+    accuracy-floor rungs) must not abandon already-launched groups when a
+    later group's dispatch raises — the failed group is counted as
+    dropped, the healthy group's results still arrive (review r5)."""
+    import threading
+
+    import numpy as np
+
+    from zero_latency_yolo_tpu.config import ServerConfig
+    from zero_latency_yolo_tpu.runtime.engine import (
+        InferenceEngine, InferenceRequest)
+    from zero_latency_yolo_tpu.runtime.scheduler import ContinuousBatcher
+
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent.npz",
+        "detection": {"model_width": 64, "model_height": 64},
+        "tpu": {"variant": "yolov8p", "num_classes": 4,
+                "batch_buckets": [1, 2], "frame_buckets": [[96, 96]],
+                "serve_sizes": [64, 32]},
+    })
+    eng = InferenceEngine(cfg)
+    assert eng.simulation
+    eng._serve_size = 32
+
+    real_dispatch = eng.dispatch
+
+    def flaky_dispatch(requests, size=None):
+        if size == 64:  # the floored group's rung fails
+            raise RuntimeError("injected dispatch failure")
+        return real_dispatch(requests, size=size)
+
+    eng.dispatch = flaky_dispatch
+    got = []
+    cv = threading.Condition()
+
+    def on_result(results):
+        with cv:
+            got.extend(results)
+            cv.notify()
+
+    rng = np.random.default_rng(0)
+    b = ContinuousBatcher(eng, on_result, max_batch=2, batch_window_ms=1.0)
+    b.start()
+    try:
+        drops0 = eng.frames_dropped.value
+        err0 = eng.error_count.value
+        ra = InferenceRequest(client_id=1, frame_id=1, timestamp=0,
+                              width=96, height=72,
+                              data=rng.integers(0, 256, (72, 96, 3),
+                                                dtype=np.uint8),
+                              min_size=64)
+        rb = InferenceRequest(client_id=2, frame_id=2, timestamp=0,
+                              width=96, height=72,
+                              data=rng.integers(0, 256, (72, 96, 3),
+                                                dtype=np.uint8))
+        b.submit(ra)
+        b.submit(rb)
+        with cv:
+            cv.wait_for(lambda: len(got) >= 1, timeout=5)
+        # The healthy (unfloored) group's result arrived...
+        assert [r.client_id for r in got] == [2]
+        # ...and the failed group is accounted, not silently vanished.
+        assert eng.frames_dropped.value == drops0 + 1
+        assert eng.error_count.value == err0 + 1
+    finally:
+        b.stop()

@@ -647,8 +647,22 @@ class InferenceEngine:
                 jax.block_until_ready(locked(launch))
         dt = time.perf_counter() - t0
         self.warmed = True
-        self._warmed_sizes = tuple(warm_sizes)
-        log.info("engine warmup done in %.1fs", dt)
+        # The cold-compile guard (update_adaptive_slo) certifies rungs as
+        # warm ONLY when this call covered the FULL (batch, bucket) grid —
+        # a partial warmup (custom boot path, tests passing batches=[1])
+        # must not let a runtime SLO enable walk the policy onto programs
+        # that were never compiled (the first over-SLO downshift would be
+        # a cold XLA compile under pressure, the exact failure the guard
+        # exists to prevent).
+        full_grid = (
+            set(batches or self.batch_buckets) >= set(self.batch_buckets)
+            and {tuple(bk) for bk in (buckets or self.frame_buckets)}
+            >= set(self.frame_buckets))
+        if full_grid:
+            self._warmed_sizes = tuple(warm_sizes)
+        log.info("engine warmup done in %.1fs%s", dt,
+                 "" if full_grid else " (partial grid: rungs not certified "
+                                     "for runtime SLO enable)")
         return dt
 
     def update_adaptive_slo(self, slo_ms: float) -> bool:
@@ -906,6 +920,19 @@ class InferenceEngine:
         t0 = time.perf_counter()
         batch = len(slots)
         bucket = (cache.shape[1], cache.shape[2])
+        # Shape discipline (CLAUDE.md invariant), same stance as
+        # dispatch_cached: `batch` is caller-controlled — an unpadded slot
+        # list would silently mint one fused XLA program per distinct
+        # request count (tens of seconds each through a relayed TPU). The
+        # bucket needs no gate here: the cache's spatial shape is fixed at
+        # construction, so it cannot vary per request (and with non-nested
+        # frame buckets the cache is their elementwise max, which is
+        # legitimately not itself a configured bucket).
+        if batch not in self.batch_buckets:
+            raise ValueError(
+                f"dispatch_from_cache batch={batch} is not a configured "
+                f"batch bucket {self.batch_buckets} — pad the slot list "
+                "to a bucket first (per-request counts compile-storm)")
         params = self._current_params()
         step = self.get_step_cached(batch, bucket, size)
         # One packed (3, B) upload: slots, heights, widths.
@@ -1001,10 +1028,10 @@ class InferenceEngine:
                 for r, er in zip(pending.requests, pending.simulated):
                     e2e = (now - r.enqueue_t) * 1e3
                     self.e2e_latency.record(e2e)
-                    if pending.serve_size <= self._serve_size:
-                        # Floored-group samples don't steer the fleet
-                        # policy (see _convert) — same rule on the
-                        # synthetic lane so the host-path harness
+                    if pending.serve_size == self._serve_size:
+                        # Same strict-equality rule as _convert (floored
+                        # groups AND stale-rung in-flight batches stay out
+                        # of the policy window) so the host-path harness
                         # exercises the policy the server ships.
                         self._adapt_stats.record(e2e)
                     # Everything that is NOT the (fake) device step: decode
@@ -1124,13 +1151,18 @@ class InferenceEngine:
             e2e_ms = (now - r.enqueue_t) * 1e3
             q_ms = max(e2e_ms - infer_ms, 0.0)
             self.e2e_latency.record(e2e_ms)
-            if pending.serve_size <= self._serve_size:
-                # Only fleet-rung samples steer the adaptive policy: a
-                # floored group serves ABOVE the fleet rung by operator
-                # contract — its (necessarily higher) latency is not
-                # something a further fleet downshift can fix, and feeding
-                # it in would ratchet every unfloored client to the bottom
-                # rung and block upshifts forever.
+            if pending.serve_size == self._serve_size:
+                # Only CURRENT-fleet-rung samples steer the adaptive
+                # policy. Floored groups serve ABOVE the fleet rung by
+                # operator contract — their (higher) latency is nothing a
+                # further downshift can fix, and feeding it in would
+                # ratchet every unfloored client to the bottom rung and
+                # block upshifts forever. Strict equality (not <=) also
+                # keeps in-flight batches dispatched at a PREVIOUS rung
+                # out of the freshly-reset post-switch window — decisions
+                # are judged on post-switch samples only (see
+                # _switch_size), and a pipeline of old-rung completions
+                # would otherwise pre-judge an upshift probe.
                 self._adapt_stats.record(e2e_ms)
             results.append(EngineResult(
                 client_id=r.client_id, frame_id=r.frame_id,

@@ -30,7 +30,10 @@ from collections import OrderedDict, deque
 from typing import Callable, Dict, List, Optional
 
 from ..utils.logging import get_logger
-from .engine import EngineResult, InferenceEngine, InferenceRequest
+from .engine import (
+    EngineResult, InferenceEngine, InferenceRequest, _pick_batch,
+    group_by_bucket,
+)
 
 log = get_logger("scheduler")
 
@@ -187,14 +190,22 @@ class ContinuousBatcher:
             with self._cv:
                 while self._running and self._pending == 0 and not self._inflight:
                     self._cv.wait(timeout=0.1)
-                if not self._running:
-                    self._drain_inflight()
-                    return
-                if self._pending == 0:
-                    # Idle with batches in flight: complete them now.
-                    pass
-                oldest = min((q[0].enqueue_t for q in self._queues.values() if q),
-                             default=time.perf_counter())
+                stopping = not self._running
+                if not stopping:
+                    if self._pending == 0:
+                        # Idle with batches in flight: complete them now.
+                        pass
+                    oldest = min(
+                        (q[0].enqueue_t for q in self._queues.values() if q),
+                        default=time.perf_counter())
+            if stopping:
+                # Drain OUTSIDE the condition lock: completion is a real
+                # device readback that can block for minutes on a wedged
+                # relay, and holding self._cv through it would hang every
+                # submit()/remove_client()/queue_depth() caller for the
+                # whole teardown.
+                self._drain_inflight()
+                return
             if self._pending == 0 and self._inflight:
                 if self._inflight[0].ready_at is None:
                     # Idle: nothing to dispatch — drain everything in flight
@@ -331,6 +342,24 @@ class ContinuousBatcher:
         # the fleet rung while the SLO policy is downshifted, and every
         # rung is warmed at every batch bucket when the SLO is armed.
         eff = self.engine.effective_serve_size
+
+        def launch(group, fn):
+            # Per-group isolation: a batch can split into several device
+            # dispatches (cached + hosted, frame buckets, accuracy-floor
+            # rungs). One group's failure (wedged relay mid-H2D, cold-
+            # compile error) must not abandon groups ALREADY LAUNCHED —
+            # an exception out of _dispatch would drop their
+            # PendingBatches on the floor: results never completed,
+            # frames not counted, staging buffers leaked past the
+            # free-list. Failed groups are counted as drops here.
+            try:
+                out.append(fn(group))
+            except Exception:  # noqa: BLE001
+                self.engine.error_count.inc()
+                self.engine.frames_dropped.inc(len(group))
+                log.exception("group dispatch failed (n=%d); group dropped",
+                              len(group))
+
         if cached:
             if cache is None:
                 raise RuntimeError("cached requests but no device cache configured")
@@ -339,7 +368,6 @@ class ContinuousBatcher:
             # the compiled program is reused. Gather + serve run as ONE
             # fused program, launched under the cache lock (writes donate
             # the cache buffer).
-            from .engine import _pick_batch
             by_size: Dict[int, List[InferenceRequest]] = {}
             for r in cached:
                 by_size.setdefault(eff(r.min_size), []).append(r)
@@ -348,20 +376,21 @@ class ContinuousBatcher:
                 b = _pick_batch(self.engine.batch_buckets, n)
                 cids = [r.client_id for r in group]
                 cids += [cids[0]] * (b - n)
-                out.append(cache.dispatch_with(
-                    lambda c, s, hs, ws, g=group, sz=size:
-                        self.engine.dispatch_from_cache(
-                            g, c, s, hs, ws, size=sz), cids))
+                launch(group,
+                       lambda g, sz=size, ids=cids: cache.dispatch_with(
+                           lambda c, s, hs, ws:
+                               self.engine.dispatch_from_cache(
+                                   g, c, s, hs, ws, size=sz), ids))
         if hosted:
             # Group by frame bucket first: with non-nested buckets (e.g.
             # mixed portrait/landscape) no single bucket may cover the whole
             # batch, and one dispatch would fail for everyone.
-            from .engine import group_by_bucket
             for rs in group_by_bucket(self.engine.frame_buckets,
                                       hosted).values():
                 by_size = {}
                 for r in rs:
                     by_size.setdefault(eff(r.min_size), []).append(r)
                 for size, group in by_size.items():
-                    out.append(self.engine.dispatch(group, size=size))
+                    launch(group,
+                           lambda g, sz=size: self.engine.dispatch(g, size=sz))
         return out
