@@ -456,3 +456,31 @@ def test_http_malformed_request_fuzz(tmp_path):
         asyncio.run_coroutine_threadsafe(server.stop(), loop).result(10)
         loop.call_soon_threadsafe(loop.stop)
         t.join(timeout=5)
+
+
+def test_upload_name_rejects_trailing_newline(api, tmp_path):
+    """re.match with a $ anchor matches before a trailing newline, so
+    name=evil%0A used to pass the safe-name gate and write a file with an
+    embedded newline (review r5) — fullmatch rejects it."""
+    code, payload = _call(api, "POST", "/api/logs/upload?name=evil%0A",
+                          b"data")
+    assert code == 400, payload
+    code, payload = _call(api, "POST",
+                          "/api/models/upload?name=m%0A.npz", b"data")
+    assert code == 400, payload
+    # Sanity: the clean name still uploads.
+    code, payload = _call(api, "POST", "/api/logs/upload?name=ok.log",
+                          b"data")
+    assert code == 200, payload
+
+
+def test_model_extension_case_insensitive(api):
+    """An uppercase artifact extension (best.PT) must upload and list —
+    str.endswith is case-sensitive and used to both 400 the upload and
+    hide the actively-served file from /api/models (review r5)."""
+    code, payload = _call(api, "POST", "/api/models/upload?name=best.PT",
+                          b"weights")
+    assert code == 200, payload
+    code, payload = _call(api, "GET", "/api/models")
+    assert code == 200
+    assert any(m["name"] == "best.PT" for m in payload["models"]), payload

@@ -73,7 +73,12 @@ class DatasetCapture:
         self.written = sum(
             1 for n in os.listdir(self._images_dir)
             if n.lower().endswith((".jpg", ".jpeg", ".png")))
-        self._run_id = int(time.time())
+        # Run id carries the pid too: a crash-looping server restarting
+        # within the same wall-clock second (or a clock step back) would
+        # otherwise reuse the run id, and — with client/frame ids also
+        # restarting — silently os.rename over the previous run's pairs
+        # while `written` drifts above the real file count (review r5).
+        self._run_id = f"{int(time.time())}p{os.getpid()}"
         self._lock = threading.Lock()
         self._pending: "OrderedDict[Tuple[int, int], np.ndarray]" = OrderedDict()
         self._pending_bytes = 0
@@ -204,8 +209,19 @@ class DatasetCapture:
         }
 
     def stop(self, timeout: float = 5.0) -> None:
+        sentinel_sent = True
         try:
             self._queue.put(None, timeout=timeout)
         except queue.Full:
-            pass
+            sentinel_sent = False
         self._writer.join(timeout=timeout)
+        if self._writer.is_alive():
+            # Loud, not silent (review r5): a writer that outlives stop()
+            # — slow disk kept the queue full past the timeout, or a write
+            # is wedged — would race a successor capture on the same
+            # directory and double-count `written`.
+            log.warning(
+                "capture writer still running after stop(%ss)%s — a new "
+                "capture on this directory would race it", timeout,
+                "" if sentinel_sent else " (shutdown sentinel dropped on a "
+                                         "full queue)")

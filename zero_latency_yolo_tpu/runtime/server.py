@@ -1641,8 +1641,9 @@ class DetectionServer:
                     auth = val.decode("utf-8", "replace")
             else:
                 return  # >64 header lines: not a legitimate client
+            from .web import MAX_UPLOAD
             body = b""
-            if (method == "POST" and 0 < content_length <= 256 * 1024 * 1024
+            if (method == "POST" and 0 < content_length <= MAX_UPLOAD
                     and self.management.auth_ok(auth)):
                 # Auth gates the BODY READ, not just the route: without the
                 # pre-check an unauthenticated client could make the server

@@ -47,7 +47,10 @@ from ..utils.logging import get_logger
 
 log = get_logger("web")
 
-_SAFE_NAME = re.compile(r"^[A-Za-z0-9._-]+$")
+# fullmatch (not match-with-$): $ matches BEFORE a trailing newline, so a
+# %0A-suffixed upload name would pass the gate and write a file with an
+# embedded newline (review r5).
+_SAFE_NAME = re.compile(r"[A-Za-z0-9._-]+")
 MAX_UPLOAD = 256 * 1024 * 1024
 ALLOWED_MODEL_EXT = (".onnx", ".npz", ".pt", ".pth")
 
@@ -284,7 +287,6 @@ class ManagementApi:
         classic way to blow up a metrics backend — aggregate counters carry
         the same signal."""
         import math
-        import re
         status = self.status_fn()
         lines = []
 
@@ -336,15 +338,16 @@ class ManagementApi:
         if os.path.isdir(self.models_dir):
             for name in sorted(os.listdir(self.models_dir)):
                 p = os.path.join(self.models_dir, name)
-                if os.path.isfile(p) and name.endswith(ALLOWED_MODEL_EXT):
+                if (os.path.isfile(p)
+                        and name.lower().endswith(ALLOWED_MODEL_EXT)):
                     models.append({"name": name, "size": os.path.getsize(p),
                                    "mtime": int(os.path.getmtime(p))})
         return {"models": models}
 
     def _upload_model(self, name: str, body: bytes) -> Tuple[int, Dict]:
-        if not _SAFE_NAME.match(name or ""):
+        if not _SAFE_NAME.fullmatch(name or ""):
             return 400, {"error": "invalid model name"}
-        if not name.endswith(ALLOWED_MODEL_EXT):
+        if not name.lower().endswith(ALLOWED_MODEL_EXT):
             return 400, {"error": f"model must be one of {ALLOWED_MODEL_EXT}"}
         if not body or len(body) > MAX_UPLOAD:
             return 400, {"error": "empty or oversized upload"}
@@ -389,7 +392,7 @@ class ManagementApi:
 
     def _view_log(self, name: str) -> Tuple[int, Dict]:
         # Path-traversal guard (reference server.js:283-315).
-        if not _SAFE_NAME.match(name):
+        if not _SAFE_NAME.fullmatch(name):
             return 400, {"error": "invalid log name"}
         path = os.path.join(self.logs_dir, name)
         if not os.path.isfile(path):
@@ -400,7 +403,7 @@ class ManagementApi:
         return 200, {"name": name, "content": content}
 
     def _upload_log(self, name: str, body: bytes) -> Tuple[int, Dict]:
-        if not _SAFE_NAME.match(name or ""):
+        if not _SAFE_NAME.fullmatch(name or ""):
             return 400, {"error": "invalid log name"}
         if len(body) > MAX_UPLOAD:
             return 400, {"error": "oversized upload"}
