@@ -365,7 +365,8 @@ def test_warm_covers_full_roi_bucket_ladder(monkeypatch):
     first large ROI stalled tens of seconds on a relayed first-shape
     compile under the cache lock."""
     import zero_latency_yolo_tpu.ops.roi as roi_mod
-    from zero_latency_yolo_tpu.ops.roi import _count_bucket, _roi_bucket
+    from zero_latency_yolo_tpu.ops.roi import (
+        _KF_CHUNK, _count_bucket, _kf_bucket, _roi_bucket)
     shapes = set()
     real = roi_mod._paste_many
 
@@ -379,7 +380,15 @@ def test_warm_covers_full_roi_bucket_ladder(monkeypatch):
     for n in (1, 20, 40, 96):           # region edges across the ladder
         for k in (1, 30, cache._chunk):  # write counts across the ladder
             edge = min(_roi_bucket(n, 96), 96)
-            want = (_count_bucket(k, cache._chunk), edge, edge)
+            if edge == 96:
+                # Full-extent class: chunks at the keyframe stride and
+                # buckets on the fine keyframe ladder (whole-frame pads
+                # are the costliest in the system — review r5), so the
+                # reachable counts are the kf rungs only.
+                kf_cap = min(_KF_CHUNK, cache._chunk)
+                want = (_kf_bucket(min(k, kf_cap), kf_cap), edge, edge)
+            else:
+                want = (_count_bucket(k, cache._chunk), edge, edge)
             assert want in shapes, f"warm() left {want} cold"
 
 

@@ -303,6 +303,7 @@ def load_params_into_twin(twin: UltralyticsTwin, params) -> UltralyticsTwin:
     sd = twin.state_dict()
     new_sd = {}
     problems: List[str] = []
+    consumed = set()
     for key, cur in sd.items():
         parts = key.split(".")
         rest = parts[2:]
@@ -317,6 +318,7 @@ def load_params_into_twin(twin: UltralyticsTwin, params) -> UltralyticsTwin:
         if fk not in flat:
             problems.append(f"{key}: no source param {fk}")
             continue
+        consumed.add(fk)
         arr = flat[fk].astype(np.float32)
         if mapped[-1] == "w" and arr.ndim == 4:
             arr = np.transpose(arr, (3, 2, 0, 1))  # HWIO -> OIHW
@@ -325,6 +327,14 @@ def load_params_into_twin(twin: UltralyticsTwin, params) -> UltralyticsTwin:
                             f"{tuple(cur.shape)} (wrong variant/num_classes?)")
             continue
         new_sd[key] = torch.from_numpy(np.ascontiguousarray(arr))
+    # SOURCE-side leftovers are errors too (the docstring's contract):
+    # a checkpoint carrying both 'b' and 'bn' for a conv maps its bias to
+    # no twin key (the unfused twin's Conv2d has bias=False), and silently
+    # dropping it would export diverging weights (review r5).
+    leftover = sorted(set(flat) - consumed)
+    if leftover:
+        problems.extend(f"source param {fk} has no twin counterpart"
+                        for fk in leftover)
     if problems:
         raise ValueError("params do not fit the twin:\n  " +
                          "\n  ".join(problems[:8]))

@@ -434,6 +434,10 @@ def load_model(path: str, variant: str = "yolov8n", num_classes: int = 4,
         logging.getLogger("zlt.weights").warning(
             "model %s not loadable (%s: %s) — simulation mode",
             path, type(e).__name__, e)
-        # int seed => NumPy init (this path also runs on the watcher thread).
-        params = init_params(seed, spec, folded=True)
+        # int seed => NumPy init, device=False => NO H2D transfer: this
+        # path also runs on the model-watcher thread, and simulation mode
+        # never dispatches these params anyway — a whole-model transfer
+        # here would put a second device lane next to the batcher's (which
+        # wedges a relayed TPU) for nothing (review r5).
+        params = init_params(seed, spec, folded=True, device=False)
         return params, spec, True

@@ -451,7 +451,14 @@ def _stem_s2d_weights(w: jnp.ndarray) -> jnp.ndarray:
 def _stem_s2d(p: Params, x: jnp.ndarray, dtype, accum_f32: bool) -> jnp.ndarray:
     """Stem conv over space-to-depth input (B, S/2, S/2, 12) — exact
     equivalent of _conv(m0, letterboxed, stride=2). Asymmetric (1, 0) pad
-    reproduces the original SAME pad-1 border zeros."""
+    reproduces the original SAME pad-1 border zeros. Folded params only:
+    unlike _conv this path has no BN branch, so an unfolded (or
+    converted, b+bn-carrying) stem would either KeyError mid-trace or
+    silently skip the BN transform — fail loudly instead (review r5)."""
+    if "bn" in p or "b" not in p:
+        raise ValueError(
+            "stem='s2d' requires BN-folded stem params (w + b, no bn "
+            "block) — run fold_batchnorm() on the checkpoint first")
     w2 = _stem_s2d_weights(p["w"]).astype(dtype)
     xp = x.astype(dtype)
     if accum_f32 and dtype != jnp.float32:

@@ -453,9 +453,17 @@ class DeviceFrameCache:
         else:
             groups = {}
         for (_phase, (bh, bw)), pending in sorted(groups.items()):
+            # Full-extent regions also CHUNK at the keyframe stride, not
+            # at self._chunk: chunking at the big cap with the fine count
+            # ladder let 17..cap whole-frame writes bucket straight to the
+            # cap — a (cap, H, W, 3) host alloc and ~7x padded upload
+            # through a ~20 MB/s relay while holding the cache lock the
+            # batcher needs (review r5).
+            full = (bh, bw) == (self.height, self.width)
+            chunk = min(_KF_CHUNK, self._chunk) if full else self._chunk
             while pending:
-                pend = pending[:self._chunk]
-                pending = pending[self._chunk:]
+                pend = pending[:chunk]
+                pending = pending[chunk:]
                 # Coarse shape buckets: ROI programs are keyed by (k, bh, bw);
                 # through a remote-compile relay every new shape costs tens of
                 # seconds, so the grid is {16, 64, cap} x {16, 32, 128, full}.
@@ -463,8 +471,8 @@ class DeviceFrameCache:
                 # ladder instead: whole-frame regions are the costliest pad
                 # entries in the system, and a lone full-frame ROI would
                 # otherwise upload 16x its bytes.
-                if (bh, bw) == (self.height, self.width):
-                    k = _kf_bucket(len(pend), self._chunk)
+                if full:
+                    k = _kf_bucket(len(pend), chunk)
                 else:
                     k = _count_bucket(len(pend), self._chunk)
                 regions = np.zeros((k, bh, bw, 3), np.uint8)
@@ -563,52 +571,70 @@ class DeviceFrameCache:
         left cold); warming the FULL ladder closes it. Zero-extent writes
         are masked no-ops; content is untouched."""
         with self._lock:
-            probed = set()
-            edges_h = sorted({min(e, self.height)
-                              for e in (16, 32, 128, self.height)})
-            edges_w = sorted({min(e, self.width)
-                              for e in (16, 32, 128, self.width)})
-            for bh in edges_h:
-                for bw in edges_w:
-                    # Height and width bucket INDEPENDENTLY in
-                    # _flush_locked, so mixed-aspect classes like
-                    # (32, full-width) strips are mintable and must be
-                    # warm too. The count ladder is warmed fully for
-                    # square classes (the dominant traffic); mixed-aspect
-                    # classes warm at the first-hit count bucket (16) —
-                    # their larger counts only mint once >16 same-class
-                    # writes pend in one window, by which point the
-                    # persistent compile cache usually has them.
-                    if (bh, bw) == (self.height, self.width):
-                        # Full-extent class flushes on the fine keyframe
-                        # count ladder (see _flush_writes_locked).
-                        counts = tuple(sorted(
-                            {_kf_bucket(n, self._chunk)
-                             for n in (1, 4, _KF_CHUNK, self._chunk)}))
-                    else:
-                        counts = ((16, 64, self._chunk) if bh == bw
-                                  else (16,))
-                    for count in counts:
-                        if (count, bh, bw) not in probed:
-                            probed.add((count, bh, bw))
-                            self._probe_locked(count, bh, bw)
-            # Keyframe scatter at every rung the chunked flush can mint
-            # (1/4/16, clamped at the slot cap — a cold connect-storm
-            # shape's first compile outlasts client liveness through a
-            # relayed TPU). Device-side zeros: no H2D; free slots only,
-            # since the scatter rewrites whole slot frames.
-            if self._free:
-                free_slot = jnp.full((1,), self._free[0], jnp.int32)
-                for k in sorted({_kf_bucket(min(n, self.num_slots),
-                                            self.num_slots)
-                                 for n in (1, 4, _KF_CHUNK)}):
-                    slots = jnp.broadcast_to(free_slot, (k,))
-                    self._cache = _paste_full_many(
-                        self._cache,
-                        jnp.zeros((k, self.height, self.width, 3), jnp.uint8),
-                        slots)
-            self.flushes = 0
-            self.writes_flushed = 0
+            # Same donation discipline as _flush_locked (review r5): the
+            # probe/scatter programs donate the cache buffer, so (a) a
+            # warm over a dead cache must revive it first instead of
+            # dispatching against a deleted array, and (b) a relay error
+            # mid-warm leaves the buffer possibly-donated — mark it dead
+            # so the NEXT device touch re-allocates instead of cascading
+            # a second failed batch cycle.
+            self._revive_cache_locked()
+            try:
+                self._warm_locked()
+            except Exception:
+                self._cache_dead = True
+                raise
+
+    def _warm_locked(self) -> None:
+        probed = set()
+        edges_h = sorted({min(e, self.height)
+                          for e in (16, 32, 128, self.height)})
+        edges_w = sorted({min(e, self.width)
+                          for e in (16, 32, 128, self.width)})
+        for bh in edges_h:
+            for bw in edges_w:
+                # Height and width bucket INDEPENDENTLY in
+                # _flush_locked, so mixed-aspect classes like
+                # (32, full-width) strips are mintable and must be
+                # warm too. The count ladder is warmed fully for
+                # square classes (the dominant traffic); mixed-aspect
+                # classes warm at the first-hit count bucket (16) —
+                # their larger counts only mint once >16 same-class
+                # writes pend in one window, by which point the
+                # persistent compile cache usually has them.
+                if (bh, bw) == (self.height, self.width):
+                    # Full-extent class flushes on the fine keyframe
+                    # count ladder AND chunks at the keyframe stride
+                    # (see _flush_writes_locked) — the cap-count
+                    # program is unreachable and must not be warmed.
+                    kf_cap = min(_KF_CHUNK, self._chunk)
+                    counts = tuple(sorted(
+                        {_kf_bucket(n, kf_cap)
+                         for n in (1, 4, _KF_CHUNK)}))
+                else:
+                    counts = ((16, 64, self._chunk) if bh == bw
+                              else (16,))
+                for count in counts:
+                    if (count, bh, bw) not in probed:
+                        probed.add((count, bh, bw))
+                        self._probe_locked(count, bh, bw)
+        # Keyframe scatter at every rung the chunked flush can mint
+        # (1/4/16, clamped at the slot cap — a cold connect-storm
+        # shape's first compile outlasts client liveness through a
+        # relayed TPU). Device-side zeros: no H2D; free slots only,
+        # since the scatter rewrites whole slot frames.
+        if self._free:
+            free_slot = jnp.full((1,), self._free[0], jnp.int32)
+            for k in sorted({_kf_bucket(min(n, self.num_slots),
+                                        self.num_slots)
+                             for n in (1, 4, _KF_CHUNK)}):
+                slots = jnp.broadcast_to(free_slot, (k,))
+                self._cache = _paste_full_many(
+                    self._cache,
+                    jnp.zeros((k, self.height, self.width, 3), jnp.uint8),
+                    slots)
+        self.flushes = 0
+        self.writes_flushed = 0
 
     def _probe_locked(self, k: int, bh: int, bw: int) -> None:
         """Compile one _paste_many shape with an all-no-op write batch
