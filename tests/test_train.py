@@ -467,3 +467,22 @@ def test_clutter_batches_labels_safe():
                 changed = (imgs[i, y0:y1, x0:x1]
                            != orig[i, y0:y1, x0:x1]).any(axis=-1).mean()
                 assert changed <= 0.35, (seed, i, changed)
+
+
+def test_resume_without_ema_from_ema_checkpoint(tmp_path, setup):
+    """Resuming WITHOUT --ema from a checkpoint saved WITH it must restore
+    cleanly and DISCARD the file's EMA (review r5: the orbax path only
+    handled the opposite mismatch direction and re-raised; carrying the
+    EMA would silently re-enable tracking the user turned off)."""
+    spec, params, *_ = setup
+    tx = optax.adam(1e-3)
+    state = init_train_state(_copy(params), tx, ema=True)
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+    mgr.save(state)
+    template = init_train_state(_copy(params), tx, ema=False)
+    restored = mgr.restore(template)
+    assert restored is not None
+    assert restored.ema_params is None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]))

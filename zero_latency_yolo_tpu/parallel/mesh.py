@@ -50,8 +50,18 @@ def make_mesh(data: int = 1, model: int = 1,
             arr = mesh_utils.create_device_mesh((data, model),
                                                 devices=devices)
             return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
-        except Exception:  # noqa: BLE001 — e.g. host-platform devices
-            pass
+        except Exception as e:  # noqa: BLE001 — e.g. host-platform devices
+            # Loud, not silent (review r5): on REAL multi-chip hardware a
+            # mesh_utils failure degrades to a topology-naive grid that
+            # puts the collective-heavy model axis off ICI — exactly the
+            # layout this call exists to avoid. Expected (and harmless)
+            # for virtual host-platform devices.
+            import logging
+            logging.getLogger("zlt.mesh").warning(
+                "mesh_utils.create_device_mesh failed (%s: %s) — falling "
+                "back to a topology-naive device grid (fine for virtual "
+                "CPU devices; suboptimal collectives on a real slice)",
+                type(e).__name__, e)
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

@@ -103,6 +103,16 @@ class CommandType(IntEnum):
 class ProtocolError(ValueError):
     pass
 
+def _check_u16_len(n: int, what: str) -> int:
+    """Typed guard for inner u16 length fields (review r5): an oversized
+    command body/settings blob/error message must raise ProtocolError —
+    the module's documented failure type — not an opaque struct.error
+    from inside serialize()."""
+    if n > 0xFFFF:
+        raise ProtocolError(
+            f"{what} length {n} exceeds the u16 wire limit (65535)")
+    return n
+
 
 def crc16(data: bytes) -> int:
     """CRC-16/CCITT-FALSE (poly 0x1021, init 0xFFFF) — reference protocol.h:76-89."""
@@ -413,7 +423,10 @@ class CommandPacket(_Packet):
         self.command_data = command_data
 
     def body(self) -> bytes:
-        return _CMD_HDR.pack(self.command_type, len(self.command_data)) + self.command_data
+        return _CMD_HDR.pack(
+            self.command_type,
+            _check_u16_len(len(self.command_data), "command_data")
+        ) + self.command_data
 
     @classmethod
     def _from_body(cls, body: bytes) -> "CommandPacket":
@@ -443,7 +456,8 @@ class ConfigUpdatePacket(_Packet):
 
     def body(self) -> bytes:
         blob = json.dumps(self.settings).encode()
-        return _CFG_HDR.pack(len(blob)) + blob
+        return _CFG_HDR.pack(
+            _check_u16_len(len(blob), "settings JSON")) + blob
 
     @classmethod
     def _from_body(cls, body: bytes) -> "ConfigUpdatePacket":
@@ -472,7 +486,9 @@ class ErrorPacket(_Packet):
 
     def body(self) -> bytes:
         msg = self.message.encode("utf-8")
-        return _CMD_HDR.pack(self.error_code, len(msg)) + msg
+        return _CMD_HDR.pack(
+            self.error_code,
+            _check_u16_len(len(msg), "error message")) + msg
 
     @classmethod
     def _from_body(cls, body: bytes) -> "ErrorPacket":

@@ -113,19 +113,33 @@ class CheckpointManager:
                 restored = self._mgr.restore(
                     target, args=ocp.args.StandardRestore(tpl))
             except Exception:  # noqa: BLE001 — EMA-presence mismatch
-                if "ema_params" not in tpl:
-                    raise
-                # Resuming WITH --ema from a checkpoint saved without it:
-                # restore the rest and seed the EMA from the restored
-                # params (the standard EMA init) instead of aborting.
-                del tpl["ema_params"]
-                restored = self._mgr.restore(
-                    target, args=ocp.args.StandardRestore(tpl))
-                restored["ema_params"] = restored["params"]
                 import logging
-                logging.getLogger("zlt.train").warning(
-                    "checkpoint %d has no EMA state; --ema resumes with "
-                    "EMA seeded from the restored params", target)
+                if "ema_params" in tpl:
+                    # Resuming WITH --ema from a checkpoint saved without
+                    # it: restore the rest and seed the EMA from the
+                    # restored params (the standard EMA init) instead of
+                    # aborting.
+                    del tpl["ema_params"]
+                    restored = self._mgr.restore(
+                        target, args=ocp.args.StandardRestore(tpl))
+                    restored["ema_params"] = restored["params"]
+                    logging.getLogger("zlt.train").warning(
+                        "checkpoint %d has no EMA state; --ema resumes "
+                        "with EMA seeded from the restored params", target)
+                else:
+                    # The opposite direction (review r5): resuming WITHOUT
+                    # --ema from a checkpoint saved WITH it — orbax
+                    # refuses the narrower template, so restore including
+                    # the file's EMA and DISCARD it (exactly what the npz
+                    # fallback does; carrying it would silently re-enable
+                    # tracking the user turned off).
+                    tpl["ema_params"] = template.params
+                    restored = self._mgr.restore(
+                        target, args=ocp.args.StandardRestore(tpl))
+                    restored["ema_params"] = None
+                    logging.getLogger("zlt.train").warning(
+                        "checkpoint %d carries EMA state but this run has "
+                        "no --ema; the file's EMA is discarded", target)
             ema = restored.get("ema_params")
             if ema is None and template.ema_params is not None:
                 # JAX arrays are immutable: sharing leaves with params is a

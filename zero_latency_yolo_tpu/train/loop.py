@@ -419,7 +419,9 @@ def train(variant: str = "yolov8p", num_classes: int = 4, size: int = 64,
             print(f"step {step_num:6d}  loss {loss:8.4f}  "
                   f"box {float(metrics['box']):.3f} cls {float(metrics['cls']):.3f} "
                   f"dfl {float(metrics['dfl']):.3f}{kd}  {rate:.2f} it/s", flush=True)
-        if mgr is not None and step_num % ckpt_every == 0:
+        if mgr is not None and ckpt_every > 0 and step_num % ckpt_every == 0:
+            # ckpt_every <= 0 = "final save only" — `1 % 0` would
+            # ZeroDivisionError at the first step (review r5).
             mgr.save(state)
     if mgr is not None:
         mgr.save(state)
