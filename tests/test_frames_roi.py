@@ -435,10 +435,14 @@ def test_roi_magic_wins_over_raw_length_coincidence():
     region = synthetic_frame(16, 16, seed=3)
     payload = (build_roi_header(4, 8, 16, 16, 64)
                + encode_jpeg(region, quality=90))
-    # Pad to a multiple of 3 (libjpeg tolerates trailing bytes) and pick a
-    # frame header whose raw size equals the payload length exactly.
-    payload += b"\x00" * ((-len(payload)) % 3)
-    width, height = len(payload) // 3, 1
+    # Pick a PLAUSIBLE frame geometry (the region must fit the frame —
+    # that bound is load-bearing now, review r5) whose raw byte size can
+    # equal the payload length exactly, padding the payload up to it
+    # (libjpeg tolerates trailing bytes).
+    height = 16
+    width = max(16, -(-len(payload) // (3 * height)))
+    payload += b"\x00" * (width * height * 3 - len(payload))
+    assert len(payload) == width * height * 3
     decoded = decode_frame_payload(payload, width, height)
     assert decoded.roi is not None
     assert (decoded.roi.x, decoded.roi.y) == (4, 8)
@@ -515,3 +519,46 @@ def test_flush_device_failure_freezes_touched_slots(monkeypatch):
     got = np.asarray(_gather(cache._cache,
                              jnp.asarray([cache.slot(1)])))[0]
     np.testing.assert_array_equal(got, f1)
+
+
+def test_jpeg_decode_bomb_refused_before_allocation():
+    """A small payload whose JPEG SOF claims huge dimensions must be
+    refused by the pre-decode SOF guard (review r5: cv2.imdecode would
+    allocate gigabytes before any post-decode shape check) — and ROI
+    headers cannot 'license' a big decode past their own frame extent."""
+    import time
+
+    import pytest
+
+    from zero_latency_yolo_tpu.protocol import build_roi_header
+    from zero_latency_yolo_tpu.runtime.frames import (
+        FrameDecodeError, decode_frame_payload, encode_jpeg)
+
+    # Craft a real JPEG then rewrite its SOF dims to 30000x30000.
+    jpg = bytearray(encode_jpeg(synthetic_frame(64, 64, seed=1)))
+    i = 2
+    while i + 4 <= len(jpg):
+        m = jpg[i + 1]
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            jpg[i + 5:i + 7] = (30000).to_bytes(2, "big")
+            jpg[i + 7:i + 9] = (30000).to_bytes(2, "big")
+            break
+        i += 2 + int.from_bytes(jpg[i + 2:i + 4], "big")
+    t0 = time.perf_counter()
+    with pytest.raises(FrameDecodeError, match="refused before allocation"):
+        decode_frame_payload(bytes(jpg), 64, 64)
+    assert time.perf_counter() - t0 < 0.5  # header walk, not a decode
+
+    # ROI region claiming more than its frame: refused before decode.
+    payload = (build_roi_header(0, 0, 32, 16, 64)
+               + encode_jpeg(synthetic_frame(32, 16, seed=2)))
+    out = decode_frame_payload(payload, 64, 64)   # legit decode works
+    assert out.roi is not None
+    big = build_roi_header(0, 0, 30000, 30000, 64) + bytes(jpg)
+    with pytest.raises(FrameDecodeError, match="exceeds the frame"):
+        decode_frame_payload(big, 64, 64)
+
+    # An intact JPEG still decodes (the guard passes honest dims).
+    ok = decode_frame_payload(encode_jpeg(synthetic_frame(64, 64, seed=3)),
+                              64, 64)
+    assert ok.pixels.shape == (64, 64, 3)

@@ -34,16 +34,53 @@ class FrameDecodeError(ValueError):
     pass
 
 
-def _decode_jpeg(data: bytes) -> np.ndarray:
+def _jpeg_sof_dims(data: bytes) -> Tuple[int, int]:
+    """(height, width) from the bitstream's SOF marker, WITHOUT decoding.
+
+    Decode-bomb guard (review r5): a ~60 KB crafted payload whose SOF
+    claims 30000x30000 makes cv2.imdecode allocate gigabytes BEFORE any
+    post-decode shape check can run — on a wire-reachable path. The SOF
+    scan is a few hundred bytes of marker walking; callers compare the
+    claimed dims against the expected extent and reject before libjpeg
+    allocates anything."""
+    i = 2  # past SOI
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            break  # corrupt marker stream — let the real decoder reject it
+        marker = data[i + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            i += 2  # standalone markers carry no length
+            continue
+        seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+        if seg_len < 2:
+            break
+        # SOF0-15 except DHT(C4)/JPG(C8)/DAC(CC): height u16 @+3, width @+5.
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                break
+            return (int.from_bytes(data[i + 5:i + 7], "big"),
+                    int.from_bytes(data[i + 7:i + 9], "big"))
+        i += 2 + seg_len
+    raise FrameDecodeError("JPEG payload has no parseable SOF header")
+
+
+def _decode_jpeg(data: bytes, max_h: int, max_w: int) -> np.ndarray:
+    """Decode a JPEG whose claimed dimensions must fit (max_h, max_w)."""
     if not _HAS_CV2:
         raise FrameDecodeError("JPEG payload but cv2 unavailable")
-    if not data:
+    if len(data) < 2 or data[0] != 0xFF or data[1] != 0xD8:
         # cv2.imdecode on an empty buffer RAISES cv2.error (assertion) on
         # this cv2 instead of returning None — a wire-reachable payload
         # (ROIIMG header with no JPEG body) must stay inside the
         # FrameDecodeError contract, not traceback past the server's
         # bad-packet accounting.
-        raise FrameDecodeError("empty JPEG payload")
+        raise FrameDecodeError("not a JPEG payload")
+    sh, sw = _jpeg_sof_dims(data)
+    if sh > max_h or sw > max_w or sh <= 0 or sw <= 0:
+        raise FrameDecodeError(
+            f"JPEG claims {sw}x{sh}, exceeds the expected {max_w}x{max_h} "
+            "extent (decode refused before allocation)")
     try:
         arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
     except cv2.error as e:
@@ -75,7 +112,14 @@ def decode_frame_payload(data: bytes, width: int, height: int) -> DecodedFrame:
         raise FrameDecodeError(f"zero-area frame header: {width}x{height}")
     roi = parse_roi_header(data)
     if roi is not None:
-        region = _decode_jpeg(data[ROI_HEADER_SIZE:])
+        # A region must fit inside its own frame: unbounded u16 ROI dims
+        # would re-open the decode-bomb the SOF guard closes (a 30000²
+        # roi header "licensing" a 30000² JPEG claim).
+        if roi.height > height or roi.width > width:
+            raise FrameDecodeError(
+                f"ROI region {roi.width}x{roi.height} exceeds the frame "
+                f"{width}x{height}")
+        region = _decode_jpeg(data[ROI_HEADER_SIZE:], roi.height, roi.width)
         if region.shape[:2] != (roi.height, roi.width):
             raise FrameDecodeError(
                 f"ROI header {roi.width}x{roi.height} != decoded "
@@ -85,7 +129,7 @@ def decode_frame_payload(data: bytes, width: int, height: int) -> DecodedFrame:
         return DecodedFrame(
             pixels=np.frombuffer(data, np.uint8).reshape(height, width, 3))
     if len(data) >= 2 and data[0] == 0xFF and data[1] == 0xD8:
-        pixels = _decode_jpeg(data)
+        pixels = _decode_jpeg(data, height, width)
         if pixels.shape[:2] != (height, width):
             raise FrameDecodeError(
                 f"keyframe {pixels.shape[1]}x{pixels.shape[0]} != header "

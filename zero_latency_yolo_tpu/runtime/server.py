@@ -1050,6 +1050,19 @@ class DetectionServer:
                       recv_t: Optional[float] = None) -> None:
         if self._sessions.get(session.client_id) is not session:
             return  # evicted while queued; don't waste the decode
+        # Oversized-frame shed BEFORE decode, not at dispatch: the header's
+        # u16 dims license the JPEG decoder's allocation (frames.py SOF
+        # guard), so a 30000x30000 claim must be rejected while it is
+        # still 4 bytes of header — a multi-GB imdecode on the decode
+        # worker is a remote OOM (review r5). Engine-side dispatch keeps
+        # its own shed for the hosted path.
+        if not any(height <= bh and width <= bw
+                   for bh, bw in self.engine.frame_buckets):
+            self.engine.frames_dropped.inc()
+            self.engine.frames_oversized.inc()
+            log.debug("oversized frame header %dx%d (client %d); shed "
+                      "before decode", width, height, session.client_id)
+            return
         try:
             decoded = decode_frame_payload(payload, width, height)
         except FrameDecodeError as e:

@@ -118,22 +118,32 @@ class SimClient:
                           screen_height=self.screen_height, game_id=self.game_id)
         self._send(ClientInfoPacket(info=info).serialize())
         deadline = time.monotonic() + 3.0
-        while time.monotonic() < deadline:
-            try:
-                data, _ = self.sock.recvfrom(65536)
-            except socket.timeout:
-                break
-            try:
-                pkt = parse_packet(data)
-            except ProtocolError:
-                continue
-            if isinstance(pkt, ServerInfoPacket):
-                self.server_info = pkt.info
-                self._send(AckPacket(acked_sequence=pkt.sequence).serialize())
-                return pkt
-            if pkt.TYPE == PacketType.ERROR:
-                raise ConnectionRefusedError(
-                    f"server error {pkt.error_code}: {pkt.message}")
+        prev_timeout = self.sock.gettimeout()
+        try:
+            while time.monotonic() < deadline:
+                # Cap each blocking recv at the REMAINING handshake window:
+                # the constructor's socket timeout (default 5 s, caller-set
+                # up to anything) would otherwise overrule the documented
+                # 3 s deadline in a single recvfrom (review r5).
+                self.sock.settimeout(max(deadline - time.monotonic(), 0.01))
+                try:
+                    data, _ = self.sock.recvfrom(65536)
+                except socket.timeout:
+                    break
+                try:
+                    pkt = parse_packet(data)
+                except ProtocolError:
+                    continue
+                if isinstance(pkt, ServerInfoPacket):
+                    self.server_info = pkt.info
+                    self._send(
+                        AckPacket(acked_sequence=pkt.sequence).serialize())
+                    return pkt
+                if pkt.TYPE == PacketType.ERROR:
+                    raise ConnectionRefusedError(
+                        f"server error {pkt.error_code}: {pkt.message}")
+        finally:
+            self.sock.settimeout(prev_timeout)
         raise TimeoutError("no SERVER_INFO from server")
 
     def start_receiver(self) -> None:
@@ -294,21 +304,28 @@ class SimClient:
     # -------------------------------------------------------------- frames
     def send_raw_frame(self, pixels: np.ndarray, timestamp: Optional[int] = None) -> int:
         h, w = pixels.shape[:2]
+        self._frame_geom = (w, h)
         return self._send_frame(pixels.tobytes(), w, h, keyframe=True,
                                 timestamp=timestamp)
 
     def send_jpeg_keyframe(self, pixels: np.ndarray, quality: int = 85) -> int:
         h, w = pixels.shape[:2]
+        self._frame_geom = (w, h)
         return self._send_frame(encode_jpeg(pixels, quality), w, h, keyframe=True)
 
     def send_roi_update(self, region: np.ndarray, x: int, y: int,
                         full_width: Optional[int] = None, quality: int = 85) -> int:
+        # ROI packets must carry the STREAMED frame geometry (the last
+        # keyframe's), not the registered screen dims: the server's
+        # letterbox scales by the header w/h, and a stale 800x600 header
+        # on a 1280x720 stream skews every ROI-driven inference (and
+        # splits one stream across frame buckets) — review r5.
+        gw, gh = getattr(self, "_frame_geom", None) or (self.screen_width,
+                                                        self.screen_height)
         rh, rw = region.shape[:2]
-        payload = build_roi_header(x, y, rw, rh,
-                                   full_width or self.screen_width)
+        payload = build_roi_header(x, y, rw, rh, full_width or gw)
         payload += encode_jpeg(region, quality)
-        return self._send_frame(payload, self.screen_width, self.screen_height,
-                                keyframe=False)
+        return self._send_frame(payload, gw, gh, keyframe=False)
 
     def _send_frame(self, payload: bytes, w: int, h: int, keyframe: bool,
                     timestamp: Optional[int] = None) -> int:
@@ -335,9 +352,12 @@ class SimClient:
             # per send (a shed-heavy loadtest grows this dict to ~fps*60).
             if len(self._sent_at) > 8192:
                 cutoff = time.perf_counter() - 60.0
-                for k in list(self._sent_at):
-                    if self._sent_at[k] >= cutoff:
+                stale = []
+                for k, t0 in self._sent_at.items():  # insertion = time order
+                    if t0 >= cutoff:
                         break
+                    stale.append(k)
+                for k in stale:
                     del self._sent_at[k]
         self._send(raw)
         return fid
@@ -437,6 +457,12 @@ class StreamDriver:
         forced = getattr(self.client, "keyframe_requested", False)
         if forced:
             self.client.keyframe_requested = False
+        if (self._prev is not None
+                and frame.shape != self._prev.shape):
+            # Capture source renegotiated resolution mid-stream: a diff
+            # against the old geometry is a numpy broadcast crash (review
+            # r5) — re-anchor with a keyframe, exactly like a fresh start.
+            self._prev = None
         is_key = (forced or self._count % self.keyframe_interval == 0
                   or self._prev is None)
         self._count += 1

@@ -33,10 +33,14 @@ from ..utils.logging import get_logger
 
 log = get_logger("transport")
 
-# Each slot must hold the largest ZLTY datagram (PROTOCOL_MAX_PACKET_SIZE);
-# recvmmsg silently truncates to iov_len otherwise.
+# Each slot must hold the largest ZLTY datagram (MAX_PACKET_SIZE —
+# IMPORTED, not duplicated: recvmmsg silently truncates to iov_len, so a
+# raised protocol limit with a stale literal here would blackhole every
+# large frame as a CRC/length bad_packet with no size error anywhere).
+from ..protocol import MAX_PACKET_SIZE as _MAX_PACKET_SIZE
+
 MAX_PKTS = 64
-ARENA_CAP = MAX_PKTS * 65536  # 4 MB arena
+ARENA_CAP = MAX_PKTS * _MAX_PACKET_SIZE  # 4 MB arena
 
 Addr = Tuple[str, int]
 # (data, addr, header-or-None, already_acked); header = (type, seq, ts).
