@@ -193,16 +193,6 @@ int zl_build_frame_data(uint8_t* out, uint32_t frame_id, uint64_t frame_ts,
     return static_cast<int>(ZL_HEADER_SIZE + body);
 }
 
-struct ZlFrameHeader {
-    uint32_t frame_id;
-    uint64_t timestamp;
-    uint16_t width;
-    uint16_t height;
-    uint8_t keyframe;
-    uint32_t payload_offset;  // from packet start
-    uint32_t payload_size;
-};
-
 // Parse a validated FRAME_DATA packet's body. Returns 0 ok, 1 malformed.
 int zl_parse_frame_header(const uint8_t* data, size_t size, ZlFrameHeader* out) {
     if (size < static_cast<size_t>(ZL_HEADER_SIZE + 17)) return 1;

@@ -25,21 +25,13 @@ int zl_build_ack(uint8_t*, uint32_t, uint32_t, uint64_t);
 int zl_build_heartbeat(uint8_t*, uint32_t, uint32_t, uint64_t);
 int zl_build_detection_result(uint8_t*, uint32_t, uint64_t, const float*,
                               const uint32_t*, uint64_t, int, uint32_t, uint64_t);
-struct ZlFrameHeader { uint32_t frame_id; uint64_t timestamp; uint16_t width;
-                       uint16_t height; uint8_t keyframe; uint32_t payload_offset;
-                       uint32_t payload_size; };
 int zl_parse_frame_header(const uint8_t*, size_t, ZlFrameHeader*);
 // udp.cpp (linked into the same test binary)
 int zl_udp_open(int, int, int);
 void zl_udp_close(int);
 int zl_udp_send(int, const uint8_t*, int, uint32_t, uint16_t);
-struct ZlPacketDesc2 { uint32_t offset; uint32_t length; uint32_t ip_be;
-                       uint16_t port_be; uint8_t flags; uint8_t type;
-                       uint32_t sequence; uint32_t _pad; uint64_t timestamp; };
 int zl_udp_recv_batch2(int, uint8_t*, int, ZlPacketDesc2*, int, int,
                        const uint64_t*, int, int);
-struct ZlSendDesc { uint32_t offset; uint32_t length; uint32_t ip_be;
-                    uint16_t port_be; uint16_t _pad; };
 int zl_udp_send_batch(int, const uint8_t*, const ZlSendDesc*, int);
 }
 

@@ -42,14 +42,6 @@ extern "C" {
 
 static const int ZL_RECV_BATCH_MAX = 128;
 
-struct ZlPacketDesc {
-    uint32_t offset;   // into the arena
-    uint32_t length;
-    uint32_t ip_be;    // sender IPv4, network byte order
-    uint16_t port_be;  // sender port, network byte order
-    uint16_t _pad;
-};
-
 static const int ZL_OPEN_REUSEPORT = 1;
 
 int zl_udp_open3(const char* ip, int port, int rcvbuf, int sndbuf,
@@ -169,18 +161,6 @@ int zl_udp_recv_batch(int fd, uint8_t* arena, int arena_cap,
 // pre-parsed headers (no second CRC pass over JPEG payloads) and skips the
 // two thread-hops the ACK used to take (drain -> loop -> sendto).
 
-struct ZlPacketDesc2 {
-    uint32_t offset;     // into the arena
-    uint32_t length;
-    uint32_t ip_be;      // sender IPv4, network byte order
-    uint16_t port_be;    // sender port, network byte order
-    uint8_t flags;       // bit0: valid ZLTY frame; bit1: ACK already sent
-    uint8_t type;        // header fields (valid frames only)
-    uint32_t sequence;
-    uint32_t _pad;
-    uint64_t timestamp;
-};
-
 static const uint8_t ZL_F_VALID = 1;
 static const uint8_t ZL_F_ACKED = 2;
 static const int ZL_ACK_SIZE = 26;
@@ -288,14 +268,6 @@ int zl_udp_recv_batch2(int fd, uint8_t* arena, int arena_cap,
     }
     return n;
 }
-
-struct ZlSendDesc {
-    uint32_t offset;
-    uint32_t length;
-    uint32_t ip_be;
-    uint16_t port_be;
-    uint16_t _pad;
-};
 
 // One sendmmsg for a burst of result packets. Returns packets sent.
 int zl_udp_send_batch(int fd, const uint8_t* arena, const ZlSendDesc* descs,
