@@ -315,10 +315,52 @@ class NativeUdpTransport:
 
     # ----------------------------------------------------------------- recv
     def _drain_loop(self) -> None:
-        if HAVE_NATIVE_UDP_V2:
-            self._drain_loop_v2()
-        else:
-            self._drain_loop_v1()
+        # ONE loop for both .so generations (review r5): v1/v2 differ only
+        # in the recv call and descriptor-to-Datagram conversion — the C
+        # side unified zl_recv_prologue for the same reason (udp.cpp); a
+        # future fix to the error/batch policy applied to one duplicated
+        # loop and missed in the other would silently split intake
+        # behavior between .so builds.
+        v2 = HAVE_NATIVE_UDP_V2
+        arena = self._arena
+        descs = self._descs2 if v2 else self._descs
+        base = ctypes.addressof(arena)
+        consec_errs = 0
+        while self._running:
+            if v2:
+                peers = self._peers  # snapshot: set_peers swaps the array
+                n = self._lib.zl_udp_recv_batch2(
+                    self.fd, arena, ARENA_CAP, descs, MAX_PKTS, 100,
+                    peers, len(peers), 1)
+            else:
+                n = self._lib.zl_udp_recv_batch(
+                    self.fd, arena, ARENA_CAP, descs, MAX_PKTS, 100)
+            if n < 0:
+                consec_errs += 1
+                if self._recv_error(n, consec_errs):
+                    return
+                continue
+            consec_errs = 0
+            if n == 0:
+                continue
+            batch: List[Datagram] = []
+            for i in range(n):
+                d = descs[i]
+                # Copy just this datagram out of the arena (arena.raw
+                # would copy the whole 4 MB buffer per batch).
+                data = ctypes.string_at(base + d.offset, d.length)
+                ip = socket.inet_ntoa(struct.pack("=I", d.ip_be))
+                addr = (ip, socket.ntohs(d.port_be))
+                if v2 and d.flags & _F_VALID:
+                    hdr = (d.type, d.sequence, d.timestamp)
+                    batch.append((data, addr, hdr,
+                                  bool(d.flags & _F_ACKED)))
+                else:
+                    batch.append((data, addr, None, False))
+            try:
+                self.on_batch(batch)
+            except Exception:  # noqa: BLE001
+                log.exception("native batch handler failed")
 
     _PERMANENT_ERRNOS = (errno.EBADF, errno.ENOTSOCK, errno.EINVAL)
 
@@ -340,67 +382,3 @@ class NativeUdpTransport:
             return True
         time.sleep(0.01)  # no busy-spin while transient errors clear
         return False
-
-    def _drain_loop_v2(self) -> None:
-        arena = self._arena
-        descs = self._descs2
-        base = ctypes.addressof(arena)
-        consec_errs = 0
-        while self._running:
-            peers = self._peers  # snapshot: set_peers swaps the whole array
-            n = self._lib.zl_udp_recv_batch2(
-                self.fd, arena, ARENA_CAP, descs, MAX_PKTS, 100,
-                peers, len(peers), 1)
-            if n < 0:
-                consec_errs += 1
-                if self._recv_error(n, consec_errs):
-                    return
-                continue
-            consec_errs = 0
-            if n == 0:
-                continue
-            batch: List[Datagram] = []
-            for i in range(n):
-                d = descs[i]
-                data = ctypes.string_at(base + d.offset, d.length)
-                ip = socket.inet_ntoa(struct.pack("=I", d.ip_be))
-                addr = (ip, socket.ntohs(d.port_be))
-                if d.flags & _F_VALID:
-                    hdr = (d.type, d.sequence, d.timestamp)
-                    batch.append((data, addr, hdr, bool(d.flags & _F_ACKED)))
-                else:
-                    batch.append((data, addr, None, False))
-            try:
-                self.on_batch(batch)
-            except Exception:  # noqa: BLE001
-                log.exception("native batch handler failed")
-
-    def _drain_loop_v1(self) -> None:
-        arena = self._arena
-        descs = self._descs
-        base = ctypes.addressof(arena)
-        consec_errs = 0
-        while self._running:
-            n = self._lib.zl_udp_recv_batch(
-                self.fd, arena, ARENA_CAP, descs, MAX_PKTS, 100)
-            if n < 0:
-                consec_errs += 1
-                if self._recv_error(n, consec_errs):
-                    return
-                continue
-            consec_errs = 0
-            if n == 0:
-                continue
-            batch: List[Datagram] = []
-            for i in range(n):
-                d = descs[i]
-                # Copy just this datagram out of the arena (arena.raw would
-                # copy the whole 4 MB buffer per batch).
-                data = ctypes.string_at(base + d.offset, d.length)
-                ip = socket.inet_ntoa(struct.pack("=I", d.ip_be))
-                batch.append((data, (ip, socket.ntohs(d.port_be)), None,
-                              False))
-            try:
-                self.on_batch(batch)
-            except Exception:  # noqa: BLE001
-                log.exception("native batch handler failed")
