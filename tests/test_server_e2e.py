@@ -872,3 +872,64 @@ def test_shed_keyframe_request_does_not_burn_rate_limit(harness):
         assert s.last_kf_request > 0.0
     finally:
         harness._sessions.pop(997, None)
+
+
+def test_stop_start_restart_accepts_clients():
+    """In-process stop() -> start() on the SAME instance must accept new
+    handshakes again: _draining is cleared on start and the GC observer is
+    reinstalled (review r5 — a restarted instance used to answer every
+    CLIENT_INFO with a drain DISCONNECT forever)."""
+    cfg = ServerConfig.from_dict({
+        "model_path": "/nonexistent/model.npz",
+        "port": PORT + 90, "web_port": 0, "max_clients": 2,
+        "tpu": {"batch_window_ms": 1.0, "frame_buckets": [[128, 128]],
+                "batch_buckets": [1]},
+    })
+    h = ServerHarness(cfg)
+    h.start()
+    try:
+        c = _client(PORT + 90)
+        c.connect()
+        c.stop()
+        # Stop and start the SAME server object on its loop.
+        asyncio.run_coroutine_threadsafe(h.server.stop(), h.loop).result(10)
+        assert h.server._draining
+        asyncio.run_coroutine_threadsafe(h.server.start(), h.loop).result(10)
+        assert not h.server._draining
+        assert h.server._gc_tracker._installed
+        c2 = _client(PORT + 90)
+        pkt = c2.connect()        # used to raise TimeoutError (drain NAK)
+        assert pkt.info.max_clients == 2
+        c2.stop()
+    finally:
+        h.stop()
+
+
+def test_config_update_refusal_is_echoed(harness):
+    """A refused CONFIG_UPDATE (type 7) must answer with an ERROR carrying
+    the refusal reason — review r5: the silent swallow was exactly the
+    'silent success with nothing applied' the validator contract forbids,
+    and the reason must name the real problem (not 'non-numeric')."""
+    import json as _json
+    import time as _t
+
+    from zero_latency_yolo_tpu.protocol import ConfigUpdatePacket
+
+    c = _client(harness.port)
+    try:
+        c.connect()
+        c.start_receiver()
+        c._send(ConfigUpdatePacket(
+            settings={"min_serve_size": 99999}).serialize())
+        deadline = _t.monotonic() + 5
+        msg = None
+        while _t.monotonic() < deadline and msg is None:
+            with c._lock:
+                for e in c.errors:
+                    if "min_serve_size" in e.message:
+                        msg = e.message
+            _t.sleep(0.05)
+        assert msg is not None, "refusal not echoed"
+        assert "raise-only" in msg or "out of range" in msg, msg
+    finally:
+        c.stop()

@@ -36,10 +36,10 @@ from typing import Dict, List, Optional, Tuple
 
 from ..config import ServerConfig
 from ..protocol import (
-    AckPacket, ClientInfoPacket, ConfigUpdatePacket, Detection,
-    DetectionResultPacket, ErrorCode, ErrorPacket, FrameDataPacket,
-    HeartbeatPacket, PacketType, ProtocolError, ServerInfo, ServerInfoPacket,
-    parse_header, parse_packet,
+    AckPacket, ClientInfoPacket, CommandPacket, CommandType,
+    ConfigUpdatePacket, Detection, DetectionResultPacket, ErrorCode,
+    ErrorPacket, FrameDataPacket, HeartbeatPacket, PacketType, ProtocolError,
+    ServerInfo, ServerInfoPacket, parse_header, parse_packet,
 )
 from .ratecontrol import RateController
 from ..utils.events import (
@@ -247,9 +247,12 @@ class DetectionServer:
 
         # Always-on GC pause observability: cyclic-GC collections pause every
         # serving thread; their size/frequency must be visible where the p99
-        # is read (/statusz host.gc), not inferred.
+        # is read (/statusz host.gc), not inferred. INSTALLED in start(),
+        # not here: gc.callbacks is process-global, and a constructed-but-
+        # never-started server (failed boot, tests) would otherwise leak a
+        # dead observer onto every future collection (review r5).
         from ..utils.gcstats import GcPauseTracker
-        self._gc_tracker = GcPauseTracker().install()
+        self._gc_tracker = GcPauseTracker()
 
         # Transport counters (reference reliable_udp.h:269-275).
         self.packets_received = Counter()
@@ -270,6 +273,9 @@ class DetectionServer:
         self._nak_prune_at = 0.0  # full-table prune throttle (flood posture)
         self._draining = False  # stop() in progress: refuse new handshakes
         self._recovering = False  # single-flight socket recovery guard
+        # Socket recovery exhausted its retries: the server cannot receive
+        # (surfaced in /statusz so a deaf shard is visible, not "healthy").
+        self.transport_dead = False
         self.detect_latency = RollingStats()  # frame recv -> result sent
         self.frames_received = Counter()  # FRAME_DATA ingest (offered rate)
         self.rate_updates_sent = Counter()  # CONFIG_UPDATE broadcasts
@@ -394,6 +400,12 @@ class DetectionServer:
         self._watch_task = asyncio.create_task(self._model_watch_loop())
         self._monitor_task = asyncio.create_task(self._monitor_loop())
         self._running = True
+        # In-process restart support (review r5): stop() set _draining to
+        # refuse handshakes during teardown and uninstalled the gc hook —
+        # a restarted instance must accept clients and observe GC again.
+        self._draining = False
+        self.transport_dead = False
+        self._gc_tracker.install()
         EVENT_BUS.publish(SERVER_STARTED, {"port": self.port})
         log.info("detection server listening on udp/%d (statusz on %s)",
                  self.port, self.config.network.web_port)
@@ -416,7 +428,6 @@ class DetectionServer:
         # after a rebalance) instead of waiting out network.timeout_ms.
         # Best-effort fire-and-forget: the retransmit machinery is being
         # torn down, and the liveness timeout remains the fallback.
-        from ..protocol import CommandPacket, CommandType
         bye = CommandPacket(command_type=CommandType.DISCONNECT).serialize()
         for session in list(self._sessions.values()):
             try:
@@ -725,14 +736,26 @@ class DetectionServer:
                         "(network.allow_client_config)").serialize(),
                 session.addr)
             return
-        self._apply_runtime_settings(getattr(pkt, "settings", {}) or {},
-                                     session)
+        reason = self._apply_runtime_settings(
+            getattr(pkt, "settings", {}) or {}, session)
+        if reason is not None:
+            # Same refusal contract as SET_CONFIG (review r5): the client
+            # must learn its settings were NOT applied — a silently-refused
+            # CONFIG_UPDATE is exactly the "silent success with nothing
+            # applied" the shared validator's all-or-nothing rule exists
+            # to prevent.
+            self._send_raw(ErrorPacket(
+                error_code=ErrorCode.INVALID_REQUEST,
+                message=reason).serialize(), session.addr)
 
     def _apply_runtime_settings(self, s: Dict,
-                                session: ClientSession) -> bool:
+                                session: ClientSession) -> Optional[str]:
         """Validate-then-apply runtime thresholds (shared by SET_CONFIG and
         CONFIG_UPDATE). Both values parse BEFORE either applies — one
-        malformed field must not leave a partial state change."""
+        malformed field must not leave a partial state change. Returns
+        None on success, else the refusal REASON — both wire entry points
+        echo it so a rejected floor/SLO is diagnosable from the client
+        instead of a catch-all "non-numeric" (review r5)."""
         conf = s.get("confidence_threshold")
         nms = s.get("nms_threshold")
         slo = s.get("adaptive_slo_ms")
@@ -745,7 +768,7 @@ class DetectionServer:
         except (TypeError, ValueError):
             log.debug("non-numeric threshold update from client #%d ignored",
                       session.client_id)
-            return False
+            return "non-numeric runtime setting"
         import math
         # Range gate, not just parseability: json.loads accepts NaN/Infinity
         # tokens, and a NaN confidence makes every NMS comparison False —
@@ -754,12 +777,12 @@ class DetectionServer:
             if v is not None and not (math.isfinite(v) and 0.0 <= v <= 1.0):
                 log.debug("out-of-range threshold update from client #%d "
                           "ignored", session.client_id)
-                return False
+                return "threshold out of range [0, 1]"
         if slo_f is not None and not (math.isfinite(slo_f)
                                       and 0.0 <= slo_f <= 10000.0):
             log.debug("out-of-range adaptive_slo_ms from client #%d ignored",
                       session.client_id)
-            return False
+            return "adaptive_slo_ms out of range [0, 10000]"
         # Accuracy-SLA floor: PER-CLIENT state (unlike the global
         # thresholds) — bounded below by the OPERATOR's configured default
         # (clients may only raise their own floor; a lower value would
@@ -774,7 +797,9 @@ class DetectionServer:
                       session.client_id,
                       int(self.config.detection.min_serve_size),
                       self.engine.model_size)
-            return False
+            return ("min_serve_size out of range "
+                    f"[{int(self.config.detection.min_serve_size)}, "
+                    f"{self.engine.model_size}] (floors are raise-only)")
         # The SLO stages (or refuses) BEFORE the thresholds apply, keeping
         # the all-or-nothing contract: a refused SLO (no ladder / cold
         # rungs) fails the whole update so the client gets an ERROR rather
@@ -783,7 +808,7 @@ class DetectionServer:
             log.debug("adaptive_slo_ms update from client #%d refused by "
                       "the engine (no warmed serve-size ladder)",
                       session.client_id)
-            return False
+            return "adaptive_slo_ms refused: no warmed serve-size ladder"
         self.engine.update_thresholds(confidence=conf_f, nms=nms_f)
         if floor_i is not None:
             session.min_serve_size = floor_i
@@ -797,7 +822,7 @@ class DetectionServer:
             log.info("client #%d applied runtime settings: %s%s",
                      session.client_id, applied,
                      f" (ignored: {ignored})" if ignored else "")
-        return True
+        return None
 
     def _handle_ack(self, pkt: AckPacket, session: Optional[ClientSession]) -> None:
         if session is None:
@@ -810,7 +835,6 @@ class DetectionServer:
             # notice stop() broadcasts so the client keeps its
             # disconnected state and retries — once this socket closes,
             # the kernel re-hashes its flow onto a surviving shard.
-            from ..protocol import CommandPacket, CommandType
             try:
                 self._send_raw(CommandPacket(
                     command_type=CommandType.DISCONNECT).serialize(), addr)
@@ -906,10 +930,11 @@ class DetectionServer:
                     error_code=ErrorCode.INVALID_REQUEST,
                     message="SET_CONFIG expects JSON").serialize(), session.addr)
                 return
-            if not self._apply_runtime_settings(payload, session):
+            reason = self._apply_runtime_settings(payload, session)
+            if reason is not None:
                 self._send_raw(ErrorPacket(
                     error_code=ErrorCode.INVALID_REQUEST,
-                    message="non-numeric threshold").serialize(), session.addr)
+                    message=reason).serialize(), session.addr)
         elif pkt.command_type == CommandType.PAUSE_STREAM:
             # Shed this client's frames at ingest; its device-cache slot and
             # tracker state stay warm for a cheap resume. (The reference
@@ -941,8 +966,7 @@ class DetectionServer:
                 self._send_keyframe_requests([session.client_id])
                 log.info("client #%d stream resumed", session.client_id)
         elif pkt.command_type == CommandType.GET_CONFIG:
-            from ..protocol import CommandPacket
-            # Read the ENGINE's config — the object update_thresholds
+                # Read the ENGINE's config — the object update_thresholds
             # actually mutates (the simulation engine works on a copy of
             # the server config).
             body = json.dumps({
@@ -1274,7 +1298,6 @@ class DetectionServer:
             self._loop.call_soon_threadsafe(self._send_keyframe_requests, cids)
 
     def _send_keyframe_requests(self, cids: List[int]) -> None:
-        from ..protocol import CommandPacket, CommandType
         now = time.monotonic()
         for cid in cids:
             session = self._sessions.get(cid)
@@ -1488,13 +1511,22 @@ class DetectionServer:
             if (analytics.enable_analytics and analytics.save_stats_to_file
                     and now - last_stats >= analytics.stats_interval_sec):
                 last_stats = now
-                try:
+
+                def _write_stats(path=analytics.stats_file, snapshot=st):
                     import os as _os
-                    d = _os.path.dirname(analytics.stats_file)
+                    d = _os.path.dirname(path)
                     if d:
                         _os.makedirs(d, exist_ok=True)
-                    with open(analytics.stats_file, "w") as f:
-                        json.dump(st, f, indent=1)
+                    with open(path, "w") as f:
+                        json.dump(snapshot, f, indent=1)
+
+                try:
+                    # Worker thread, never the event loop (review r5): a
+                    # contended disk write here would stall datagram
+                    # dispatch/ACKs/result sends and land straight in the
+                    # detect p99 (same discipline as the model watcher
+                    # below).
+                    await asyncio.to_thread(_write_stats)
                 except OSError:
                     log.exception("failed writing analytics stats")
 
@@ -1519,27 +1551,44 @@ class DetectionServer:
 
     async def _recover_socket(self) -> None:
         """Close and re-create the datagram endpoint in place
-        (reference reliable_udp.cpp:492-509)."""
+        (reference reliable_udp.cpp:492-509). Retries with backoff: a
+        one-shot attempt that lost the 50 ms race (another process
+        grabbed the port, transient ENOBUFS) used to leave the server
+        PERMANENTLY deaf — _transport stayed None, no further
+        error_received could re-trigger recovery, and /statusz read
+        healthy while every client timed out (review r5). The failure is
+        also surfaced (transport_dead) so operators see a deaf server."""
         try:
             if self._transport:
                 self._transport.close()
                 self._transport = None
-            await asyncio.sleep(0.05)
-            if not self._running:
-                # stop() ran while we slept: re-binding now would hold the
-                # port past shutdown (EADDRINUSE for the next boot).
-                return
-            try:
-                # reuse_port: rejoin the reuseport group, not a plain bind —
-                # a plain bind would EADDRINUSE against surviving shards.
-                await self._loop.create_datagram_endpoint(
-                    lambda: _Protocol(self),
-                    local_addr=(self.config.network.bind_address
-                                or "0.0.0.0", self.port),
-                    reuse_port=self.config.network.reuse_port or None)
-                log.warning("socket recovered on udp/%d", self.port)
-            except OSError:
-                log.exception("socket recovery failed")
+            delay = 0.05
+            for attempt in range(6):
+                await asyncio.sleep(delay)
+                if not self._running:
+                    # stop() ran while we slept: re-binding now would hold
+                    # the port past shutdown (EADDRINUSE for next boot).
+                    return
+                try:
+                    # reuse_port: rejoin the reuseport group, not a plain
+                    # bind — a plain bind would EADDRINUSE against
+                    # surviving shards.
+                    await self._loop.create_datagram_endpoint(
+                        lambda: _Protocol(self),
+                        local_addr=(self.config.network.bind_address
+                                    or "0.0.0.0", self.port),
+                        reuse_port=self.config.network.reuse_port or None)
+                    self.transport_dead = False
+                    log.warning("socket recovered on udp/%d (attempt %d)",
+                                self.port, attempt + 1)
+                    return
+                except OSError:
+                    log.exception("socket recovery attempt %d failed",
+                                  attempt + 1)
+                    delay = min(delay * 2, 2.0)
+            self.transport_dead = True
+            log.error("socket recovery EXHAUSTED on udp/%d — transport is "
+                      "DEAD (restart the server/shard)", self.port)
         finally:
             self._recovering = False
 
@@ -1569,10 +1618,12 @@ class DetectionServer:
                 "bytes_sent": self.bytes_sent.value,
                 "retransmits": self.retransmits.value,
                 "reliable_shed": self.reliable_shed.value,
-            "cache_rejects": self.cache_rejects.value,
-            # Native drain thread gave up on a permanent recv failure:
-            # tx works, nothing is ever read — restart the shard.
-            "rx_dead": bool(getattr(self._transport, "rx_dead", False)),
+                # Native drain thread gave up on a permanent recv failure:
+                # tx works, nothing is ever read — restart the shard.
+                "rx_dead": bool(getattr(self._transport, "rx_dead", False)),
+                # Asyncio socket recovery exhausted its retries: the
+                # server cannot receive OR send — restart the shard.
+                "transport_dead": self.transport_dead,
                 "send_drops": self.send_drops.value,
                 "bad_packets": self.bad_packets.value,
                 "unknown_sender_naks": self.unknown_sender_naks.value,
@@ -1601,6 +1652,10 @@ class DetectionServer:
                 "writes_shed": self.device_cache.writes_shed,
                 "frozen_slots": len(self.device_cache.frozen_clients()),
                 "keyframe_requests": self.keyframe_requests.value,
+                # Keyframes the cache refused (oversized/slot-exhausted) —
+                # a frame-cache stat; it used to hide inside `transport`
+                # (review r5).
+                "cache_rejects": self.cache_rejects.value,
             } if self.device_cache is not None else None),
             "engine": self.engine.status(),
             "adapter": self.adapter.status(),

@@ -89,6 +89,7 @@ class SimClient:
         self.keyframe_requested = False
         self.keyframe_requests_seen = 0
         self.errors_seen = 0  # ERROR packets observed by the rx loop
+        self.errors: List = []  # recent ERROR packets (bounded at 64)
         # Server-pushed runtime settings (CONFIG_UPDATE broadcasts — rate
         # control): latest values win; read under _lock or via a plain
         # .get() (GIL-atomic) for pacing decisions.
@@ -178,6 +179,12 @@ class SimClient:
                 self._result_event.set()
             elif pkt.TYPE == PacketType.ERROR:
                 self.errors_seen += 1
+                with self._lock:
+                    # Retain recent ERRORs (bounded) so drivers/tests can
+                    # read refusal REASONS (e.g. a rejected CONFIG_UPDATE),
+                    # not just a count.
+                    self.errors.append(pkt)
+                    del self.errors[:-64]
                 if pkt.error_code == ErrorCode.TIMEOUT:
                     # Unknown-sender NAK: our session is gone server-side
                     # (shard crash rebalanced us, or we were evicted) and we
