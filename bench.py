@@ -288,12 +288,16 @@ def _host_path_loadtest(results):
     # row: full load over per-size ladders with the REAL downshift policy
     # (the single-chip full-load gate candidate — BENCH_NOTES).
     ladder320 = {}
-    try:
-        with open(os.path.join(here, "artifacts",
-                               "n320_step_ladder.json")) as f:
-            ladder320 = dict(json.load(f).get("ladder", {}))
-    except Exception:  # noqa: BLE001 — row only exists once measured
-        pass
+    # topk-128 ladder first — it matches the SHIPPED configs' pre_nms_topk
+    # (review r5: mixing a topk-256 320 rung with a topk-128 416 rung
+    # understated the shipped adaptive config's downshift headroom 5-8%).
+    for name in ("n320_topk128_step_ladder.json", "n320_step_ladder.json"):
+        try:
+            with open(os.path.join(here, "artifacts", name)) as f:
+                ladder320 = dict(json.load(f).get("ladder", {}))
+            break
+        except Exception:  # noqa: BLE001 — row only exists once measured
+            continue
     if ladder320 and not SMOKE:
         configs.append((64, 60, 15, "full_adaptive"))
     out = {}
@@ -330,50 +334,49 @@ def _run_combo(cfg, params, batch, mode, source, bh, bw, h, w, rng, results):
     import jax
     import jax.numpy as jnp
     from zero_latency_yolo_tpu.runtime.engine import InferenceEngine
-    if True:  # keep original indentation of the measurement block
-        if source.endswith("_int8"):
-            import dataclasses
-            cfg = dataclasses.replace(cfg)  # shallow copy is fine: tpu replaced below
-            cfg.tpu = dataclasses.replace(cfg.tpu, quantize_int8=True)
-        engine = InferenceEngine(cfg, params=params, preprocess_mode=mode)
-        frames = rng.integers(0, 256, (batch, bh, bw, 3), dtype=np.uint8)
-        heights = jnp.full((batch,), h, jnp.int32)
-        widths = jnp.full((batch,), w, jnp.int32)
-        cw, conf, iou = engine._class_weights, engine._conf, engine._iou
-        p = engine._params
+    if source.endswith("_int8"):
+        import dataclasses
+        cfg = dataclasses.replace(cfg)  # shallow copy is fine: tpu replaced below
+        cfg.tpu = dataclasses.replace(cfg.tpu, quantize_int8=True)
+    engine = InferenceEngine(cfg, params=params, preprocess_mode=mode)
+    frames = rng.integers(0, 256, (batch, bh, bw, 3), dtype=np.uint8)
+    heights = jnp.full((batch,), h, jnp.int32)
+    widths = jnp.full((batch,), w, jnp.int32)
+    cw, conf, iou = engine._class_weights, engine._conf, engine._iou
+    p = engine._params
 
-        # Timing method: the shared RTT-cancelling pipeline harness
-        # (utils/bench_util.py — see its docstring for why readback-based
-        # timing is impossible through the relay).
-        from zero_latency_yolo_tpu.utils.bench_util import (
-            measure_cached_step, pipeline_step_seconds)
-        if source.startswith("cached"):
-            # Steady-state serving: frames live in the HBM frame cache —
-            # measured as the EXACT fused gather+serve executable the
-            # ContinuousBatcher dispatches (the ONE shared harness, so the
-            # headline is the serving program, not a twin).
-            step_s, rtt_s = measure_cached_step(engine, batch, (bh, bw),
-                                                h, w, frames=frames)
-        else:
-            step = engine.get_step(batch, (bh, bw))
+    # Timing method: the shared RTT-cancelling pipeline harness
+    # (utils/bench_util.py — see its docstring for why readback-based
+    # timing is impossible through the relay).
+    from zero_latency_yolo_tpu.utils.bench_util import (
+        measure_cached_step, pipeline_step_seconds)
+    if source.startswith("cached"):
+        # Steady-state serving: frames live in the HBM frame cache —
+        # measured as the EXACT fused gather+serve executable the
+        # ContinuousBatcher dispatches (the ONE shared harness, so the
+        # headline is the serving program, not a twin).
+        step_s, rtt_s = measure_cached_step(engine, batch, (bh, bw),
+                                            h, w, frames=frames)
+    else:
+        step = engine.get_step(batch, (bh, bw))
 
-            def run_once():
-                # Fresh H2D per step (full-frame upload serving mode; through
-                # the axon relay this measures tunnel bandwidth).
-                return step(p, jnp.asarray(frames), heights, widths, cw,
-                            conf, iou)
+        def run_once():
+            # Fresh H2D per step (full-frame upload serving mode; through
+            # the axon relay this measures tunnel bandwidth).
+            return step(p, jnp.asarray(frames), heights, widths, cw,
+                        conf, iou)
 
-            step_s, rtt_s = pipeline_step_seconds(run_once)
-        fps = batch / step_s
-        results[(batch, mode, source)] = {
-            "fps": fps,
-            "step_ms": step_s * 1e3,
-            "p99_step_ms": step_s * 1e3,  # amortized estimate (see method note)
-            "relay_rtt_ms": rtt_s * 1e3,
-        }
-        print(f"# batch={batch} mode={mode} src={source}: {fps:.0f} fps, "
-              f"step={step_s*1e3:.2f} ms (link rtt {rtt_s*1e3:.0f} ms)",
-              file=sys.stderr)
+        step_s, rtt_s = pipeline_step_seconds(run_once)
+    fps = batch / step_s
+    results[(batch, mode, source)] = {
+        "fps": fps,
+        "step_ms": step_s * 1e3,
+        "p99_step_ms": step_s * 1e3,  # amortized estimate (see method note)
+        "relay_rtt_ms": rtt_s * 1e3,
+    }
+    print(f"# batch={batch} mode={mode} src={source}: {fps:.0f} fps, "
+          f"step={step_s*1e3:.2f} ms (link rtt {rtt_s*1e3:.0f} ms)",
+          file=sys.stderr)
 
 
 def _last_committed_chip_numbers():
@@ -392,13 +395,18 @@ def _last_committed_chip_numbers():
             break
         except Exception:  # noqa: BLE001
             continue
-    for prev in ("BENCH_r02.json", "BENCH_r01.json"):
+    # Newest committed round first (review r5: a hardcoded r02/r01 pair
+    # kept citing a stale round as "the most recent" once r03+ landed).
+    import glob as _glob
+    records = sorted(_glob.glob(os.path.join(here, "BENCH_r*.json")),
+                     reverse=True)
+    for prev in records:
         try:
-            with open(os.path.join(here, prev)) as f:
+            with open(prev) as f:
                 rec = json.load(f).get("parsed") or {}
             if rec.get("value"):
                 out["prior_round"] = {
-                    "file": prev, "value": rec["value"],
+                    "file": os.path.basename(prev), "value": rec["value"],
                     "unit": rec.get("unit"),
                     "vs_baseline": rec.get("vs_baseline")}
                 break
@@ -501,8 +509,14 @@ def _gate_rows():
         # reads as best-case); the best attempt stays a secondary field and
         # every attempt's p99 is recorded. Co-located host noise (this
         # 1-core box also runs the bench itself) is the spread's source.
+        # Rows that served nothing (lane_physics diagnostic rows) are not
+        # gate evidence; count them out of the median.
+        reps = [r for r in reps if r.get("detect_p99_ms") is not None]
+        if not reps:
+            continue
         ranked = sorted(reps, key=lambda r: r.get("detect_p99_ms") or 1e9)
-        rep = ranked[(len(ranked) - 1) // 2]  # lower-median for even N
+        rep = ranked[len(ranked) // 2]  # UPPER median for even N: a lost
+        # attempt must not flip a near-gate row optimistic (review r5)
         best = ranked[0]
         out[label] = {
             "harness": "lane_physics",
@@ -528,7 +542,14 @@ def _gate_rows():
 
 def _report(results, variant, size, live=None, host_path=None,
             device="unknown", gate=None):
-    best_key = max(results, key=lambda k: results[k]["fps"])
+    # Headline is the bf16 serving point ONLY (review r5): if int8 ever
+    # outpaced bf16, max() over all combos would silently swap the
+    # metric's accuracy point mid-series and break cross-round
+    # comparisons; the int8 row stays a labeled secondary row.
+    bf16 = {k: v for k, v in results.items() if "int8" not in k[2]}
+    results_for_headline = bf16 or results
+    best_key = max(results_for_headline,
+                   key=lambda k: results_for_headline[k]["fps"])
     best_batch, best_mode, best_source = best_key
     best = results[best_key]
     target_fps = 64 * 60.0

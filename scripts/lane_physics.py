@@ -50,6 +50,13 @@ def run_row(ladder, label, window_ms, rate, streams, duration,
     runs the REAL adaptive-resolution policy over per-size synthetic
     ladders (primary at 416, the downshift rung at 320) with the given SLO.
     """
+    # Buckets must not exceed the MEASURED ladder's top key (review r5):
+    # the synthetic engine replays profile[max] for any over-bucket batch,
+    # so a backlog batch of 64 against a ladder that stops at 16 would
+    # drain ~4x faster than hardware — optimistically deflating the p99
+    # gate rows of record exactly in the recovery tail the gate measures.
+    top = max(int(k) for k in ladder)
+    buckets = tuple(b for b in buckets if b <= top) or (top,)
     tpu = {"variant": "yolov8n", "num_classes": 4,
            "batch_buckets": list(buckets),
            "frame_buckets": [[64, 64]],
@@ -108,6 +115,17 @@ def run_row(ladder, label, window_ms, rate, streams, duration,
         time.sleep(0.3)
         b.stop()
     a = np.asarray(lat[len(lat) // 5:])
+    if a.size == 0:
+        # Diagnostic row, not an IndexError traceback (review r5): a row
+        # that served NOTHING (bad ladder file, engine thread died) must
+        # say so — under bench's per-attempt except it would otherwise
+        # silently shrink median_of with no hint why.
+        return dict(ladder=label, window_ms=window_ms, offered_fps=rate,
+                    streams=streams, served_fps=0.0, detect_avg_ms=None,
+                    detect_p50_ms=None, detect_p99_ms=None,
+                    dropped=eng.frames_dropped.value,
+                    error="no results served",
+                    cpu_steal_pct=steal_pct(steal0, cpu_times()))
     row = dict(ladder=label, window_ms=window_ms, offered_fps=rate,
                streams=streams,
                served_fps=round(len(lat) / duration, 1),

@@ -136,7 +136,8 @@ class Stream:
         self.args = args
         self.payload = payload
         self.keyframe_px = keyframe_px
-        self.client = SimClient(("127.0.0.1", args.port),
+        self.client = SimClient((getattr(args, "host", "127.0.0.1"),
+                                 args.port),
                                 screen_width=args.width,
                                 screen_height=args.height)
         self.sent = 0
@@ -265,6 +266,7 @@ def main() -> None:
     else:
         host, port = args.external.rsplit(":", 1)
         args.port = int(port)
+        args.host = host or "127.0.0.1"  # review r5: host was parsed+dropped
     if args.client_nice > 0:
         # The pacing/receiver threads otherwise steal scheduler slots from
         # the server under test on a small host — the measurement should
@@ -276,7 +278,8 @@ def main() -> None:
         except OSError:
             pass
 
-    statusz = f"http://127.0.0.1:{args.web_port}/statusz"
+    statusz = (f"http://{getattr(args, 'host', '127.0.0.1')}:"
+               f"{args.web_port}/statusz")
     try:
         wait_statusz(statusz, 120)
         wait_warm(statusz, args.warmup_timeout)
@@ -301,12 +304,25 @@ def main() -> None:
         # from here isolates steady-state ROI serving.
         deadline = time.monotonic() + 300.0
         base_results = 0
+        stable_since = None
         while time.monotonic() < deadline:
             base = wait_statusz(statusz, 30)
-            base_results = sum(int(v["results"])
-                               for v in base["sessions"].values())
-            if base_results >= args.streams:
+            n = sum(int(v["results"]) for v in base["sessions"].values())
+            if n >= args.streams:
+                base_results = n
                 break
+            # Fleet mode (review r5): one SO_REUSEPORT shard's statusz only
+            # ever sees ITS share of the streams, so the absolute threshold
+            # never fires — treat a count that stopped growing for 10 s as
+            # drained instead of burning the whole 300 s deadline per rung.
+            if n == base_results and n > 0:
+                if stable_since is None:
+                    stable_since = time.monotonic()
+                elif time.monotonic() - stable_since >= 10.0:
+                    break
+            else:
+                stable_since = None
+            base_results = n
             time.sleep(2.0)
         print(f"# prime drained: {base_results} keyframe results",
               file=sys.stderr)

@@ -109,7 +109,17 @@ def main() -> int:
     rows = []
     streams = args.start
     while streams <= args.max_streams:
-        row = run_rung(streams, args.fps, args.duration, ladder)
+        # Per-rung isolation (review r5): one failed rung (timeout, relay
+        # hiccup) must not discard every completed row — the sweep's value
+        # is the surviving ladder, same salvage stance as bench.py.
+        try:
+            row = run_rung(streams, args.fps, args.duration, ladder)
+        except Exception as e:  # noqa: BLE001
+            print(f"# single {streams}x{args.fps:.0f}: rung FAILED "
+                  f"({type(e).__name__}: {e}); continuing", file=sys.stderr)
+            rows.append({"streams": streams, "error": str(e)})
+            streams += args.step
+            continue
         rows.append(row)
         print(f"# single {streams}x{args.fps:.0f}: p99 "
               f"{row['detect_p99_ms']} ms, served {row['served_fps']}"
