@@ -68,7 +68,7 @@ def main() -> int:
                     help="process every Nth video frame")
     ap.add_argument("--save-dir", default="",
                     help="write annotated copies here (video sources write "
-                         "ONE annotated .mp4 each instead of per-frame "
+                         "ONE annotated .avi (MJPG) each instead of per-frame "
                          "stills; stride-skipped frames are omitted)")
     ap.add_argument("--labels-dir", default="",
                     help="write YOLO-convention label files here "
@@ -154,10 +154,17 @@ def main() -> int:
                               "detections": dets}), flush=True)
             # Path-derived stem (separators -> "_"): same-named inputs from
             # different directories must not overwrite each other's labels.
-            path_part = src.split("#")[0]
+            # rsplit + frame-prefix check (review r5): iter_frames names
+            # video frames "<path>#frameN", but a literal '#' in a user's
+            # FILE name (photo#1.jpg) must not route a still down the
+            # video-writer path against a nonexistent capture.
+            path_part, _, tail = src.rpartition("#")
+            if path_part and tail.startswith("frame"):
+                suffix = tail
+            else:
+                path_part, suffix = src, ""
             base = os.path.splitext(os.path.normpath(path_part))[0]
             base = base.replace(os.sep, "_").lstrip("._")
-            suffix = src.split("#")[1] if "#" in src else ""
             stem = f"{base}_{suffix}" if suffix else base
             if args.save_dir:
                 import cv2

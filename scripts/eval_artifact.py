@@ -66,6 +66,11 @@ def main() -> int:
     from zero_latency_yolo_tpu.train.eval import evaluate
     from zero_latency_yolo_tpu.train.loop import synthetic_batches
 
+    if args.images < 0:
+        # A negative limit with --data would silently slice away the LAST
+        # N pairs (pairs[:-N]) and report metrics on a truncated set
+        # (review r5).
+        raise SystemExit("--images must be >= 0")
     if args.images <= 0 and not args.data:
         # "0 = all" is a --data semantics; for the synthetic/ood/crowded
         # generators it would flow in as batch=0 and produce an empty eval

@@ -188,8 +188,12 @@ def main() -> int:
         raise SystemExit(f"train split has {len(train_pairs)} images; "
                          f"need at least --batch={args.batch}")
 
-    work = tempfile.mkdtemp(prefix="flywheel-",
-                            dir=os.path.dirname(os.path.abspath(args.out)) or ".")
+    out_parent = os.path.dirname(os.path.abspath(args.out)) or "."
+    # The parent must exist BEFORE mkdtemp uses it (review r5: an --out
+    # into a new directory crashed here, while the post-training makedirs
+    # showed auto-creation was always the intent).
+    os.makedirs(out_parent, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="flywheel-", dir=out_parent)
     try:
         train_dir = _link_split(train_pairs, os.path.join(work, "train"))
         eval_dir = (args.eval_data or
@@ -222,6 +226,16 @@ def main() -> int:
 
         base_m = _eval_artifact(args.base, eval_dir, args.size, args.eval_conf)
         cand_m = _eval_artifact(args.out, eval_dir, args.size, args.eval_conf)
+        # The 64-image comparability floor applies to EVERY ranking source
+        # (review r5: --eval-data used to bypass it, letting an 8-image
+        # eval atomically promote a worse model — the exact inversion the
+        # floor exists to prevent).
+        n_eval = int(cand_m.get("images", 0))
+        if n_eval < EVAL_FLOOR and not args.allow_small_eval:
+            raise SystemExit(
+                f"eval set has {n_eval} images; <{EVAL_FLOOR} is measured "
+                "unreliable for ranking (BENCH_NOTES artifact table). "
+                "Use a bigger --eval-data or pass --allow-small-eval.")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

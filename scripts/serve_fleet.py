@@ -228,6 +228,15 @@ class RollingRestarter:
                 self._log(f"rolling restart ABORTED: shard {shard} not "
                           f"healthy after {self.warm_grace_s:.0f}s "
                           "(survivors keep serving)")
+                # KILL the wedged replacement (review r5): alive, it holds
+                # a slot in the SO_REUSEPORT group and the kernel keeps
+                # hashing ~1/N of clients onto a shard that never answers
+                # — and poll() is None so neither the exit policy nor
+                # fleet-stop would ever touch it. SIGKILL, not SIGTERM: a
+                # shard wedged in warmup (relay compile hang) may never
+                # process a graceful stop. Dead, it falls to the
+                # --on-shard-exit policy like any crashed shard.
+                self._kill(shard)
                 self.abort()
 
 
@@ -561,6 +570,11 @@ def main() -> int:
                 exit_code = 1
                 _forward(signal.SIGTERM, None)
         if (args.status_interval and not stopping
+                and not roller.active
+                # Skip status collection mid-roll (review r5): sequential
+                # 2 s-timeout urlopens against a draining shard block this
+                # single supervisory loop and skew the roll's drain/warm
+                # grace timing by seconds.
                 and time.time() - last_status >= args.status_interval):
             stats = [shard_status(c) for c in shard_cfgs]
             clients = sum(int(s.get("clients", 0)) for s in stats)
@@ -578,6 +592,11 @@ def main() -> int:
             print(line, flush=True)
             last_status = time.time()
         time.sleep(0.5)
+    # Shard configs live in a mkdtemp'd dir the shards only read at boot:
+    # clean it up on manager exit (review r5 — every fleet run used to
+    # leak a /tmp dir carrying model paths + port layout).
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
     return exit_code
 
 

@@ -130,9 +130,7 @@ def main() -> int:
                 nxt = time.perf_counter()  # don't burst after a stall
             # Drain results every tick (bounded memory over --loop runs);
             # results_total keeps the lifetime count for the exit stats.
-            with client._lock:
-                new = client.results[:]
-                client.results.clear()
+            new = client.drain_results()
             if args.print_dets:
                 for r in new:
                     print(json.dumps({

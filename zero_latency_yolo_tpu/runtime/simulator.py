@@ -387,6 +387,16 @@ class SimClient:
         self._hb_thread.start()
 
     # -------------------------------------------------------------- results
+    def drain_results(self):
+        """Atomically take (and clear) the buffered DETECTION_RESULT
+        packets. The public API for long-running drivers that bound their
+        memory by draining every tick (scripts/stream_client.py) —
+        `results_total` keeps the lifetime count."""
+        with self._lock:
+            out = self.results[:]
+            self.results.clear()
+        return out
+
     def wait_results(self, n: int, timeout: float = 10.0) -> List[DetectionResultPacket]:
         deadline = time.monotonic() + timeout
         while time.monotonic() < deadline:
